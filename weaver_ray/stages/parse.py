@@ -1,0 +1,174 @@
+"""Parse stage: typed dispatch, link extraction, frontier construction.
+
+Reference analogs:
+- type dispatch switch (src/scrapper/queueService.go:180-196) -> the handler
+  registry + a single vectorized ``map_batches`` body;
+- root/product link extractors with per-page caps 6/3
+  (src/scrapper/neweggRootHandler.go:12-49, amazonRootHandler.go:28-73) ->
+  ``extract_children``: per fetched page, the deterministic link graph
+  yields <=k child URLs (flatMap — exploded child rows);
+- CLI seeding (src/client/main.go:90-110) -> ``seed_frontier``.
+
+The round barrier (``next_frontier``) dedupes within-round duplicate
+children deterministically (first in (priority desc, url_canon) order wins)
+and assigns the per-round ``seq`` — the deterministic serialization of the
+reference's per-queue FIFO (src/queue/main.go:47-61; SURVEY.md §7.4.3).
+At this test scale the barrier runs driver-side on one Arrow table; at
+10^10-URL scale the same three steps are ``groupby(url_canon).map_groups``
++ ``sort`` + per-block offset seq over the frontier Dataset (frontier rows
+are narrow; the wide image bytes never cross this barrier).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+from ..functions.canonicalize import host_batch, url_hash_batch
+from ..schema import FRONTIER_SCHEMA
+from ..sources.corpus import children_of, seed_image_ids, url_of, url_type_of
+
+PRIORITY_DECAY = 0.8
+PRIORITY_FLOOR = 0.05
+
+# ---------------------------------------------------------------- handler registry
+
+_HANDLERS: dict[str, Callable[[str, int], list[str]]] = {}
+
+
+def register_handler(url_type: str, extract: Callable[[str, int], list[str]]) -> None:
+    """User-extension surface (reference: add a URLType enum value + handler
+    pair, SURVEY.md §2.10): extract(canon_url, corpus_size) -> child image_ids."""
+    _HANDLERS[url_type] = extract
+
+
+register_handler("root", lambda canon, n: children_of(canon, "root", n))
+register_handler("product", lambda canon, n: children_of(canon, "product", n))
+
+
+def extract_children(batch: pa.Table, corpus_size: int, n_hosts: int = config.N_HOSTS) -> pa.Table:
+    """flatMap fetched pages -> child frontier candidates (unsequenced).
+
+    Input needs only narrow columns (url_canon, url_type, fetch_status,
+    round, depth, priority) — the caller must NOT route image bytes through
+    this stage."""
+    urls, hashes_parent, depths, prios, rounds = [], [], [], [], []
+    ok = pc.equal(batch.column("fetch_status"), "ok")
+    keep = batch.filter(ok)
+    canon = keep.column("url_canon").to_pylist()
+    utypes = keep.column("url_type").to_pylist()
+    parent_hashes = keep.column("url_hash").to_numpy(zero_copy_only=False)
+    depth_arr = keep.column("depth").to_numpy(zero_copy_only=False)
+    prio_arr = keep.column("priority").to_numpy(zero_copy_only=False)
+    round_arr = keep.column("round").to_numpy(zero_copy_only=False)
+    for i, c in enumerate(canon):
+        handler = _HANDLERS.get(utypes[i])
+        if handler is None:  # unknown type -> log+drop (reference behavior)
+            continue
+        for child_id in handler(c, corpus_size):
+            urls.append(url_of(child_id, n_hosts))
+            hashes_parent.append(parent_hashes[i])
+            depths.append(depth_arr[i] + 1)
+            prios.append(max(PRIORITY_FLOOR, round(float(prio_arr[i]) * PRIORITY_DECAY, 6)))
+            rounds.append(round_arr[i] + 1)
+    canon_children = urls  # url_of emits canonical form already
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_canon": pa.array(canon_children, pa.string()),
+            "url_hash": pa.array(url_hash_batch(canon_children), pa.uint64()),
+            "host": pa.array(host_batch(canon_children), pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "url_type": pa.array(
+                [url_type_of(u.rsplit("/", 1)[-1]) for u in canon_children], pa.string()
+            ),
+            "priority": pa.array(np.asarray(prios, np.float32), pa.float32()),
+            "seq": pa.array(np.full(len(urls), -1, np.int64), pa.int64()),
+            "round": pa.array(np.asarray(rounds, np.int32), pa.int32()),
+            "parent_hash": pa.array(np.asarray(hashes_parent, np.uint64), pa.uint64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------- frontier building
+
+def seed_frontier(n_seeds: int = config.N_SEEDS, n_hosts: int = config.N_HOSTS) -> pa.Table:
+    """Round-0 frontier from the fixed seed list (FIXTURES.md §3)."""
+    urls = [url_of(sid, n_hosts) for sid in seed_image_ids(n_seeds)]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_canon": pa.array(urls, pa.string()),
+            "url_hash": pa.array(url_hash_batch(urls), pa.uint64()),
+            "host": pa.array(host_batch(urls), pa.string()),
+            "depth": pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+            "url_type": pa.array(["root"] * len(urls), pa.string()),
+            "priority": pa.array(np.ones(len(urls), np.float32), pa.float32()),
+            "seq": pa.array(np.full(len(urls), -1, np.int64), pa.int64()),
+            "round": pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+            "parent_hash": pa.array(np.zeros(len(urls), np.uint64), pa.uint64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+    return assign_seq(dedup_within_round(t))
+
+
+def dedup_within_round(frontier: pa.Table) -> pa.Table:
+    """Deterministic within-round dedup: first row in (priority desc,
+    url_canon asc) order wins — so the surviving (priority, parent) of a URL
+    discovered twice in one round never depends on task race order."""
+    prio = frontier.column("priority").to_numpy(zero_copy_only=False)
+    canon = np.asarray(frontier.column("url_canon").to_pylist(), dtype=object)
+    order = np.lexsort((canon, -prio))
+    seen: set = set()
+    keep_rows = []
+    for i in map(int, order):
+        c = canon[i]
+        if c not in seen:
+            seen.add(c)
+            keep_rows.append(i)
+    return frontier.take(pa.array(sorted(keep_rows)))
+
+
+def assign_seq(frontier: pa.Table) -> pa.Table:
+    """Total order within the round: sort (priority desc, url_canon asc),
+    seq = 0..n-1.  This is the engine's crawl-order contract."""
+    prio = frontier.column("priority").to_numpy(zero_copy_only=False)
+    canon = np.asarray(frontier.column("url_canon").to_pylist(), dtype=object)
+    order = np.lexsort((canon, -prio))
+    sorted_t = frontier.take(pa.array(order))
+    return sorted_t.set_column(
+        sorted_t.schema.get_field_index("seq"),
+        "seq",
+        pa.array(np.arange(sorted_t.num_rows, dtype=np.int64), pa.int64()),
+    )
+
+
+def partition_for_fetch(frontier: pa.Table, num_partitions: int,
+                        hot_threshold: int, salt: int) -> list[pa.Table]:
+    """Split the round's frontier into fetch partitions by host hash, with
+    hot hosts (> hot_threshold rows this round) salted across ``salt``
+    sub-keys (north rule: explicit skew mitigation).  Politeness tokens stay
+    host-global regardless — they key on the true host (politeness.py)."""
+    import hashlib
+
+    hosts = frontier.column("host").to_pylist()
+    n = len(hosts)
+    hh = np.fromiter(
+        (int.from_bytes(hashlib.sha1(h.encode()).digest()[:4], "big") for h in hosts),
+        dtype=np.int64, count=n,
+    )
+    uniq, counts = np.unique(np.asarray(hosts, dtype=object), return_counts=True)
+    hot = {h for h, c in zip(uniq, counts) if c > hot_threshold}
+    salt_arr = np.zeros(n, dtype=np.int64)
+    if hot and salt > 1:
+        hot_mask = np.fromiter((h in hot for h in hosts), dtype=bool, count=n)
+        salt_arr[hot_mask] = np.arange(int(hot_mask.sum())) % salt
+    part = (hh + salt_arr * np.int64(0x9E3779B1)) % num_partitions
+    return [frontier.filter(pa.array(part == p)) for p in range(num_partitions)
+            if (part == p).any()]

@@ -1,0 +1,139 @@
+"""Checkpoint/resume + lineage for the crawl loop.
+
+The reference loses its frontier when a queue node dies — accepted by design
+(docs/Report.md:184-188).  The north rule upgrades that: after every round
+the engine persists (a) the next frontier, (b) every seen-shard's state,
+(c) politeness shard summaries, (d) per-partition lineage rows, then writes
+an atomic ``COMMIT_{r}`` marker.  A restarted job scans markers, reloads the
+shard actors and re-enters the loop at the first uncommitted round; the
+round's record output directory is rewritten from scratch, so output stays
+exactly-once per round (SURVEY.md §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+@ray.remote(num_cpus=0)
+class LineageActor:
+    """Queryable per-partition lineage/metrics counters (reference analog:
+    log lines; SURVEY.md §7.2 metrics row)."""
+
+    def __init__(self):
+        self.rows: list[dict] = []
+        self._next_partition: dict[tuple, int] = {}
+
+    def record(self, **kw) -> None:
+        key = (kw.get("round", -1), kw.get("stage", "?"))
+        part = self._next_partition.get(key, 0)
+        self._next_partition[key] = part + 1
+        kw.setdefault("partition", part)
+        kw.setdefault("task_attempt", 1)
+        self.rows.append(kw)
+
+    def drain(self) -> list[dict]:
+        out, self.rows = self.rows, []
+        return out
+
+    def all_rows(self) -> list[dict]:
+        return list(self.rows)
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str):
+        self.dir = Path(ckpt_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _commit_path(self, r: int) -> Path:
+        return self.dir / f"COMMIT_{r}.json"
+
+    def latest_committed_round(self) -> int | None:
+        rounds = sorted(
+            int(p.stem.split("_")[1]) for p in self.dir.glob("COMMIT_*.json")
+        )
+        return rounds[-1] if rounds else None
+
+    def save_round(
+        self,
+        r: int,
+        next_frontier: pa.Table,
+        seen_states: list[dict],
+        politeness_states: list[dict],
+        lineage_rows: list[dict],
+        summary: dict,
+    ) -> None:
+        pq.write_table(next_frontier, self.dir / f"frontier_after_round_{r}.parquet")
+        for st in seen_states:
+            i = st["shard_id"]
+            np.savez(
+                self.dir / f"seen_shard_{i}_round_{r}.npz",
+                exact=st["exact"] if st["exact"] is not None else np.zeros(0, np.uint64),
+                exact_mode=np.array([st["exact_mode"]]),
+                cuckoo_table=st["cuckoo"]["table"],
+                cuckoo_meta=np.array(
+                    [st["cuckoo"]["nb"], st["cuckoo"]["bucket_size"],
+                     st["cuckoo"]["max_kicks"], st["cuckoo"]["count"]], np.int64
+                ),
+                counters=np.asarray(st["counters"], np.int64),
+            )
+        (self.dir / f"politeness_round_{r}.json").write_text(json.dumps(politeness_states))
+        if lineage_rows:
+            lt = pa.Table.from_pylist(lineage_rows)
+            pq.write_table(lt, self.dir / f"lineage_round_{r}.parquet")
+        # atomic commit marker LAST — its presence defines "round r done"
+        tmp = self.dir / f".COMMIT_{r}.tmp"
+        tmp.write_text(json.dumps(summary, default=str))
+        tmp.rename(self._commit_path(r))
+
+    def load_round(self, r: int) -> dict:
+        frontier = pq.read_table(self.dir / f"frontier_after_round_{r}.parquet")
+        seen_states = []
+        for p in sorted(self.dir.glob(f"seen_shard_*_round_{r}.npz")):
+            z = np.load(p, allow_pickle=False)
+            i = int(p.stem.split("_")[2])
+            nb, bs, mk, cnt = map(int, z["cuckoo_meta"])
+            seen_states.append(
+                {
+                    "shard_id": i,
+                    "exact_mode": bool(z["exact_mode"][0]),
+                    "exact": z["exact"] if bool(z["exact_mode"][0]) else None,
+                    "cuckoo": {"nb": nb, "bucket_size": bs, "max_kicks": mk,
+                               "count": cnt, "table": z["cuckoo_table"]},
+                    "counters": tuple(map(int, z["counters"])),
+                }
+            )
+        politeness_states = json.loads(
+            (self.dir / f"politeness_round_{r}.json").read_text()
+        )
+        summary = json.loads(self._commit_path(r).read_text())
+        return {
+            "frontier": frontier,
+            "seen_states": seen_states,
+            "politeness_states": politeness_states,
+            "summary": summary,
+        }
+
+    def clean_uncommitted_records(self, records_root: str, committed: int | None) -> None:
+        """Delete record dirs for rounds after the last commit (partial
+        writes from a crashed run) so a resume rewrites them exactly once."""
+        root = Path(records_root)
+        if not root.exists():
+            return
+        for p in root.glob("round=*"):
+            r = int(p.name.split("=")[1])
+            if committed is None or r > committed:
+                shutil.rmtree(p)
+
+    def lineage_table(self) -> pa.Table | None:
+        parts = sorted(self.dir.glob("lineage_round_*.parquet"))
+        if not parts:
+            return None
+        return pa.concat_tables([pq.read_table(p) for p in parts], promote_options="default")

@@ -1,0 +1,202 @@
+"""The sharded URL-seen set: cuckoo-filter shard actors + bloom pre-filter.
+
+Reference analog: colly's per-collector visited set (SURVEY.md §2.3 T2) and
+the chord ring's ownership of keys (src/chord/chord.go:199-224).  Here each
+of N ``SeenShard`` actors owns the ``hash % N`` slice of the uint64 URL-hash
+space — a single writer per shard, so membership updates need no locking
+(reference analog: the queue mutex, src/queue/main.go:21).
+
+Modes (SURVEY.md §7.4.5):
+- exact mode (default; parity tests): an exact ``set`` is authoritative and
+  the cuckoo filter runs alongside with disagreements counted — zero false
+  drops, measured cuckoo FP rate.
+- production mode: cuckoo only; plus the per-partition bloom pre-filter —
+  batches drop bloom-positive ("maybe seen") URLs without any RPC and send
+  the rest to their shard.  The bloom never false-negatives, so no duplicate
+  ever slips through; its false-positive rate (~1% at 10 bits/key) is the
+  measured budget of wrongly-dropped novel URLs, reported in lineage.
+
+Calls are batched: one RPC per (task batch, shard) with a numpy array of
+hashes — never per URL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .. import config
+from ..functions.sketches import BloomFilter, CuckooFilter
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """Owner of one slice of the hash space. num_cpus=0: the work per call is
+    microseconds of set ops; reserving cores would starve fetch actors."""
+
+    def __init__(self, shard_id: int, capacity: int, exact: bool = True):
+        self.shard_id = shard_id
+        self.cuckoo = CuckooFilter(capacity)
+        self.exact_mode = exact
+        self.exact: set[int] | None = set() if exact else None
+        self.fp_disagreements = 0  # cuckoo said present, exact said absent
+        self.new_total = 0
+        self.dup_total = 0
+
+    def contains_or_insert(self, hashes: np.ndarray) -> np.ndarray:
+        """bool[n]: True = newly inserted (URL survives dedup), first-wins."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if self.exact_mode:
+            cuckoo_says = self.cuckoo.contains(hashes)
+            out = np.zeros(len(hashes), dtype=bool)
+            s = self.exact
+            for i, h in enumerate(hashes.tolist()):
+                if h not in s:
+                    s.add(h)
+                    out[i] = True
+            self.fp_disagreements += int((cuckoo_says & out).sum())
+            self.cuckoo.insert(hashes[out])
+        else:
+            out = self.cuckoo.contains_or_insert(hashes)
+        self.new_total += int(out.sum())
+        self.dup_total += int((~out).sum())
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if self.exact_mode:
+            s = self.exact
+            return np.fromiter((h in s for h in hashes.tolist()), dtype=bool, count=len(hashes))
+        return self.cuckoo.contains(hashes)
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "count": len(self.exact) if self.exact_mode else self.cuckoo.count,
+            "cuckoo_load": self.cuckoo.load_factor,
+            "fp_disagreements": self.fp_disagreements,
+            "new_total": self.new_total,
+            "dup_total": self.dup_total,
+        }
+
+    def serialize(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "exact_mode": self.exact_mode,
+            "exact": np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+            if self.exact_mode
+            else None,
+            "cuckoo": self.cuckoo.serialize(),
+            "counters": (self.fp_disagreements, self.new_total, self.dup_total),
+        }
+
+    def restore(self, state: dict) -> None:
+        self.shard_id = int(state["shard_id"])
+        self.exact_mode = bool(state["exact_mode"])
+        self.exact = set(np.asarray(state["exact"], np.uint64).tolist()) if self.exact_mode else None
+        self.cuckoo = CuckooFilter.deserialize(state["cuckoo"])
+        self.fp_disagreements, self.new_total, self.dup_total = map(int, state["counters"])
+
+
+class SeenView:
+    """The picklable, task-side face of the seen set: shard handles + a
+    bloom *ref* (ray.put'd once per round, read zero-copy in each task — the
+    'broadcast small side, don't re-ship per batch' rule)."""
+
+    def __init__(self, shards: list, num_shards: int, use_bloom: bool,
+                 bloom_ref, production: bool):
+        self.shards = shards
+        self.num_shards = num_shards
+        self.use_bloom = use_bloom
+        self.bloom_ref = bloom_ref
+        self.production = production
+
+    def filter_new(self, hashes: np.ndarray) -> tuple[np.ndarray, dict]:
+        """bool[n] 'survives dedup' + per-call metrics.
+
+        Production mode enables the bloom drop path (no RPC for maybe-seen);
+        otherwise the bloom is consulted for metrics only and every hash is
+        resolved authoritatively by its shard.
+        """
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        n = len(hashes)
+        metrics = {"bloom_maybe": 0, "rpc_hashes": 0}
+        if n == 0:
+            return np.zeros(0, dtype=bool), metrics
+
+        candidates = np.ones(n, dtype=bool)
+        if self.use_bloom and self.bloom_ref is not None:
+            bloom = BloomFilter.deserialize(ray.get(self.bloom_ref))
+            maybe = bloom.maybe_contains(hashes)
+            metrics["bloom_maybe"] = int(maybe.sum())
+            if self.production:
+                candidates = ~maybe  # drop maybe-seen without RPC (measured FP budget)
+
+        out = np.zeros(n, dtype=bool)
+        idx = np.flatnonzero(candidates)
+        if len(idx):
+            sub = hashes[idx]
+            shard_of = (sub % np.uint64(self.num_shards)).astype(np.int64)
+            futs, slices = [], []
+            for s in range(self.num_shards):
+                sel = np.flatnonzero(shard_of == s)
+                if len(sel):
+                    futs.append(self.shards[s].contains_or_insert.remote(sub[sel]))
+                    slices.append(idx[sel])
+            for fut, sel in zip(futs, slices):
+                out[sel] = ray.get(fut)
+            metrics["rpc_hashes"] = int(len(idx))
+        return out, metrics
+
+
+class SeenSet:
+    """Driver-side owner of the shard-actor pool + the bloom bits.  Never
+    capture this in a task closure — use :meth:`task_view`."""
+
+    def __init__(self, num_shards: int, capacity_per_shard: int, exact: bool = True,
+                 use_bloom: bool = True, production: bool = False):
+        self.num_shards = num_shards
+        self.exact = exact
+        self.use_bloom = use_bloom
+        self.production = production
+        self.shards = [
+            SeenShard.remote(i, capacity_per_shard, exact) for i in range(num_shards)
+        ]
+        self._bloom = BloomFilter(capacity_per_shard * num_shards) if use_bloom else None
+        self.bloom_ref = ray.put(self._bloom.serialize()) if use_bloom else None
+
+    def task_view(self) -> SeenView:
+        return SeenView(self.shards, self.num_shards, self.use_bloom,
+                        self.bloom_ref, self.production)
+
+    # -- round-barrier maintenance (driver only) ---------------------------
+    def bloom_add(self, hashes: np.ndarray) -> None:
+        """Fold this round's survivors into the bloom and re-broadcast."""
+        if self._bloom is not None:
+            self._bloom.add(np.asarray(hashes, np.uint64))
+            self.bloom_ref = ray.put(self._bloom.serialize())
+
+    def filter_new(self, hashes: np.ndarray) -> tuple[np.ndarray, dict]:
+        return self.task_view().filter_new(hashes)
+
+    # -- checkpoint --------------------------------------------------------
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def total_seen(self) -> int:
+        return sum(st["count"] for st in self.stats())
+
+    def serialize_shards(self) -> list[dict]:
+        return ray.get([s.serialize.remote() for s in self.shards])
+
+    def restore_shards(self, states: list[dict]) -> None:
+        assert len(states) == self.num_shards
+        ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
+        if self._bloom is not None:
+            # rebuild bloom from exact shard contents (exact mode) or leave
+            # fresh (production mode restores rebuild it from checkpointed
+            # frontier history via crawl driver).
+            for st in states:
+                if st["exact_mode"] and st["exact"] is not None:
+                    self._bloom.add(np.asarray(st["exact"], np.uint64))
+            self.bloom_ref = ray.put(self._bloom.serialize())
