@@ -1,44 +1,273 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``: flagship crawl pipeline (SURVEY.md §3.1 re-expressed as Ray
+Data rounds).  ``queries()``/``oracle_sql()``: one entry per implemented
+operator from SURVEY.md §2 + the training-data operator families (dedup /
+similarity / text analysis / multimodal).  SQL-expressible operators have a
+DuckDB oracle; stateful/approx ones (crawl loop, LSH, IVF, langid,
+fingerprints, media stubs) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in weaver_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+TESTDATA = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: round-synchronous frontier crawl (1k-row corpus, 3 rounds)
+    -> final URL-seen table (url_canon, url_hash, round)."""
+    from weaver_ray.config import CrawlConfig
+    from weaver_ray.pipelines.crawl import crawl
+
+    cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
+                      num_politeness_shards=2, fetch_concurrency=2)
+    res = crawl(cfg, "/tmp/weaver_entry")
+    return res.seen_table
+
+
+# ------------------------------------------------------------------ queries
+
+def _crawl_result(sf_dir: str):
+    from weaver_ray.config import CrawlConfig
+    from weaver_ray.pipelines.crawl import crawl
+
+    cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
+                      num_politeness_shards=2, fetch_concurrency=2)
+    return crawl(cfg, "/tmp/weaver_query_crawl")
+
+
+def _crawl_seen(sf_dir: str):
+    return _crawl_result(sf_dir).seen_table
+
+
+def _crawl_host_stats(sf_dir: str):
+    """Gather-style per-host crawl stats (reference A1, SURVEY.md §2.5)."""
+    import numpy as np
+    import pandas as pd
+
+    res = _crawl_result(sf_dir)
+    t = res.seen_table.to_pandas()
+    t["host"] = t["url_canon"].str.split("/").str[2]
+    out = t.groupby("host", sort=True).size().reset_index(name="n_urls")
+    out["n_urls"] = out["n_urls"].astype(np.int64)
+    return out
+
+
+def _image_decode_stats(sf_dir: str):
+    """Multimodal decode stage over the generated corpus (actor pool,
+    pyarrow batches, small batch size for wide binary rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from weaver_ray.sources.corpus import generate_corpus, read_corpus
+    from weaver_ray.stages.decode import DecodeImageStage
+
+    path = generate_corpus(1000)
+    ds = read_corpus(path)
+    feat = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
+                          batch_size=128, concurrency=2)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt")
+        out = g.agg(
+            n_images=("decode_ok", "size"),
+            n_decoded=("decode_ok", "sum"),
+            n_phash_match=("decode_ok", lambda s: 0),  # replaced below
+        ).reset_index()
+        match = df["phash_decoded"] == df["phash_stored"]
+        out["n_phash_match"] = df.assign(m=match).groupby("fmt")["m"].sum().to_numpy()
+        for c in ("n_images", "n_decoded", "n_phash_match"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return feat.to_pandas().pipe(agg)
+
+
+def _media_stub_plumbing(sf_dir: str):
+    """Audio/video stub stages: schema + actor plumbing real, codec faked
+    deterministically (libraries absent in sandbox — task brief)."""
+    import ray.data as rd
+
+    from weaver_ray.stages.decode import AudioFeatureStage, VideoFrameSampleStage
+
+    media = rd.from_items([{"media_id": f"media{i:04d}"} for i in range(20)])
+    audio = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                              fn_constructor_kwargs={"deterministic_fake": True},
+                              concurrency=1)
+    frames = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                               fn_constructor_kwargs={"deterministic_fake": True,
+                                                      "n_frames": 2},
+                               concurrency=1)
+    a = audio.to_pandas()
+    f = frames.to_pandas()
+    f["frame_bytes"] = f["frame_png"].map(len)
+    merged = a.merge(
+        f.groupby("media_id", sort=True).agg(n_frames=("frame_idx", "size"),
+                                             sum_frame_bytes=("frame_bytes", "sum")).reset_index(),
+        on="media_id",
+    )
+    return merged.drop(columns=["duration_s", "rms"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from weaver_ray.pipelines import dedup, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / reference-operator parity (SURVEY.md §2)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q6_revenue": relational.q6_revenue,
+        "top_orders": relational.top_orders,
+        "mktsegment_revenue": relational.mktsegment_revenue,
+        "order_status_revenue": relational.order_status_revenue,
+        "region_customer_counts": relational.region_customer_counts,
+        "event_type_stats": relational.event_type_stats,
+        "distinct_event_types": relational.distinct_event_types,
+        "first_event_per_user": relational.first_event_per_user,
+        "user_hourly_windows": relational.user_hourly_windows,
+        # text analysis
+        "token_stats_by_lang": textops.token_stats_by_lang,
+        "quality_by_source": textops.quality_by_source,
+        "doc_token_counts": textops.doc_token_counts,
+        "exact_dedup_docs": textops.exact_dedup_docs,
+        "langid_counts": textops.langid_counts,
+        "doc_fingerprints": textops.doc_fingerprints,
+        # near-dup family
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
+        # similarity search
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "embedding_norm_stats": similarity.embedding_norm_stats,
+        # crawl engine (stateful; rows-only by design)
+        "crawl_flagship_seen": _crawl_seen,
+        "crawl_host_stats": _crawl_host_stats,
+        # multimodal
+        "image_decode_stats": _image_decode_stats,
+        "media_stub_plumbing": _media_stub_plumbing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    TOK = r"\w+"
+    BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    STOP = r"\b(?:the|a|and|of|to)\b"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_revenue": """
+            SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t
+        """,
+        "mktsegment_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "order_status_revenue": """
+            SELECT o_orderstatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "region_customer_counts": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "event_type_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "first_event_per_user": """
+            SELECT user_id, epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
+                   event_type AS first_event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "user_hourly_windows": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id, window_hour
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS sum_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '{BPE}'))) AS BIGINT) AS sum_bpe_tokens,
+                   round(sum(len(regexp_extract_all(text, '{TOK}')))::DOUBLE / count(*), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_by_source": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars,
+                   round(sum(len(regexp_extract_all(text, '{STOP}'))::DOUBLE
+                             / greatest(len(regexp_extract_all(text, '{TOK}')), 1))
+                         / count(*), 6) AS avg_stop_ratio
+            FROM documents GROUP BY source
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TOK}')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS n_uniq_tokens
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT md5(text) AS text_hash,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "embedding_norm_stats": """
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT CAST(e1.vec_id AS BIGINT) AS vec_a, CAST(e2.vec_id AS BIGINT) AS vec_b
+            FROM embeddings e1 JOIN embeddings e2
+              ON e2.vec_id - e1.vec_id BETWEEN 1 AND 100
+             AND list_cosine_similarity(e1.embedding, e2.embedding) > 0.25
+        """,
+        "ann_bruteforce_topk": """
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 5) t
+            WHERE rn <= 10
+        """,
+    }

@@ -1,0 +1,152 @@
+"""Dedup-family recall/precision on injected near-duplicates + similarity
+search sanity (the testdata tables contain few near-dups, so these tests
+build their own duplicate-rich corpora)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from weaver_ray.pipelines.dedup import (
+    _shingle_hashes,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash64,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """Tiny documents/embeddings tables with planted near-duplicates."""
+    d = tmp_path_factory.mktemp("dupdata")
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(40):
+        base = " ".join(rng.choice(words, 30))
+        texts.append(base)
+        ids.append(2 * i)
+        if i < 10:  # plant a near-dup: change one word
+            toks = base.split()
+            toks[5] = "CHANGED"
+            texts.append(" ".join(toks))
+            ids.append(2 * i + 1)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(ids)),
+                  "source": pa.array(["s"] * len(ids)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        d / "documents.parquet",
+    )
+    base_vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs, vids = [], []
+    for i in range(40):
+        vecs.append(base_vecs[i])
+        vids.append(2 * i)
+        if i < 10:  # planted near-identical vector
+            vecs.append((base_vecs[i] + rng.normal(scale=0.01, size=16).astype(np.float32)))
+            vids.append(2 * i + 1)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(vids, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * len(vids), pa.int32())}),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_minhash_signature_properties():
+    a = _shingle_hashes("the quick brown fox jumps over the lazy dog " * 3)
+    sig = minhash_signature(a)
+    assert sig.shape == (64,)
+    assert (minhash_signature(a) == sig).all()  # deterministic
+    # similar sets -> similar signatures
+    b = _shingle_hashes("the quick brown fox jumps over the lazy cat " * 3)
+    sim = (minhash_signature(b) == sig).mean()
+    dis = (minhash_signature(_shingle_hashes("completely different words entirely")) == sig).mean()
+    assert sim > dis
+
+
+def test_minhash_lsh_finds_planted_dups(dup_dir):
+    pairs = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert planted <= found                      # full recall on planted dups
+    assert (pairs["jaccard"] >= 0.5).all()       # verification bound holds
+
+
+def test_simhash_finds_planted_dups(dup_dir):
+    pairs = simhash_pairs(dup_dir, max_hamming=6)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert len(planted & found) >= 8             # high recall (simhash is lossier)
+    assert (pairs["hamming"] <= 6).all()
+
+
+def test_simhash64_deterministic_and_locality():
+    s1 = simhash64("alpha beta gamma delta epsilon zeta")
+    assert s1 == simhash64("alpha beta gamma delta epsilon zeta")
+    s2 = simhash64("alpha beta gamma delta epsilon eta")
+    ham = bin(s1 ^ s2).count("1")
+    s3 = simhash64("totally unrelated content here now")
+    assert ham < bin(s1 ^ s3).count("1")
+
+
+def test_embedding_near_dup_planted(dup_dir):
+    pairs = embedding_near_dup_pairs(dup_dir, band=100, threshold=0.95, bucket=30)
+    found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert planted <= found
+
+
+def test_embedding_banded_join_matches_bruteforce(dup_dir):
+    """The bucketed+ghost range join must equal the O(n^2) reference."""
+    t = pq.read_table(dup_dir + "/embeddings.parquet")
+    vid = t.column("vec_id").to_numpy()
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ En.T
+    expect = set()
+    for i in range(len(vid)):
+        for j in range(len(vid)):
+            d = vid[j] - vid[i]
+            if 1 <= d <= 100 and cos[i, j] > 0.5:
+                expect.add((int(vid[i]), int(vid[j])))
+    pairs = embedding_near_dup_pairs(dup_dir, band=100, threshold=0.5, bucket=17)
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert got == expect
+
+
+def test_ann_bruteforce_topk_is_exact(dup_dir):
+    from weaver_ray.pipelines.similarity import ann_bruteforce_topk
+
+    out = ann_bruteforce_topk(dup_dir, n_queries=2, k=5)
+    t = pq.read_table(dup_dir + "/embeddings.parquet")
+    vid = t.column("vec_id").to_numpy()
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for qid in (0, 1):
+        qpos = np.flatnonzero(vid == qid)[0]
+        cos = En @ En[qpos]
+        mask = vid != qid
+        idx = np.flatnonzero(mask)
+        order = idx[np.lexsort((vid[idx], -cos[idx]))][:5]
+        expect = list(vid[order])
+        got = list(out[out["query_id"] == qid]["neighbor_id"])
+        assert got == expect
+
+
+def test_ann_ivf_recall(dup_dir):
+    """IVF with full probing of few cells must keep decent recall vs exact."""
+    from weaver_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
+
+    exact = ann_bruteforce_topk(dup_dir, n_queries=2, k=5)
+    approx = ann_ivf_topk(dup_dir, n_queries=2, k=5, n_cells=4, n_probe=2)
+    for qid in (0, 1):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        assert len(e & a) >= 2  # recall@5 >= 0.4 with 2/4 cells probed

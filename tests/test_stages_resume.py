@@ -1,0 +1,111 @@
+"""Decode/resize/media stages + crash-resume of the crawl loop."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from weaver_ray.config import CrawlConfig
+from weaver_ray.functions.imaging import png_decode
+from weaver_ray.pipelines.crawl import crawl
+from weaver_ray.sources.corpus import read_corpus
+from weaver_ray.stages.decode import (
+    AudioFeatureStage,
+    DecodeImageStage,
+    ResizeImageStage,
+    VideoFrameSampleStage,
+)
+
+
+def test_decode_stage_phash_roundtrip(small_corpus):
+    ds = read_corpus(small_corpus).limit(64)
+    out = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
+                         batch_size=32, concurrency=1).to_pandas()
+    assert out["decode_ok"].all()
+    assert (out["phash_decoded"] == out["phash_stored"]).all()
+    assert out[["mean_r", "mean_g", "mean_b"]].min().min() >= 0
+    assert out[["mean_r", "mean_g", "mean_b"]].max().max() <= 255
+
+
+def test_resize_stage(small_corpus):
+    ds = read_corpus(small_corpus).limit(16)
+    out = ds.map_batches(ResizeImageStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"out_w": 8, "out_h": 8},
+                         batch_size=8, concurrency=1).to_pandas()
+    assert out["resize_ok"].all()
+    px = png_decode(out["bytes"].iloc[0])
+    assert px.shape == (8, 8, 3)
+
+
+def test_media_stubs_raise_without_fake():
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(deterministic_fake=False)
+
+
+def test_media_stub_schema_plumbing():
+    import ray.data as rd
+
+    media = rd.from_items([{"media_id": f"m{i}"} for i in range(4)])
+    frames = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                               fn_constructor_kwargs={"deterministic_fake": True,
+                                                      "n_frames": 2},
+                               concurrency=1).to_pandas()
+    assert len(frames) == 8
+    px = png_decode(frames["frame_png"].iloc[0])
+    assert px.shape == (8, 8, 3)
+    # deterministic across runs
+    frames2 = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                                fn_constructor_kwargs={"deterministic_fake": True,
+                                                       "n_frames": 2},
+                                concurrency=1).to_pandas()
+    assert (frames["frame_png"] == frames2["frame_png"]).all()
+
+
+CFG = CrawlConfig(corpus_size=1000, max_rounds=4, num_seen_shards=2,
+                  num_politeness_shards=2, fetch_concurrency=2)
+
+
+def test_crash_resume_identical(small_corpus):
+    """Kill after round k (marker deleted), rerun -> identical seen set and
+    records (SURVEY.md §5 resume test)."""
+    out = "/tmp/test_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    full = crawl(CFG, out, corpus_path=small_corpus)
+
+    # simulate dying during round 3: remove its commit + partial outputs
+    os.remove(out + "/ckpt/COMMIT_3.json")
+    shutil.rmtree(out + "/records/round=3")
+    resumed = crawl(CFG, out, corpus_path=small_corpus, resume=True)
+
+    assert resumed.urls_fetched == full.urls_fetched
+    assert resumed.urls_seen == full.urls_seen
+    assert set(resumed.seen_table.column("url_hash").to_pylist()) == set(
+        full.seen_table.column("url_hash").to_pylist()
+    )
+    files = sorted(glob.glob(out + "/records/round=3/part-*.parquet"))
+    assert files
+    n = sum(pq.read_table(f).num_rows for f in files)
+    assert n == full.per_round[3]["dedup_survivors"]
+
+
+def test_lineage_recorded(small_corpus):
+    out = "/tmp/test_lineage"
+    shutil.rmtree(out, ignore_errors=True)
+    crawl(CFG, out, corpus_path=small_corpus)
+    from weaver_ray.state.checkpoint import CheckpointManager
+
+    lt = CheckpointManager(out + "/ckpt").lineage_table()
+    assert lt is not None
+    df = lt.to_pandas()
+    assert {"round", "stage", "rows_in", "rows_out", "partition"} <= set(df.columns)
+    assert (df["stage"].isin(["dedup", "fetch"])).all()
+    # per-round conservation: fetch rows_in == dedup rows_out
+    for r in sorted(df["round"].unique()):
+        d = df[(df["round"] == r) & (df["stage"] == "dedup")]["rows_out"].sum()
+        f = df[(df["round"] == r) & (df["stage"] == "fetch")]["rows_in"].sum()
+        assert d == f, (r, d, f)

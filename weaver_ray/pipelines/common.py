@@ -1,0 +1,135 @@
+"""Shared helpers for the query pipelines: pruned reads, partial
+aggregation, explicit partitioned hash join.
+
+Performance rules baked in (SURVEY.md opening brief):
+- always pass ``columns=`` to read_parquet (prune at the read);
+- pre-aggregate inside map_batches before any groupby shuffle;
+- broadcast small sides with ``ray.put`` instead of shuffling a join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def load(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def load_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side Arrow load for SMALL dimension tables only (broadcast
+    side of a join). Never call on lineitem/orders/documents at scale."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]],
+                    batch_size: int = 65536) -> rd.Dataset:
+    """Two-phase grouped aggregation: per-batch partials inside map_batches
+    (combiner), then a tiny global groupby over one row per key per batch —
+    the shuffle moves partials, not rows (ray_guide 'Aggregation at scale').
+
+    aggs: out_col -> (in_col, fn) with fn in {sum, count, min, max}.
+    count partials become sums in the reduce phase.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, observed=True)
+        out = {}
+        for out_col, (in_col, fn) in aggs.items():
+            if fn == "count":
+                out[out_col] = g.size()
+            elif fn == "sum":
+                out[out_col] = g[in_col].sum()
+            elif fn == "min":
+                out[out_col] = g[in_col].min()
+            elif fn == "max":
+                out[out_col] = g[in_col].max()
+            else:
+                raise ValueError(fn)
+        return pd.DataFrame(out).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    reduce_aggs = []
+    for out_col, (_in, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            reduce_aggs.append(Sum(out_col, alias_name=out_col))
+        elif fn == "min":
+            reduce_aggs.append(Min(out_col, alias_name=out_col))
+        elif fn == "max":
+            reduce_aggs.append(Max(out_col, alias_name=out_col))
+    return partials.groupby(keys).aggregate(*reduce_aggs)
+
+
+def broadcast_join(ds: rd.Dataset, small: pa.Table, on: str | list[str],
+                   how: str = "inner", small_cols: list[str] | None = None) -> rd.Dataset:
+    """Join a big Dataset against a small table without a shuffle: the small
+    side is ray.put once and merged per batch (reference analog: the chord
+    key->owner lookup J1; here the 'dimension' travels to the data)."""
+    if small_cols:
+        small = small.select(small_cols)
+    ref = ray.put(small)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(ref).to_pandas()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 4))
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, num_buckets: int = 16,
+              how: str = "inner") -> rd.Dataset:
+    """Explicit partitioned hash join for two LARGE sides: tag each side,
+    bucket by hash(key) % B, co-shuffle with one groupby over the union, and
+    pandas-merge within each bucket (the portable pattern from the Ray
+    guide; Dataset.join exists in this Ray version — this implementation is
+    kept explicit so the shuffle and its key are visible and salt-able).
+    """
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__side"] = side
+            batch["__bucket"] = (
+                pd.util.hash_array(batch[on].to_numpy()) % num_buckets
+            ).astype(np.int64)
+            return batch
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"].dropna(axis=1, how="all")
+        r = group[group["__side"] == "r"].dropna(axis=1, how="all")
+        l = l.drop(columns=["__side", "__bucket"])
+        r = r.drop(columns=["__side", "__bucket"])
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame()
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def to_table(obj) -> pa.Table:
+    """Normalize a Dataset / DataFrame / Table to pyarrow for tests."""
+    if isinstance(obj, rd.Dataset):
+        tables = [t for t in ray.get(obj.to_arrow_refs())]
+        tables = [t for t in tables if t.num_rows] or tables[:1]
+        return pa.concat_tables(tables, promote_options="default")
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    return obj

@@ -1,0 +1,257 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the dedup family a large-scale training-data pipeline
+needs (task brief; the reference only ever does exact first-wins dedup, D2).
+
+Pipeline shapes (ray_guide 'Aggregation at scale'):
+- MinHash-LSH: shingle -> 64 minhashes per doc (vectorized) -> explode to
+  (band_id, band_hash, doc_id) rows -> groupby band bucket -> candidate
+  pairs -> exact-Jaccard verify.
+- SimHash: 64-bit signature -> 4x16-bit band blocking -> hamming verify.
+- Embedding near-dup: banded self-join on vec_id windows (a range join —
+  Ray Data lacks one; built from bucketing + ghost-row replication +
+  per-bucket pairwise kernel; partitioning assumption documented inline).
+
+Shingle/signature computation is per-batch vectorized numpy; candidate
+verification broadcasts the (small) signature/shingle map via ray.put —
+at 100 TB that broadcast becomes a second bucketed join on doc_id, same
+topology, noted per function.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.sketches import _splitmix64
+from .common import load
+
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes (blake2b) — Python's builtin hash()
+    is salted per process and would break cross-worker signatures."""
+    from hashlib import blake2b
+
+    return np.fromiter(
+        (int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big") for t in tokens),
+        dtype=np.uint64, count=len(tokens),
+    )
+
+NUM_HASHES = 64
+NUM_BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles -> uint64 hashes (vectorized mix over token
+    hash triples)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        toks = toks + ["\x00"] * (n - len(toks))
+    th = _stable_token_hashes(toks)
+    # combine n consecutive token hashes
+    acc = th[: len(th) - n + 1].copy()
+    for j in range(1, n):
+        acc = _splitmix64(acc ^ th[j : len(th) - n + 1 + j])
+    return np.unique(acc)
+
+
+_SEEDS = _splitmix64(np.arange(1, NUM_HASHES + 1, dtype=np.uint64))
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """64 minhashes via one vectorized (shingles x seeds) mix."""
+    if len(shingles) == 0:
+        return np.full(NUM_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
+    m = _splitmix64(shingles[:, None] ^ _SEEDS[None, :])
+    return m.min(axis=0)
+
+
+def _band_rows(doc_ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id)."""
+    n = len(doc_ids)
+    bands = sigs.reshape(n, NUM_BANDS, ROWS_PER_BAND)
+    bh = bands[:, :, 0].copy()
+    for j in range(1, ROWS_PER_BAND):
+        bh = _splitmix64(bh ^ bands[:, :, j])
+    return pa.table(
+        {
+            "band_id": pa.array(np.repeat(np.arange(NUM_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.T.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.tile(doc_ids, NUM_BANDS)),
+        }
+    )
+
+
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Candidate pairs from LSH banding, verified with exact shingle-set
+    Jaccard.  Verification broadcasts the shingle map (ray.put) — at scale,
+    replace with a bucketed join of pairs against shingles on doc_id."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def sig_batch(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy()
+        sigs = np.stack([minhash_signature(_shingle_hashes(t)) for t in df["text"]])
+        return _band_rows(ids, sigs)
+
+    bands = ds.map_batches(sig_batch, batch_format="pandas")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
+
+    cand = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+
+    # verify: exact Jaccard over shingle sets (broadcast small side)
+    docs = load(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    shingle_map = {int(r.doc_id): _shingle_hashes(r.text) for r in docs.itertuples()}
+    ref = ray.put(shingle_map)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(ref)
+        jac = []
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            sa, sb = sm[int(a)], sm[int(b)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac.append(inter / union if union else 0.0)
+        df = df.copy()
+        df["jaccard"] = np.round(jac, 6)
+        return df[df["jaccard"] >= jaccard_threshold]
+
+    verified = rd.from_pandas(cand).map_batches(verify, batch_format="pandas").to_pandas()
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(text: str) -> int:
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    th = _stable_token_hashes(toks)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (bits * 2 - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup: 4x16-bit band blocking (two signatures within
+    hamming<=3 of 64 bits must agree exactly on >=1 of 4 bands), then
+    hamming verify per candidate bucket."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.array([simhash64(t) for t in df["text"]], dtype=np.uint64)
+        n = len(sigs)
+        out = {
+            "doc_id": np.tile(df["doc_id"].to_numpy(), 4),
+            "sig": np.tile(sigs.astype(np.int64), 4),
+            "band_id": np.repeat(np.arange(4, dtype=np.int32), n),
+        }
+        band_vals = np.concatenate(
+            [((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
+        )
+        out["band_val"] = band_vals
+        return pd.DataFrame(out)
+
+    bands = ds.map_batches(sig_batch, batch_format="pandas")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        x = sigs[a] ^ sigs[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= 64  # emit all; final filter after dedup
+        return pd.DataFrame(
+            {"doc_a": ids[a][keep].astype(np.int64), "doc_b": ids[b][keep].astype(np.int64),
+             "hamming": ham[keep]}
+        )
+
+    pairs = (
+        bands.groupby(["band_id", "band_val"])
+        .map_groups(emit, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    pairs = pairs[pairs["hamming"] <= max_hamming]
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ embedding banded near-dup
+
+def embedding_near_dup_pairs(sf_dir: str, band: int = 100, threshold: float = 0.25,
+                             bucket: int = 400) -> pd.DataFrame:
+    """Range self-join: pairs with vec_id difference in [1, band] and cosine
+    > threshold.  Partitioning assumption: rows bucket by vec_id // bucket
+    with bucket >= band, so a qualifying pair spans at most adjacent
+    buckets; rows within ``band`` of a bucket's start are replicated as
+    ghost rows into the previous bucket, making every qualifying pair land
+    in exactly one bucket (e1 = non-ghost, e2 = anything)."""
+    bucket = max(bucket, band)  # adjacency invariant of the ghost scheme
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        vid = df["vec_id"].to_numpy()
+        main = pd.DataFrame({"vec_id": vid, "embedding": df["embedding"],
+                             "bucket": vid // bucket, "ghost": False})
+        ghost_mask = (vid % bucket) < band
+        ghosts = main[ghost_mask & (vid // bucket > 0)].copy()
+        ghosts["bucket"] = ghosts["bucket"] - 1
+        ghosts["ghost"] = True
+        return pd.concat([main, ghosts], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        vid = g["vec_id"].to_numpy()
+        ghost = g["ghost"].to_numpy()
+        E = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cos = En @ En.T
+        a, b = np.triu_indices(len(vid), k=1)
+        delta = vid[b] - vid[a]
+        keep = (delta >= 1) & (delta <= band) & (~ghost[a]) & (cos[a, b] > threshold)
+        return pd.DataFrame(
+            {"vec_a": vid[a][keep].astype(np.int64), "vec_b": vid[b][keep].astype(np.int64)}
+        )
+
+    out = (
+        tagged.groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    return out

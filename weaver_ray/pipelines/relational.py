@@ -1,0 +1,227 @@
+"""Relational query pipelines over the driver test tables.
+
+These re-express the reference's query-shaped behaviors (gather/merge/dedup
+A1/J5/D2, per-key grouped stats, FIFO first-wins O1/O3 — SURVEY.md §2) as
+Ray Data pipelines over the TPC-H-ish tables, each with a DuckDB oracle in
+__ray_entry__.py.  Column names match the oracle SQL exactly; float
+aggregates are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .common import broadcast_join, hash_join, load, load_arrow, partial_groupby
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: grouped sums/avgs over lineitem with per-batch
+    partial aggregation — the shuffle moves one row per (group, batch)."""
+    ds = load(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+               "l_discount", "l_tax"])
+
+    def add_derived(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(1.0, t["l_tax"]))
+        return t.append_column("disc_price", disc_price).append_column("charge", charge)
+
+    ds = ds.map_batches(add_derived, batch_format="pyarrow")
+    out = partial_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "sum_charge": ("charge", "sum"),
+            "count_order": ("l_quantity", "count"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            df[c] = df[c].round(2)
+        df["count_order"] = df["count_order"].astype(np.int64)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """Filtered global aggregate with filter pushed into the scan."""
+    import pyarrow.dataset as pads
+
+    flt = (
+        (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    import os
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=flt,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        n = t.num_rows
+        return pa.table({"rev_part": [r.as_py() or 0.0], "n_part": [n]})
+
+    parts = ds.map_batches(rev, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"revenue": [round(float(parts["rev_part"].sum()), 2)],
+         "n_rows": [np.int64(parts["n_part"].sum())]}
+    )
+
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k: per-block top-k then driver merge (never a full sort)."""
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    k = 10
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
+def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
+    """Broadcast join: orders (big) x customer (small, ray.put once)."""
+    orders = load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = partial_groupby(
+        joined, ["c_mktsegment"],
+        {"revenue": ("o_totalprice", "sum"), "n_orders": ("o_totalprice", "count")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def order_status_revenue(sf_dir: str) -> rd.Dataset:
+    """Two large sides -> explicit partitioned hash join on l_orderkey."""
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            }
+        )
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    orders = load(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]), batch_format="pyarrow"
+    )
+    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
+    out = partial_groupby(
+        joined, ["o_orderstatus"],
+        {"revenue": ("rev", "sum"), "n_items": ("rev", "count")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        df["n_items"] = df["n_items"].astype(np.int64)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def region_customer_counts(sf_dir: str) -> rd.Dataset:
+    """Chained broadcast joins through two tiny dims (customer->nation->region)."""
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = load_arrow(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = load_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = nation.rename_columns(["c_nationkey", "n_regionkey"])
+    j1 = broadcast_join(cust, nation, on="c_nationkey")
+    region = region.rename_columns(["n_regionkey", "r_name"])
+    j2 = broadcast_join(j1, region, on="n_regionkey")
+    out = partial_groupby(j2, ["r_name"], {"n_customers": ("c_custkey", "count")})
+    return out.map_batches(
+        lambda df: df.assign(n_customers=df["n_customers"].astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
+def event_type_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped counts+sums per event type (reference per-host crawl stats,
+    SURVEY.md §2.5)."""
+    ds = load(sf_dir, "events", ["event_type", "value"])
+    out = partial_groupby(
+        ds, ["event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Set-dedup (reference A2 distinct successors)."""
+    vals = load(sf_dir, "events", ["event_type"]).unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+def first_event_per_user(sf_dir: str) -> rd.Dataset:
+    """First-wins merge keyed by user (reference gather J5/D2,
+    src/client/main.go:177-192): hash-partition by key, first row per group
+    in deterministic (ts, event_id) order."""
+    ds = load(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(1)
+        # epoch micros, explicitly: pandas datetime64 unit (ns vs us) varies
+        # with the parquet reader, so never astype(int64) a datetime directly
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "first_ts_us": ts_us,
+                "first_event_id": g["event_id"].to_numpy(),
+                "first_event_type": g["event_type"].to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(first_row, batch_format="pandas")
+
+
+def user_hourly_windows(sf_dir: str) -> rd.Dataset:
+    """Tumbling event-time windows (streaming-shaped workload, ray_guide):
+    partition by user, tumble ts into 1-hour buckets inside map_groups."""
+    ds = load(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hours = ts_us // 3_600_000_000
+        gg = g.assign(window_hour=hours).groupby("window_hour")
+        out = gg.agg(n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(windows, batch_format="pandas")

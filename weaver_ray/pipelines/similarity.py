@@ -1,0 +1,169 @@
+"""Similarity search over the embedding column: brute-force cosine top-k
+(baseline) and an IVF-bucketed approximate variant (scale path).
+
+Both broadcast the query matrix once with ``ray.put`` and do one numpy
+matmul per Arrow batch — never a per-row loop, never a shuffle of the
+corpus side (task brief 'Similarity search').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from .common import load, load_arrow
+
+
+def _matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids.
+
+    Per-batch: normalize batch rows, one matmul vs the broadcast query
+    matrix, local top-k per query; driver merges the tiny per-batch
+    candidates into the global top-k.  Output is the (query_id, neighbor_id)
+    set only — cosine values are implementation-precision-sensitive between
+    engines, so ranks are resolved with a (cos desc, neighbor_id asc)
+    tiebreak and the value itself is not part of the contract."""
+    qt = load_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qmask = np.asarray(qt.column("vec_id").to_numpy()) < n_queries
+    qids = qt.column("vec_id").to_numpy()[qmask]
+    Q = _matrix(qt.column("embedding").to_pylist())[qmask]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, Qn))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class LocalTopK:
+        def __init__(self):
+            self.qids, self.Qn = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vid = df["vec_id"].to_numpy()
+            E = _matrix(df["embedding"].to_numpy())
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cos = self.Qn @ En.T  # (nq, batch)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                row = cos[qi]
+                mask = vid != qid
+                idx = np.flatnonzero(mask)
+                if len(idx) == 0:
+                    continue
+                order = idx[np.lexsort((vid[idx], -row[idx]))][: k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(vid[order])
+                out_c.extend(row[order])
+            return pd.DataFrame(
+                {"query_id": np.asarray(out_q, np.int64),
+                 "neighbor_id": np.asarray(out_n, np.int64),
+                 "cos": np.asarray(out_c, np.float64)}
+            )
+
+    cand = ds.map_batches(LocalTopK, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = (
+        cand.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .drop(columns=["cos"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 8,
+                 n_probe: int = 2, train_iters: int = 5) -> pd.DataFrame:
+    """IVF variant: k-means cells trained on a deterministic sample, each
+    batch row assigned to its nearest cell, queries probe ``n_probe`` cells.
+    Approximate by design (rows-only check); at scale the cell assignment is
+    the partition key and probing prunes the scan to n_probe/n_cells of the
+    data."""
+    full = load_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = full.column("vec_id").to_numpy()
+    E = _matrix(full.column("embedding").to_pylist())
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+
+    # deterministic k-means training on a seeded sample (at 100 TB: sample
+    # via ds.random_sample(seed), train driver-side, broadcast centroids)
+    rng = np.random.default_rng(42)
+    sample = En[rng.choice(len(En), size=min(len(En), 64 * n_cells), replace=False)]
+    cent = sample[:n_cells].copy()
+    for _ in range(train_iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    cent_ref = ray.put(cent)
+
+    qmask = ids < n_queries
+    qids, Qn = ids[qmask], En[qmask]
+    qcells = np.argsort(-(Qn @ cent.T), axis=1)[:, :n_probe]
+    qinfo_ref = ray.put((qids, Qn, qcells))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class ProbeTopK:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.qids, self.Qn, self.qcells = ray.get(qinfo_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vid = df["vec_id"].to_numpy()
+            B = _matrix(df["embedding"].to_numpy())
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            cells = (Bn @ self.cent.T).argmax(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                probe = np.isin(cells, self.qcells[qi]) & (vid != qid)
+                idx = np.flatnonzero(probe)
+                if len(idx) == 0:
+                    continue
+                row = Bn[idx] @ self.Qn[qi]
+                order = idx[np.lexsort((vid[idx], -row))][: k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(vid[order])
+                out_c.extend((Bn[order] @ self.Qn[qi]))
+            return pd.DataFrame(
+                {"query_id": np.asarray(out_q, np.int64),
+                 "neighbor_id": np.asarray(out_n, np.int64),
+                 "cos": np.asarray(out_c, np.float64)}
+            )
+
+    cand = ds.map_batches(ProbeTopK, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return (
+        cand.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .drop(columns=["cos"])
+        .reset_index(drop=True)
+    )
+
+
+def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label vector-norm stats (SQL-checkable via list lambdas)."""
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        E = _matrix(df["embedding"].to_numpy())
+        return pd.DataFrame(
+            {"label": df["label"].to_numpy(),
+             "norm": np.sqrt((E * E).sum(axis=1))}
+        )
+
+    per_row = ds.map_batches(norms, batch_format="pandas")
+    from .common import partial_groupby
+
+    out = partial_groupby(
+        per_row, ["label"],
+        {"n_vecs": ("norm", "count"), "sum_norm": ("norm", "sum")},
+    ).to_pandas()
+    out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    out = out.drop(columns=["sum_norm"]).sort_values("label").reset_index(drop=True)
+    out["label"] = out["label"].astype(np.int32)
+    return out

@@ -1,0 +1,185 @@
+"""Multimodal stages: image decode / feature-extract / resize, plus stub
+plumbing for audio/video (libraries absent in this sandbox — task brief:
+stub the codec, make the Ray-side plumbing real and tested).
+
+All stages are actor-pool ``map_batches`` classes over ``pyarrow`` batches
+with small batch sizes (binary payload rows are wide — SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.imaging import HAVE_PIL, phash64, png_decode, png_encode
+
+HAVE_AUDIO = False  # no soundfile/librosa in this sandbox
+HAVE_VIDEO = False  # no av/opencv in this sandbox
+
+
+class DecodeImageStage:
+    """bytes -> decoded-pixel features (mean channel values, recomputed
+    phash).  Real for PNG (pure-Python codec); JPEG requires Pillow."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means = np.zeros((batch.num_rows, 3), dtype=np.float64)
+        ok = np.zeros(batch.num_rows, dtype=bool)
+        ph = np.zeros(batch.num_rows, dtype=np.int64)
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes")
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                continue
+            if fmts[i] == "png":
+                px = png_decode(blob)
+            elif fmts[i] == "jpeg" and HAVE_PIL:  # pragma: no cover
+                from ..functions.imaging import decode_image
+
+                px = decode_image(blob, "jpeg")
+            else:
+                continue
+            means[i] = px.reshape(-1, 3).mean(axis=0)
+            ph[i] = phash64(px)
+            ok[i] = True
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "fmt": batch.column("fmt"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "decode_ok": pa.array(ok),
+                "mean_r": pa.array(np.round(means[:, 0], 4)),
+                "mean_g": pa.array(np.round(means[:, 1], 4)),
+                "mean_b": pa.array(np.round(means[:, 2], 4)),
+                "phash_decoded": pa.array(ph, pa.int64()),
+                "phash_stored": batch.column("phash"),
+            }
+        )
+
+
+class ResizeImageStage:
+    """Decode -> block-mean resize to (out_w, out_h) -> re-encode PNG.
+    Output keeps the corpus schema shape (image_id, bytes, w, h, fmt)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        yi = (np.arange(h) * self.out_h // h).astype(np.int64)
+        xi = (np.arange(w) * self.out_w // w).astype(np.int64)
+        sums = np.zeros((self.out_h, self.out_w, 3))
+        counts = np.zeros((self.out_h, self.out_w, 1))
+        np.add.at(sums, (yi[:, None], xi[None, :]), px)
+        np.add.at(counts, (yi[:, None], xi[None, :]), 1.0)
+        return (sums / counts).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs_out, ok = [], []
+        for i in range(batch.num_rows):
+            blob = batch.column("bytes")[i].as_py()
+            fmt = batch.column("fmt")[i].as_py()
+            if blob is None or fmt != "png":
+                blobs_out.append(None)
+                ok.append(False)
+                continue
+            blobs_out.append(png_encode(self._resize(png_decode(blob))))
+            ok.append(True)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "bytes": pa.array(blobs_out, pa.large_binary()),
+                "w": pa.array(np.full(batch.num_rows, self.out_w, np.int32)),
+                "h": pa.array(np.full(batch.num_rows, self.out_h, np.int32)),
+                "fmt": pa.array(["png"] * batch.num_rows),
+                "resize_ok": pa.array(ok),
+            }
+        )
+
+
+AUDIO_FEATURE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("duration_s", pa.float32()),
+        pa.field("rms", pa.float32()),
+        pa.field("n_samples", pa.int64()),
+    ]
+)
+
+
+class AudioFeatureStage:
+    """STUB (no audio codec in this sandbox): the actor signature, batch
+    schema, and output layout are real; decode is gated.  With
+    ``deterministic_fake=True`` it emits seeded fake features so the
+    pipeline plumbing is testable end-to-end."""
+
+    def __init__(self, deterministic_fake: bool = False):
+        self.fake = deterministic_fake
+        if not HAVE_AUDIO and not deterministic_fake:  # fail at pool build, not mid-crawl
+            raise NotImplementedError(
+                "audio decode requires soundfile/librosa (absent in sandbox); "
+                "pass deterministic_fake=True to exercise the plumbing"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        rng_vals = np.array(
+            [abs(hash_stable(s)) % 10_000 for s in ids], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "duration_s": pa.array((rng_vals % 600 / 10).astype(np.float32)),
+                "rms": pa.array((rng_vals % 97 / 97).astype(np.float32)),
+                "n_samples": pa.array((rng_vals * 441).astype(np.int64)),
+            },
+            schema=AUDIO_FEATURE_SCHEMA,
+        )
+
+
+VIDEO_FRAME_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("frame_png", pa.large_binary()),
+    ]
+)
+
+
+class VideoFrameSampleStage:
+    """STUB (no video codec): samples ``n_frames`` deterministic fake frames
+    per row when deterministic_fake=True; raises otherwise."""
+
+    def __init__(self, n_frames: int = 3, deterministic_fake: bool = False):
+        self.n_frames = n_frames
+        self.fake = deterministic_fake
+        if not HAVE_VIDEO and not deterministic_fake:
+            raise NotImplementedError(
+                "video decode requires av/opencv (absent in sandbox); "
+                "pass deterministic_fake=True to exercise the plumbing"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, blobs = [], [], []
+        for s in batch.column("media_id").to_pylist():
+            for f in range(self.n_frames):
+                rng = np.random.default_rng([abs(hash_stable(s)) % 2**31, f])
+                px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                ids.append(s)
+                frames.append(f)
+                blobs.append(png_encode(px))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(np.asarray(frames, np.int32)),
+                "frame_png": pa.array(blobs, pa.large_binary()),
+            },
+            schema=VIDEO_FRAME_SCHEMA,
+        )
+
+
+def hash_stable(s: str) -> int:
+    from hashlib import blake2b
+
+    return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big", signed=False)
