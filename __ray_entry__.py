@@ -48,16 +48,21 @@ def _crawl_seen(sf_dir: str):
 
 
 def _crawl_host_stats(sf_dir: str):
-    """Gather-style per-host crawl stats (reference A1, SURVEY.md §2.5)."""
-    import numpy as np
-    import pandas as pd
+    """Gather-style per-host crawl report over the records parquet
+    (reference A1 'gather', SURVEY.md §3.2)."""
+    from weaver_ray.pipelines.gather import host_stats
 
     res = _crawl_result(sf_dir)
-    t = res.seen_table.to_pandas()
-    t["host"] = t["url_canon"].str.split("/").str[2]
-    out = t.groupby("host", sort=True).size().reset_index(name="n_urls")
-    out["n_urls"] = out["n_urls"].astype(np.int64)
-    return out
+    return host_stats(res.records_dir)
+
+
+def _crawl_gather_merge(sf_dir: str):
+    """First-wins merge by url_canon over crawled records (reference
+    J5/D2 client merge)."""
+    from weaver_ray.pipelines.gather import gather_merge
+
+    res = _crawl_result(sf_dir)
+    return gather_merge(res.records_dir)
 
 
 def _image_decode_stats(sf_dir: str):
@@ -149,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (stateful; rows-only by design)
         "crawl_flagship_seen": _crawl_seen,
         "crawl_host_stats": _crawl_host_stats,
+        "crawl_gather_merge": _crawl_gather_merge,
         # multimodal
         "image_decode_stats": _image_decode_stats,
         "media_stub_plumbing": _media_stub_plumbing,

@@ -1,0 +1,197 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the flagship crawl, prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "urls_per_sec": ...}
+
+--scaling: runs the flagship crawl in two FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 (the sandbox stand-in for N vs 4N nodes —
+BASELINE.md §3) on the same input and reports both throughputs + the
+scaling efficiency.  The crawl is latency-bound by design
+(fetch_latency_s simulates network RTT, one connection per fetch actor),
+because on this 1-physical-CPU sandbox only latency-bound work can scale
+with parallelism; per-host politeness bookkeeping stays on (robots checks,
+slot accounting) with delay_scale=0 so host-serialized sleeps don't put a
+parallelism-independent floor under the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_CORPUS = 20_000
+BENCH_SEEDS = 1_500
+BENCH_ROUNDS = 4
+FETCH_LATENCY_S = 0.080   # simulated per-URL RTT; sized so sleep dominates the
+                          # 1-physical-CPU sandbox's fixed CPU cost (BASELINE.md §3)
+
+QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q6_revenue",
+    "order_status_revenue",
+    "mktsegment_revenue",
+    "event_type_stats",
+    "first_event_per_user",
+    "user_hourly_windows",
+    "token_stats_by_lang",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "embedding_near_dup_pairs",
+]
+
+
+def _init_ray(ncpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def bench_crawl(ncpus: int) -> dict:
+    from weaver_ray.config import CrawlConfig
+    from weaver_ray.pipelines.crawl import crawl
+    from weaver_ray.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(BENCH_CORPUS)  # cached across runs
+    cfg = CrawlConfig(
+        corpus_size=BENCH_CORPUS,
+        n_seeds=BENCH_SEEDS,
+        max_rounds=BENCH_ROUNDS,
+        num_seen_shards=8,
+        num_politeness_shards=8,
+        fetch_concurrency=ncpus,
+        exact_seen=False,          # production mode: cuckoo + bloom pre-filter
+        fetch_latency_s=FETCH_LATENCY_S,
+        hot_host_threshold=1024,
+        hot_host_salt=8,
+    )
+    # untimed warmup: spawns the worker processes once so the timed run
+    # measures crawling, not Ray process spin-up (same at both CPU levels)
+    warm = CrawlConfig(corpus_size=1000, n_seeds=20, max_rounds=1,
+                       num_seen_shards=4, num_politeness_shards=4,
+                       fetch_concurrency=ncpus)
+    crawl(warm, f"/tmp/weaver_bench_warm_{ncpus}", corpus_path=generate_corpus(1000))
+    t0 = time.monotonic()
+    res = crawl(cfg, f"/tmp/weaver_bench_{ncpus}", corpus_path=corpus)
+    elapsed = time.monotonic() - t0
+    return {
+        "elapsed_s": round(elapsed, 3),
+        "urls_fetched": res.urls_fetched,
+        "urls_seen": res.urls_seen,
+        "rounds": res.rounds,
+        "urls_per_sec": round(res.urls_fetched / elapsed, 1),
+        "per_round": [
+            {k: r[k] for k in ("round", "frontier_rows", "fetched_ok")}
+            for r in res.per_round
+        ],
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+    from weaver_ray.pipelines.common import to_table
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        to_table(qs[name](sf_dir))  # consume fully
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_flagship_only(ncpus: int) -> None:
+    _init_ray(ncpus)
+    stats = bench_crawl(ncpus)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"num_cpus": ncpus, **stats}))
+
+
+def run_scaling() -> None:
+    def child(ncpus: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the corpus cache (untimed) so neither child pays generation
+    from weaver_ray.sources.corpus import generate_corpus
+
+    generate_corpus(BENCH_CORPUS)
+    lo, hi = 8, 32
+    a = child(lo)
+    b = child(hi)
+    eff = b["urls_per_sec"] / (hi / lo * a["urls_per_sec"])
+    result = {
+        "metric": "crawl scaling efficiency (urls fetched+deduped/sec, N=8 vs 4N=32 cpus)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "urls_per_sec_lo": a["urls_per_sec"],
+        "urls_per_sec_hi": b["urls_per_sec"],
+        "elapsed_lo_s": a["elapsed_s"],
+        "elapsed_hi_s": b["elapsed_s"],
+        "urls_fetched": a["urls_fetched"],
+        "rounds": a["rounds"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--flagship-only" in sys.argv:
+        run_flagship_only(ncpus)
+        return
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _init_ray(ncpus)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    queries = bench_queries(sf_dir)
+    crawl_stats = bench_crawl(ncpus)
+    import ray
+
+    ray.shutdown()
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": f"flagship crawl wall-clock ({BENCH_CORPUS}-row corpus, {BENCH_ROUNDS} rounds) + per-query sec",
+        "value": crawl_stats["elapsed_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": ncpus,
+        "urls_per_sec": crawl_stats["urls_per_sec"],
+        "urls_fetched": crawl_stats["urls_fetched"],
+        "crawl_rounds": crawl_stats["rounds"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Gather pipeline (reference §3.2) over crawl records."""
+
+import shutil
+
+import pytest
+
+from weaver_ray.config import CrawlConfig
+from weaver_ray.pipelines.crawl import crawl
+from weaver_ray.pipelines.gather import (
+    gather_merge,
+    host_stats,
+    near_dup_phash,
+    round_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(small_corpus):
+    out = "/tmp/test_gather_crawl"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=2,
+                      num_politeness_shards=2, fetch_concurrency=2)
+    return crawl(cfg, out, corpus_path=small_corpus)
+
+
+def test_gather_merge_first_wins(crawl_out):
+    gm = gather_merge(crawl_out.records_dir).to_pandas()
+    # exact seen-set => every URL crawled exactly once
+    assert (gm["n_sightings"] == 1).all()
+    assert len(gm) == crawl_out.urls_seen
+    assert gm["url_canon"].is_unique
+
+
+def test_host_stats_conservation(crawl_out):
+    hs = host_stats(crawl_out.records_dir).to_pandas()
+    assert hs["n_urls"].sum() == crawl_out.urls_seen
+    assert hs["n_ok"].sum() == crawl_out.urls_fetched
+    assert ((hs["n_ok"] + hs["n_denied"] + hs["n_dead"]) == hs["n_urls"]).all()
+    # Zipf skew visible: the hottest host has a large share
+    assert hs["n_urls"].max() > 3 * hs["n_urls"].median()
+
+
+def test_round_stats_match_summaries(crawl_out):
+    rs = round_stats(crawl_out.records_dir)
+    per_round = {r["round"]: r["dedup_survivors"] for r in crawl_out.per_round}
+    for rec in rs.to_dict("records"):
+        assert per_round[rec["round"]] == rec["n_urls"]
+
+
+def test_near_dup_phash_runs(crawl_out):
+    out = near_dup_phash(crawl_out.records_dir, max_hamming=10)
+    assert set(out.columns) == {"image_a", "image_b", "hamming"}
+    if len(out):
+        assert (out["hamming"] <= 10).all()

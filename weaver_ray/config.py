@@ -54,6 +54,10 @@ class CrawlConfig:
     max_rounds: int = MAX_ROUNDS_DEFAULT
     max_urls: int | None = None          # stop after this many fetched URLs (budget)
     delay_scale: float = 0.0             # multiply crawl-delay sleeps (0 = logical only)
+    fetch_latency_s: float = 0.0         # simulated per-URL network RTT inside the
+                                         # fetch actor (crawling is latency-bound; this
+                                         # is what makes throughput scale with
+                                         # concurrency — BASELINE.md §3)
     exact_seen: bool = True              # exact-set audit alongside cuckoo (parity mode)
     use_bloom: bool = True               # bloom pre-filter in front of shard RPC
     num_seen_shards: int = 8

@@ -36,11 +36,10 @@ import ray.data as rd
 
 from ..config import CrawlConfig
 from ..sources.corpus import generate_corpus
-from ..stages.fetch import FetchStage
+from ..stages.fetch import FetchStage, split_union
 from ..stages.parse import (
     assign_seq,
     dedup_within_round,
-    extract_children,
     partition_for_fetch,
     seed_frontier,
 )
@@ -135,15 +134,31 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         seen.restore_shards(state["seen_states"])
         politeness.restore_shards(state["politeness_states"])
 
-    num_fetch_parts = max(cfg.fetch_concurrency * 2, 4)
+    # 2x the pool size: enough for dynamic assignment to even out
+    # Zipf-skewed partition sizes, few enough that per-(batch, shard) actor
+    # RPCs stay amortized — every extra partition costs one politeness and
+    # one seen-set RPC fan-out per shard
+    num_fetch_parts = max(cfg.fetch_concurrency * 2, 8)
+
+    import os as _os
+
+    trace = bool(_os.environ.get("WEAVER_TRACE"))
+
+    def _t(label: str, t0: float) -> float:
+        now = time.monotonic()
+        if trace:
+            print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
+        return now
 
     for r in range(start_round, cfg.max_rounds):
         if frontier.num_rows == 0:
             break
         if cfg.max_urls is not None and urls_fetched >= cfg.max_urls:
             break
+        tr = time.monotonic()
         parts = partition_for_fetch(frontier, num_fetch_parts,
                                     cfg.hot_host_threshold, cfg.hot_host_salt)
+        tr = _t(f"r{r} partition", tr)
         ds = rd.from_arrow(parts)
         ds = ds.map_batches(_make_dedup_fn(seen.task_view(), lineage),
                             batch_size=None, batch_format="pyarrow")
@@ -154,24 +169,19 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                 "politeness_view": politeness.task_view(),
                 "lineage": lineage,
                 "records_dir": str(records_dir),
+                "fetch_latency_s": cfg.fetch_latency_s,
+                "emit_children": True,   # link extraction folded into the stage:
+                "n_hosts": cfg.n_hosts,  # one execution per round, no 2nd pool
             },
             batch_size=None,
             batch_format="pyarrow",
             concurrency=cfg.fetch_concurrency,
             num_cpus=1,
         )
-        narrow = ds.materialize()  # narrow rows only — bytes were sunk in-stage
-
-        children_ds = narrow.map_batches(
-            lambda b: extract_children(b, cfg.corpus_size, cfg.n_hosts),
-            batch_size=None, batch_format="pyarrow",
-        )
-        child_tables = [t for t in ray.get(children_ds.to_arrow_refs()) if t.num_rows]
-        narrow_tables = [t for t in ray.get(narrow.to_arrow_refs()) if t.num_rows]
-        narrow_t = (
-            pa.concat_tables(narrow_tables) if narrow_tables
-            else None
-        )
+        union = ds.materialize()  # narrow rows + child rows; bytes sunk in-stage
+        tr = _t(f"r{r} dedup+fetch+children", tr)
+        narrow_t, child_tables = split_union(ray.get(union.to_arrow_refs()))
+        tr = _t(f"r{r} collect", tr)
 
         # --- round barrier -------------------------------------------------
         n_ok = n_denied = n_dead = 0
@@ -212,6 +222,7 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             "children": nxt.num_rows,
             "urls_fetched": urls_fetched,
         }
+        tr = _t(f"r{r} barrier", tr)
         per_round.append(summary)
         ckpt.save_round(
             r,
@@ -222,6 +233,7 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             {"urls_fetched": urls_fetched, "per_round": per_round, "round": r},
         )
         frontier = nxt
+        _t(f"r{r} checkpoint", tr)
 
     # --- final artifacts ---------------------------------------------------
     seen_files = sorted(seen_dir.glob("round=*.parquet"))

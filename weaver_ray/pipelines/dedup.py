@@ -105,7 +105,8 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFra
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
 
@@ -182,7 +183,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
         ids = g["doc_id"].to_numpy()
         sigs = g["sig"].to_numpy().astype(np.uint64)
         a, b = np.triu_indices(len(ids), k=1)

@@ -211,6 +211,10 @@ class CorpusStore:
 
     def __init__(self, path: str):
         self.table = feather.read_table(os.path.join(path, "corpus.feather"), memory_map=True)
+        # take() on a chunked table is ~40x slower than on contiguous
+        # buffers (measured); combining once per actor is the cheap side of
+        # that trade (the 100 TB version = Lance take-by-key, no such knob)
+        self.table = self.table.combine_chunks()
         ids = self.table.column("image_id").to_pylist()
         self.index = {s: i for i, s in enumerate(ids)}
         self.size = len(ids)

@@ -12,9 +12,10 @@ the corpus store (memory-mapped IPC + key index) opens once per actor in
 src/scrapper/main.go:34-40); each ``__call__`` handles one Arrow batch.
 
 Politeness enforcement: the batch asks the politeness shards for per-row
-fetch slots, then performs fetches in deadline order, sleeping in coarse
-50 ms windows and bulk-taking each window's rows — so per-host min-intervals
-hold while corpus reads stay vectorized.  Rows denied by robots get
+fetch slots, then fetches in deadline order — sleeping per 50 ms window and
+bulk-taking each window's rows — so per-host min-intervals hold while
+corpus reads stay vectorized.  Row assembly is pure Arrow kernels (take +
+concat); no per-row Python in the hot path.  Rows denied by robots get
 ``fetch_status="robots_denied"``; missing image_ids get ``"dead"`` — soft
 fail columns, never exceptions, so one bad row can't poison a batch
 (SURVEY.md §4 retry row).
@@ -32,14 +33,21 @@ from ..sources.corpus import CorpusStore, image_id_of_url
 
 _WINDOW_S = 0.05
 
+_FRONTIER_KEEP = ["url_canon", "url_hash", "host", "round", "seq",
+                  "depth", "priority", "url_type"]
+
 
 class FetchStage:
     def __init__(self, corpus_path: str, politeness_view, lineage=None,
-                 records_dir: str | None = None):
+                 records_dir: str | None = None, fetch_latency_s: float = 0.0,
+                 emit_children: bool = False, n_hosts: int | None = None):
         self.store = CorpusStore(corpus_path)
         self.politeness = politeness_view
         self.lineage = lineage
         self.records_dir = records_dir
+        self.fetch_latency_s = fetch_latency_s
+        self.emit_children = emit_children
+        self.n_hosts = n_hosts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -47,19 +55,19 @@ class FetchStage:
             return _empty_records()
         canon = batch.column("url_canon").to_pylist()
         hosts = batch.column("host").to_pylist()
-        paths = ["/" + image_id_of_url(c) for c in canon]
+        image_ids = [image_id_of_url(c) for c in canon]
+        paths = ["/" + i for i in image_ids]
         prio = batch.column("priority").to_numpy(zero_copy_only=False)
         seqs = batch.column("seq").to_numpy(zero_copy_only=False)
 
         allowed, wait_s = self.politeness.schedule(hosts, paths, prio, seqs)
 
-        image_ids = [image_id_of_url(c) for c in canon]
-        status = np.where(allowed, "pending", "robots_denied").astype(object)
-
-        # fetch in deadline order, coarse windows -> bulk takes stay vectorized
+        # fetch in deadline order, coarse windows; each window is one
+        # vectorized corpus take
         fetch_idx = np.flatnonzero(allowed)
-        blobs: list[bytes | None] = [None] * n
-        meta: dict[int, tuple] = {}
+        found = np.zeros(n, dtype=bool)
+        corpus_parts: list[pa.Table] = []      # taken corpus rows, in fetch order
+        corpus_rowidx: list[np.ndarray] = []   # batch row index of each taken row
         if len(fetch_idx):
             order = fetch_idx[np.argsort(wait_s[fetch_idx], kind="stable")]
             t0 = time.monotonic()
@@ -73,58 +81,62 @@ class FetchStage:
                 if remaining > 0:
                     time.sleep(remaining)
                 window = order[pos:end]
-                rows, found = self.store.take_by_image_id([image_ids[i] for i in window])
-                r = 0
-                for k, i in enumerate(map(int, window)):
-                    if found[k]:
-                        blobs[i] = rows.column("bytes")[r].as_py()
-                        meta[i] = (
-                            rows.column("w")[r].as_py(),
-                            rows.column("h")[r].as_py(),
-                            rows.column("fmt")[r].as_py(),
-                            rows.column("caption")[r].as_py(),
-                            rows.column("phash")[r].as_py(),
-                        )
-                        status[i] = "ok"
-                        r += 1
-                    else:
-                        status[i] = "dead"
+                if self.fetch_latency_s > 0.0:
+                    # simulated network RTT: one connection per actor drains
+                    # its queue sequentially, so the batch pays latency/URL
+                    time.sleep(self.fetch_latency_s * len(window))
+                rows, wfound = self.store.take_by_image_id([image_ids[i] for i in window])
+                found[window[wfound]] = True
+                if rows.num_rows:
+                    corpus_parts.append(rows)
+                    corpus_rowidx.append(window[wfound])
                 pos = end
 
-        ws = np.array([meta[i][0] if i in meta else 0 for i in range(n)], np.int32)
-        hs = np.array([meta[i][1] if i in meta else 0 for i in range(n)], np.int32)
-        fmts = [meta[i][2] if i in meta else "" for i in range(n)]
-        caps = [meta[i][3] if i in meta else "" for i in range(n)]
-        phs = np.array([meta[i][4] if i in meta else 0 for i in range(n)], np.int64)
+        status = np.where(found, "ok", np.where(allowed, "dead", "robots_denied"))
 
-        out = pa.table(
-            {
-                "url_canon": batch.column("url_canon"),
-                "url_hash": batch.column("url_hash"),
-                "host": batch.column("host"),
-                "round": batch.column("round"),
-                "seq": batch.column("seq"),
-                "image_id": pa.array(image_ids, pa.string()),
-                "bytes": pa.array(blobs, pa.large_binary()),
-                "w": pa.array(ws, pa.int32()),
-                "h": pa.array(hs, pa.int32()),
-                "fmt": pa.array(fmts, pa.string()),
-                "caption": pa.array(caps, pa.string()),
-                "phash": pa.array(phs, pa.int64()),
-                "fetch_status": pa.array(status.tolist(), pa.string()),
-                "depth": batch.column("depth"),
-                "priority": batch.column("priority"),
-                "url_type": batch.column("url_type"),
-            }
+        # --- assembly: pure Arrow (take + concat), grouped by outcome ------
+        ok_idx = np.concatenate(corpus_rowidx) if corpus_rowidx else np.zeros(0, np.int64)
+        ok_corpus = (
+            pa.concat_tables(corpus_parts) if corpus_parts
+            else self.store.table.schema.empty_table()
         )
+        miss_idx = np.flatnonzero(~found)
+
+        fr_ok = batch.select(_FRONTIER_KEEP).take(pa.array(ok_idx))
+        ok_t = fr_ok
+        for col in ("bytes", "w", "h", "fmt", "caption", "phash"):
+            ok_t = ok_t.append_column(col, ok_corpus.column(col))
+        ok_t = ok_t.append_column("image_id", ok_corpus.column("image_id"))
+        ok_t = ok_t.append_column("fetch_status", pa.array(["ok"] * len(ok_idx), pa.string()))
+
+        fr_miss = batch.select(_FRONTIER_KEEP).take(pa.array(miss_idx))
+        nmiss = len(miss_idx)
+        miss_t = fr_miss
+        miss_t = miss_t.append_column("bytes", pa.nulls(nmiss, pa.large_binary()))
+        miss_t = miss_t.append_column("w", pa.array(np.zeros(nmiss, np.int32)))
+        miss_t = miss_t.append_column("h", pa.array(np.zeros(nmiss, np.int32)))
+        miss_t = miss_t.append_column("fmt", pa.array([""] * nmiss, pa.string()))
+        miss_t = miss_t.append_column("caption", pa.array([""] * nmiss, pa.string()))
+        miss_t = miss_t.append_column("phash", pa.array(np.zeros(nmiss, np.int64)))
+        miss_t = miss_t.append_column(
+            "image_id", pa.array([image_ids[i] for i in miss_idx], pa.string())
+        )
+        miss_t = miss_t.append_column(
+            "fetch_status", pa.array(status[miss_idx].tolist(), pa.string())
+        )
+
+        cols = _FRONTIER_KEEP + ["bytes", "w", "h", "fmt", "caption", "phash",
+                                 "image_id", "fetch_status"]
+        out = pa.concat_tables([ok_t.select(cols), miss_t.select(cols)])
+
         if self.lineage is not None:
             self.lineage.record.remote(
                 stage="fetch",
                 round=int(batch.column("round")[0].as_py()),
                 rows_in=n,
-                rows_out=int((status == "ok").sum()),
-                robots_denied=int((status == "robots_denied").sum()),
-                dead=int((status == "dead").sum()),
+                rows_out=int(found.sum()),
+                robots_denied=int((~allowed).sum()),
+                dead=int((allowed & ~found).sum()),
             )
         if self.records_dir is not None:
             # Sink the wide rows (image bytes) here, immediately after fetch,
@@ -142,10 +154,74 @@ class FetchStage:
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, f"part-s{first_seq:010d}.parquet")
             tmp = final + ".tmp"
-            pq.write_table(out.select([f.name for f in RECORD_SCHEMA]), tmp)
+            # no recompression: the payload column is already-encoded PNG/JPEG
+            pq.write_table(out.select([f.name for f in RECORD_SCHEMA]), tmp,
+                           compression="none")
             os.replace(tmp, final)
-            return out.drop_columns(["bytes", "w", "h", "fmt", "caption"])
+            out = out.drop_columns(["bytes", "w", "h", "fmt", "caption"])
+        if self.emit_children:
+            # fold link extraction into this stage: one execution per round
+            # instead of a second task pool over the materialized narrow rows
+            from .parse import extract_children
+
+            children = extract_children(out, self.store.size, self.n_hosts)
+            return _tag_union(out, children)
         return out
+
+
+# union layout for (narrow-record + child-frontier) rows in one stage output
+_UNION_COLS = [
+    ("kind", pa.string()),
+    ("url_canon", pa.string()),
+    ("url_hash", pa.uint64()),
+    ("host", pa.string()),
+    ("depth", pa.int32()),
+    ("url_type", pa.string()),
+    ("priority", pa.float32()),
+    ("seq", pa.int64()),
+    ("round", pa.int32()),
+    ("image_id", pa.string()),
+    ("phash", pa.int64()),
+    ("fetch_status", pa.string()),
+    ("url", pa.string()),
+    ("parent_hash", pa.uint64()),
+]
+
+
+def _tag_union(narrow: pa.Table, children: pa.Table) -> pa.Table:
+    def conform(t: pa.Table, kind: str) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for name, typ in _UNION_COLS:
+            if name == "kind":
+                cols.append(pa.array([kind] * n, pa.string()))
+            elif name in t.column_names:
+                cols.append(t.column(name).cast(typ))
+            else:
+                cols.append(pa.nulls(n, typ))
+        return pa.table(dict(zip([c[0] for c in _UNION_COLS], cols)))
+
+    return pa.concat_tables([conform(narrow, "record"), conform(children, "child")])
+
+
+def split_union(tables: list[pa.Table]) -> tuple[pa.Table | None, list[pa.Table]]:
+    """Driver-side split of the tagged stage output into (narrow records,
+    child candidate tables)."""
+    import pyarrow.compute as pc
+
+    narrow_parts, child_parts = [], []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        mask = pc.equal(t.column("kind"), "record")
+        rec = t.filter(mask)
+        ch = t.filter(pc.invert(mask))
+        if rec.num_rows:
+            narrow_parts.append(rec.drop_columns(["kind", "url", "parent_hash"]))
+        if ch.num_rows:
+            child_parts.append(ch.drop_columns(["kind", "image_id", "phash", "fetch_status"]))
+    narrow = pa.concat_tables(narrow_parts) if narrow_parts else None
+    return narrow, child_parts
 
 
 def _empty_records() -> pa.Table:

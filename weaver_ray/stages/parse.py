@@ -150,25 +150,47 @@ def assign_seq(frontier: pa.Table) -> pa.Table:
 
 
 def partition_for_fetch(frontier: pa.Table, num_partitions: int,
-                        hot_threshold: int, salt: int) -> list[pa.Table]:
-    """Split the round's frontier into fetch partitions by host hash, with
-    hot hosts (> hot_threshold rows this round) salted across ``salt``
-    sub-keys (north rule: explicit skew mitigation).  Politeness tokens stay
-    host-global regardless — they key on the true host (politeness.py)."""
-    import hashlib
+                        hot_threshold: int = 0, salt: int = 0) -> list[pa.Table]:
+    """Split the round's frontier into balanced, host-coherent fetch
+    partitions (north rule: explicit skew mitigation by salting hot hosts).
 
-    hosts = frontier.column("host").to_pylist()
-    n = len(hosts)
-    hh = np.fromiter(
-        (int.from_bytes(hashlib.sha1(h.encode()).digest()[:4], "big") for h in hosts),
-        dtype=np.int64, count=n,
-    )
-    uniq, counts = np.unique(np.asarray(hosts, dtype=object), return_counts=True)
-    hot = {h for h, c in zip(uniq, counts) if c > hot_threshold}
-    salt_arr = np.zeros(n, dtype=np.int64)
-    if hot and salt > 1:
-        hot_mask = np.fromiter((h in hot for h in hosts), dtype=bool, count=n)
-        salt_arr[hot_mask] = np.arange(int(hot_mask.sum())) % salt
-    part = (hh + salt_arr * np.int64(0x9E3779B1)) % num_partitions
-    return [frontier.filter(pa.array(part == p)) for p in range(num_partitions)
-            if (part == p).any()]
+    Zipf-skewed hosts make plain host-hash partitions pathologically uneven
+    — in a latency-bound fetch the round lasts as long as its FATTEST
+    partition, so balance is wall-clock.  Deterministic scheme:
+    1. group rows by host (cold hosts stay co-located -> politeness-shard
+       RPCs stay batched);
+    2. split any host group larger than ``cap = ceil(n/P)`` into cap-sized
+       chunks (this is the hot-host salt — a hot host fans across
+       partitions while its crawl-delay tokens remain host-global in the
+       politeness actors);
+    3. LPT bin-pack chunks (largest first, ties by host then chunk index)
+       onto the least-loaded partition.
+    ``hot_threshold``/``salt`` are retained for API compatibility; the cap
+    subsumes them."""
+    n = frontier.num_rows
+    if n == 0:
+        return []
+    hosts = np.asarray(frontier.column("host").to_pylist(), dtype=object)
+    cap = -(-n // num_partitions)  # ceil
+    order = np.argsort(hosts, kind="stable")
+    sorted_hosts = hosts[order]
+    bounds = np.flatnonzero(
+        np.concatenate(([True], sorted_hosts[1:] != sorted_hosts[:-1]))
+    ).tolist() + [n]
+    chunks: list[np.ndarray] = []
+    for gi in range(len(bounds) - 1):
+        grp = order[bounds[gi]:bounds[gi + 1]]
+        for s in range(0, len(grp), cap):
+            chunks.append(grp[s:s + cap])
+    # LPT: largest chunk first onto the least-loaded partition (ties: lowest id)
+    chunks.sort(key=lambda c: (-len(c), int(c[0])))
+    loads = [0] * num_partitions
+    members: list[list[np.ndarray]] = [[] for _ in range(num_partitions)]
+    for c in chunks:
+        p = min(range(num_partitions), key=lambda i: (loads[i], i))
+        loads[p] += len(c)
+        members[p].append(c)
+    return [
+        frontier.take(pa.array(np.sort(np.concatenate(m))))
+        for m in members if m
+    ]

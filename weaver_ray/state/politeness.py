@@ -74,18 +74,31 @@ class PolitenessShard:
         n = len(hosts)
         allowed = np.ones(n, dtype=bool)
         wait_s = np.zeros(n, dtype=np.float64)
-        order = np.lexsort((np.asarray(seqs), -np.asarray(priorities)))
         now = time.monotonic()
-        for i in map(int, order):
-            st = self._host_state(hosts[i])
-            if not st["rules"].allowed(paths[i]):
-                allowed[i] = False
-                self.denied_total += 1
-                continue
-            base = max(st["next_free"], now)
-            wait_s[i] = base - now
-            st["next_free"] = base + st["delay_s"]
-            self.scheduled_total += 1
+        # group rows by host (vectorized robots check + slot arithmetic per
+        # host); within a host, slots go in (priority desc, seq asc) order —
+        # the min-heap discipline
+        harr = np.asarray(hosts, dtype=object)
+        order = np.lexsort((np.asarray(seqs), -np.asarray(priorities), harr))
+        sorted_hosts = harr[order]
+        boundaries = np.flatnonzero(
+            np.concatenate(([True], sorted_hosts[1:] != sorted_hosts[:-1]))
+        )
+        for gi, start in enumerate(boundaries):
+            end = boundaries[gi + 1] if gi + 1 < len(boundaries) else n
+            idx = order[start:end]
+            st = self._host_state(sorted_hosts[start])
+            ok = st["rules"].allowed_many([paths[i] for i in idx])
+            allowed[idx] = ok
+            self.denied_total += int((~ok).sum())
+            kept = idx[ok]
+            k = len(kept)
+            if k:
+                base = max(st["next_free"], now)
+                slots = base + st["delay_s"] * np.arange(k, dtype=np.float64)
+                wait_s[kept] = slots - now
+                st["next_free"] = base + st["delay_s"] * k
+                self.scheduled_total += k
         return {"allowed": allowed, "wait_s": wait_s}
 
     def stats(self) -> dict:

@@ -20,6 +20,8 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
+
 from .. import config
 
 
@@ -28,6 +30,15 @@ class RobotsRules:
         self.crawl_delay_s: float | None = None
         self._rules: list[tuple[bool, str, re.Pattern]] = []  # (is_allow, raw, regex)
         self._parse(body, agent)
+        # fast path: no Allow rules -> one combined alternation regex; a
+        # single C-level match replaces the per-rule Python loop (hot path:
+        # every scheduled URL passes through allowed())
+        if any(r[0] for r in self._rules) or not self._rules:
+            self._combined = None
+        else:
+            self._combined = re.compile(
+                "^(?:" + "|".join(rx.pattern[1:] for _, _, rx in self._rules) + ")"
+            )
 
     @staticmethod
     def _compile(pattern: str) -> re.Pattern:
@@ -77,6 +88,8 @@ class RobotsRules:
     def allowed(self, path: str) -> bool:
         """Longest-matching-pattern wins; Allow beats Disallow on equal
         length (Google's published matching semantics)."""
+        if self._combined is not None:  # disallow-only rule set
+            return self._combined.match(path) is None
         best_len, best_allow = -1, True
         for is_allow, raw, rx in self._rules:
             if rx.match(path):
@@ -84,6 +97,14 @@ class RobotsRules:
                 if L > best_len or (L == best_len and is_allow):
                     best_len, best_allow = L, is_allow
         return best_allow
+
+    def allowed_many(self, paths: list[str]) -> np.ndarray:
+        if self._combined is not None:
+            m = self._combined.match
+            return np.fromiter((m(p) is None for p in paths), dtype=bool, count=len(paths))
+        if not self._rules:
+            return np.ones(len(paths), dtype=bool)
+        return np.fromiter((self.allowed(p) for p in paths), dtype=bool, count=len(paths))
 
 
 # ------------------------------------------------------------------ fixture
