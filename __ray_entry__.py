@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "first_event_per_user": relational.first_event_per_user,
         "user_hourly_windows": relational.user_hourly_windows,
+        "customers_without_orders": relational.customers_without_orders,
+        "suppliers_with_orders": relational.suppliers_with_orders,
+        "earliest_events": relational.earliest_events,
+        "event_sample_stats": relational.event_sample_stats,
+        "approx_distinct_users": relational.approx_distinct_users,
         # text analysis
         "token_stats_by_lang": textops.token_stats_by_lang,
         "quality_by_source": textops.quality_by_source,
@@ -212,6 +217,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "suppliers_with_orders": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "earliest_events": """
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 100) t
+        """,
         "first_event_per_user": """
             SELECT user_id, epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
                    event_type AS first_event_type

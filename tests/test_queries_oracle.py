@@ -55,3 +55,22 @@ def test_entry_smoke():
     t = entrymod.entry()
     assert t.num_rows > 0
     assert set(t.column_names) == {"url_canon", "url_hash", "round"}
+
+
+def test_approx_distinct_within_tolerance():
+    from weaver_ray.pipelines.relational import approx_distinct_users
+
+    df = approx_distinct_users(SF)
+    approx, exact = int(df["n_users_approx"][0]), int(df["n_users_exact"][0])
+    assert exact > 0
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_sampling_deterministic():
+    from weaver_ray.pipelines.relational import event_sample_stats
+
+    a = event_sample_stats(SF)
+    b = event_sample_stats(SF)
+    assert a.equals(b)
+    n = int(a["n_sampled"][0])
+    assert 0 < n < 1000  # 10% of 1000-row events table, loose bounds

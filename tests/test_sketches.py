@@ -65,3 +65,30 @@ def test_cuckoo_serialize_roundtrip():
     cf2 = CuckooFilter.deserialize(cf.serialize())
     assert cf2.contains(keys).all()
     assert cf2.count == cf.count
+
+
+def test_hll_accuracy_and_merge():
+    from weaver_ray.functions.sketches import HyperLogLog
+
+    keys = _keys(50_000, 9)
+    h = HyperLogLog()
+    h.add(keys)
+    uniq = len(np.unique(keys))
+    assert abs(h.estimate() - uniq) / uniq < 0.05
+    # merge == union
+    a, b = HyperLogLog(), HyperLogLog()
+    a.add(keys[:30_000])
+    b.add(keys[20_000:])
+    a.merge(b)
+    assert abs(a.estimate() - uniq) / uniq < 0.05
+    # serialize roundtrip
+    c = HyperLogLog.deserialize(a.serialize())
+    assert c.estimate() == a.estimate()
+
+
+def test_hll_small_range_linear_counting():
+    from weaver_ray.functions.sketches import HyperLogLog
+
+    h = HyperLogLog()
+    h.add(np.arange(50, dtype=np.uint64))
+    assert abs(h.estimate() - 50) <= 5

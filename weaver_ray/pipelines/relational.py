@@ -209,6 +209,104 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(first_row, batch_format="pandas")
 
 
+def customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join via broadcast key set (semi/anti joins never need a
+    shuffle when one side's KEYS fit in memory — ray_guide joins; at 100 TB
+    the key set becomes a bloom filter with an exact verify pass)."""
+    import pyarrow.compute as pc
+    import ray
+
+    custkeys = load_arrow(sf_dir, "orders", ["o_custkey"])
+    keyset = ray.put(np.unique(custkeys.column("o_custkey").to_numpy()))
+    cust = load(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(keyset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            present = np.isin(t.column("c_custkey").to_numpy(), self.keys)
+            out = t.filter(pa.array(~present))
+            return out.set_column(
+                out.schema.get_field_index("c_acctbal"), "c_acctbal",
+                pc.round(out.column("c_acctbal"), 2),
+            )
+
+    return cust.map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def suppliers_with_orders(sf_dir: str) -> rd.Dataset:
+    """Semi join: suppliers that appear in lineitem (broadcast key set)."""
+    import ray
+
+    suppkeys = load_arrow(sf_dir, "lineitem", ["l_suppkey"])
+    keyset = ray.put(np.unique(suppkeys.column("l_suppkey").to_numpy()))
+    supp = load(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    class SemiJoin:
+        def __init__(self):
+            self.keys = ray.get(keyset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            present = np.isin(t.column("s_suppkey").to_numpy(), self.keys)
+            return t.filter(pa.array(present))
+
+    return supp.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def earliest_events(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Global sort surfaced as a deterministic limit: ds.sort is the
+    all-to-all range shuffle; the k-row head is the comparable artifact."""
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = ds.sort(["ts", "event_id"]).limit(k).to_pandas()
+    out["ts_us"] = out["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    return out.drop(columns=["ts"])
+
+
+def event_sample_stats(sf_dir: str, fraction: float = 0.1) -> pd.DataFrame:
+    """Seeded sampling (rows-only: the sample set is engine-defined; the
+    check asserts determinism and plausible size, not a SQL match)."""
+    ds = load(sf_dir, "events", ["event_id", "value"])
+    s = ds.random_sample(fraction, seed=42)
+    df = s.to_pandas()
+    return pd.DataFrame(
+        {
+            "n_sampled": [np.int64(len(df))],
+            "sum_value": [round(float(df["value"].sum()), 4)],
+            "min_event": [np.int64(df["event_id"].min()) if len(df) else np.int64(-1)],
+        }
+    )
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct count via mergeable HLL sketches: one sketch per
+    batch inside map_batches, register-max merge in a tiny reduce — the
+    sketch-aggregate pattern (ray_guide 'Aggregation at scale').  Rows-only
+    driver check; the pytest asserts <5% relative error vs exact."""
+    from ..functions.sketches import HyperLogLog
+
+    ds = load(sf_dir, "events", ["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog()
+        h.add(t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({"registers": pa.array([h.registers.tobytes()], pa.large_binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    merged = HyperLogLog()
+    for blob in parts["registers"]:
+        other = HyperLogLog()
+        other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+        merged.merge(other)
+    exact = len(load(sf_dir, "events", ["user_id"]).unique("user_id"))
+    return pd.DataFrame(
+        {
+            "n_users_approx": [np.int64(round(merged.estimate()))],
+            "n_users_exact": [np.int64(exact)],
+        }
+    )
+
+
 def user_hourly_windows(sf_dir: str) -> rd.Dataset:
     """Tumbling event-time windows (streaming-shaped workload, ray_guide):
     partition by user, tumble ts into 1-hour buckets inside map_groups."""
