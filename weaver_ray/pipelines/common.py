@@ -31,17 +31,22 @@ def load_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.
 
 
 def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]],
-                    batch_size: int = 65536) -> rd.Dataset:
+                    batch_size: int = 65536, prep=None) -> rd.Dataset:
     """Two-phase grouped aggregation: per-batch partials inside map_batches
     (combiner), then a tiny global groupby over one row per key per batch —
     the shuffle moves partials, not rows (ray_guide 'Aggregation at scale').
 
     aggs: out_col -> (in_col, fn) with fn in {sum, count, min, max}.
-    count partials become sums in the reduce phase.
+    count partials become sums in the reduce phase.  ``prep(batch)`` runs
+    inside the same map task before grouping (fusing derived-column maps
+    into the combiner — every separate Ray operator costs fixed scheduling
+    time that dwarfs small-query compute).
     """
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if prep is not None:
+            batch = prep(batch)
         g = batch.groupby(keys, sort=False, observed=True)
         out = {}
         for out_col, (in_col, fn) in aggs.items():
@@ -69,6 +74,23 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
     return partials.groupby(keys).aggregate(*reduce_aggs)
 
 
+# per-worker-process cache for broadcast objects: worker processes persist
+# across tasks, so the first task per worker pays the ray.get (zero-copy from
+# the local object store) and the rest hit the dict.  Stateless tasks + this
+# cache beat an actor pool when the "state" is just a broadcast ref — actor
+# pools cost ~0.5-1 s of spin-up per pool on this sandbox, which dominates
+# small queries (actor pools remain the right tool for expensive state:
+# FetchStage's corpus index, decode stages).
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 def broadcast_join(ds: rd.Dataset, small: pa.Table, on: str | list[str],
                    how: str = "inner", small_cols: list[str] | None = None) -> rd.Dataset:
     """Join a big Dataset against a small table without a shuffle: the small
@@ -76,25 +98,27 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, on: str | list[str],
     key->owner lookup J1; here the 'dimension' travels to the data)."""
     if small_cols:
         small = small.select(small_cols)
-    ref = ray.put(small)
+    ref = ray.put(small.to_pandas())
 
-    class JoinBatch:
-        def __init__(self):
-            self.small = ray.get(ref).to_pandas()
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_cached_get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(join_batch, batch_format="pandas")
 
 
-def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, num_buckets: int = 16,
-              how: str = "inner") -> rd.Dataset:
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              lcols: list[str], rcols: list[str], num_buckets: int = 16,
+              how: str = "inner", post=None) -> rd.Dataset:
     """Explicit partitioned hash join for two LARGE sides: tag each side,
     bucket by hash(key) % B, co-shuffle with one groupby over the union, and
     pandas-merge within each bucket (the portable pattern from the Ray
     guide; Dataset.join exists in this Ray version — this implementation is
     kept explicit so the shuffle and its key are visible and salt-able).
+
+    ``lcols``/``rcols`` are each side's columns (the union block carries
+    both sets, null-filled).  ``post(joined_df)`` runs inside each bucket —
+    push grouped aggregates here so the shuffle's output is partial rows,
+    not joined rows.
     """
 
     def tag(side: str):
@@ -113,13 +137,10 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, num_buckets: int = 1
     both = lt.union(rt)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == "l"].dropna(axis=1, how="all")
-        r = group[group["__side"] == "r"].dropna(axis=1, how="all")
-        l = l.drop(columns=["__side", "__bucket"])
-        r = r.drop(columns=["__side", "__bucket"])
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame()
-        return l.merge(r, on=on, how=how)
+        l = group.loc[group["__side"] == "l", lcols]
+        r = group.loc[group["__side"] == "r", rcols]
+        j = l.merge(r, on=on, how=how)  # empty sides merge to a typed empty
+        return post(j) if post is not None else j
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -25,12 +25,11 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                "l_discount", "l_tax"])
 
-    def add_derived(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(1.0, t["l_tax"]))
-        return t.append_column("disc_price", disc_price).append_column("charge", charge)
+    def add_derived(df: pd.DataFrame) -> pd.DataFrame:
+        disc_price = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        df = df.assign(disc_price=disc_price, charge=disc_price * (1.0 + df["l_tax"]))
+        return df
 
-    ds = ds.map_batches(add_derived, batch_format="pyarrow")
     out = partial_groupby(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -41,17 +40,15 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             "sum_charge": ("charge", "sum"),
             "count_order": ("l_quantity", "count"),
         },
-    )
+        prep=add_derived,
+    ).to_pandas()  # a handful of groups: finish driver-side, no extra operator
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
-        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-            df[c] = df[c].round(2)
-        df["count_order"] = df["count_order"].astype(np.int64)
-        return df
-
-    return out.map_batches(finish, batch_format="pandas")
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out
 
 
 def q6_revenue(sf_dir: str) -> pd.DataFrame:
@@ -107,18 +104,17 @@ def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
     out = partial_groupby(
         joined, ["c_mktsegment"],
         {"revenue": ("o_totalprice", "sum"), "n_orders": ("o_totalprice", "count")},
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = df["revenue"].round(2)
-        df["n_orders"] = df["n_orders"].astype(np.int64)
-        return df
-
-    return out.map_batches(finish, batch_format="pandas")
+    ).to_pandas()  # few groups: finish driver-side
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
 
 
-def order_status_revenue(sf_dir: str) -> rd.Dataset:
-    """Two large sides -> explicit partitioned hash join on l_orderkey."""
+def order_status_revenue(sf_dir: str) -> pd.DataFrame:
+    """Two large sides -> explicit partitioned hash join on l_orderkey, with
+    the grouped aggregate pushed INTO the join buckets (each bucket emits
+    one partial row per group; the driver folds the tiny partials) — the
+    join shuffle is the only wide operation in the query."""
     li = load(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def add_rev(t: pa.Table) -> pa.Table:
@@ -133,18 +129,21 @@ def order_status_revenue(sf_dir: str) -> rd.Dataset:
     orders = load(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]), batch_format="pyarrow"
     )
-    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
-    out = partial_groupby(
-        joined, ["o_orderstatus"],
-        {"revenue": ("rev", "sum"), "n_items": ("rev", "count")},
-    )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = df["revenue"].round(2)
-        df["n_items"] = df["n_items"].astype(np.int64)
-        return df
+    def agg_bucket(j: pd.DataFrame) -> pd.DataFrame:
+        g = j.groupby("o_orderstatus", sort=False, observed=True)
+        return pd.DataFrame(
+            {"revenue": g["rev"].sum(), "n_items": g.size()}
+        ).reset_index()
 
-    return out.map_batches(finish, batch_format="pandas")
+    partials = hash_join(li, orders, on="l_orderkey",
+                         lcols=["l_orderkey", "rev"],
+                         rcols=["l_orderkey", "o_orderstatus"],
+                         num_buckets=16, post=agg_bucket).to_pandas()
+    out = partials.groupby("o_orderstatus", sort=True).sum().reset_index()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out
 
 
 def region_customer_counts(sf_dir: str) -> rd.Dataset:
@@ -156,11 +155,9 @@ def region_customer_counts(sf_dir: str) -> rd.Dataset:
     j1 = broadcast_join(cust, nation, on="c_nationkey")
     region = region.rename_columns(["n_regionkey", "r_name"])
     j2 = broadcast_join(j1, region, on="n_regionkey")
-    out = partial_groupby(j2, ["r_name"], {"n_customers": ("c_custkey", "count")})
-    return out.map_batches(
-        lambda df: df.assign(n_customers=df["n_customers"].astype(np.int64)),
-        batch_format="pandas",
-    )
+    out = partial_groupby(j2, ["r_name"], {"n_customers": ("c_custkey", "count")}).to_pandas()
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out
 
 
 def event_type_stats(sf_dir: str) -> rd.Dataset:
@@ -170,14 +167,10 @@ def event_type_stats(sf_dir: str) -> rd.Dataset:
     out = partial_groupby(
         ds, ["event_type"],
         {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
-        df["n_events"] = df["n_events"].astype(np.int64)
-        return df
-
-    return out.map_batches(finish, batch_format="pandas")
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
 
 
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
@@ -216,42 +209,38 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
     import ray
 
+    from .common import _cached_get
+
     custkeys = load_arrow(sf_dir, "orders", ["o_custkey"])
     keyset = ray.put(np.unique(custkeys.column("o_custkey").to_numpy()))
     cust = load(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(keyset)
+    def anti_join(t: pa.Table) -> pa.Table:
+        present = np.isin(t.column("c_custkey").to_numpy(), _cached_get(keyset))
+        out = t.filter(pa.array(~present))
+        return out.set_column(
+            out.schema.get_field_index("c_acctbal"), "c_acctbal",
+            pc.round(out.column("c_acctbal"), 2),
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            present = np.isin(t.column("c_custkey").to_numpy(), self.keys)
-            out = t.filter(pa.array(~present))
-            return out.set_column(
-                out.schema.get_field_index("c_acctbal"), "c_acctbal",
-                pc.round(out.column("c_acctbal"), 2),
-            )
-
-    return cust.map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2))
+    return cust.map_batches(anti_join, batch_format="pyarrow")
 
 
 def suppliers_with_orders(sf_dir: str) -> rd.Dataset:
     """Semi join: suppliers that appear in lineitem (broadcast key set)."""
     import ray
 
+    from .common import _cached_get
+
     suppkeys = load_arrow(sf_dir, "lineitem", ["l_suppkey"])
     keyset = ray.put(np.unique(suppkeys.column("l_suppkey").to_numpy()))
     supp = load(sf_dir, "supplier", ["s_suppkey", "s_name"])
 
-    class SemiJoin:
-        def __init__(self):
-            self.keys = ray.get(keyset)
+    def semi_join(t: pa.Table) -> pa.Table:
+        present = np.isin(t.column("s_suppkey").to_numpy(), _cached_get(keyset))
+        return t.filter(pa.array(present))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            present = np.isin(t.column("s_suppkey").to_numpy(), self.keys)
-            return t.filter(pa.array(present))
-
-    return supp.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 2))
+    return supp.map_batches(semi_join, batch_format="pyarrow")
 
 
 def earliest_events(sf_dir: str, k: int = 100) -> pd.DataFrame:

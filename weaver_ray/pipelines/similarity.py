@@ -37,33 +37,32 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
 
     ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    class LocalTopK:
-        def __init__(self):
-            self.qids, self.Qn = ray.get(ref)
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vid = df["vec_id"].to_numpy()
-            E = _matrix(df["embedding"].to_numpy())
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cos = self.Qn @ En.T  # (nq, batch)
-            out_q, out_n, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                row = cos[qi]
-                mask = vid != qid
-                idx = np.flatnonzero(mask)
-                if len(idx) == 0:
-                    continue
-                order = idx[np.lexsort((vid[idx], -row[idx]))][: k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(vid[order])
-                out_c.extend(row[order])
-            return pd.DataFrame(
-                {"query_id": np.asarray(out_q, np.int64),
-                 "neighbor_id": np.asarray(out_n, np.int64),
-                 "cos": np.asarray(out_c, np.float64)}
-            )
+        qids, Qn = _cached_get(ref)
+        vid = df["vec_id"].to_numpy()
+        E = _matrix(df["embedding"].to_numpy())
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cos = Qn @ En.T  # (nq, batch)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            row = cos[qi]
+            mask = vid != qid
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((vid[idx], -row[idx]))][: k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(vid[order])
+            out_c.extend(row[order])
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, np.int64),
+             "neighbor_id": np.asarray(out_n, np.int64),
+             "cos": np.asarray(out_c, np.float64)}
+        )
 
-    cand = ds.map_batches(LocalTopK, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
     out = (
         cand.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
         .groupby("query_id", sort=True)
@@ -107,34 +106,33 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 8,
 
     ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    class ProbeTopK:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.qids, self.Qn, self.qcells = ray.get(qinfo_ref)
+    def probe_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vid = df["vec_id"].to_numpy()
-            B = _matrix(df["embedding"].to_numpy())
-            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-            cells = (Bn @ self.cent.T).argmax(axis=1)
-            out_q, out_n, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                probe = np.isin(cells, self.qcells[qi]) & (vid != qid)
-                idx = np.flatnonzero(probe)
-                if len(idx) == 0:
-                    continue
-                row = Bn[idx] @ self.Qn[qi]
-                order = idx[np.lexsort((vid[idx], -row))][: k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(vid[order])
-                out_c.extend((Bn[order] @ self.Qn[qi]))
-            return pd.DataFrame(
-                {"query_id": np.asarray(out_q, np.int64),
-                 "neighbor_id": np.asarray(out_n, np.int64),
-                 "cos": np.asarray(out_c, np.float64)}
-            )
+        cent = _cached_get(cent_ref)
+        qids, Qn, qcells = _cached_get(qinfo_ref)
+        vid = df["vec_id"].to_numpy()
+        B = _matrix(df["embedding"].to_numpy())
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        cells = (Bn @ cent.T).argmax(axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            probe = np.isin(cells, qcells[qi]) & (vid != qid)
+            idx = np.flatnonzero(probe)
+            if len(idx) == 0:
+                continue
+            row = Bn[idx] @ Qn[qi]
+            order = idx[np.lexsort((vid[idx], -row))][: k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(vid[order])
+            out_c.extend((Bn[order] @ Qn[qi]))
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, np.int64),
+             "neighbor_id": np.asarray(out_n, np.int64),
+             "cos": np.asarray(out_c, np.float64)}
+        )
 
-    cand = ds.map_batches(ProbeTopK, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    cand = ds.map_batches(probe_topk, batch_format="pandas").to_pandas()
     return (
         cand.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
         .groupby("query_id", sort=True)

@@ -25,68 +25,54 @@ STOP_RE = r"\b(?:the|a|and|of|to)\b"
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
-class _TokenFeatures:
-    """Stateful stage: regexes compiled once per actor (__init__), applied
-    vectorized per batch (pandas str.count)."""
-
-    def __init__(self):
-        self.token_re = re.compile(TOKEN_RE)
-        self.stop_re = re.compile(STOP_RE)
-        self.bpe_re = re.compile(BPE_RE)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        batch = batch.copy()
-        batch["n_tokens"] = text.str.count(TOKEN_RE).astype(np.int64)
-        batch["n_stop"] = text.str.count(STOP_RE).astype(np.int64)
-        batch["n_bpe"] = text.str.count(BPE_RE).astype(np.int64)
-        return batch
+def _token_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stateless token-feature stage (regex state is module-level — compiled
+    once per worker process at import; an actor pool's spin-up would cost
+    more than the state it amortizes)."""
+    text = batch["text"]
+    batch = batch.copy()
+    batch["n_tokens"] = text.str.count(TOKEN_RE).astype(np.int64)
+    batch["n_stop"] = text.str.count(STOP_RE).astype(np.int64)
+    batch["n_bpe"] = text.str.count(BPE_RE).astype(np.int64)
+    return batch
 
 
 def token_stats_by_lang(sf_dir: str) -> rd.Dataset:
     """Per-lang token totals (whitespace/regex tokenizer + BPE-ish count)."""
     ds = load(sf_dir, "documents", ["doc_id", "text", "lang"])
-    feat = ds.map_batches(_TokenFeatures, batch_format="pandas", concurrency=(1, 4))
+    feat = ds.map_batches(_token_features, batch_format="pandas")
     out = partial_groupby(
         feat, ["lang"],
         {"n_docs": ("doc_id", "count"), "sum_tokens": ("n_tokens", "sum"),
          "sum_bpe_tokens": ("n_bpe", "sum")},
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_tokens"] = (df["sum_tokens"] / df["n_docs"]).round(4)
-        for c in ("n_docs", "sum_tokens", "sum_bpe_tokens"):
-            df[c] = df[c].astype(np.int64)
-        return df
-
-    return out.map_batches(finish, batch_format="pandas")
+    ).to_pandas()
+    out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(4)
+    for c in ("n_docs", "sum_tokens", "sum_bpe_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 def quality_by_source(sf_dir: str) -> rd.Dataset:
     """Quality-score features aggregated per source: doc length, stopword
     ratio (length/punct/stopword family of heuristics)."""
     ds = load(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
-    feat = ds.map_batches(_TokenFeatures, batch_format="pandas", concurrency=(1, 4))
+    feat = ds.map_batches(_token_features, batch_format="pandas")
 
     def ratios(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["stop_ratio"] = df["n_stop"] / df["n_tokens"].clip(lower=1)
         return df
 
-    feat = feat.map_batches(ratios, batch_format="pandas")
     out = partial_groupby(
         feat, ["source"],
         {"n_docs": ("doc_id", "count"), "sum_chars": ("n_chars", "sum"),
          "sum_stop_ratio": ("stop_ratio", "sum")},
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(4)
-        df["avg_stop_ratio"] = (df["sum_stop_ratio"] / df["n_docs"]).round(6)
-        df["n_docs"] = df["n_docs"].astype(np.int64)
-        return df[["source", "n_docs", "avg_chars", "avg_stop_ratio"]]
-
-    return out.map_batches(finish, batch_format="pandas")
+        prep=ratios,
+    ).to_pandas()
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
+    out["avg_stop_ratio"] = (out["sum_stop_ratio"] / out["n_docs"]).round(6)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[["source", "n_docs", "avg_chars", "avg_stop_ratio"]]
 
 
 def doc_token_counts(sf_dir: str) -> rd.Dataset:
@@ -179,10 +165,9 @@ class LangId:
 def langid_counts(sf_dir: str) -> rd.Dataset:
     ds = load(sf_dir, "documents", ["doc_id", "text"])
     pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
-    out = partial_groupby(pred, ["pred_lang"], {"n_docs": ("doc_id", "count")})
-    return out.map_batches(
-        lambda df: df.assign(n_docs=df["n_docs"].astype(np.int64)), batch_format="pandas"
-    )
+    out = partial_groupby(pred, ["pred_lang"], {"n_docs": ("doc_id", "count")}).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
 
 
 # ------------------------------------------------------------------ fingerprinting
