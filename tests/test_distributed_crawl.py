@@ -1,0 +1,85 @@
+"""Distributed-frontier round path: equivalence with the driver barrier and
+with the oracle (the 10^10-URL scale path, CrawlConfig.distributed)."""
+
+import shutil
+
+import pytest
+
+from weaver_ray.config import CrawlConfig
+from weaver_ray.oracle import simulate
+from weaver_ray.pipelines.crawl import crawl
+
+
+def _cfg(**kw):
+    # 3 rounds: the distributed path pays several hash-shuffles per round,
+    # which is seconds each on this 1-core sandbox regardless of data size
+    base = dict(corpus_size=1000, max_rounds=3, num_seen_shards=2,
+                num_politeness_shards=2, fetch_concurrency=2)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def runs(small_corpus):
+    shutil.rmtree("/tmp/crawl_dist", ignore_errors=True)
+    shutil.rmtree("/tmp/crawl_drv", ignore_errors=True)
+    dist = crawl(_cfg(distributed=True), "/tmp/crawl_dist", corpus_path=small_corpus)
+    drv = crawl(_cfg(distributed=False), "/tmp/crawl_drv", corpus_path=small_corpus)
+    return dist, drv
+
+
+def test_seen_sets_identical(runs):
+    dist, drv = runs
+    assert set(dist.seen_table.column("url_hash").to_pylist()) == set(
+        drv.seen_table.column("url_hash").to_pylist()
+    )
+    assert dist.urls_fetched == drv.urls_fetched
+    assert dist.urls_seen == drv.urls_seen
+
+
+def test_order_identical(runs):
+    dist, drv = runs
+
+    def order_key(res):
+        t = res.order_table
+        return sorted(
+            zip(t.column("round").to_pylist(),
+                [round(p, 4) for p in t.column("priority").to_pylist()],
+                t.column("seq").to_pylist(),
+                t.column("url_canon").to_pylist())
+        )
+
+    assert order_key(dist) == order_key(drv)
+
+
+def test_matches_oracle(runs):
+    dist, _ = runs
+    ora = simulate(_cfg(distributed=True))
+    assert dist.urls_fetched == ora.urls_fetched
+    engine = set(dist.seen_table.column("url_canon").to_pylist())
+    assert engine == {c for c, _, _ in ora.seen}
+
+
+def test_distributed_budget(small_corpus):
+    shutil.rmtree("/tmp/crawl_dist_budget", ignore_errors=True)
+    cfg = _cfg(distributed=True, max_urls=150, max_rounds=4)
+    res = crawl(cfg, "/tmp/crawl_dist_budget", corpus_path=small_corpus)
+    ora = simulate(cfg)
+    assert res.urls_fetched == ora.urls_fetched
+
+
+def test_distributed_resume(small_corpus):
+    import os
+
+    out = "/tmp/crawl_dist_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = _cfg(distributed=True)
+    full = crawl(cfg, out, corpus_path=small_corpus)
+    os.remove(out + "/ckpt/COMMIT_2.json")
+    shutil.rmtree(out + "/records/round=2")
+    shutil.rmtree(out + "/ckpt/frontier_after_round_2", ignore_errors=True)
+    resumed = crawl(cfg, out, corpus_path=small_corpus, resume=True)
+    assert resumed.urls_fetched == full.urls_fetched
+    assert set(resumed.seen_table.column("url_hash").to_pylist()) == set(
+        full.seen_table.column("url_hash").to_pylist()
+    )

@@ -51,6 +51,54 @@ NARROW_COLS = ["url_canon", "url_hash", "host", "round", "seq", "image_id",
                "phash", "fetch_status", "depth", "priority", "url_type"]
 
 
+# ---------------------------------------------------------------- distributed round
+# The default (driver-barrier) round materializes the NARROW frontier on the
+# driver — fine up to millions of rows, not at the 10^10-URL target.  The
+# distributed path below keeps the frontier a Dataset end to end: only
+# per-host counts (<= n_hosts rows), per-round counters and the LPT chunk
+# plan ever touch the driver.  Both paths share every stage and are
+# equivalence-tested (tests/test_distributed_crawl.py).
+
+
+def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
+    """LPT bin-packing of per-host chunks -> {(host, chunk_i): part},
+    {host: n_chunks}.  Same balancing rule as partition_for_fetch, computed
+    from the small per-host count aggregate instead of driver-held rows."""
+    total = sum(host_counts.values())
+    cap = max(1, -(-total // num_parts))
+    chunks: list[tuple[int, str, int]] = []
+    for host in sorted(host_counts):
+        cnt = host_counts[host]
+        n_chunks = -(-cnt // cap)
+        for ci in range(n_chunks):
+            size = min(cap, cnt - ci * cap)
+            chunks.append((size, host, ci))
+    chunks.sort(key=lambda c: (-c[0], c[1], c[2]))
+    loads = [0] * num_parts
+    plan: dict[tuple[str, int], int] = {}
+    spread: dict[str, int] = {}
+    for size, host, ci in chunks:
+        p = min(range(num_parts), key=lambda i: (loads[i], i))
+        loads[p] += size
+        plan[(host, ci)] = p
+        spread[host] = max(spread.get(host, 0), ci + 1)
+    return plan, spread
+
+
+def _dedup_within_round_block(t: pa.Table) -> pa.Table:
+    """Block-local within-round dedup (rows for one url_canon are co-located
+    by the key repartition): keep the max-priority row per canon; ties (same
+    canon+priority => same depth by priority-decay construction) resolve to
+    min parent_hash for determinism."""
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df.sort_values(["url_canon", "priority", "parent_hash"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.drop_duplicates("url_canon", keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+
+
 @dataclass
 class CrawlResult:
     out_dir: str
@@ -86,6 +134,99 @@ def _make_dedup_fn(seen_view, lineage):
         return batch.filter(pa.array(mask))
 
     return dedup
+
+
+def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: str,
+                           records_dir: str, seen, politeness, lineage,
+                           num_fetch_parts: int):
+    """One crawl round with the frontier kept distributed.  Returns the
+    next round's frontier as a materialized Dataset (seq assigned)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .common import _cached_get
+
+    # 1. small aggregate: per-host counts -> LPT chunk plan (broadcast)
+    hc = frontier_ds.groupby("host").count().to_pandas()
+    host_counts = dict(zip(hc["host"], hc["count()"]))
+    plan, spread = _lpt_plan(host_counts, num_fetch_parts)
+    plan_ref = ray.put((plan, spread))
+
+    def assign_part(t: pa.Table) -> pa.Table:
+        plan, spread = _cached_get(plan_ref)
+        hosts = t.column("host").to_pylist()
+        seqs = t.column("seq").to_numpy(zero_copy_only=False)
+        parts = np.fromiter(
+            (plan[(h, int(s) % spread[h])] for h, s in zip(hosts, seqs)),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return t.append_column("fetch_part", pa.array(parts))
+
+    f2 = frontier_ds.map_batches(assign_part, batch_format="pyarrow")
+    f3 = f2.repartition(num_fetch_parts, keys=["fetch_part"])
+
+    # 2. dedup -> fetch -> children, exactly the shared stages
+    ds = f3.map_batches(_make_dedup_fn(seen.task_view(), lineage),
+                        batch_size=None, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FetchStage,
+        fn_constructor_kwargs={
+            "corpus_path": corpus_path,
+            "politeness_view": politeness.task_view(),
+            "lineage": lineage,
+            "records_dir": records_dir,
+            "fetch_latency_s": cfg.fetch_latency_s,
+            "emit_children": True,
+            "n_hosts": cfg.n_hosts,
+        },
+        batch_size=None, batch_format="pyarrow",
+        concurrency=cfg.fetch_concurrency, num_cpus=1,
+    )
+    children = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "child"))
+                   .drop_columns(["kind", "image_id", "phash", "fetch_status"]),
+        batch_size=None, batch_format="pyarrow",
+    )
+
+    # 3. barrier, distributed: co-locate canon -> block-local dedup -> sort
+    k = max(8, num_fetch_parts)
+    best = children.repartition(k, keys=["url_canon"]).map_batches(
+        _dedup_within_round_block, batch_size=None, batch_format="pyarrow"
+    )
+    nxt = best.sort(["priority", "url_canon"], descending=[True, False])
+    return nxt
+
+
+def _assign_seq_distributed(sorted_ds, remaining: int | None):
+    """seq = global offset over the sorted blocks: block sizes (tiny) to the
+    driver, per-block offset assignment as Ray tasks on the refs — no row
+    ever leaves the object store."""
+    import numpy as np
+
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def set_seq(t: pa.Table, offset: int, limit: int | None) -> pa.Table:
+        if limit is not None:
+            t = t.slice(0, max(0, limit - offset))
+        idx = t.schema.get_field_index("seq")
+        return t.set_column(idx, "seq", pa.array(np.arange(offset, offset + t.num_rows)))
+
+    sizes = ray.get([nrows.remote(rf) for rf in refs])
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1])).tolist()
+    out_refs = [
+        set_seq.remote(rf, off, remaining)
+        for rf, off, sz in zip(refs, offsets, sizes)
+        if sz and (remaining is None or off < remaining)
+    ]
+    total = sum(sizes) if remaining is None else min(sum(sizes), remaining)
+    if not out_refs:
+        return None, 0
+    return rd.from_arrow_refs(out_refs), int(total)
 
 
 def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
@@ -150,7 +291,85 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
         return now
 
+    frontier_ds = None
+    frontier_count = frontier.num_rows if frontier is not None else 0
+    prev_shuffle = None
+    if cfg.distributed:
+        # key-based repartition (the co-location primitive of the
+        # distributed barrier) requires the hash-shuffle strategy
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        prev_shuffle = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        if frontier is not None and frontier.num_rows:
+            frontier_ds = rd.from_arrow(frontier)
+
     for r in range(start_round, cfg.max_rounds):
+        if cfg.distributed:
+            if frontier_ds is None or frontier_count == 0:
+                break
+            if cfg.max_urls is not None and urls_fetched >= cfg.max_urls:
+                break
+            tr = time.monotonic()
+            if cfg.max_urls is not None:
+                # budget truncation at barrier granularity: the frontier is
+                # seq-sorted, so limit() == the driver barrier's slice
+                frontier_ds = frontier_ds.limit(cfg.max_urls - urls_fetched)
+            sorted_children = _run_round_distributed(
+                frontier_ds, r, cfg, corpus_path, str(records_dir),
+                seen, politeness, lineage, num_fetch_parts)
+            frontier_ds, frontier_count = _assign_seq_distributed(sorted_children, None)
+            tr = _t(f"r{r} distributed round", tr)
+
+            # round bookkeeping from a column-pruned read of the records the
+            # fetch stage just wrote (narrow; at 10^10 scale this becomes a
+            # distributed count + per-shard blooms co-located with the
+            # cuckoo shards — the driver never has to see the hashes)
+            rfiles = sorted((records_dir / f"round={r}").glob("part-*.parquet"))
+            narrow_t = (
+                pa.concat_tables([
+                    pq.read_table(f, columns=["url_canon", "url_hash", "round",
+                                              "seq", "priority", "fetch_status"])
+                    for f in rfiles
+                ]) if rfiles else None
+            )
+            n_ok = n_denied = n_dead = 0
+            if narrow_t is not None and narrow_t.num_rows:
+                status = narrow_t.column("fetch_status").to_pylist()
+                n_ok = status.count("ok")
+                n_denied = status.count("robots_denied")
+                n_dead = status.count("dead")
+                urls_fetched += n_ok
+                seen.bloom_add(narrow_t.column("url_hash").to_numpy(zero_copy_only=False))
+                pq.write_table(
+                    narrow_t.select(["url_canon", "url_hash", "round"]),
+                    seen_dir / f"round={r}.parquet")
+                pq.write_table(
+                    narrow_t.select(["url_canon", "round", "priority", "seq"]),
+                    seen_dir / f"order_round={r}.parquet")
+            summary = {
+                "round": r,
+                "frontier_rows": narrow_t.num_rows if narrow_t is not None else 0,
+                "dedup_survivors": narrow_t.num_rows if narrow_t is not None else 0,
+                "fetched_ok": n_ok,
+                "robots_denied": n_denied,
+                "dead": n_dead,
+                "children": frontier_count,
+                "urls_fetched": urls_fetched,
+            }
+            per_round.append(summary)
+            ckpt.save_round(
+                r,
+                frontier_ds,
+                seen.serialize_shards(),
+                politeness.serialize_shards(),
+                ray.get(lineage.drain.remote()),
+                {"urls_fetched": urls_fetched, "per_round": per_round, "round": r},
+            )
+            _t(f"r{r} checkpoint", tr)
+            continue
+
         if frontier.num_rows == 0:
             break
         if cfg.max_urls is not None and urls_fetched >= cfg.max_urls:
@@ -236,6 +455,10 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         _t(f"r{r} checkpoint", tr)
 
     # --- final artifacts ---------------------------------------------------
+    if prev_shuffle is not None:
+        from ray.data.context import DataContext
+
+        DataContext.get_current().shuffle_strategy = prev_shuffle
     seen_files = sorted(seen_dir.glob("round=*.parquet"))
     seen_table = (
         pa.concat_tables([pq.read_table(f) for f in seen_files]) if seen_files else None

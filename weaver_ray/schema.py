@@ -57,6 +57,8 @@ RECORD_SCHEMA = pa.schema(
         pa.field("caption", pa.string()),
         pa.field("phash", pa.int64()),
         pa.field("fetch_status", pa.string()),  # "ok" | "dead" | "robots_denied"
+        pa.field("priority", pa.float32()),
+        pa.field("depth", pa.int32()),
     ]
 )
 

@@ -225,9 +225,5 @@ def split_union(tables: list[pa.Table]) -> tuple[pa.Table | None, list[pa.Table]
 
 
 def _empty_records() -> pa.Table:
-    fields = list(RECORD_SCHEMA) + [
-        pa.field("depth", pa.int32()),
-        pa.field("priority", pa.float32()),
-        pa.field("url_type", pa.string()),
-    ]
+    fields = list(RECORD_SCHEMA) + [pa.field("url_type", pa.string())]
     return pa.schema(fields).empty_table()

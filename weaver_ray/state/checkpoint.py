@@ -64,13 +64,22 @@ class CheckpointManager:
     def save_round(
         self,
         r: int,
-        next_frontier: pa.Table,
+        next_frontier,  # pa.Table (driver barrier) or ray.data.Dataset (distributed)
         seen_states: list[dict],
         politeness_states: list[dict],
         lineage_rows: list[dict],
         summary: dict,
     ) -> None:
-        pq.write_table(next_frontier, self.dir / f"frontier_after_round_{r}.parquet")
+        if isinstance(next_frontier, pa.Table):
+            pq.write_table(next_frontier, self.dir / f"frontier_after_round_{r}.parquet")
+        else:  # Dataset: distributed parquet write, no driver materialization
+            d = self.dir / f"frontier_after_round_{r}"
+            if d.exists():
+                shutil.rmtree(d)
+            if next_frontier is None:
+                d.mkdir()
+            else:
+                next_frontier.write_parquet(str(d))
         for st in seen_states:
             i = st["shard_id"]
             np.savez(
@@ -94,7 +103,16 @@ class CheckpointManager:
         tmp.rename(self._commit_path(r))
 
     def load_round(self, r: int) -> dict:
-        frontier = pq.read_table(self.dir / f"frontier_after_round_{r}.parquet")
+        f_file = self.dir / f"frontier_after_round_{r}.parquet"
+        f_dir = self.dir / f"frontier_after_round_{r}"
+        if f_file.exists():
+            frontier = pq.read_table(f_file)
+        else:
+            parts = sorted(f_dir.glob("*.parquet"))
+            frontier = (
+                pa.concat_tables([pq.read_table(p) for p in parts]) if parts
+                else None
+            )
         seen_states = []
         for p in sorted(self.dir.glob(f"seen_shard_*_round_{r}.npz")):
             z = np.load(p, allow_pickle=False)
