@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -277,6 +278,18 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "ngram_jaccard_pairs": f"""
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+                   round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                         / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+            FROM (SELECT doc_id, list_distinct(regexp_extract_all(text, '{TOK}')) AS ts
+                  FROM documents) a
+            JOIN (SELECT doc_id, list_distinct(regexp_extract_all(text, '{TOK}')) AS ts
+                  FROM documents) b
+              ON b.doc_id - a.doc_id BETWEEN 1 AND 50
+            WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2
         """,
         "embedding_near_dup_pairs": """
             SELECT CAST(e1.vec_id AS BIGINT) AS vec_a, CAST(e2.vec_id AS BIGINT) AS vec_b

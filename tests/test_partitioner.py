@@ -1,0 +1,75 @@
+"""Property tests (hypothesis) for the LPT fetch partitioner and the
+frontier barrier helpers."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weaver_ray.functions.canonicalize import url_hash_batch
+from weaver_ray.stages.parse import assign_seq, dedup_within_round, partition_for_fetch
+
+
+def _frontier(hosts: list[str], prios: list[float] | None = None) -> pa.Table:
+    n = len(hosts)
+    urls = [f"http://{h}/p{i}" for i, h in enumerate(hosts)]
+    return pa.table(
+        {
+            "url": pa.array(urls),
+            "url_canon": pa.array(urls),
+            "url_hash": pa.array(url_hash_batch(urls), pa.uint64()),
+            "host": pa.array(hosts),
+            "depth": pa.array(np.zeros(n, np.int32)),
+            "url_type": pa.array(["product"] * n),
+            "priority": pa.array(
+                np.asarray(prios if prios is not None else np.ones(n), np.float32)),
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "round": pa.array(np.zeros(n, np.int32)),
+            "parent_hash": pa.array(np.zeros(n, np.uint64)),
+        }
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.sampled_from([f"h{i}.x" for i in range(12)]), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=16),
+)
+def test_partitioner_properties(hosts, nparts):
+    t = _frontier(hosts)
+    parts = partition_for_fetch(t, nparts)
+    # coverage: every row lands in exactly one partition
+    total = sum(p.num_rows for p in parts)
+    assert total == t.num_rows
+    all_urls = sorted(u for p in parts for u in p.column("url_canon").to_pylist())
+    assert all_urls == sorted(t.column("url_canon").to_pylist())
+    # balance: no partition exceeds the cap (+cap slack when fewer chunks than parts)
+    cap = -(-t.num_rows // nparts)
+    assert max(p.num_rows for p in parts) <= 2 * cap
+    # determinism
+    parts2 = partition_for_fetch(t, nparts)
+    assert all(a.equals(b) for a, b in zip(parts, parts2))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=150))
+def test_barrier_dedup_and_seq_properties(ids):
+    hosts = [f"h{i % 5}.x" for i in ids]
+    # duplicate canons on purpose: url index = ids value
+    urls = [f"http://{h}/p{v}" for h, v in zip(hosts, ids)]
+    n = len(urls)
+    t = _frontier(hosts)
+    t = t.set_column(1, "url_canon", pa.array(urls))
+    deduped = dedup_within_round(t)
+    canons = deduped.column("url_canon").to_pylist()
+    assert len(canons) == len(set(canons))          # no within-round dups
+    assert set(canons) == set(urls)                 # nothing lost
+    seqd = assign_seq(deduped)
+    seqs = seqd.column("seq").to_numpy(zero_copy_only=False)
+    assert sorted(seqs.tolist()) == list(range(len(canons)))  # dense 0..n-1
+    # order contract: (priority desc, canon asc)
+    prio = seqd.column("priority").to_numpy(zero_copy_only=False)
+    cs = seqd.column("url_canon").to_pylist()
+    order = np.argsort(seqs)
+    pairs = [(-prio[i], cs[i]) for i in order]
+    assert pairs == sorted(pairs)

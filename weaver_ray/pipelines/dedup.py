@@ -142,6 +142,60 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFra
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(sf_dir: str, band: int = 50, threshold: float = 0.2,
+                        bucket: int = 200) -> pd.DataFrame:
+    """Token-set Jaccard over doc_id-banded candidate pairs (|a-b| <= band):
+    the n-gram-Jaccard dedup operator with an exact DuckDB oracle
+    (list_intersect over list_distinct(regexp_extract_all)).  Same
+    bucket+ghost range-join topology as the embedding variant."""
+    bucket = max(bucket, band)
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy()
+        toks = [set(_TOKEN_RE.findall(t)) for t in df["text"]]
+        main = pd.DataFrame({"doc_id": did, "toks": toks,
+                             "bucket": did // bucket, "ghost": False})
+        ghost_mask = ((did % bucket) < band) & (did // bucket > 0)
+        ghosts = main[ghost_mask].copy()
+        ghosts["bucket"] -= 1
+        ghosts["ghost"] = True
+        return pd.concat([main, ghosts], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        did = g["doc_id"].to_numpy()
+        ghost = g["ghost"].to_numpy()
+        toks = list(g["toks"])
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(did)):
+            if ghost[i]:
+                continue
+            for jx in range(i + 1, len(did)):
+                d = did[jx] - did[i]
+                if d > band:
+                    break
+                inter = len(toks[i] & toks[jx])
+                union = len(toks[i] | toks[jx])
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out_a.append(did[i])
+                    out_b.append(did[jx])
+                    out_j.append(round(jac, 4))
+        return pd.DataFrame({"doc_a": np.asarray(out_a, np.int64),
+                             "doc_b": np.asarray(out_b, np.int64),
+                             "jaccard": np.asarray(out_j, np.float64)})
+
+    out = (
+        tagged.groupby("bucket").map_groups(pairs, batch_format="pandas")
+        .to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    return out
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(text: str) -> int:

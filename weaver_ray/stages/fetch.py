@@ -154,8 +154,10 @@ class FetchStage:
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, f"part-s{first_seq:010d}.parquet")
             tmp = final + ".tmp"
+            from ..schema import validate
+
             # no recompression: the payload column is already-encoded PNG/JPEG
-            pq.write_table(out.select([f.name for f in RECORD_SCHEMA]), tmp,
+            pq.write_table(validate(out, RECORD_SCHEMA, "fetch.records"), tmp,
                            compression="none")
             os.replace(tmp, final)
             out = out.drop_columns(["bytes", "w", "h", "fmt", "caption"])
