@@ -34,13 +34,20 @@ def entry() -> Any:
 
 # ------------------------------------------------------------------ queries
 
-def _crawl_result(sf_dir: str):
-    from weaver_ray.config import CrawlConfig
-    from weaver_ray.pipelines.crawl import crawl
+_CRAWL_CACHE: dict[str, Any] = {}
 
-    cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
-                      num_politeness_shards=2, fetch_concurrency=2)
-    return crawl(cfg, "/tmp/weaver_query_crawl")
+
+def _crawl_result(sf_dir: str):
+    """One crawl shared by the crawl_* query entries (memoized per process —
+    the driver calls several of them back to back)."""
+    if "res" not in _CRAWL_CACHE:
+        from weaver_ray.config import CrawlConfig
+        from weaver_ray.pipelines.crawl import crawl
+
+        cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
+                          num_politeness_shards=2, fetch_concurrency=2)
+        _CRAWL_CACHE["res"] = crawl(cfg, "/tmp/weaver_query_crawl")
+    return _CRAWL_CACHE["res"]
 
 
 def _crawl_seen(sf_dir: str):

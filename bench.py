@@ -46,6 +46,8 @@ QUERY_NAMES = [
     "minhash_lsh_pairs",
     "ann_bruteforce_topk",
     "embedding_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "image_decode_stats",
 ]
 
 

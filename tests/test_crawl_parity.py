@@ -106,3 +106,33 @@ def test_budget_truncation(small_corpus):
     assert res.urls_fetched == ora.urls_fetched
     engine = set(res.seen_table.column("url_canon").to_pylist())
     assert engine == {c for c, _, _ in ora.seen}
+
+
+def test_delay_scale_invariance(small_corpus):
+    """Politeness sleeps change timing, never membership or order: the same
+    crawl with enforced delays must produce identical seen set and
+    (round, priority, seq) order."""
+    import shutil
+
+    cfg_fast = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=2,
+                           num_politeness_shards=2, fetch_concurrency=2,
+                           delay_scale=0.0)
+    cfg_slow = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=2,
+                           num_politeness_shards=2, fetch_concurrency=2,
+                           delay_scale=0.05)
+    shutil.rmtree("/tmp/crawl_inv_a", ignore_errors=True)
+    shutil.rmtree("/tmp/crawl_inv_b", ignore_errors=True)
+    a = crawl(cfg_fast, "/tmp/crawl_inv_a", corpus_path=small_corpus)
+    b = crawl(cfg_slow, "/tmp/crawl_inv_b", corpus_path=small_corpus)
+    assert set(a.seen_table.column("url_hash").to_pylist()) == set(
+        b.seen_table.column("url_hash").to_pylist()
+    )
+
+    def key(t):
+        return sorted(zip(t.column("round").to_pylist(), t.column("seq").to_pylist(),
+                          t.column("url_canon").to_pylist()))
+
+    assert key(a.order_table) == key(b.order_table)
+    # (timing not asserted: at this scale the extra sleeps are sub-second
+    # and drown in sandbox noise; the enforced-sleep path itself is covered
+    # by test_politeness_enforces_min_interval with wall-clock gaps)
