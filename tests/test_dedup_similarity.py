@@ -150,3 +150,11 @@ def test_ann_ivf_recall(dup_dir):
         e = set(exact[exact["query_id"] == qid]["neighbor_id"])
         a = set(approx[approx["query_id"] == qid]["neighbor_id"])
         assert len(e & a) >= 2  # recall@5 >= 0.4 with 2/4 cells probed
+
+
+def test_minhash_bucketed_verify_matches_broadcast(dup_dir):
+    """The scale-path verification (two bucketed joins) must equal the
+    broadcast path exactly."""
+    a = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5)
+    b = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5, broadcast_threshold=0)
+    pd.testing.assert_frame_equal(a, b)

@@ -121,25 +121,46 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     not joined rows.
     """
 
-    def tag(side: str):
+    # both sides must share ONE schema through the union (the sort shuffle
+    # merges blocks with pandas concat; heterogeneous schemas break it), so
+    # each side carries the other's columns null-filled
+    allcols = list(dict.fromkeys(lcols + rcols))
+
+    def _bucket_of(key: pd.Series) -> np.ndarray:
+        # hash_array treats object-dtype and int64 arrays differently, and
+        # upstream concats can coerce either side to object — normalize so
+        # equal keys always land in the same bucket
+        if key.dtype == object:
+            try:
+                key = pd.to_numeric(key)
+            except (ValueError, TypeError):
+                key = key.astype(str)
+        return (pd.util.hash_array(key.to_numpy()) % num_buckets).astype(np.int64)
+
+    def tag(side: str, own: list[str]):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["__side"] = side
-            batch["__bucket"] = (
-                pd.util.hash_array(batch[on].to_numpy()) % num_buckets
-            ).astype(np.int64)
-            return batch
+            out = pd.DataFrame({c: (batch[c] if c in own else None) for c in allcols})
+            out["__side"] = side
+            out["__bucket"] = _bucket_of(batch[on])
+            return out
 
         return fn
 
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
+    lt = left.map_batches(tag("l", lcols), batch_format="pandas")
+    rt = right.map_batches(tag("r", rcols), batch_format="pandas")
     both = lt.union(rt)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == "l", lcols]
-        r = group.loc[group["__side"] == "r", rcols]
+        l = group.loc[group["__side"] == "l", lcols].copy()
+        r = group.loc[group["__side"] == "r", rcols].copy()
+        # the union's null-filled columns can coerce a block to object dtype;
+        # re-align the join key so merge equality is dtype-exact
+        if l[on].dtype != r[on].dtype:
+            target = r[on].dtype if l[on].dtype == object else l[on].dtype
+            l[on] = l[on].astype(target)
+            r[on] = r[on].astype(target)
         j = l.merge(r, on=on, how=how)  # empty sides merge to a typed empty
+        j = j.infer_objects()  # undo object coercion from the null-filled union
         return post(j) if post is not None else j
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

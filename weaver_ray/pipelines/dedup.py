@@ -89,7 +89,8 @@ def _band_rows(doc_ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
+                      broadcast_threshold: int = 100_000) -> pd.DataFrame:
     """Candidate pairs from LSH banding, verified with exact shingle-set
     Jaccard.  Verification broadcasts the shingle map (ray.put) — at scale,
     replace with a bucketed join of pairs against shingles on doc_id."""
@@ -121,24 +122,67 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFra
                              "doc_b": pd.Series([], dtype=np.int64),
                              "jaccard": pd.Series([], dtype=np.float64)})
 
-    # verify: exact Jaccard over shingle sets (broadcast small side)
-    docs = load(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    shingle_map = {int(r.doc_id): _shingle_hashes(r.text) for r in docs.itertuples()}
-    ref = ray.put(shingle_map)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(ref)
+    def _jaccard_rows(df: pd.DataFrame) -> pd.DataFrame:
         jac = []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = sm[int(a)], sm[int(b)]
+        for sa, sb in zip(df["sh_a"], df["sh_b"]):
+            if isinstance(sa, bytes):  # bucketed path ships shingles as bytes
+                sa = np.frombuffer(sa, dtype=np.uint64)
+                sb = np.frombuffer(sb, dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             jac.append(inter / union if union else 0.0)
-        df = df.copy()
-        df["jaccard"] = np.round(jac, 6)
-        return df[df["jaccard"] >= jaccard_threshold]
+        out = df[["doc_a", "doc_b"]].astype(np.int64)
+        out["jaccard"] = np.round(jac, 6)
+        return out[out["jaccard"] >= jaccard_threshold]
 
-    verified = rd.from_pandas(cand).map_batches(verify, batch_format="pandas").to_pandas()
+    shingles = load(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "sh": [_shingle_hashes(t) for t in df["text"]]}
+        ),
+        batch_format="pandas",
+    )
+    n_docs_small = len(cand) < broadcast_threshold
+    if n_docs_small:
+        # small candidate set: broadcast the shingle map (zero shuffles)
+        sm_parts = shingles.to_pandas()
+        ref = ray.put(dict(zip(sm_parts["doc_id"].astype(int), sm_parts["sh"])))
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            from .common import _cached_get
+
+            sm = _cached_get(ref)
+            df = df.assign(sh_a=[sm[int(a)] for a in df["doc_a"]],
+                           sh_b=[sm[int(b)] for b in df["doc_b"]])
+            return _jaccard_rows(df)
+
+        verified = rd.from_pandas(cand).map_batches(verify, batch_format="pandas").to_pandas()
+    else:
+        # scale path: two bucketed joins of candidates vs shingles — nothing
+        # is driver-materialized except the final verified pairs.  Shingle
+        # arrays travel as fixed-dtype bytes (object-ndarray columns don't
+        # survive the sort-shuffle's pandas concat).
+        from .common import hash_join
+
+        pairs = rd.from_pandas(cand)
+
+        def as_bytes(col_id: str, col_sh: str):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {col_id: df["doc_id"].to_numpy(),
+                     col_sh: [s.tobytes() for s in df["sh"]]}
+                )
+
+            return fn
+
+        sh_a = shingles.map_batches(as_bytes("doc_a", "sh_a"), batch_format="pandas")
+        sh_b = shingles.map_batches(as_bytes("doc_b", "sh_b"), batch_format="pandas")
+        j1 = hash_join(pairs, sh_a, on="doc_a",
+                       lcols=["doc_a", "doc_b"], rcols=["doc_a", "sh_a"])
+        j2 = hash_join(j1, sh_b, on="doc_b",
+                       lcols=["doc_a", "doc_b", "sh_a"], rcols=["doc_b", "sh_b"],
+                       post=_jaccard_rows)
+        verified = j2.to_pandas()
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -28,10 +28,16 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
     set only — cosine values are implementation-precision-sensitive between
     engines, so ranks are resolved with a (cos desc, neighbor_id asc)
     tiebreak and the value itself is not part of the contract."""
-    qt = load_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qmask = np.asarray(qt.column("vec_id").to_numpy()) < n_queries
-    qids = qt.column("vec_id").to_numpy()[qmask]
-    Q = _matrix(qt.column("embedding").to_pylist())[qmask]
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import os
+
+    # prune at the read: only the query rows leave storage
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=pads.field("vec_id") < n_queries)
+    qids = qt.column("vec_id").to_numpy()
+    Q = _matrix(qt.column("embedding").to_pylist())
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     ref = ray.put((qids, Qn))
 
