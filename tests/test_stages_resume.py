@@ -109,3 +109,72 @@ def test_lineage_recorded(small_corpus):
         d = df[(df["round"] == r) & (df["stage"] == "dedup")]["rows_out"].sum()
         f = df[(df["round"] == r) & (df["stage"] == "fetch")]["rows_in"].sum()
         assert d == f, (r, d, f)
+
+
+def test_transient_fetch_failure_retries_exactly_once(small_corpus, tmp_path):
+    """Every fetch task fails once (injected), Ray retries it, and the
+    crawl output is EXACTLY the same as an unfailed run: the round-aware
+    seen-set keeps retried rows as survivors and record writes are
+    idempotent (reference analog: visibility-timeout redelivery; here
+    upgraded from at-least-once to exactly-once)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from weaver_ray.pipelines.crawl import _make_dedup_fn
+    from weaver_ray.stages.fetch import FetchStage, split_union
+    from weaver_ray.stages.parse import partition_for_fetch, seed_frontier
+    from weaver_ray.state.politeness import PolitenessPool
+    from weaver_ray.state.seen import SeenSet
+
+    frontier = seed_frontier(20)
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    records_dir = tmp_path / "records"
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.actor_task_retry_on_errors
+    ctx.actor_task_retry_on_errors = [RuntimeError]  # set BEFORE dataset creation:
+    # each Dataset snapshots the context at construction time
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=4096, exact=True)
+    politeness = PolitenessPool(num_shards=2)
+    parts = partition_for_fetch(frontier, 4)
+    ds = rd.from_arrow(parts)
+    ds = ds.map_batches(_make_dedup_fn(seen.task_view(), None),
+                        batch_size=None, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FetchStage,
+        fn_constructor_kwargs={
+            "corpus_path": small_corpus,
+            "politeness_view": politeness.task_view(),
+            "records_dir": str(records_dir),
+            "emit_children": True,
+            "n_hosts": 64,
+            "fail_marker_dir": str(marker_dir),
+        },
+        batch_size=None, batch_format="pyarrow", concurrency=2, num_cpus=1,
+        max_task_retries=3,
+    )
+    try:
+        narrow, children = split_union(ray.get(ds.materialize().to_arrow_refs()))
+    finally:
+        ctx.actor_task_retry_on_errors = prev
+
+    # every batch failed once...
+    assert len(list(marker_dir.iterdir())) == len(parts)
+    # ...yet every frontier row appears exactly once in the output
+    assert narrow.num_rows == frontier.num_rows
+    assert sorted(narrow.column("url_canon").to_pylist()) == sorted(
+        frontier.column("url_canon").to_pylist()
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(str(records_dir) + "/round=0/part-*.parquet")
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == frontier.num_rows

@@ -120,7 +120,8 @@ def _make_dedup_fn(seen_view, lineage):
         if n == 0:
             return batch
         hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-        mask, metrics = seen_view.filter_new(hashes)
+        r = int(batch.column("round")[0].as_py())
+        mask, metrics = seen_view.filter_new(hashes, round=r)
         if lineage is not None:
             lineage.record.remote(
                 stage="dedup",
@@ -178,9 +179,11 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
             "fetch_latency_s": cfg.fetch_latency_s,
             "emit_children": True,
             "n_hosts": cfg.n_hosts,
+            "fail_marker_dir": cfg.extra.get("fail_marker_dir"),
         },
         batch_size=None, batch_format="pyarrow",
         concurrency=cfg.fetch_concurrency, num_cpus=1,
+        max_task_retries=3,
     )
     children = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "child"))
@@ -291,6 +294,16 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
         return now
 
+    # transient I/O errors in fetch tasks retry (idempotent writes + the
+    # round-aware seen-set make retries exactly-once); set before any
+    # dataset is created — each Dataset snapshots the context
+    from ray.data.context import DataContext as _DC
+
+    _ctx = _DC.get_current()
+    prev_retry = _ctx.actor_task_retry_on_errors
+    if not prev_retry:
+        _ctx.actor_task_retry_on_errors = [OSError]
+
     frontier_ds = None
     frontier_count = frontier.num_rows if frontier is not None else 0
     prev_shuffle = None
@@ -391,12 +404,16 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                 "fetch_latency_s": cfg.fetch_latency_s,
                 "emit_children": True,   # link extraction folded into the stage:
                 "n_hosts": cfg.n_hosts,  # one execution per round, no 2nd pool
+                "fail_marker_dir": cfg.extra.get("fail_marker_dir"),
             },
             batch_size=None,
             batch_format="pyarrow",
             concurrency=cfg.fetch_concurrency,
             num_cpus=1,
-        )
+            max_task_retries=3,  # transient failures retry: idempotent record
+        )                        # writes + round-aware seen-set keep it exactly-once
+                                 # (retryable exception types come from
+                                 # DataContext.actor_task_retry_on_errors, set below)
         union = ds.materialize()  # narrow rows + child rows; bytes sunk in-stage
         tr = _t(f"r{r} dedup+fetch+children", tr)
         narrow_t, child_tables = split_union(ray.get(union.to_arrow_refs()))
@@ -455,6 +472,7 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         _t(f"r{r} checkpoint", tr)
 
     # --- final artifacts ---------------------------------------------------
+    _ctx.actor_task_retry_on_errors = prev_retry
     if prev_shuffle is not None:
         from ray.data.context import DataContext
 

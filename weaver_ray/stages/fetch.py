@@ -40,7 +40,8 @@ _FRONTIER_KEEP = ["url_canon", "url_hash", "host", "round", "seq",
 class FetchStage:
     def __init__(self, corpus_path: str, politeness_view, lineage=None,
                  records_dir: str | None = None, fetch_latency_s: float = 0.0,
-                 emit_children: bool = False, n_hosts: int | None = None):
+                 emit_children: bool = False, n_hosts: int | None = None,
+                 fail_marker_dir: str | None = None):
         self.store = CorpusStore(corpus_path)
         self.politeness = politeness_view
         self.lineage = lineage
@@ -48,11 +49,23 @@ class FetchStage:
         self.fetch_latency_s = fetch_latency_s
         self.emit_children = emit_children
         self.n_hosts = n_hosts
+        self.fail_marker_dir = fail_marker_dir  # test hook: fail each batch once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return _empty_records()
+        if self.fail_marker_dir is not None and n:
+            # fault-injection for the retry/exactly-once test (reference
+            # analog: visibility-timeout redelivery, src/queue/main.go:76-87)
+            import os
+
+            r0 = int(batch.column("round")[0].as_py())
+            s0 = int(pa.compute.min(batch.column("seq")).as_py())
+            marker = os.path.join(self.fail_marker_dir, f"attempted_{r0}_{s0}")
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected transient fetch failure (test)")
         canon = batch.column("url_canon").to_pylist()
         hosts = batch.column("host").to_pylist()
         image_ids = [image_id_of_url(c) for c in canon]

@@ -42,23 +42,43 @@ class SeenShard:
         self.fp_disagreements = 0  # cuckoo said present, exact said absent
         self.new_total = 0
         self.dup_total = 0
+        # retry safety: a round's frontier is unique per canon (barrier
+        # dedup), so a hash seen TWICE in the same round is a retried task,
+        # not a duplicate URL — it must stay a survivor or the retry would
+        # silently drop its rows (exactly-once per round, SURVEY.md §4).
+        self.current_round: int | None = None
+        self.this_round: set[int] = set()
 
-    def contains_or_insert(self, hashes: np.ndarray) -> np.ndarray:
-        """bool[n]: True = newly inserted (URL survives dedup), first-wins."""
+    def contains_or_insert(self, hashes: np.ndarray, round: int | None = None) -> np.ndarray:
+        """bool[n]: True = survives dedup (newly inserted, or re-presented
+        by a retried task within the same round), first-wins."""
         hashes = np.asarray(hashes, dtype=np.uint64)
+        if round is not None and round != self.current_round:
+            self.current_round = round
+            self.this_round = set()  # memory bounded by one round per shard
+        out = np.zeros(len(hashes), dtype=bool)
+        newly = np.zeros(len(hashes), dtype=bool)
         if self.exact_mode:
             cuckoo_says = self.cuckoo.contains(hashes)
-            out = np.zeros(len(hashes), dtype=bool)
             s = self.exact
             for i, h in enumerate(hashes.tolist()):
                 if h not in s:
                     s.add(h)
-                    out[i] = True
-            self.fp_disagreements += int((cuckoo_says & out).sum())
-            self.cuckoo.insert(hashes[out])
+                    out[i] = newly[i] = True
+                elif round is not None and h in self.this_round:
+                    out[i] = True  # retried task re-presenting this round's insert
+            self.fp_disagreements += int((cuckoo_says & newly).sum())
+            self.cuckoo.insert(hashes[newly])
         else:
             out = self.cuckoo.contains_or_insert(hashes)
-        self.new_total += int(out.sum())
+            newly = out.copy()
+            if round is not None and self.this_round:
+                for i, h in enumerate(hashes.tolist()):
+                    if not out[i] and h in self.this_round:
+                        out[i] = True
+        if round is not None:
+            self.this_round.update(hashes[out].tolist())
+        self.new_total += int(newly.sum())
         self.dup_total += int((~out).sum())
         return out
 
@@ -111,12 +131,14 @@ class SeenView:
         self.bloom_ref = bloom_ref
         self.production = production
 
-    def filter_new(self, hashes: np.ndarray) -> tuple[np.ndarray, dict]:
+    def filter_new(self, hashes: np.ndarray, round: int | None = None) -> tuple[np.ndarray, dict]:
         """bool[n] 'survives dedup' + per-call metrics.
 
         Production mode enables the bloom drop path (no RPC for maybe-seen);
         otherwise the bloom is consulted for metrics only and every hash is
-        resolved authoritatively by its shard.
+        resolved authoritatively by its shard.  Passing ``round`` makes the
+        call retry-safe: a hash re-presented within the same round (a
+        retried task) stays a survivor.
         """
         hashes = np.asarray(hashes, dtype=np.uint64)
         n = len(hashes)
@@ -141,7 +163,7 @@ class SeenView:
             for s in range(self.num_shards):
                 sel = np.flatnonzero(shard_of == s)
                 if len(sel):
-                    futs.append(self.shards[s].contains_or_insert.remote(sub[sel]))
+                    futs.append(self.shards[s].contains_or_insert.remote(sub[sel], round))
                     slices.append(idx[sel])
             for fut, sel in zip(futs, slices):
                 out[sel] = ray.get(fut)
@@ -176,8 +198,8 @@ class SeenSet:
             self._bloom.add(np.asarray(hashes, np.uint64))
             self.bloom_ref = ray.put(self._bloom.serialize())
 
-    def filter_new(self, hashes: np.ndarray) -> tuple[np.ndarray, dict]:
-        return self.task_view().filter_new(hashes)
+    def filter_new(self, hashes: np.ndarray, round: int | None = None) -> tuple[np.ndarray, dict]:
+        return self.task_view().filter_new(hashes, round)
 
     # -- checkpoint --------------------------------------------------------
     def stats(self) -> list[dict]:
