@@ -157,7 +157,6 @@ def test_transient_fetch_failure_retries_exactly_once(small_corpus, tmp_path):
             "fail_marker_dir": str(marker_dir),
         },
         batch_size=None, batch_format="pyarrow", concurrency=2, num_cpus=1,
-        max_task_retries=3,
     )
     try:
         narrow, children = split_union(ray.get(ds.materialize().to_arrow_refs()))

@@ -183,7 +183,6 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
         },
         batch_size=None, batch_format="pyarrow",
         concurrency=cfg.fetch_concurrency, num_cpus=1,
-        max_task_retries=3,
     )
     children = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "child"))
@@ -410,10 +409,11 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             batch_format="pyarrow",
             concurrency=cfg.fetch_concurrency,
             num_cpus=1,
-            max_task_retries=3,  # transient failures retry: idempotent record
-        )                        # writes + round-aware seen-set keep it exactly-once
-                                 # (retryable exception types come from
-                                 # DataContext.actor_task_retry_on_errors, set below)
+            # transient-failure retry comes from Ray Data's default actor
+            # max_task_retries=-1 + DataContext.actor_task_retry_on_errors
+            # (set at crawl start); an explicit max_task_retries here
+            # deadlocks pools sized to every CPU (observed on Ray 2.49)
+        )
         union = ds.materialize()  # narrow rows + child rows; bytes sunk in-stage
         tr = _t(f"r{r} dedup+fetch+children", tr)
         narrow_t, child_tables = split_union(ray.get(union.to_arrow_refs()))
