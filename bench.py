@@ -114,6 +114,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         to_table(qs[name](sf_dir))  # consume fully
         out[name] = round(time.monotonic() - t0, 3)
+        # progress to stderr so an interrupted run still shows what finished
+        print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
     return out
 
 

@@ -73,3 +73,34 @@ def test_barrier_dedup_and_seq_properties(ids):
     order = np.argsort(seqs)
     pairs = [(-prio[i], cs[i]) for i in order]
     assert pairs == sorted(pairs)
+
+
+def test_edge_empty_frontier():
+    from weaver_ray.schema import FRONTIER_SCHEMA
+
+    t = FRONTIER_SCHEMA.empty_table()
+    assert partition_for_fetch(t, 8) == []
+    assert dedup_within_round(t).num_rows == 0
+    assert assign_seq(t).num_rows == 0
+
+
+def test_edge_all_duplicate_round():
+    hosts = ["h1.x"] * 50
+    t = _frontier(hosts)
+    # force every row to the same canon
+    t = t.set_column(1, "url_canon", pa.array(["http://h1.x/same"] * 50))
+    d = dedup_within_round(t)
+    assert d.num_rows == 1
+    s = assign_seq(d)
+    assert s.column("seq").to_pylist() == [0]
+
+
+def test_edge_single_host_frontier():
+    hosts = ["only.x"] * 200
+    t = _frontier(hosts)
+    parts = partition_for_fetch(t, 8)
+    # a single host larger than cap MUST split (the hot-host salt)
+    assert len(parts) > 1
+    assert sum(p.num_rows for p in parts) == 200
+    cap = -(-200 // 8)
+    assert max(p.num_rows for p in parts) <= 2 * cap

@@ -93,7 +93,12 @@ def main(argv: list[str] | None = None) -> int:
 
             from weaver_ray.pipelines.common import to_table
 
-            fn = entrymod.queries()[args.name]
+            all_queries = entrymod.queries()
+            if args.name not in all_queries:
+                print(f"unknown query {args.name!r}; available:\n  "
+                      + "\n  ".join(sorted(all_queries)), file=sys.stderr)
+                return 2
+            fn = all_queries[args.name]
             t = to_table(fn(args.sf_dir))
             print(t.to_pandas().head(25).to_string(index=False))
             print(json.dumps({"rows": t.num_rows}))

@@ -122,6 +122,8 @@ def dedup_within_round(frontier: pa.Table) -> pa.Table:
     """Deterministic within-round dedup: first row in (priority desc,
     url_canon asc) order wins — so the surviving (priority, parent) of a URL
     discovered twice in one round never depends on task race order."""
+    if frontier.num_rows == 0:
+        return frontier
     prio = frontier.column("priority").to_numpy(zero_copy_only=False)
     canon = np.asarray(frontier.column("url_canon").to_pylist(), dtype=object)
     order = np.lexsort((canon, -prio))
