@@ -88,9 +88,10 @@ def test_politeness_denies_blocked_host_and_suffixes():
     paths = ["/img00000001", "/img00000001"]
     allowed, wait = view.schedule(hosts, paths, np.ones(2), np.arange(2))
     assert not allowed[0]          # fully blocked host
-    # host-1 allowed unless path suffix is one of its 5 disallowed ones
+    # host-1 allowed iff the path's trailing two digits are not one of its
+    # 5 disallowed suffixes (computed from the deterministic fixture)
     sfx = disallowed_suffixes("host-1.example")
-    assert allowed[1] == ("01"[-2:] not in sfx) or True  # membership-dependent; just sanity
+    assert bool(allowed[1]) == (paths[1][-2:] not in sfx)
     stats = pool.stats()
     assert sum(s["robots_fetches"] for s in stats) == 2
 

@@ -143,6 +143,12 @@ class CuckooFilter:
         self.table = np.zeros((nb, bucket_size), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.default_rng(seed)
+        # victim slot (standard cuckoo-filter practice, Fan et al. §4): when
+        # an insert exhausts max_kicks the evicted fingerprint parks here and
+        # stays queryable instead of silently vanishing — contains() never
+        # false-negatives on a previously-inserted key
+        self.victim: tuple[int, int] | None = None  # (bucket_index, fp)
+        self.insert_failures = 0  # inserts refused because victim slot was full
 
     def _fp_and_index(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = _splitmix64(keys.astype(np.uint64))
@@ -157,6 +163,12 @@ class CuckooFilter:
         out = alt.astype(np.int64)
         return int(out[0]) if scalar else out
 
+    def _victim_hit(self, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> np.ndarray:
+        if self.victim is None:
+            return np.zeros(len(fp), dtype=bool)
+        vidx, vfp = self.victim
+        return (fp == np.uint16(vfp)) & ((i1 == vidx) | (i2 == vidx))
+
     def contains(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
@@ -164,7 +176,7 @@ class CuckooFilter:
         i2 = np.asarray(self._alt_index(i1, fp), dtype=np.int64).reshape(len(keys))
         in1 = (self.table[i1] == fp[:, None]).any(axis=1)
         in2 = (self.table[i2] == fp[:, None]).any(axis=1)
-        return in1 | in2
+        return in1 | in2 | self._victim_hit(fp, i1, i2)
 
     def _insert_one(self, fp: int, i1: int, i2: int) -> bool:
         for idx in (i1, i2):
@@ -174,7 +186,13 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
-        # evict
+        # evict — but if the victim slot is already occupied the filter is
+        # full: fail FAST, before any kicking, so no previously-inserted
+        # fingerprint is displaced and dropped (the only lost key is the new
+        # one, and that loss is counted)
+        if self.victim is not None:
+            self.insert_failures += 1
+            return False
         idx = i1 if self._rng.integers(2) else i2
         cur = np.uint16(fp)
         for _ in range(self.max_kicks):
@@ -187,7 +205,13 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
-        return False  # table over-full
+        # over-full: park the last evicted fingerprint in the victim slot so
+        # it remains queryable (no silent false negative); only when the
+        # victim slot is already occupied does the insert fail, and that
+        # failure is COUNTED so over-full shards are observable
+        self.victim = (int(idx), int(cur))
+        self.count += 1
+        return True
 
     def insert(self, keys: np.ndarray) -> int:
         """Insert all keys (idempotence NOT checked here — pair with
@@ -212,6 +236,9 @@ class CuckooFilter:
             a, b = int(i1[j]), int(i2[j])
             if (self.table[a] == f).any() or (self.table[b] == f).any():
                 continue
+            if self.victim is not None and self.victim[1] == int(f) \
+                    and self.victim[0] in (a, b):
+                continue
             out[j] = self._insert_one(int(f), a, b)
         return out
 
@@ -228,6 +255,12 @@ class CuckooFilter:
                     self.count -= 1
                     out[j] = True
                     break
+            else:
+                if self.victim is not None and self.victim[1] == int(fp[j]) \
+                        and self.victim[0] in (int(i1[j]), int(i2[j])):
+                    self.victim = None
+                    self.count -= 1
+                    out[j] = True
         return out
 
     @property
@@ -236,7 +269,8 @@ class CuckooFilter:
 
     def serialize(self) -> dict:
         return {"nb": self.nb, "bucket_size": self.bucket_size, "max_kicks": self.max_kicks,
-                "table": self.table, "count": self.count}
+                "table": self.table, "count": self.count,
+                "victim": self.victim, "insert_failures": self.insert_failures}
 
     @classmethod
     def deserialize(cls, d: dict) -> "CuckooFilter":
@@ -245,5 +279,8 @@ class CuckooFilter:
         cf.max_kicks = int(d["max_kicks"])
         cf.table = np.asarray(d["table"], np.uint16).copy()
         cf.count = int(d["count"])
+        v = d.get("victim")
+        cf.victim = (int(v[0]), int(v[1])) if v is not None else None
+        cf.insert_failures = int(d.get("insert_failures", 0))
         cf._rng = np.random.default_rng(7)
         return cf

@@ -87,16 +87,10 @@ def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
 
 def _dedup_within_round_block(t: pa.Table) -> pa.Table:
     """Block-local within-round dedup (rows for one url_canon are co-located
-    by the key repartition): keep the max-priority row per canon; ties (same
-    canon+priority => same depth by priority-decay construction) resolve to
-    min parent_hash for determinism."""
-    import pandas as pd
-
-    df = t.to_pandas()
-    df = df.sort_values(["url_canon", "priority", "parent_hash"],
-                        ascending=[True, False, True], kind="stable")
-    df = df.drop_duplicates("url_canon", keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    by the key repartition).  Same rule and same implementation as the
+    driver-barrier path: parse.dedup_within_round (keep max-priority row per
+    canon, ties to min parent_hash)."""
+    return dedup_within_round(t)
 
 
 @dataclass
@@ -234,7 +228,26 @@ def _assign_seq_distributed(sorted_ds, remaining: int | None):
 def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
           resume: bool = False) -> CrawlResult:
     """Run (or resume) a crawl.  Ray must already be initialised by the
-    caller (driver contract — __ray_entry__.py docstring)."""
+    caller (driver contract — __ray_entry__.py docstring).
+
+    The crawl overrides two process-global DataContext fields (actor retry
+    errors, shuffle strategy); this wrapper restores them even when a round
+    raises, so a failed crawl never leaks settings into later pipelines that
+    share the process (bench.py, the memoized query crawl)."""
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    prev_retry = ctx.actor_task_retry_on_errors
+    prev_shuffle = ctx.shuffle_strategy
+    try:
+        return _crawl_inner(cfg, out_dir, corpus_path, resume)
+    finally:
+        ctx.actor_task_retry_on_errors = prev_retry
+        ctx.shuffle_strategy = prev_shuffle
+
+
+def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
+                 resume: bool = False) -> CrawlResult:
     t_start = time.monotonic()
     if corpus_path is None:
         corpus_path = generate_corpus(cfg.corpus_size, cfg.seed)
@@ -305,15 +318,13 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
 
     frontier_ds = None
     frontier_count = frontier.num_rows if frontier is not None else 0
-    prev_shuffle = None
     if cfg.distributed:
         # key-based repartition (the co-location primitive of the
         # distributed barrier) requires the hash-shuffle strategy
+        # (restored by the crawl() wrapper's finally)
         from ray.data.context import DataContext, ShuffleStrategy
 
-        ctx = DataContext.get_current()
-        prev_shuffle = ctx.shuffle_strategy
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         if frontier is not None and frontier.num_rows:
             frontier_ds = rd.from_arrow(frontier)
 
@@ -328,6 +339,10 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                 # budget truncation at barrier granularity: the frontier is
                 # seq-sorted, so limit() == the driver barrier's slice
                 frontier_ds = frontier_ds.limit(cfg.max_urls - urls_fetched)
+            # this round's INPUT size (post-budget-truncation, matching what
+            # the barrier path reports)
+            round_frontier_rows = frontier_count if cfg.max_urls is None else \
+                min(frontier_count, cfg.max_urls - urls_fetched)
             sorted_children = _run_round_distributed(
                 frontier_ds, r, cfg, corpus_path, str(records_dir),
                 seen, politeness, lineage, num_fetch_parts)
@@ -362,7 +377,7 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                     seen_dir / f"order_round={r}.parquet")
             summary = {
                 "round": r,
-                "frontier_rows": narrow_t.num_rows if narrow_t is not None else 0,
+                "frontier_rows": round_frontier_rows,
                 "dedup_survivors": narrow_t.num_rows if narrow_t is not None else 0,
                 "fetched_ok": n_ok,
                 "robots_denied": n_denied,
@@ -472,11 +487,6 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         _t(f"r{r} checkpoint", tr)
 
     # --- final artifacts ---------------------------------------------------
-    _ctx.actor_task_retry_on_errors = prev_retry
-    if prev_shuffle is not None:
-        from ray.data.context import DataContext
-
-        DataContext.get_current().shuffle_strategy = prev_shuffle
     seen_files = sorted(seen_dir.glob("round=*.parquet"))
     seen_table = (
         pa.concat_tables([pq.read_table(f) for f in seen_files]) if seen_files else None

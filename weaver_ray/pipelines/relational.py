@@ -202,7 +202,7 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(first_row, batch_format="pandas")
 
 
-def customers_without_orders(sf_dir: str) -> rd.Dataset:
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join via broadcast key set (semi/anti joins never need a
     shuffle when one side's KEYS fit in memory — ray_guide joins; at 100 TB
     the key set becomes a bloom filter with an exact verify pass)."""
@@ -223,7 +223,21 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
             pc.round(out.column("c_acctbal"), 2),
         )
 
-    return cust.map_batches(anti_join, batch_format="pyarrow")
+    df = cust.map_batches(anti_join, batch_format="pyarrow").to_pandas()
+    # pin columns + dtypes explicitly: Dataset.to_pandas() on an all-empty
+    # result drops the schema entirely (a 0-column frame), so the empty path
+    # must rebuild (int64, object, float64) to schema-match the oracle
+    if df.empty:
+        return pd.DataFrame(
+            {"c_custkey": np.empty(0, np.int64),
+             "c_name": pd.Series(np.empty(0, object)),
+             "c_acctbal": np.empty(0, np.float64)}
+        )
+    return pd.DataFrame(
+        {"c_custkey": df["c_custkey"].to_numpy(dtype=np.int64, copy=False),
+         "c_name": df["c_name"].astype(object),
+         "c_acctbal": df["c_acctbal"].to_numpy(dtype=np.float64, copy=False)}
+    )
 
 
 def suppliers_with_orders(sf_dir: str) -> rd.Dataset:

@@ -119,22 +119,23 @@ def seed_frontier(n_seeds: int = config.N_SEEDS, n_hosts: int = config.N_HOSTS) 
 
 
 def dedup_within_round(frontier: pa.Table) -> pa.Table:
-    """Deterministic within-round dedup: first row in (priority desc,
-    url_canon asc) order wins — so the surviving (priority, parent) of a URL
-    discovered twice in one round never depends on task race order."""
+    """Deterministic within-round dedup, fully vectorized: keep the
+    max-priority row per url_canon; ties resolve to min parent_hash — so the
+    surviving (priority, parent) of a URL discovered twice in one round
+    never depends on task race order.  This is the SAME rule as the
+    distributed barrier's block-local dedup (crawl._dedup_within_round_block)
+    — one semantics, two execution shapes."""
     if frontier.num_rows == 0:
         return frontier
     prio = frontier.column("priority").to_numpy(zero_copy_only=False)
+    parent = frontier.column("parent_hash").to_numpy(zero_copy_only=False)
     canon = np.asarray(frontier.column("url_canon").to_pylist(), dtype=object)
-    order = np.lexsort((canon, -prio))
-    seen: set = set()
-    keep_rows = []
-    for i in map(int, order):
-        c = canon[i]
-        if c not in seen:
-            seen.add(c)
-            keep_rows.append(i)
-    return frontier.take(pa.array(sorted(keep_rows)))
+    # sorted by (canon asc, priority desc, parent_hash asc): the first row of
+    # each canon run is the deterministic winner
+    order = np.lexsort((parent, -prio, canon))
+    sc = canon[order]
+    first = np.concatenate(([True], sc[1:] != sc[:-1]))
+    return frontier.take(pa.array(np.sort(order[first])))
 
 
 def assign_seq(frontier: pa.Table) -> pa.Table:
