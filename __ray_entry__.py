@@ -27,7 +27,8 @@ def entry() -> Any:
     from weaver_ray.pipelines.crawl import crawl
 
     cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
-                      num_politeness_shards=2, fetch_concurrency=2)
+                      num_politeness_shards=2, fetch_concurrency=2,
+                      distributed=True)  # the 10^10-URL scale path is the default
     res = crawl(cfg, "/tmp/weaver_entry")
     return res.seen_table
 
@@ -45,7 +46,8 @@ def _crawl_result(sf_dir: str):
         from weaver_ray.pipelines.crawl import crawl
 
         cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
-                          num_politeness_shards=2, fetch_concurrency=2)
+                          num_politeness_shards=2, fetch_concurrency=2,
+                          distributed=True)
         _CRAWL_CACHE["res"] = crawl(cfg, "/tmp/weaver_query_crawl")
     return _CRAWL_CACHE["res"]
 

@@ -42,12 +42,30 @@ def test_seen_set_production_mode_bloom_drop():
     keys = _keys(3000, 3)
     new1, m1 = seen.filter_new(keys)
     assert new1.all()
-    # fold into bloom (round barrier), then duplicates are dropped WITHOUT RPC
-    seen.bloom_add(keys)
+    # round barrier: snapshot the shard-owned blooms (each shard folded its
+    # newly-inserted slice already); duplicates then drop WITHOUT any RPC
+    seen.publish_blooms()
     new2, m2 = seen.filter_new(keys)
     assert not new2.any()
     assert m2["rpc_hashes"] == 0          # bloom absorbed everything
     assert m2["bloom_maybe"] == len(keys)
+
+
+def test_seen_production_bloom_survives_restore():
+    """A production-mode resume must restart with a WARM bloom pre-filter:
+    the shard blooms travel in the checkpointed shard state."""
+    seen = SeenSet(num_shards=2, capacity_per_shard=8192, exact=False,
+                   use_bloom=True, production=True)
+    keys = _keys(2000, 9)
+    seen.filter_new(keys)
+    states = seen.serialize_shards()
+    seen2 = SeenSet(num_shards=2, capacity_per_shard=8192, exact=False,
+                    use_bloom=True, production=True)
+    seen2.restore_shards(states)
+    new, m = seen2.filter_new(keys)
+    assert not new.any()
+    assert m["rpc_hashes"] == 0           # restored bloom, zero shard RPCs
+    assert m["bloom_maybe"] == len(keys)
 
 
 def test_seen_serialize_restore():

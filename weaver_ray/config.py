@@ -69,9 +69,12 @@ class CrawlConfig:
     hot_host_threshold: int = 256        # rows/round above which a host is "hot"
     checkpoint_dir: str | None = None    # enables checkpoint/resume when set
     distributed: bool = False            # keep the frontier a Dataset end to end
-                                         # (the 10^10-URL path; the default
-                                         # driver barrier is faster below ~1M
-                                         # frontier rows) — both paths are
-                                         # equivalence-tested
+                                         # — the 10^10-URL path, and the mode
+                                         # entry()/the driver contract run.
+                                         # False = driver-barrier mode (faster
+                                         # below ~1M frontier rows; used by the
+                                         # small parity fixtures).  Both paths
+                                         # share every stage and are
+                                         # equivalence-tested.
     seed: int = CORPUS_SEED
     extra: dict = field(default_factory=dict)

@@ -254,7 +254,6 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
 
     out = Path(out_dir)
     records_dir = out / "records"
-    seen_dir = out / "seen"
     ckpt = CheckpointManager(str(out / "ckpt")) if cfg.checkpoint_dir is None else CheckpointManager(cfg.checkpoint_dir)
 
     start_round = 0
@@ -269,7 +268,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         per_round = state["summary"].get("per_round", [])
         ckpt.clean_uncommitted_records(str(records_dir), committed)
     else:
-        for d in (records_dir, seen_dir):
+        for d in (records_dir, out / "seen"):  # "seen" dir: legacy layout
             if d.exists():
                 shutil.rmtree(d)
         if cfg.checkpoint_dir is None and (out / "ckpt").exists():
@@ -277,7 +276,6 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             ckpt = CheckpointManager(str(out / "ckpt"))
         frontier = seed_frontier(cfg.n_seeds, cfg.n_hosts)
     records_dir.mkdir(parents=True, exist_ok=True)
-    seen_dir.mkdir(parents=True, exist_ok=True)
 
     # --- stateful pools (restored from checkpoint on resume) --------------
     capacity = max(4096, 4 * cfg.corpus_size // cfg.num_seen_shards)
@@ -349,36 +347,27 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             frontier_ds, frontier_count = _assign_seq_distributed(sorted_children, None)
             tr = _t(f"r{r} distributed round", tr)
 
-            # round bookkeeping from a column-pruned read of the records the
-            # fetch stage just wrote (narrow; at 10^10 scale this becomes a
-            # distributed count + per-shard blooms co-located with the
-            # cuckoo shards — the driver never has to see the hashes)
-            rfiles = sorted((records_dir / f"round={r}").glob("part-*.parquet"))
-            narrow_t = (
-                pa.concat_tables([
-                    pq.read_table(f, columns=["url_canon", "url_hash", "round",
-                                              "seq", "priority", "fetch_status"])
-                    for f in rfiles
-                ]) if rfiles else None
-            )
-            n_ok = n_denied = n_dead = 0
-            if narrow_t is not None and narrow_t.num_rows:
-                status = narrow_t.column("fetch_status").to_pylist()
-                n_ok = status.count("ok")
-                n_denied = status.count("robots_denied")
-                n_dead = status.count("dead")
-                urls_fetched += n_ok
-                seen.bloom_add(narrow_t.column("url_hash").to_numpy(zero_copy_only=False))
-                pq.write_table(
-                    narrow_t.select(["url_canon", "url_hash", "round"]),
-                    seen_dir / f"round={r}.parquet")
-                pq.write_table(
-                    narrow_t.select(["url_canon", "round", "priority", "seq"]),
-                    seen_dir / f"order_round={r}.parquet")
+            # round bookkeeping from the fetch stage's per-partition sidecar
+            # manifests — a handful of tiny JSON reads, NEVER a driver read
+            # of record data or url_hash columns (at 10^10 URLs those stay
+            # on disk / in the shard actors).  Manifests are idempotent per
+            # (round, first_seq), so counts are exactly-once under retries.
+            import json as _json
+
+            sfiles = sorted((records_dir / f"round={r}").glob("part-*.stats.json"))
+            pstats = [_json.loads(f.read_text()) for f in sfiles]
+            n_ok = sum(s["fetched_ok"] for s in pstats)
+            n_denied = sum(s["robots_denied"] for s in pstats)
+            n_dead = sum(s["dead"] for s in pstats)
+            survivors = sum(s["rows_in"] for s in pstats)
+            urls_fetched += n_ok
+            # barrier: snapshot the shard-owned blooms for the next round's
+            # pre-filter (each shard folded its own slice as it inserted)
+            seen.publish_blooms()
             summary = {
                 "round": r,
                 "frontier_rows": round_frontier_rows,
-                "dedup_survivors": narrow_t.num_rows if narrow_t is not None else 0,
+                "dedup_survivors": survivors,
                 "fetched_ok": n_ok,
                 "robots_denied": n_denied,
                 "dead": n_dead,
@@ -442,17 +431,8 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             n_denied = status.count("robots_denied")
             n_dead = status.count("dead")
             urls_fetched += n_ok
-            seen.bloom_add(narrow_t.column("url_hash").to_numpy(zero_copy_only=False))
-            seen_round = pa.table(
-                {
-                    "url_canon": narrow_t.column("url_canon"),
-                    "url_hash": narrow_t.column("url_hash"),
-                    "round": narrow_t.column("round"),
-                }
-            )
-            pq.write_table(seen_round, seen_dir / f"round={r}.parquet")
-            order_round = narrow_t.select(["url_canon", "round", "priority", "seq"])
-            pq.write_table(order_round, seen_dir / f"order_round={r}.parquet")
+        # snapshot the shard-owned blooms for the next round's pre-filter
+        seen.publish_blooms()
 
         if child_tables:
             children = pa.concat_tables(child_tables)
@@ -487,14 +467,27 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         _t(f"r{r} checkpoint", tr)
 
     # --- final artifacts ---------------------------------------------------
-    seen_files = sorted(seen_dir.glob("round=*.parquet"))
-    seen_table = (
-        pa.concat_tables([pq.read_table(f) for f in seen_files]) if seen_files else None
-    )
-    order_files = sorted(seen_dir.glob("order_round=*.parquet"))
-    order_table = (
-        pa.concat_tables([pq.read_table(f) for f in order_files]) if order_files else None
-    )
+    # seen/order tables are derived ONCE, at the end, from a column-pruned
+    # read of the record files (per-file read: a file list through the
+    # dataset reader would trip hive-partition inference on "round=").
+    # These driver-held tables are test/report conveniences — at 10^10-URL
+    # scale consumers read the partitioned records directory instead.
+    rec_files = sorted(records_dir.glob("round=*/part-*.parquet"))
+    seen_table = order_table = None
+    if rec_files:
+        import pyarrow.compute as pc
+
+        narrow = pa.concat_tables([
+            pq.read_table(f, columns=["url_canon", "url_hash", "round",
+                                      "seq", "priority"])
+            for f in rec_files
+        ])
+        narrow = narrow.take(
+            pc.sort_indices(narrow, sort_keys=[("round", "ascending"),
+                                               ("seq", "ascending")])
+        )
+        seen_table = narrow.select(["url_canon", "url_hash", "round"])
+        order_table = narrow.select(["url_canon", "round", "priority", "seq"])
     return CrawlResult(
         out_dir=str(out),
         records_dir=str(records_dir),

@@ -161,6 +161,8 @@ class FetchStage:
 
             import pyarrow.parquet as pq
 
+            import json
+
             r = int(batch.column("round")[0].as_py())
             first_seq = int(seqs.min())
             d = os.path.join(self.records_dir, f"round={r}")
@@ -173,6 +175,22 @@ class FetchStage:
             pq.write_table(validate(out, RECORD_SCHEMA, "fetch.records"), tmp,
                            compression="none")
             os.replace(tmp, final)
+            # sidecar manifest: per-partition fetch counts, written with the
+            # same deterministic name + atomic rename as the data file, so the
+            # driver's round bookkeeping is a handful of tiny JSON reads (no
+            # re-read of record data) and a retried task overwrites its own
+            # manifest — counts stay exactly-once under retries
+            stats = {
+                "round": r, "part_first_seq": first_seq, "rows_in": n,
+                "fetched_ok": int(found.sum()),
+                "robots_denied": int((~allowed).sum()),
+                "dead": int((allowed & ~found).sum()),
+            }
+            sfinal = os.path.join(d, f"part-s{first_seq:010d}.stats.json")
+            stmp = sfinal + ".tmp"
+            with open(stmp, "w") as fh:
+                json.dump(stats, fh)
+            os.replace(stmp, sfinal)
             out = out.drop_columns(["bytes", "w", "h", "fmt", "caption"])
         if self.emit_children:
             # fold link extraction into this stage: one execution per round

@@ -82,6 +82,8 @@ class CheckpointManager:
                 next_frontier.write_parquet(str(d))
         for st in seen_states:
             i = st["shard_id"]
+            victim = st["cuckoo"].get("victim")
+            bloom = st.get("bloom")
             np.savez(
                 self.dir / f"seen_shard_{i}_round_{r}.npz",
                 exact=st["exact"] if st["exact"] is not None else np.zeros(0, np.uint64),
@@ -90,6 +92,18 @@ class CheckpointManager:
                 cuckoo_meta=np.array(
                     [st["cuckoo"]["nb"], st["cuckoo"]["bucket_size"],
                      st["cuckoo"]["max_kicks"], st["cuckoo"]["count"]], np.int64
+                ),
+                # victim slot + failure counter (over-full observability)
+                cuckoo_extra=np.array(
+                    [victim[0] if victim else -1, victim[1] if victim else 0,
+                     st["cuckoo"].get("insert_failures", 0)], np.int64
+                ),
+                # per-shard bloom bits: production-mode resumes restart with a
+                # WARM pre-filter instead of falling back to shard RPCs
+                bloom_bits=bloom["bits"] if bloom is not None else np.zeros(0, np.uint64),
+                bloom_meta=np.array(
+                    [bloom["m"], bloom["k"], bloom["count"]] if bloom is not None
+                    else [0, 0, 0], np.int64
                 ),
                 counters=np.asarray(st["counters"], np.int64),
             )
@@ -118,13 +132,23 @@ class CheckpointManager:
             z = np.load(p, allow_pickle=False)
             i = int(p.stem.split("_")[2])
             nb, bs, mk, cnt = map(int, z["cuckoo_meta"])
+            cuckoo = {"nb": nb, "bucket_size": bs, "max_kicks": mk,
+                      "count": cnt, "table": z["cuckoo_table"]}
+            if "cuckoo_extra" in z:
+                vi, vf, fails = map(int, z["cuckoo_extra"])
+                cuckoo["victim"] = (vi, vf) if vi >= 0 else None
+                cuckoo["insert_failures"] = fails
+            bloom = None
+            if "bloom_meta" in z and int(z["bloom_meta"][0]) > 0:
+                bm, bk, bc = map(int, z["bloom_meta"])
+                bloom = {"m": bm, "k": bk, "count": bc, "bits": z["bloom_bits"]}
             seen_states.append(
                 {
                     "shard_id": i,
                     "exact_mode": bool(z["exact_mode"][0]),
                     "exact": z["exact"] if bool(z["exact_mode"][0]) else None,
-                    "cuckoo": {"nb": nb, "bucket_size": bs, "max_kicks": mk,
-                               "count": cnt, "table": z["cuckoo_table"]},
+                    "cuckoo": cuckoo,
+                    "bloom": bloom,
                     "counters": tuple(map(int, z["counters"])),
                 }
             )

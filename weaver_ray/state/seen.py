@@ -1,4 +1,5 @@
-"""The sharded URL-seen set: cuckoo-filter shard actors + bloom pre-filter.
+"""The sharded URL-seen set: cuckoo-filter shard actors, each owning its
+slice's bloom pre-filter.
 
 Reference analog: colly's per-collector visited set (SURVEY.md §2.3 T2) and
 the chord ring's ownership of keys (src/chord/chord.go:199-224).  Here each
@@ -10,11 +11,24 @@ Modes (SURVEY.md §7.4.5):
 - exact mode (default; parity tests): an exact ``set`` is authoritative and
   the cuckoo filter runs alongside with disagreements counted — zero false
   drops, measured cuckoo FP rate.
-- production mode: cuckoo only; plus the per-partition bloom pre-filter —
-  batches drop bloom-positive ("maybe seen") URLs without any RPC and send
-  the rest to their shard.  The bloom never false-negatives, so no duplicate
-  ever slips through; its false-positive rate (~1% at 10 bits/key) is the
-  measured budget of wrongly-dropped novel URLs, reported in lineage.
+- production mode: cuckoo only; plus the bloom pre-filter — batches drop
+  bloom-positive ("maybe seen") URLs without any RPC and send the rest to
+  their shard.  The bloom never false-negatives, so no duplicate ever slips
+  through; its false-positive rate (~1% at 10 bits/key) is the measured
+  budget of wrongly-dropped novel URLs, reported in lineage.
+
+Bloom ownership is PER SHARD (the north rule's "bloom pre-filter per
+partition"): each shard folds its newly-inserted hashes into its own bloom
+as they arrive, and at every round barrier the driver snapshots the shard
+blooms into the object store (``SeenSet.publish_blooms`` — one small
+``ray.put`` per shard).  Fetch-side tasks read the per-shard bloom refs
+zero-copy from their node's object store and cache the deserialized filter
+per worker process.  At 10^10 URLs × 10 bits/key the total bloom is ~12 GB,
+but each of (say) 256 shards owns only ~47 MB — nothing is ever folded,
+rebuilt or re-broadcast driver-side, and no driver-side read of the round's
+url_hash column exists.  Snapshot timing preserves retry safety: the refs
+published at round r's barrier do not contain round r+1's inserts, so a
+retried task re-presenting this round's hashes is never bloom-dropped.
 
 Calls are batched: one RPC per (task batch, shard) with a numpy array of
 hashes — never per URL.
@@ -34,11 +48,13 @@ class SeenShard:
     """Owner of one slice of the hash space. num_cpus=0: the work per call is
     microseconds of set ops; reserving cores would starve fetch actors."""
 
-    def __init__(self, shard_id: int, capacity: int, exact: bool = True):
+    def __init__(self, shard_id: int, capacity: int, exact: bool = True,
+                 use_bloom: bool = True):
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(capacity)
         self.exact_mode = exact
         self.exact: set[int] | None = set() if exact else None
+        self.bloom = BloomFilter(capacity) if use_bloom else None
         self.fp_disagreements = 0  # cuckoo said present, exact said absent
         self.new_total = 0
         self.dup_total = 0
@@ -76,6 +92,11 @@ class SeenShard:
                 for i, h in enumerate(hashes.tolist()):
                     if not out[i] and h in self.this_round:
                         out[i] = True
+        if self.bloom is not None:
+            # fold immediately: the task-side snapshot is only refreshed at
+            # round barriers (publish_blooms), so within-round retry
+            # re-presentation is never bloom-dropped
+            self.bloom.add(hashes[newly])
         if round is not None:
             self.this_round.update(hashes[out].tolist())
         self.new_total += int(newly.sum())
@@ -89,12 +110,17 @@ class SeenShard:
             return np.fromiter((h in s for h in hashes.tolist()), dtype=bool, count=len(hashes))
         return self.cuckoo.contains(hashes)
 
+    def bloom_state(self) -> dict | None:
+        """Serialized snapshot of this shard's bloom (round-barrier publish)."""
+        return self.bloom.serialize() if self.bloom is not None else None
+
     def stats(self) -> dict:
         return {
             "shard_id": self.shard_id,
             "count": len(self.exact) if self.exact_mode else self.cuckoo.count,
             "cuckoo_load": self.cuckoo.load_factor,
             "fp_disagreements": self.fp_disagreements,
+            "insert_failures": self.cuckoo.insert_failures,
             "new_total": self.new_total,
             "dup_total": self.dup_total,
         }
@@ -107,6 +133,7 @@ class SeenShard:
             if self.exact_mode
             else None,
             "cuckoo": self.cuckoo.serialize(),
+            "bloom": self.bloom.serialize() if self.bloom is not None else None,
             "counters": (self.fp_disagreements, self.new_total, self.dup_total),
         }
 
@@ -115,20 +142,47 @@ class SeenShard:
         self.exact_mode = bool(state["exact_mode"])
         self.exact = set(np.asarray(state["exact"], np.uint64).tolist()) if self.exact_mode else None
         self.cuckoo = CuckooFilter.deserialize(state["cuckoo"])
+        if self.bloom is not None:
+            if state.get("bloom") is not None:
+                self.bloom = BloomFilter.deserialize(state["bloom"])
+            elif self.exact_mode:
+                # legacy checkpoint without bloom bits: rebuild from exact
+                self.bloom = BloomFilter(max(64, len(self.exact)))
+                self.bloom.add(np.fromiter(self.exact, np.uint64, len(self.exact)))
         self.fp_disagreements, self.new_total, self.dup_total = map(int, state["counters"])
 
 
+# per-worker-process cache of deserialized bloom snapshots, keyed by object
+# ref: the first batch on a worker pays one zero-copy ray.get + deserialize,
+# every later batch hits the dict.  Bounded: refs rotate once per round, so
+# a stale-epoch purge keeps at most ~2 rounds' worth of filters alive.
+_BLOOM_CACHE: dict[str, BloomFilter] = {}
+_BLOOM_CACHE_MAX = 256
+
+
+def _bloom_from_ref(ref) -> BloomFilter:
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    bf = _BLOOM_CACHE.get(key)
+    if bf is None:
+        if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+            _BLOOM_CACHE.clear()
+        bf = BloomFilter.deserialize(ray.get(ref))
+        _BLOOM_CACHE[key] = bf
+    return bf
+
+
 class SeenView:
-    """The picklable, task-side face of the seen set: shard handles + a
-    bloom *ref* (ray.put'd once per round, read zero-copy in each task — the
-    'broadcast small side, don't re-ship per batch' rule)."""
+    """The picklable, task-side face of the seen set: shard handles + the
+    per-shard bloom snapshot *refs* (ray.put once per round at the barrier,
+    read zero-copy in each task — the 'broadcast small side, don't re-ship
+    per batch' rule)."""
 
     def __init__(self, shards: list, num_shards: int, use_bloom: bool,
-                 bloom_ref, production: bool):
+                 bloom_refs: list | None, production: bool):
         self.shards = shards
         self.num_shards = num_shards
         self.use_bloom = use_bloom
-        self.bloom_ref = bloom_ref
+        self.bloom_refs = bloom_refs
         self.production = production
 
     def filter_new(self, hashes: np.ndarray, round: int | None = None) -> tuple[np.ndarray, dict]:
@@ -146,10 +200,17 @@ class SeenView:
         if n == 0:
             return np.zeros(0, dtype=bool), metrics
 
+        shard_of = (hashes % np.uint64(self.num_shards)).astype(np.int64)
         candidates = np.ones(n, dtype=bool)
-        if self.use_bloom and self.bloom_ref is not None:
-            bloom = BloomFilter.deserialize(ray.get(self.bloom_ref))
-            maybe = bloom.maybe_contains(hashes)
+        if self.use_bloom and self.bloom_refs is not None:
+            # consult each hash's OWNING shard's bloom snapshot (same % N
+            # routing as the cuckoo shards — bloom per partition)
+            maybe = np.zeros(n, dtype=bool)
+            for s in range(self.num_shards):
+                sel = np.flatnonzero(shard_of == s)
+                if len(sel) and self.bloom_refs[s] is not None:
+                    bloom = _bloom_from_ref(self.bloom_refs[s])
+                    maybe[sel] = bloom.maybe_contains(hashes[sel])
             metrics["bloom_maybe"] = int(maybe.sum())
             if self.production:
                 candidates = ~maybe  # drop maybe-seen without RPC (measured FP budget)
@@ -158,10 +219,10 @@ class SeenView:
         idx = np.flatnonzero(candidates)
         if len(idx):
             sub = hashes[idx]
-            shard_of = (sub % np.uint64(self.num_shards)).astype(np.int64)
+            sub_shard = shard_of[idx]
             futs, slices = [], []
             for s in range(self.num_shards):
-                sel = np.flatnonzero(shard_of == s)
+                sel = np.flatnonzero(sub_shard == s)
                 if len(sel):
                     futs.append(self.shards[s].contains_or_insert.remote(sub[sel], round))
                     slices.append(idx[sel])
@@ -172,8 +233,8 @@ class SeenView:
 
 
 class SeenSet:
-    """Driver-side owner of the shard-actor pool + the bloom bits.  Never
-    capture this in a task closure — use :meth:`task_view`."""
+    """Driver-side owner of the shard-actor pool.  Never capture this in a
+    task closure — use :meth:`task_view`."""
 
     def __init__(self, num_shards: int, capacity_per_shard: int, exact: bool = True,
                  use_bloom: bool = True, production: bool = False):
@@ -182,21 +243,29 @@ class SeenSet:
         self.use_bloom = use_bloom
         self.production = production
         self.shards = [
-            SeenShard.remote(i, capacity_per_shard, exact) for i in range(num_shards)
+            SeenShard.remote(i, capacity_per_shard, exact, use_bloom)
+            for i in range(num_shards)
         ]
-        self._bloom = BloomFilter(capacity_per_shard * num_shards) if use_bloom else None
-        self.bloom_ref = ray.put(self._bloom.serialize()) if use_bloom else None
+        self.bloom_refs: list | None = None
+        if use_bloom:
+            self.publish_blooms()  # initial (empty) snapshots
 
     def task_view(self) -> SeenView:
         return SeenView(self.shards, self.num_shards, self.use_bloom,
-                        self.bloom_ref, self.production)
+                        self.bloom_refs, self.production)
 
     # -- round-barrier maintenance (driver only) ---------------------------
-    def bloom_add(self, hashes: np.ndarray) -> None:
-        """Fold this round's survivors into the bloom and re-broadcast."""
-        if self._bloom is not None:
-            self._bloom.add(np.asarray(hashes, np.uint64))
-            self.bloom_ref = ray.put(self._bloom.serialize())
+    def publish_blooms(self) -> None:
+        """Snapshot every shard's bloom into the object store (one small
+        ray.put per shard).  Called at each round barrier; the next round's
+        task_view carries the new refs.  The driver never touches the bloom
+        BITS — each shard folds its own slice as hashes arrive."""
+        if not self.use_bloom:
+            return
+        states = ray.get([s.bloom_state.remote() for s in self.shards])
+        self.bloom_refs = [
+            ray.put(st) if st is not None else None for st in states
+        ]
 
     def filter_new(self, hashes: np.ndarray, round: int | None = None) -> tuple[np.ndarray, dict]:
         return self.task_view().filter_new(hashes, round)
@@ -214,11 +283,7 @@ class SeenSet:
     def restore_shards(self, states: list[dict]) -> None:
         assert len(states) == self.num_shards
         ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
-        if self._bloom is not None:
-            # rebuild bloom from exact shard contents (exact mode) or leave
-            # fresh (production mode restores rebuild it from checkpointed
-            # frontier history via crawl driver).
-            for st in states:
-                if st["exact_mode"] and st["exact"] is not None:
-                    self._bloom.add(np.asarray(st["exact"], np.uint64))
-            self.bloom_ref = ray.put(self._bloom.serialize())
+        # shard blooms travel IN the checkpointed shard state (production
+        # mode included), so a resume re-publishes real snapshots — the
+        # pre-filter never restarts empty
+        self.publish_blooms()
