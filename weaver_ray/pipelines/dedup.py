@@ -34,12 +34,14 @@ _TOKEN_RE = re.compile(r"\w+")
 
 
 def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes (blake2b) — Python's builtin hash()
-    is salted per process and would break cross-worker signatures."""
-    from hashlib import blake2b
+    """Deterministic 64-bit token hashes: first 8 bytes of md5, big-endian —
+    Python's builtin hash() is salted per process and would break
+    cross-worker signatures.  md5 (not blake2b) so the DuckDB oracle can
+    reproduce the hash exactly: ('0x' || substr(md5(tok),1,16))::UBIGINT."""
+    from hashlib import md5
 
     return np.fromiter(
-        (int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big") for t in tokens),
+        (int.from_bytes(md5(t.encode()).digest()[:8], "big") for t in tokens),
         dtype=np.uint64, count=len(tokens),
     )
 
@@ -111,13 +113,18 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
 
+    # candidate pairs stay a Dataset end to end: cross-band dedup is a
+    # distributed groupby (one row per (doc_a, doc_b) group), materialized
+    # to the OBJECT STORE (narrow int64 pairs), never to the driver
     cand = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .materialize()
     )
-    if cand.empty:
+    n_cand = cand.count()
+    if n_cand == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),
                              "jaccard": pd.Series([], dtype=np.float64)})
@@ -142,8 +149,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         ),
         batch_format="pandas",
     )
-    n_docs_small = len(cand) < broadcast_threshold
-    if n_docs_small:
+    if n_cand < broadcast_threshold:
         # small candidate set: broadcast the shingle map (zero shuffles)
         sm_parts = shingles.to_pandas()
         ref = ray.put(dict(zip(sm_parts["doc_id"].astype(int), sm_parts["sh"])))
@@ -156,7 +162,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                            sh_b=[sm[int(b)] for b in df["doc_b"]])
             return _jaccard_rows(df)
 
-        verified = rd.from_pandas(cand).map_batches(verify, batch_format="pandas").to_pandas()
+        verified = cand.map_batches(verify, batch_format="pandas").to_pandas()
     else:
         # scale path: two bucketed joins of candidates vs shingles — nothing
         # is driver-materialized except the final verified pairs.  Shingle
@@ -164,7 +170,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         # survive the sort-shuffle's pandas concat).
         from .common import hash_join
 
-        pairs = rd.from_pandas(cand)
+        pairs = cand
 
         def as_bytes(col_id: str, col_sh: str):
             def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -258,8 +264,16 @@ def simhash64(text: str) -> int:
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup: 4x16-bit band blocking (two signatures within
-    hamming<=3 of 64 bits must agree exactly on >=1 of 4 bands), then
-    hamming verify per candidate bucket."""
+    hamming<=3 of 64 bits must agree exactly on >=1 of 4 bands — pigeonhole,
+    so banding loses NOTHING and the output equals brute-force all-pairs),
+    then hamming verify per candidate bucket.
+
+    Scale shape: the hamming<=max_hamming filter runs INSIDE each band
+    bucket (a true pair is re-found by every agreeing band, so per-band
+    filtering is lossless), and the cross-band pair dedup is a distributed
+    groupby — the driver only ever sees the final near-dup pairs.  Exact
+    DuckDB oracle in __ray_entry__.py (md5-based token hashes, per-bit
+    majority + per-bit hamming join)."""
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -278,12 +292,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     bands = ds.map_batches(sig_batch, batch_format="pandas")
 
+    _EMPTY = {"doc_a": pd.Series([], dtype=np.int64),
+              "doc_b": pd.Series([], dtype=np.int64),
+              "hamming": pd.Series([], dtype=np.int64)}
+
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(_EMPTY)
         ids = g["doc_id"].to_numpy()
         sigs = g["sig"].to_numpy().astype(np.uint64)
         a, b = np.triu_indices(len(ids), k=1)
@@ -292,20 +308,23 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
-        keep = ham <= 64  # emit all; final filter after dedup
+        keep = ham <= max_hamming  # selectivity applied IN the bucket
         return pd.DataFrame(
             {"doc_a": ids[a][keep].astype(np.int64), "doc_b": ids[b][keep].astype(np.int64),
              "hamming": ham[keep]}
         )
 
-    pairs = (
-        bands.groupby(["band_id", "band_val"])
-        .map_groups(emit, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(["doc_a", "doc_b"])
-    )
-    pairs = pairs[pairs["hamming"] <= max_hamming]
-    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        emit, batch_format="pandas")
+    # cross-band dedup stays distributed: same (doc_a, doc_b) found by
+    # several agreeing bands collapses to one row inside its group
+    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    out = deduped.to_pandas()
+    if out.empty:
+        return pd.DataFrame(_EMPTY)
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ embedding banded near-dup

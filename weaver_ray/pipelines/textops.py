@@ -172,20 +172,24 @@ def langid_counts(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------------ fingerprinting
 
+FP_BASE = 131
+FP_PRIME = 2147483647  # 2^31 - 1: keeps every term < 2^42, exactly
+                       # representable in int64/BIGINT — the DuckDB oracle
+                       # reproduces the hash with plain integer arithmetic
+
+
 def _rolling_hashes(text: str, k: int = 8) -> np.ndarray:
-    """Rolling polynomial hash over k-char windows (Rabin-Karp shape),
-    vectorized via cumulative powers."""
+    """Polynomial hash over k-char windows (Rabin-Karp shape) mod a 31-bit
+    prime, vectorized: h(w) = sum_j byte[j] * base^(k-1-j) mod P.  Same
+    values as an incrementally-rolled hash; the direct windowed form is what
+    both numpy and the SQL oracle compute."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < k:
-        return np.zeros(0, dtype=np.uint64)
-    base = np.uint64(1099511628211)
-    with np.errstate(over="ignore"):  # modular 2^64 arithmetic is intended
-        pows = np.empty(k, dtype=np.uint64)
-        pows[0] = 1
-        for i in range(1, k):
-            pows[i] = pows[i - 1] * base
-        windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        return (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
+        return np.zeros(0, dtype=np.int64)
+    coeff = np.array([pow(FP_BASE, k - 1 - j, FP_PRIME) for j in range(k)],
+                     dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.int64)
+    return (windows @ coeff) % FP_PRIME
 
 
 def doc_fingerprints(sf_dir: str, k: int = 8, window: int = 16) -> rd.Dataset:
