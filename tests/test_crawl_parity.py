@@ -11,7 +11,6 @@ import pyarrow.parquet as pq
 import pytest
 
 from weaver_ray.config import CrawlConfig
-from weaver_ray.functions.imaging import png_decode
 from weaver_ray.oracle import simulate
 from weaver_ray.pipelines.crawl import crawl
 from weaver_ray.sources.corpus import gen_pixels
@@ -86,15 +85,24 @@ def test_records_match_oracle_and_pixels(both):
     )
     oracle_records = {(c, i) for c, i, _ in ora.records}
     assert engine_records == oracle_records
-    # per-row invariant on a sample: decoded pixels exact + caption equality
+    # per-row invariant on a sample (BASELINE.json input_hint): decoded
+    # pixels exact for PNG, PSNR >= 40 dB for lossy JPEG; caption equality
+    from weaver_ray.functions.imaging import decode_image, psnr
     from weaver_ray.sources.corpus import gen_caption
 
+    saw = set()
     for r in range(0, min(ok.num_rows, 50), 7):
         image_id = ok.column("image_id")[r].as_py()
         i = int(image_id[3:])
-        px = png_decode(ok.column("bytes")[r].as_py())
-        assert np.array_equal(px, gen_pixels(i))
+        fmt = ok.column("fmt")[r].as_py()
+        saw.add(fmt)
+        px = decode_image(ok.column("bytes")[r].as_py(), fmt)
+        if fmt == "png":
+            assert np.array_equal(px, gen_pixels(i))
+        else:
+            assert psnr(px, gen_pixels(i)) >= 40.0
         assert ok.column("caption")[r].as_py() == gen_caption(i)
+    assert "png" in saw  # jpeg presence depends on which rows the sample hits
 
 
 def test_budget_truncation(small_corpus):

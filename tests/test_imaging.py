@@ -1,15 +1,17 @@
-"""PNG codec + phash + PSNR (the per-row invariant of BASELINE.json:15)."""
+"""PNG + JPEG codecs, phash, PSNR (the per-row invariant of BASELINE.json:15)."""
 
 import numpy as np
 import pytest
 
 from weaver_ray.functions.imaging import (
+    decode_image,
     hamming64,
     phash64,
     png_decode,
     png_encode,
     psnr,
 )
+from weaver_ray.functions.jpegcodec import jpeg_decode, jpeg_encode
 from weaver_ray.sources.corpus import gen_pixels, make_corpus_batch
 
 
@@ -32,22 +34,54 @@ def test_png_rejects_garbage():
         png_decode(b"not a png at all")
 
 
+def test_jpeg_roundtrip_psnr():
+    """Lossy branch of the per-row invariant: PSNR >= 40 dB at the corpus
+    encoding quality, on the corpus's own jpeg rows (i % 5 == 0)."""
+    for i in (0, 5, 35, 120):
+        px = gen_pixels(i)
+        out = jpeg_decode(jpeg_encode(px, quality=98))
+        assert out.shape == px.shape and out.dtype == np.uint8
+        assert psnr(px, out) >= 40.0
+
+
+def test_jpeg_odd_shapes_and_determinism():
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (7, 9), (8, 8), (17, 33)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = jpeg_encode(px, quality=98)
+        assert blob == jpeg_encode(px, quality=98)   # deterministic bytes
+        out = jpeg_decode(blob)
+        assert out.shape == (h, w, 3)
+    # standard container markers: SOI/JFIF APP0/EOI
+    assert blob[:2] == b"\xff\xd8" and blob[2:4] == b"\xff\xe0"
+    assert blob[-2:] == b"\xff\xd9"
+
+
+def test_jpeg_rejects_garbage():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"definitely not a jpeg")
+
+
 def test_corpus_row_invariant():
-    t = make_corpus_batch(np.array([5, 10, 15]))
+    # rows 5/10/15 are jpeg (i % 5 == 0), 3/7 are png — both branches run
+    t = make_corpus_batch(np.array([3, 5, 7, 10, 15]))
+    saw = set()
     for r in range(t.num_rows):
         fmt = t.column("fmt")[r].as_py()
+        saw.add(fmt)
         blob = t.column("bytes")[r].as_py()
         i = int(t.column("image_id")[r].as_py()[3:])
         ref = gen_pixels(i)
+        got = decode_image(blob, fmt)
         if fmt == "png":
-            got = png_decode(blob)
             assert np.array_equal(got, ref)          # lossless: exact
             assert psnr(got, ref) == float("inf")
-        else:  # pragma: no cover - jpeg only with Pillow
-            assert psnr(png_decode(blob), ref) >= 40.0
+        else:
+            assert psnr(got, ref) >= 40.0            # lossy: PSNR bar
         assert t.column("phash")[r].as_py() == phash64(ref)
         assert t.column("w")[r].as_py() == ref.shape[1]
         assert t.column("h")[r].as_py() == ref.shape[0]
+    assert saw == {"png", "jpeg"}
 
 
 def test_phash_properties():

@@ -21,11 +21,21 @@ from weaver_ray.stages.decode import (
 
 
 def test_decode_stage_phash_roundtrip(small_corpus):
+    from weaver_ray.functions.imaging import hamming64
+
     ds = read_corpus(small_corpus).limit(64)
     out = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
                          batch_size=32, concurrency=1).to_pandas()
     assert out["decode_ok"].all()
-    assert (out["phash_decoded"] == out["phash_stored"]).all()
+    png = out[out["fmt"] == "png"]
+    jpg = out[out["fmt"] == "jpeg"]
+    assert len(png) and len(jpg)  # both codecs exercised
+    # lossless rows: perceptual hash is bit-exact
+    assert (png["phash_decoded"] == png["phash_stored"]).all()
+    # lossy rows: q=98 jpeg may flip a borderline phash bit; stay perceptually
+    # identical (hamming <= 2 of 64)
+    ham = hamming64(jpg["phash_decoded"].to_numpy(), jpg["phash_stored"].to_numpy())
+    assert (ham <= 2).all()
     assert out[["mean_r", "mean_g", "mean_b"]].min().min() >= 0
     assert out[["mean_r", "mean_g", "mean_b"]].max().max() <= 255
 

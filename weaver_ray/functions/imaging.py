@@ -123,17 +123,29 @@ def png_decode(data: bytes) -> np.ndarray:
     return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
 
 
+# quality for the built-in baseline JPEG encoder: 98 keeps PSNR >= 43 dB on
+# the synthetic corpus (hard block edges + wraparound gradients are the
+# adversarial case for DCT coding), comfortably above the >=40 dB bar of the
+# per-row lossy invariant (BASELINE.json input_hint)
+JPEG_QUALITY = 98
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> tuple[bytes, str]:
-    """Encode pixels in *fmt*; returns (bytes, actual_fmt). JPEG degrades to
-    PNG when Pillow is missing (FIXTURES.md §1)."""
-    if fmt == "jpeg" and HAVE_PIL:  # pragma: no cover
-        import io
+    """Encode pixels in *fmt*; returns (bytes, actual_fmt).  JPEG is real in
+    this sandbox: the pure-numpy baseline codec (functions/jpegcodec.py)
+    encodes standard JFIF; Pillow is preferred when importable."""
+    if fmt == "jpeg":
+        if HAVE_PIL:  # pragma: no cover
+            import io
 
-        from PIL import Image
+            from PIL import Image
 
-        buf = io.BytesIO()
-        Image.fromarray(pixels).save(buf, format="JPEG", quality=90)
-        return buf.getvalue(), "jpeg"
+            buf = io.BytesIO()
+            Image.fromarray(pixels).save(buf, format="JPEG", quality=JPEG_QUALITY)
+            return buf.getvalue(), "jpeg"
+        from .jpegcodec import jpeg_encode
+
+        return jpeg_encode(pixels, quality=JPEG_QUALITY), "jpeg"
     return png_encode(pixels), "png"
 
 
@@ -147,7 +159,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
             from PIL import Image
 
             return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        raise NotImplementedError("jpeg decode requires Pillow (not in this sandbox)")
+        from .jpegcodec import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

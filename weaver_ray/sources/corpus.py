@@ -47,7 +47,9 @@ def row_dims(i: int) -> tuple[int, int]:
 
 
 def row_fmt(i: int) -> str:
-    return "jpeg" if i % 5 == 0 else "png"  # degrades to png without Pillow
+    # 20% jpeg (real baseline codec, functions/jpegcodec.py), 80% png —
+    # both lossy and lossless branches of the per-row invariant execute
+    return "jpeg" if i % 5 == 0 else "png"
 
 
 def gen_pixels(i: int, seed: int = config.CORPUS_SEED) -> np.ndarray:
@@ -165,8 +167,13 @@ def seed_image_ids(n_seeds: int = config.N_SEEDS) -> list[str]:
 
 # ------------------------------------------------------------------ storage facade
 
+_CORPUS_FORMAT_VERSION = 2  # v2: jpeg rows are real baseline JPEG
+
+
 def corpus_dir(size: int, seed: int = config.CORPUS_SEED, root: str = "/tmp/weaver_corpus") -> str:
-    return os.path.join(root, f"seed{seed}_n{size}")
+    # version in the cache path: a codec/format change must never silently
+    # reuse a stale cached corpus
+    return os.path.join(root, f"seed{seed}_n{size}_v{_CORPUS_FORMAT_VERSION}")
 
 
 def generate_corpus(
@@ -188,13 +195,24 @@ def generate_corpus(
     d.mkdir(parents=True, exist_ok=True)
     for old in d.glob("*"):
         old.unlink()
-    tables = []
+    # generation is CPU-bound (PNG deflate + JPEG DCT/Huffman per row):
+    # fan out as Ray tasks when a session exists, serial otherwise
+    import ray as _ray
+
+    chunk = 1000
+    starts = list(range(0, size, chunk))
+    if _ray.is_initialized() and len(starts) > 1:
+        gen = _ray.remote(
+            lambda s0: make_corpus_batch(np.arange(s0, min(s0 + chunk, size)), seed)
+        )
+        chunks = _ray.get([gen.remote(s0) for s0 in starts])
+    else:
+        chunks = [make_corpus_batch(np.arange(s0, min(s0 + chunk, size)), seed)
+                  for s0 in starts]
+    full = pa.concat_tables(chunks)
     for start in range(0, size, rows_per_file):
-        idx = np.arange(start, min(start + rows_per_file, size))
-        t = make_corpus_batch(idx, seed)
-        pq.write_table(t, d / f"part-{start // rows_per_file:05d}.parquet")
-        tables.append(t)
-    full = pa.concat_tables(tables)
+        pq.write_table(full.slice(start, rows_per_file),
+                       d / f"part-{start // rows_per_file:05d}.parquet")
     if HAVE_LANCE:  # pragma: no cover
         lance.write_dataset(full, str(d / "corpus.lance"), mode="overwrite")
     feather.write_feather(full, str(d / "corpus.feather"), compression="uncompressed")

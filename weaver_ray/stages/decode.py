@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.imaging import HAVE_PIL, phash64, png_decode, png_encode
+from ..functions.imaging import decode_image, phash64, png_encode
 
 HAVE_AUDIO = False  # no soundfile/librosa in this sandbox
 HAVE_VIDEO = False  # no av/opencv in this sandbox
@@ -19,7 +19,8 @@ HAVE_VIDEO = False  # no av/opencv in this sandbox
 
 class DecodeImageStage:
     """bytes -> decoded-pixel features (mean channel values, recomputed
-    phash).  Real for PNG (pure-Python codec); JPEG requires Pillow."""
+    phash).  Real for both PNG (pure-Python codec) and JPEG (pure-numpy
+    baseline codec, functions/jpegcodec.py)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         means = np.zeros((batch.num_rows, 3), dtype=np.float64)
@@ -29,16 +30,9 @@ class DecodeImageStage:
         blobs = batch.column("bytes")
         for i in range(batch.num_rows):
             blob = blobs[i].as_py()
-            if blob is None:
+            if blob is None or fmts[i] not in ("png", "jpeg"):
                 continue
-            if fmts[i] == "png":
-                px = png_decode(blob)
-            elif fmts[i] == "jpeg" and HAVE_PIL:  # pragma: no cover
-                from ..functions.imaging import decode_image
-
-                px = decode_image(blob, "jpeg")
-            else:
-                continue
+            px = decode_image(blob, fmts[i])
             means[i] = px.reshape(-1, 3).mean(axis=0)
             ph[i] = phash64(px)
             ok[i] = True
@@ -80,11 +74,11 @@ class ResizeImageStage:
         for i in range(batch.num_rows):
             blob = batch.column("bytes")[i].as_py()
             fmt = batch.column("fmt")[i].as_py()
-            if blob is None or fmt != "png":
+            if blob is None or fmt not in ("png", "jpeg"):
                 blobs_out.append(None)
                 ok.append(False)
                 continue
-            blobs_out.append(png_encode(self._resize(png_decode(blob))))
+            blobs_out.append(png_encode(self._resize(decode_image(blob, fmt))))
             ok.append(True)
         return pa.table(
             {
