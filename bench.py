@@ -64,7 +64,13 @@ def _init_ray(ncpus: int) -> None:
     ctx.execution_options.verbose_progress = False
 
 
-def bench_crawl(ncpus: int) -> dict:
+def bench_crawl(ncpus: int, distributed: bool = False) -> dict:
+    """Flagship crawl at bench scale.  ``distributed=False`` (driver-barrier
+    mode) is the HEADLINE: rounds of ~1.5k-12k frontier rows sit far below
+    the ~1M-row threshold where the distributed frontier pays off, and the
+    barrier number is comparable across rounds/BASELINE.  The distributed
+    (10^10-scale) mode is measured alongside it every run — same corpus,
+    same rounds — so its overhead at small scale is on the record."""
     from weaver_ray.config import CrawlConfig
     from weaver_ray.pipelines.crawl import crawl
     from weaver_ray.sources.corpus import generate_corpus
@@ -81,15 +87,18 @@ def bench_crawl(ncpus: int) -> dict:
         fetch_latency_s=FETCH_LATENCY_S,
         hot_host_threshold=1024,
         hot_host_salt=8,
+        distributed=distributed,
     )
     # untimed warmup: spawns the worker processes once so the timed run
     # measures crawling, not Ray process spin-up (same at both CPU levels)
     warm = CrawlConfig(corpus_size=1000, n_seeds=20, max_rounds=1,
                        num_seen_shards=4, num_politeness_shards=4,
-                       fetch_concurrency=ncpus)
-    crawl(warm, f"/tmp/weaver_bench_warm_{ncpus}", corpus_path=generate_corpus(1000))
+                       fetch_concurrency=ncpus, distributed=distributed)
+    tag = "dist" if distributed else "barrier"
+    crawl(warm, f"/tmp/weaver_bench_warm_{tag}_{ncpus}",
+          corpus_path=generate_corpus(1000))
     t0 = time.monotonic()
-    res = crawl(cfg, f"/tmp/weaver_bench_{ncpus}", corpus_path=corpus)
+    res = crawl(cfg, f"/tmp/weaver_bench_{tag}_{ncpus}", corpus_path=corpus)
     elapsed = time.monotonic() - t0
     return {
         "elapsed_s": round(elapsed, 3),
@@ -180,6 +189,11 @@ def main() -> None:
     pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
     queries = bench_queries(sf_dir)
     crawl_stats = bench_crawl(ncpus)
+    print(f"[bench] crawl barrier: {crawl_stats['urls_per_sec']} urls/s",
+          file=sys.stderr, flush=True)
+    dist_stats = bench_crawl(ncpus, distributed=True)
+    print(f"[bench] crawl distributed: {dist_stats['urls_per_sec']} urls/s",
+          file=sys.stderr, flush=True)
     import ray
 
     ray.shutdown()
@@ -194,6 +208,9 @@ def main() -> None:
         "urls_per_sec": crawl_stats["urls_per_sec"],
         "urls_fetched": crawl_stats["urls_fetched"],
         "crawl_rounds": crawl_stats["rounds"],
+        # the 10^10-scale execution mode, measured every run on the same input
+        "distributed_urls_per_sec": dist_stats["urls_per_sec"],
+        "distributed_elapsed_s": dist_stats["elapsed_s"],
     }))
 
 

@@ -67,6 +67,11 @@ class CrawlConfig:
     binary_batch_size: int = BINARY_BATCH_SIZE
     hot_host_salt: int = 4               # split hot hosts into this many sub-keys
     hot_host_threshold: int = 256        # rows/round above which a host is "hot"
+    fetch_parts_per_actor: int = 2       # fetch partitions per pool actor: 2 lets
+                                         # dynamic assignment even out Zipf skew;
+                                         # 1 halves per-round partition fixed costs
+                                         # (RPC fan-out, shuffle tasks) when rounds
+                                         # are small relative to the pool
     checkpoint_dir: str | None = None    # enables checkpoint/resume when set
     distributed: bool = False            # keep the frontier a Dataset end to end
                                          # — the 10^10-URL path, and the mode

@@ -141,9 +141,20 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
 
     from .common import _cached_get
 
-    # 1. small aggregate: per-host counts -> LPT chunk plan (broadcast)
-    hc = frontier_ds.groupby("host").count().to_pandas()
-    host_counts = dict(zip(hc["host"], hc["count()"]))
+    # 1. small aggregate: per-host counts -> LPT chunk plan (broadcast).
+    # Partial per-batch counts folded on the driver (<= n_hosts rows per
+    # batch) — NOT a groupby shuffle: hosts are few, counts are tiny, and a
+    # full hash exchange per round would cost more than the aggregate.
+    def host_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t.column("host"))
+        return pa.table({"host": vc.field("values"), "n": vc.field("counts")})
+
+    hc = frontier_ds.map_batches(host_partial, batch_format="pyarrow",
+                                 num_cpus=0).to_pandas()
+    hc = hc.groupby("host", sort=False)["n"].sum()
+    host_counts = dict(zip(hc.index, hc.to_numpy()))
     plan, spread = _lpt_plan(host_counts, num_fetch_parts)
     plan_ref = ray.put((plan, spread))
 
@@ -157,8 +168,18 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
         )
         return t.append_column("fetch_part", pa.array(parts))
 
-    f2 = frontier_ds.map_batches(assign_part, batch_format="pyarrow")
-    f3 = f2.repartition(num_fetch_parts, keys=["fetch_part"])
+    # narrow bookkeeping stages take num_cpus=0: a fixed-size fetch pool
+    # sized to the whole cluster would otherwise starve its own upstream
+    # (assign_part could never get a CPU to PRODUCE the pool's input —
+    # observed deadlock); these stages do microseconds of work per block
+    f2 = frontier_ds.map_batches(assign_part, batch_format="pyarrow", num_cpus=0)
+    # materialize the repartitioned NARROW frontier to the object store
+    # before the fetch pipeline: a fixed-size fetch pool sized to the whole
+    # cluster deadlocks against any CPU-consuming upstream in the same
+    # pipeline (the pool holds every CPU while waiting for input the
+    # shuffle-map tasks can never get a CPU to produce).  Frontier rows are
+    # ~100 bytes each; the object store spills if a round is huge.
+    f3 = f2.repartition(num_fetch_parts, keys=["fetch_part"]).materialize()
 
     # 2. dedup -> fetch -> children, exactly the shared stages
     ds = f3.map_batches(_make_dedup_fn(seen.task_view(), lineage),
@@ -181,13 +202,18 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
     children = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "child"))
                    .drop_columns(["kind", "image_id", "phash", "fetch_status"]),
-        batch_size=None, batch_format="pyarrow",
+        batch_size=None, batch_format="pyarrow", num_cpus=0,
     )
 
-    # 3. barrier, distributed: co-locate canon -> block-local dedup -> sort
-    k = max(8, num_fetch_parts)
+    # 3. barrier, distributed: co-locate canon -> block-local dedup -> sort.
+    # Fewer blocks than fetch parts: every extra partition here costs one
+    # shuffle-finalize + one dedup task + one sort block of fixed scheduling
+    # latency, and the narrow child rows re-shuffle next round anyway.  At
+    # 10^10 scale raise this with data volume (blocks should stay ~100 MB).
+    k = max(8, num_fetch_parts // 4)
     best = children.repartition(k, keys=["url_canon"]).map_batches(
-        _dedup_within_round_block, batch_size=None, batch_format="pyarrow"
+        _dedup_within_round_block, batch_size=None, batch_format="pyarrow",
+        num_cpus=0,
     )
     nxt = best.sort(["priority", "url_canon"], descending=[True, False])
     return nxt
@@ -199,6 +225,15 @@ def _assign_seq_distributed(sorted_ds, remaining: int | None):
     ever leaves the object store."""
     import numpy as np
 
+    # materialize FIRST: to_arrow_refs on a lazy dataset triggers a second
+    # full execution of the round pipeline for its schema fetch (observed as
+    # a duplicate ...->Sort->limit=1 plan doubling round wall-clock); a
+    # MaterializedDataset serves schema and block refs from cache
+    sorted_ds = sorted_ds.materialize()
+    import os as _os
+
+    if _os.environ.get("WEAVER_STATS"):
+        print(sorted_ds.stats(), flush=True)
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote
@@ -239,11 +274,17 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     ctx = DataContext.get_current()
     prev_retry = ctx.actor_task_retry_on_errors
     prev_shuffle = ctx.shuffle_strategy
+    prev_aggs = ctx.max_hash_shuffle_aggregators
+    prev_shuffle_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    prev_agg_cpus = ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override
     try:
         return _crawl_inner(cfg, out_dir, corpus_path, resume)
     finally:
         ctx.actor_task_retry_on_errors = prev_retry
         ctx.shuffle_strategy = prev_shuffle
+        ctx.max_hash_shuffle_aggregators = prev_aggs
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_shuffle_cpus
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev_agg_cpus
 
 
 def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
@@ -288,11 +329,11 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         seen.restore_shards(state["seen_states"])
         politeness.restore_shards(state["politeness_states"])
 
-    # 2x the pool size: enough for dynamic assignment to even out
-    # Zipf-skewed partition sizes, few enough that per-(batch, shard) actor
-    # RPCs stay amortized — every extra partition costs one politeness and
-    # one seen-set RPC fan-out per shard
-    num_fetch_parts = max(cfg.fetch_concurrency * 2, 8)
+    # fetch_parts_per_actor x pool size: enough for dynamic assignment to
+    # even out Zipf-skewed partition sizes, few enough that per-(batch,
+    # shard) actor RPCs stay amortized — every extra partition costs one
+    # politeness and one seen-set RPC fan-out per shard
+    num_fetch_parts = max(cfg.fetch_concurrency * cfg.fetch_parts_per_actor, 8)
 
     import os as _os
 
@@ -322,7 +363,22 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         # (restored by the crawl() wrapper's finally)
         from ray.data.context import DataContext, ShuffleStrategy
 
-        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        _dctx = DataContext.get_current()
+        _dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # cap the per-shuffle aggregator actor pool: the default (64) spawns
+        # one actor per partition per shuffle op, which starves the fetch
+        # actor pool for CPUs on a small cluster and stalls rounds behind a
+        # 300 s aggregator-wait.  Crawl shuffle payloads are narrow frontier
+        # rows — a handful of aggregators is plenty.
+        _dctx.max_hash_shuffle_aggregators = min(8, num_fetch_parts)
+        # aggregator actors must not RESERVE CPUs: a fixed-size fetch pool
+        # sized to the cluster plus CPU-reserving aggregators over-subscribes
+        # the resource budget and deadlocks the round (observed: fetch pool
+        # waits forever behind 16 reserved aggregator CPUs).  The exchange
+        # payload is narrow frontier rows — aggregators do microseconds of
+        # work per block, so running them unreserved is safe.
+        _dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.0
+        _dctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.0
         if frontier is not None and frontier.num_rows:
             frontier_ds = rd.from_arrow(frontier)
 
