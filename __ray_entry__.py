@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
+        "neardup_clusters": dedup.neardup_clusters,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -435,6 +436,30 @@ def oracle_sql() -> dict[str, str]:
               ON b.doc_id - a.doc_id BETWEEN 1 AND 50
             WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
                   / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2
+        """,
+        # connected components over the ngram-Jaccard near-dup graph:
+        # cluster_id = min reachable doc_id (recursive transitive closure —
+        # same pair predicate as ngram_jaccard_pairs)
+        "neardup_clusters": f"""
+            WITH RECURSIVE tsets AS (
+                SELECT doc_id, list_distinct(regexp_extract_all(text, '{TOK}')) AS ts
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM tsets a JOIN tsets b ON b.doc_id - a.doc_id BETWEEN 1 AND 50
+                WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2
+            ), edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), reach AS (
+                SELECT doc_id, doc_id AS r FROM documents
+                UNION
+                SELECT e.dst AS doc_id, reach.r
+                FROM reach JOIN edges e ON e.src = reach.doc_id
+            )
+            SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY doc_id
         """,
         "embedding_near_dup_pairs": """
             SELECT CAST(e1.vec_id AS BIGINT) AS vec_a, CAST(e2.vec_id AS BIGINT) AS vec_b

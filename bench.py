@@ -82,6 +82,11 @@ def bench_crawl(ncpus: int, distributed: bool = False) -> dict:
         max_rounds=BENCH_ROUNDS,
         num_seen_shards=8,
         num_politeness_shards=8,
+        # NOTE: oversubscribing I/O-bound fetch actors (2 x ncpus at 0.5 CPU
+        # each) is the right production shape, but Ray 2.49 local mode hangs
+        # with actor pools larger than num_cpus at fractional reservations
+        # (reproduced with a trivial sleeping pool) — so the bench stays at
+        # one connection per core
         fetch_concurrency=ncpus,
         exact_seen=False,          # production mode: cuckoo + bloom pre-filter
         fetch_latency_s=FETCH_LATENCY_S,

@@ -174,6 +174,34 @@ def test_ann_ivf_recall(dup_dir):
         assert len(e & a) >= 2  # recall@5 >= 0.4 with 2/4 cells probed
 
 
+def test_neardup_clusters_match_union_find(dup_dir):
+    """Distributed label propagation must equal a sequential union-find
+    over the same near-dup pairs (pointer jumping included)."""
+    from weaver_ray.pipelines.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(dup_dir, band=50, threshold=0.5, bucket=60)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    out = neardup_clusters(dup_dir, band=50, threshold=0.5, bucket=60)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    expect = {d: find(d) for d in out["doc_id"]}
+    assert got == expect
+    # the 10 planted near-dup pairs must co-cluster
+    for i in range(10):
+        assert got[2 * i] == got[2 * i + 1]
+
+
 def test_minhash_bucketed_verify_matches_broadcast(dup_dir):
     """The scale-path verification (two bucketed joins) must equal the
     broadcast path exactly."""

@@ -63,6 +63,13 @@ class CrawlConfig:
     num_seen_shards: int = 8
     num_politeness_shards: int = 8
     fetch_concurrency: int = FETCH_CONCURRENCY
+    fetch_num_cpus: float = 1.0          # CPU reservation per fetch actor: a
+                                         # fetch actor is I/O-bound (network
+                                         # RTT dominates), so production runs
+                                         # reserve a fraction (e.g. 0.5) and
+                                         # run more connections than cores —
+                                         # concurrency x fetch_num_cpus should
+                                         # stay <= cluster CPUs
     batch_size: int = DEFAULT_BATCH_SIZE
     binary_batch_size: int = BINARY_BATCH_SIZE
     hot_host_salt: int = 4               # split hot hosts into this many sub-keys

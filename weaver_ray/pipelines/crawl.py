@@ -182,8 +182,10 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
     f3 = f2.repartition(num_fetch_parts, keys=["fetch_part"]).materialize()
 
     # 2. dedup -> fetch -> children, exactly the shared stages
+    # dedup is RPC-bound (bloom check + shard calls): num_cpus=0 so it can
+    # never be starved by (or starve) the CPU-reserving fetch pool
     ds = f3.map_batches(_make_dedup_fn(seen.task_view(), lineage),
-                        batch_size=None, batch_format="pyarrow")
+                        batch_size=None, batch_format="pyarrow", num_cpus=0)
     ds = ds.map_batches(
         FetchStage,
         fn_constructor_kwargs={
@@ -197,7 +199,7 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
             "fail_marker_dir": cfg.extra.get("fail_marker_dir"),
         },
         batch_size=None, batch_format="pyarrow",
-        concurrency=cfg.fetch_concurrency, num_cpus=1,
+        concurrency=cfg.fetch_concurrency, num_cpus=cfg.fetch_num_cpus,
     )
     children = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "child"))
@@ -277,6 +279,7 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     prev_aggs = ctx.max_hash_shuffle_aggregators
     prev_shuffle_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
     prev_agg_cpus = ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override
+    prev_inflight = ctx.max_tasks_in_flight_per_actor
     try:
         return _crawl_inner(cfg, out_dir, corpus_path, resume)
     finally:
@@ -285,6 +288,7 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         ctx.max_hash_shuffle_aggregators = prev_aggs
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_shuffle_cpus
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev_agg_cpus
+        ctx.max_tasks_in_flight_per_actor = prev_inflight
 
 
 def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
@@ -354,6 +358,13 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     prev_retry = _ctx.actor_task_retry_on_errors
     if not prev_retry:
         _ctx.actor_task_retry_on_errors = [OSError]
+    # one task in flight per fetch actor (default 4): fetch work is a
+    # serial latency sleep per batch, so queuing extra batches on an
+    # early-ready actor just idles the others — measured parallelism went
+    # from ~11/32 actors to near-full with dynamic one-at-a-time dispatch.
+    # Inputs are narrow frontier rows; there is nothing to pipeline.
+    # (restored by the crawl() wrapper's finally)
+    _ctx.max_tasks_in_flight_per_actor = 1
 
     frontier_ds = None
     frontier_count = frontier.num_rows if frontier is not None else 0
@@ -452,7 +463,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         tr = _t(f"r{r} partition", tr)
         ds = rd.from_arrow(parts)
         ds = ds.map_batches(_make_dedup_fn(seen.task_view(), lineage),
-                            batch_size=None, batch_format="pyarrow")
+                            batch_size=None, batch_format="pyarrow", num_cpus=0)
         ds = ds.map_batches(
             FetchStage,
             fn_constructor_kwargs={
@@ -468,7 +479,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             batch_size=None,
             batch_format="pyarrow",
             concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
+            num_cpus=cfg.fetch_num_cpus,
             # transient-failure retry comes from Ray Data's default actor
             # max_task_retries=-1 + DataContext.actor_task_retry_on_errors
             # (set at crawl start); an explicit max_task_retries here
