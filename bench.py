@@ -27,9 +27,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_CORPUS = 20_000
-BENCH_SEEDS = 1_500
-BENCH_ROUNDS = 4
+BENCH_CORPUS = 40_000   # sized so per-round fixed costs (pool spin-up, RPC
+BENCH_SEEDS = 3_000     # fan-out, barrier) amortize against fetch work at
+BENCH_ROUNDS = 4        # BOTH scaling legs — small rounds under-utilize the
+                        # 4N level and understate scaling efficiency
 FETCH_LATENCY_S = 0.080   # simulated per-URL RTT; sized so sleep dominates the
                           # 1-physical-CPU sandbox's fixed CPU cost (BASELINE.md §3)
 

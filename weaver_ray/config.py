@@ -65,11 +65,15 @@ class CrawlConfig:
     fetch_concurrency: int = FETCH_CONCURRENCY
     fetch_num_cpus: float = 1.0          # CPU reservation per fetch actor: a
                                          # fetch actor is I/O-bound (network
-                                         # RTT dominates), so production runs
-                                         # reserve a fraction (e.g. 0.5) and
-                                         # run more connections than cores —
-                                         # concurrency x fetch_num_cpus should
-                                         # stay <= cluster CPUs
+                                         # RTT dominates), so a real cluster
+                                         # can reserve a fraction and run
+                                         # more connections than cores.
+                                         # (A persistent cross-round actor
+                                         # pool was tried and REVERTED: proxy
+                                         # tasks blocked in ray.get caused
+                                         # worker-process churn that cost
+                                         # more than per-round pool spin-up
+                                         # — see round-2 history.)
     batch_size: int = DEFAULT_BATCH_SIZE
     binary_batch_size: int = BINARY_BATCH_SIZE
     hot_host_salt: int = 4               # split hot hosts into this many sub-keys

@@ -220,6 +220,13 @@ def generate_corpus(
     return str(d)
 
 
+# process-level (table, index) cache: fetch ACTORS are recreated every
+# round (Ray Data pools are per-execution) but their WORKER PROCESSES are
+# reused — caching here makes round N+1's pool construction free instead of
+# re-reading + re-indexing the corpus 32x per round
+_STORE_CACHE: dict[str, tuple] = {}
+
+
 class CorpusStore:
     """Open-once handle for key-lookup fetches.  One per fetch actor
     (__init__-time state, SURVEY.md §7.2): memory-maps the IPC file
@@ -228,14 +235,19 @@ class CorpusStore:
     Lance scanner + btree index; same method signature."""
 
     def __init__(self, path: str):
-        self.table = feather.read_table(os.path.join(path, "corpus.feather"), memory_map=True)
-        # take() on a chunked table is ~40x slower than on contiguous
-        # buffers (measured); combining once per actor is the cheap side of
-        # that trade (the 100 TB version = Lance take-by-key, no such knob)
-        self.table = self.table.combine_chunks()
-        ids = self.table.column("image_id").to_pylist()
-        self.index = {s: i for i, s in enumerate(ids)}
-        self.size = len(ids)
+        cached = _STORE_CACHE.get(path)
+        if cached is None:
+            table = feather.read_table(os.path.join(path, "corpus.feather"),
+                                       memory_map=True)
+            # take() on a chunked table is ~40x slower than on contiguous
+            # buffers (measured); combining once per process is the cheap
+            # side of that trade (the 100 TB version = Lance take-by-key)
+            table = table.combine_chunks()
+            ids = table.column("image_id").to_pylist()
+            cached = (table, {s: i for i, s in enumerate(ids)}, len(ids))
+            _STORE_CACHE.clear()  # at most one corpus per worker process
+            _STORE_CACHE[path] = cached
+        self.table, self.index, self.size = cached
 
     def take_by_image_id(self, image_ids: list[str]) -> tuple[pa.Table, np.ndarray]:
         """Rows for the ids that exist, plus a boolean 'found' mask aligned
