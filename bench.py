@@ -29,10 +29,14 @@ sys.path.insert(0, REPO)
 
 BENCH_CORPUS = 40_000   # sized so per-round fixed costs (pool spin-up, RPC
 BENCH_SEEDS = 3_000     # fan-out, barrier) amortize against fetch work at
-BENCH_ROUNDS = 4        # BOTH scaling legs — small rounds under-utilize the
-                        # 4N level and understate scaling efficiency
-FETCH_LATENCY_S = 0.080   # simulated per-URL RTT; sized so sleep dominates the
-                          # 1-physical-CPU sandbox's fixed CPU cost (BASELINE.md §3)
+BENCH_ROUNDS = 3        # BOTH scaling legs — small rounds under-utilize the
+                        # 4N level and measure scheduler overhead, not the
+                        # engine (round-2 finding: the dispatch fix made the
+                        # old 20k/80ms rounds finish so fast at 4N that fixed
+                        # costs dominated and understated efficiency)
+FETCH_LATENCY_S = 0.120   # simulated per-URL RTT (a realistic slow-site value);
+                          # sized so sleep dominates the 1-physical-CPU
+                          # sandbox's fixed CPU cost (BASELINE.md §3)
 
 QUERY_NAMES = [
     "q1_pricing_summary",
