@@ -40,9 +40,13 @@ def main() -> int:
     env.pop("RAY_ADDRESS", None)  # preset =local would defeat the point
     sh(["ray", "stop", "--force"])
     try:
+        # dashboard packages are not installed in this sandbox, so the head
+        # starts without the Jobs API server; the driver-connect path below
+        # is the recorded multi-node evidence and `ray job submit` is noted
+        # as environment-blocked
         head = sh(["ray", "start", "--head", f"--port={PORT}",
                    "--num-cpus=4", f"--object-store-memory={OBJ_MEM}",
-                   "--include-dashboard=true", "--dashboard-port=8266"], env=env)
+                   "--include-dashboard=false"], env=env)
         result["head_started"] = head.returncode == 0
         if head.returncode != 0:
             result["head_stderr"] = head.stderr[-2000:]
@@ -68,7 +72,9 @@ from weaver_ray.pipelines.crawl import crawl
 
 @ray.remote
 def whereami():
-    return ray.get_runtime_context().get_node_id()
+    import time
+    time.sleep(0.5)  # hold the CPU so 16 concurrent tasks must overflow
+    return ray.get_runtime_context().get_node_id()  # the 4-cpu head node
 
 spread = collections.Counter(ray.get([whereami.options(
     scheduling_strategy="SPREAD").remote() for _ in range(16)]))
