@@ -103,6 +103,39 @@ def test_crash_resume_identical(small_corpus):
     assert n == full.per_round[3]["dedup_survivors"]
 
 
+def test_crawl_level_transient_failures_exactly_once(small_corpus, tmp_path):
+    """End-to-end through crawl() (not just the stage): every fetch batch of
+    every round fails once with an injected transient error; the finished
+    crawl must equal a clean run byte-for-byte in counts, seen set and
+    per-partition record files."""
+    from ray.data import DataContext
+
+    clean = crawl(CFG, "/tmp/test_crawl_retry_clean", corpus_path=small_corpus)
+
+    marker_dir = tmp_path / "crawl_markers"
+    marker_dir.mkdir()
+    ctx = DataContext.get_current()
+    prev = ctx.actor_task_retry_on_errors
+    ctx.actor_task_retry_on_errors = [RuntimeError]  # crawl() keeps a preset value
+    try:
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, extra={"fail_marker_dir": str(marker_dir)})
+        failed = crawl(cfg, "/tmp/test_crawl_retry_failed", corpus_path=small_corpus)
+    finally:
+        ctx.actor_task_retry_on_errors = prev
+
+    assert len(list(marker_dir.iterdir())) > 0  # failures actually fired
+    assert failed.urls_fetched == clean.urls_fetched
+    assert failed.urls_seen == clean.urls_seen
+    assert set(failed.seen_table.column("url_hash").to_pylist()) == set(
+        clean.seen_table.column("url_hash").to_pylist()
+    )
+    for e, o in zip(failed.per_round, clean.per_round):
+        assert e["fetched_ok"] == o["fetched_ok"], (e, o)
+        assert e["dedup_survivors"] == o["dedup_survivors"]
+
+
 def test_lineage_recorded(small_corpus):
     out = "/tmp/test_lineage"
     shutil.rmtree(out, ignore_errors=True)
