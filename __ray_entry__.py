@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": textops.exact_dedup_docs,
         "langid_counts": textops.langid_counts,
         "doc_fingerprints": textops.doc_fingerprints,
+        "vocab_top_tokens": textops.vocab_top_tokens,
+        "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
@@ -412,6 +414,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{TOK}')) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS n_uniq_tokens
             FROM documents
+        """,
+        "vocab_top_tokens": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(regexp_extract_all(text, '{TOK}')) AS token
+                FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+                FROM documents) t
+            WHERE rn <= 20
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash,

@@ -33,6 +33,12 @@ from .common import load
 _TOKEN_RE = re.compile(r"\w+")
 
 
+# per-worker-process token-hash memo: corpora repeat tokens heavily, so the
+# md5 cost collapses to one digest per DISTINCT token per process
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000
+
+
 def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
     """Deterministic 64-bit token hashes: first 8 bytes of md5, big-endian —
     Python's builtin hash() is salted per process and would break
@@ -40,10 +46,17 @@ def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
     reproduce the hash exactly: ('0x' || substr(md5(tok),1,16))::UBIGINT."""
     from hashlib import md5
 
-    return np.fromiter(
-        (int.from_bytes(md5(t.encode()).digest()[:8], "big") for t in tokens),
-        dtype=np.uint64, count=len(tokens),
-    )
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOKEN_HASH_CACHE_MAX:
+                cache.clear()
+            h = int.from_bytes(md5(t.encode()).digest()[:8], "big")
+            cache[t] = h
+        out[i] = h
+    return out
 
 NUM_HASHES = 64
 NUM_BANDS = 16

@@ -121,6 +121,40 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     return hashed.groupby("text_hash").map_groups(first_wins, batch_format="pandas")
 
 
+def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Global token-frequency top-k (the wordcount of training-data
+    pipelines): per-batch vectorized value_counts -> partial-agg groupby sum
+    (the shuffle moves one row per (token, batch)) -> distributed sort +
+    limit.  Deterministic ties: (count desc, token asc) on both sides."""
+    ds = load(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.findall(TOKEN_RE).explode().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
+
+    parts = ds.map_batches(counts, batch_format="pandas")
+    agg = partial_groupby(parts, ["token"], {"n": ("n", "sum")})
+    out = agg.sort(["n", "token"], descending=[True, False]).limit(k).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def stratified_sample_docs(sf_dir: str, per_group: int = 20) -> rd.Dataset:
+    """Deterministic stratified sampling: the ``per_group`` docs with the
+    smallest md5(doc_id) rank per language — balanced per-stratum subsets
+    for training mixes, reproducible across engines (hash order, not RNG
+    state, so the DuckDB oracle selects the identical rows)."""
+    ds = load(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        key = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in g["doc_id"]]
+        g = g.assign(__k=key).sort_values("__k").head(per_group)
+        return pd.DataFrame({"lang": g["lang"].to_numpy(),
+                             "doc_id": g["doc_id"].to_numpy(np.int64)})
+
+    return ds.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ language ID
 
 _LANG_PROFILES = {
