@@ -292,10 +292,15 @@ _SIMHASH_SQL = r"""
     ), th AS (
         SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
     ), bits AS (
-        SELECT doc_id, b AS bit,
+        -- seeded from DOCUMENTS (left join), not th: a zero-token document
+        -- must still get a signature (all bits 0, matching the engine's
+        -- sig=0), not vanish from the pair space
+        SELECT d.doc_id, b AS bit,
                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS pos
-        FROM th, (SELECT unnest(range(64)) AS b)
-        GROUP BY doc_id, b
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(64)) AS b)
+        LEFT JOIN th ON th.doc_id = d.doc_id
+        GROUP BY d.doc_id, b
     ), ham AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                sum(CASE WHEN a.pos <> b.pos THEN 1 ELSE 0 END) AS hamming

@@ -40,13 +40,19 @@ def main() -> int:
     env.pop("RAY_ADDRESS", None)  # preset =local would defeat the point
     sh(["ray", "stop", "--force"])
     try:
-        # dashboard packages are not installed in this sandbox, so the head
-        # starts without the Jobs API server; the driver-connect path below
-        # is the recorded multi-node evidence and `ray job submit` is noted
-        # as environment-blocked
+        # try a head WITH the Jobs API server (dashboard) first; sandboxes
+        # without the ray[default] dashboard packages fall back to a bare
+        # head, and the `ray job submit` probe is then honestly recorded as
+        # environment-blocked rather than attempted against nothing
         head = sh(["ray", "start", "--head", f"--port={PORT}",
                    "--num-cpus=4", f"--object-store-memory={OBJ_MEM}",
-                   "--include-dashboard=false"], env=env)
+                   "--include-dashboard=true", "--dashboard-port=8265"], env=env)
+        result["dashboard_available"] = head.returncode == 0
+        if head.returncode != 0:
+            sh(["ray", "stop", "--force"])  # the failed attempt may hold ports
+            head = sh(["ray", "start", "--head", f"--port={PORT}",
+                       "--num-cpus=4", f"--object-store-memory={OBJ_MEM}",
+                       "--include-dashboard=false"], env=env)
         result["head_started"] = head.returncode == 0
         if head.returncode != 0:
             result["head_stderr"] = head.stderr[-2000:]
@@ -102,15 +108,25 @@ ray.shutdown()
             result["driver_stderr"] = run.stderr[-2000:]
             return finish(result, 1)
 
-        # optional: the real Ray Jobs API path, if the dashboard bound
-        job = sh(["ray", "job", "submit", "--address", "http://127.0.0.1:8266",
-                  "--working-dir", REPO, "--",
-                  sys.executable, "-c",
-                  "import ray; ray.init(); print('job-ok', len(ray.nodes()))"],
-                 env=env)
-        result["ray_job_submit_ok"] = job.returncode == 0 and "job-ok" in job.stdout
-        if not result["ray_job_submit_ok"]:
-            result["ray_job_submit_note"] = (job.stderr or job.stdout)[-500:]
+        # the real Ray Jobs API path — only meaningful when the dashboard
+        # (Jobs API server) actually bound
+        if result.get("dashboard_available"):
+            job = sh(["ray", "job", "submit", "--address", "http://127.0.0.1:8265",
+                      "--working-dir", REPO, "--",
+                      sys.executable, "-c",
+                      "import ray; ray.init(); print('job-ok', len(ray.nodes()))"],
+                     env=env)
+            result["ray_job_submit_ok"] = (
+                job.returncode == 0 and "job-ok" in job.stdout
+            )
+            if not result["ray_job_submit_ok"]:
+                result["ray_job_submit_note"] = (job.stderr or job.stdout)[-500:]
+        else:
+            result["ray_job_submit_ok"] = None
+            result["ray_job_submit_note"] = (
+                "environment-blocked: ray[default] dashboard/jobs packages "
+                "not installed, so no Jobs API server can bind"
+            )
         return finish(result, 0)
     finally:
         sh(["ray", "stop", "--force"])

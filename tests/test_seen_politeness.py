@@ -79,6 +79,41 @@ def test_seen_serialize_restore():
     assert not new.any()
 
 
+def test_seen_restore_with_many_shards_routes_by_id(tmp_path):
+    """Regression: with >= 10 shards, lexicographic checkpoint-file order
+    (shard_10 before shard_2) must NOT scramble which actor restores which
+    slice — states route by shard_id, and a full save/load round trip
+    through CheckpointManager preserves membership exactly."""
+    from weaver_ray.state.checkpoint import CheckpointManager
+
+    n = 12
+    seen = SeenSet(num_shards=n, capacity_per_shard=2048, exact=True)
+    keys = _keys(4000, 11)
+    seen.filter_new(keys)
+
+    # save via the real checkpoint writer (frontier as a tiny table)
+    import pyarrow as pa
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save_round(0, pa.table({"x": [1]}), seen.serialize_shards(), [], [],
+                    {"urls_fetched": 0})
+    state = ckpt.load_round(0)
+
+    seen2 = SeenSet(num_shards=n, capacity_per_shard=2048, exact=True)
+    seen2.restore_shards(state["seen_states"])
+    new, _ = seen2.filter_new(keys)
+    assert not new.any()          # every key still seen, no slice scrambled
+    # shuffled state lists must also route correctly (restore is by id)
+    import random
+
+    states = seen.serialize_shards()
+    random.Random(3).shuffle(states)
+    seen3 = SeenSet(num_shards=n, capacity_per_shard=2048, exact=True)
+    seen3.restore_shards(states)
+    new3, _ = seen3.filter_new(keys)
+    assert not new3.any()
+
+
 def test_robots_rules_matching():
     r = RobotsRules("User-agent: *\nCrawl-delay: 0.2\nDisallow: /*42$\nDisallow: /private\n")
     assert r.crawl_delay_s == 0.2

@@ -355,8 +355,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             while bpos < len(body):
                 pq_, tq = body[bpos] >> 4, body[bpos] & 0xF
                 n = 64 * (2 if pq_ else 1)
+                # 16-bit table entries are big-endian per T.81 (">u2", not
+                # the platform's native order)
                 raw = np.frombuffer(body[bpos + 1: bpos + 1 + n],
-                                    dtype=np.uint16 if pq_ else np.uint8)
+                                    dtype=">u2" if pq_ else np.uint8)
                 qtabs[tq] = raw.astype(np.float64)[UNZIGZAG]
                 bpos += 1 + n
         elif marker == 0xC0:  # SOF0 baseline
@@ -368,6 +370,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI: restart markers would need RSTn handling
+            # in the entropy decoder (DC predictor resets + marker skipping);
+            # fail loudly rather than silently decoding garbage
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise NotImplementedError(
+                    "restart intervals (DRI/RSTn) not supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
             bpos = 0
             while bpos < len(body):

@@ -214,16 +214,18 @@ FP_PRIME = 2147483647  # 2^31 - 1: keeps every term < 2^42, exactly
 
 def _rolling_hashes(text: str, k: int = 8) -> np.ndarray:
     """Polynomial hash over k-char windows (Rabin-Karp shape) mod a 31-bit
-    prime, vectorized: h(w) = sum_j byte[j] * base^(k-1-j) mod P.  Same
+    prime, vectorized: h(w) = sum_j codepoint[j] * base^(k-1-j) mod P.  Same
     values as an incrementally-rolled hash; the direct windowed form is what
-    both numpy and the SQL oracle compute."""
-    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    both numpy and the SQL oracle compute.  Windows are over UNICODE
+    CODEPOINTS (utf-32 view), not utf-8 bytes, so window count and values
+    match SQL's per-character length()/substr()/ascii() on any text."""
+    b = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     if len(b) < k:
         return np.zeros(0, dtype=np.int64)
     coeff = np.array([pow(FP_BASE, k - 1 - j, FP_PRIME) for j in range(k)],
                      dtype=np.int64)
     windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.int64)
-    return (windows @ coeff) % FP_PRIME
+    return (windows % FP_PRIME) @ coeff % FP_PRIME
 
 
 def doc_fingerprints(sf_dir: str, k: int = 8, window: int = 16) -> rd.Dataset:

@@ -128,7 +128,14 @@ class CheckpointManager:
                 else None
             )
         seen_states = []
-        for p in sorted(self.dir.glob(f"seen_shard_*_round_{r}.npz")):
+        # numeric shard order, NOT lexicographic filename order: with >= 10
+        # shards, sorted() puts shard_10 before shard_2 and a positional zip
+        # in restore_shards would hand every actor the wrong slice's state
+        shard_files = sorted(
+            self.dir.glob(f"seen_shard_*_round_{r}.npz"),
+            key=lambda p: int(p.stem.split("_")[2]),
+        )
+        for p in shard_files:
             z = np.load(p, allow_pickle=False)
             i = int(p.stem.split("_")[2])
             nb, bs, mk, cnt = map(int, z["cuckoo_meta"])

@@ -152,22 +152,23 @@ class SeenShard:
         self.fp_disagreements, self.new_total, self.dup_total = map(int, state["counters"])
 
 
-# per-worker-process cache of deserialized bloom snapshots, keyed by object
-# ref: the first batch on a worker pays one zero-copy ray.get + deserialize,
-# every later batch hits the dict.  Bounded: refs rotate once per round, so
-# a stale-epoch purge keeps at most ~2 rounds' worth of filters alive.
-_BLOOM_CACHE: dict[str, BloomFilter] = {}
-_BLOOM_CACHE_MAX = 256
+# per-worker-process cache of deserialized bloom snapshots, keyed by SHARD
+# index with the ref recorded alongside: a new round's snapshot REPLACES the
+# shard's slot, so the cache holds exactly one filter per shard (the current
+# epoch) — at the 10^10 sizing that is num_shards x ~47 MB per worker, never
+# an unbounded pile of stale rounds.  The first batch per (worker, shard,
+# round) pays one zero-copy ray.get + deserialize; later batches hit the
+# dict.
+_BLOOM_CACHE: dict[int, tuple[str, BloomFilter]] = {}
 
 
-def _bloom_from_ref(ref) -> BloomFilter:
+def _bloom_from_ref(shard: int, ref) -> BloomFilter:
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
-    bf = _BLOOM_CACHE.get(key)
-    if bf is None:
-        if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
-            _BLOOM_CACHE.clear()
-        bf = BloomFilter.deserialize(ray.get(ref))
-        _BLOOM_CACHE[key] = bf
+    cached = _BLOOM_CACHE.get(shard)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    bf = BloomFilter.deserialize(ray.get(ref))
+    _BLOOM_CACHE[shard] = (key, bf)
     return bf
 
 
@@ -209,7 +210,7 @@ class SeenView:
             for s in range(self.num_shards):
                 sel = np.flatnonzero(shard_of == s)
                 if len(sel) and self.bloom_refs[s] is not None:
-                    bloom = _bloom_from_ref(self.bloom_refs[s])
+                    bloom = _bloom_from_ref(s, self.bloom_refs[s])
                     maybe[sel] = bloom.maybe_contains(hashes[sel])
             metrics["bloom_maybe"] = int(maybe.sum())
             if self.production:
@@ -282,7 +283,13 @@ class SeenSet:
 
     def restore_shards(self, states: list[dict]) -> None:
         assert len(states) == self.num_shards
-        ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
+        # route each state to the actor that OWNS its hash slice — never by
+        # list position (a caller-side ordering slip would silently hand
+        # every shard the wrong cuckoo/bloom and break the seen set)
+        by_id = {int(st["shard_id"]): st for st in states}
+        assert sorted(by_id) == list(range(self.num_shards))
+        ray.get([self.shards[i].restore.remote(by_id[i])
+                 for i in range(self.num_shards)])
         # shard blooms travel IN the checkpointed shard state (production
         # mode included), so a resume re-publishes real snapshots — the
         # pre-filter never restarts empty
