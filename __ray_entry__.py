@@ -85,6 +85,11 @@ def _crawl_oracle_parity(sf_dir: str):
 
     from weaver_ray.oracle import simulate
 
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     res = _crawl_result(sf_dir)
     ora = simulate(_CRAWL_CACHE["cfg"])
     engine_seen = set(res.seen_table.column("url_canon").to_pylist())
@@ -96,11 +101,23 @@ def _crawl_oracle_parity(sf_dir: str):
             t.column("seq").to_pylist(), t.column("url_canon").to_pylist())
     )
     oracle_order = sorted((r, round(p, 4), s, c) for c, r, p, s in ora.order)
+    # records verdict: the (url, image_id) set of successfully fetched pages
+    # (what crawl_host_stats / crawl_gather_merge aggregate) vs the simulator
+    files = sorted(glob.glob(res.records_dir + "/round=*/part-*.parquet"))
+    rec = pa.concat_tables([
+        pq.read_table(f, columns=["url_canon", "image_id", "fetch_status"])
+        for f in files
+    ])
+    ok = rec.filter(pa.compute.equal(rec.column("fetch_status"), "ok"))
+    engine_records = set(zip(ok.column("url_canon").to_pylist(),
+                             ok.column("image_id").to_pylist()))
+    oracle_records = {(c, i) for c, i, _ in ora.records}
     return pd.DataFrame(
         {
             "seen_equal": [engine_seen == oracle_seen],
             "order_equal": [engine_order == oracle_order],
             "fetched_equal": [res.urls_fetched == ora.urls_fetched],
+            "records_equal": [engine_records == oracle_records],
             "n_seen_engine": [len(engine_seen)],
             "n_seen_oracle": [len(oracle_seen)],
             "urls_fetched": [res.urls_fetched],

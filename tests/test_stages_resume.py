@@ -103,14 +103,21 @@ def test_crash_resume_identical(small_corpus):
     assert n == full.per_round[3]["dedup_survivors"]
 
 
-def test_crawl_level_transient_failures_exactly_once(small_corpus, tmp_path):
-    """End-to-end through crawl() (not just the stage): every fetch batch of
-    every round fails once with an injected transient error; the finished
-    crawl must equal a clean run byte-for-byte in counts, seen set and
-    per-partition record files."""
+@pytest.mark.parametrize("distributed", [False, True])
+def test_crawl_level_transient_failures_exactly_once(small_corpus, tmp_path,
+                                                     distributed):
+    """End-to-end through crawl() (not just the stage), in BOTH execution
+    modes: every fetch batch of every round fails once with an injected
+    transient error; the finished crawl must equal a clean run in counts,
+    seen set and per-partition record files (distributed mode additionally
+    proves the sidecar count manifests are exactly-once under retries)."""
+    import dataclasses
+
     from ray.data import DataContext
 
-    clean = crawl(CFG, "/tmp/test_crawl_retry_clean", corpus_path=small_corpus)
+    base = dataclasses.replace(CFG, distributed=distributed, max_rounds=3)
+    clean = crawl(base, f"/tmp/test_crawl_retry_clean_{distributed}",
+                  corpus_path=small_corpus)
 
     marker_dir = tmp_path / "crawl_markers"
     marker_dir.mkdir()
@@ -118,10 +125,9 @@ def test_crawl_level_transient_failures_exactly_once(small_corpus, tmp_path):
     prev = ctx.actor_task_retry_on_errors
     ctx.actor_task_retry_on_errors = [RuntimeError]  # crawl() keeps a preset value
     try:
-        import dataclasses
-
-        cfg = dataclasses.replace(CFG, extra={"fail_marker_dir": str(marker_dir)})
-        failed = crawl(cfg, "/tmp/test_crawl_retry_failed", corpus_path=small_corpus)
+        cfg = dataclasses.replace(base, extra={"fail_marker_dir": str(marker_dir)})
+        failed = crawl(cfg, f"/tmp/test_crawl_retry_failed_{distributed}",
+                       corpus_path=small_corpus)
     finally:
         ctx.actor_task_retry_on_errors = prev
 
