@@ -47,8 +47,10 @@ QUERY_NAMES = [
     "first_event_per_user",
     "user_hourly_windows",
     "token_stats_by_lang",
+    "vocab_top_tokens",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
+    "simhash_pairs",
     "ann_bruteforce_topk",
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
