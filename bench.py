@@ -71,7 +71,7 @@ def _init_ray(ncpus: int) -> None:
     ctx.execution_options.verbose_progress = False
 
 
-def bench_crawl(ncpus: int, distributed: bool = False) -> dict:
+def bench_crawl(ncpus: int, distributed: bool = False, warm: bool = True) -> dict:
     """Flagship crawl at bench scale.  ``distributed=False`` (driver-barrier
     mode) is the HEADLINE: rounds of ~1.5k-12k frontier rows sit far below
     the ~1M-row threshold where the distributed frontier pays off, and the
@@ -102,13 +102,15 @@ def bench_crawl(ncpus: int, distributed: bool = False) -> dict:
         distributed=distributed,
     )
     # untimed warmup: spawns the worker processes once so the timed run
-    # measures crawling, not Ray process spin-up (same at both CPU levels)
-    warm = CrawlConfig(corpus_size=1000, n_seeds=20, max_rounds=1,
-                       num_seen_shards=4, num_politeness_shards=4,
-                       fetch_concurrency=ncpus, distributed=distributed)
+    # measures crawling, not Ray process spin-up (same at both CPU levels);
+    # skipped when a prior crawl in this process already warmed the workers
     tag = "dist" if distributed else "barrier"
-    crawl(warm, f"/tmp/weaver_bench_warm_{tag}_{ncpus}",
-          corpus_path=generate_corpus(1000))
+    if warm:
+        wcfg = CrawlConfig(corpus_size=1000, n_seeds=20, max_rounds=1,
+                           num_seen_shards=4, num_politeness_shards=4,
+                           fetch_concurrency=ncpus, distributed=distributed)
+        crawl(wcfg, f"/tmp/weaver_bench_warm_{tag}_{ncpus}",
+              corpus_path=generate_corpus(1000))
     t0 = time.monotonic()
     res = crawl(cfg, f"/tmp/weaver_bench_{tag}_{ncpus}", corpus_path=corpus)
     elapsed = time.monotonic() - t0
@@ -203,7 +205,7 @@ def main() -> None:
     crawl_stats = bench_crawl(ncpus)
     print(f"[bench] crawl barrier: {crawl_stats['urls_per_sec']} urls/s",
           file=sys.stderr, flush=True)
-    dist_stats = bench_crawl(ncpus, distributed=True)
+    dist_stats = bench_crawl(ncpus, distributed=True, warm=False)
     print(f"[bench] crawl distributed: {dist_stats['urls_per_sec']} urls/s",
           file=sys.stderr, flush=True)
     import ray
