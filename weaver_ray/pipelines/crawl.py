@@ -85,6 +85,23 @@ def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
     return plan, spread
 
 
+# per-worker-process cache of the CURRENT round's LPT plan: one slot,
+# replaced when the round's ref changes (same shape as seen._BLOOM_CACHE) —
+# the generic ref-keyed broadcast cache would retain every past round's plan
+# for the life of the worker process
+_PLAN_CACHE: dict[str, tuple] = {}
+
+
+def _plan_from_ref(ref):
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    cached = _PLAN_CACHE.get("plan")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    val = ray.get(ref)
+    _PLAN_CACHE["plan"] = (key, val)
+    return val
+
+
 def _dedup_within_round_block(t: pa.Table) -> pa.Table:
     """Block-local within-round dedup (rows for one url_canon are co-located
     by the key repartition).  Same rule and same implementation as the
@@ -117,7 +134,9 @@ def _make_dedup_fn(seen_view, lineage):
         r = int(batch.column("round")[0].as_py())
         mask, metrics = seen_view.filter_new(hashes, round=r)
         if lineage is not None:
-            lineage.record.remote(
+            # awaited so the round-barrier drain never races an in-flight
+            # record into the wrong round's checkpoint (see FetchStage)
+            ray.get(lineage.record.remote(
                 stage="dedup",
                 round=int(batch.column("round")[0].as_py()),
                 rows_in=n,
@@ -125,7 +144,7 @@ def _make_dedup_fn(seen_view, lineage):
                 new_urls=int(mask.sum()),
                 dup_urls=int(n - mask.sum()),
                 bloom_maybe=metrics["bloom_maybe"],
-            )
+            ))
         return batch.filter(pa.array(mask))
 
     return dedup
@@ -138,8 +157,6 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
     next round's frontier as a materialized Dataset (seq assigned)."""
     import numpy as np
     import pyarrow.compute as pc
-
-    from .common import _cached_get
 
     # 1. small aggregate: per-host counts -> LPT chunk plan (broadcast).
     # Partial per-batch counts folded on the driver (<= n_hosts rows per
@@ -155,11 +172,12 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
                                  num_cpus=0).to_pandas()
     hc = hc.groupby("host", sort=False)["n"].sum()
     host_counts = dict(zip(hc.index, hc.to_numpy()))
+    total_rows = int(sum(host_counts.values()))
     plan, spread = _lpt_plan(host_counts, num_fetch_parts)
     plan_ref = ray.put((plan, spread))
 
     def assign_part(t: pa.Table) -> pa.Table:
-        plan, spread = _cached_get(plan_ref)
+        plan, spread = _plan_from_ref(plan_ref)
         hosts = t.column("host").to_pylist()
         seqs = t.column("seq").to_numpy(zero_copy_only=False)
         parts = np.fromiter(
@@ -198,7 +216,13 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
             "n_hosts": cfg.n_hosts,
             "fail_marker_dir": cfg.extra.get("fail_marker_dir"),
         },
-        batch_size=None, batch_format="pyarrow",
+        # cap-sized batches, NOT one batch per block: the key repartition
+        # hashes fetch_part values, so distinct LPT partitions can collide
+        # into one merged block (observed on Ray 2.49, ~1/e of partitions
+        # empty by balls-in-bins); bounding the batch size re-splits merged
+        # blocks so no fetch actor serially works two partitions' slots
+        batch_size=max(1, -(-total_rows // num_fetch_parts)),
+        batch_format="pyarrow",
         concurrency=cfg.fetch_concurrency, num_cpus=cfg.fetch_num_cpus,
     )
     children = ds.map_batches(
@@ -316,9 +340,13 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         for d in (records_dir, out / "seen"):  # "seen" dir: legacy layout
             if d.exists():
                 shutil.rmtree(d)
-        if cfg.checkpoint_dir is None and (out / "ckpt").exists():
-            shutil.rmtree(out / "ckpt")
-            ckpt = CheckpointManager(str(out / "ckpt"))
+        # a FRESH run always starts from an empty checkpoint dir — explicit
+        # checkpoint_dir included: stale COMMIT markers / shard snapshots
+        # from an earlier run would otherwise be loaded by a later resume as
+        # if they belonged to this run
+        if Path(ckpt.dir).exists():
+            shutil.rmtree(ckpt.dir)
+        ckpt = CheckpointManager(str(ckpt.dir))
         frontier = seed_frontier(cfg.n_seeds, cfg.n_hosts)
     records_dir.mkdir(parents=True, exist_ok=True)
 
@@ -453,7 +481,9 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             _t(f"r{r} checkpoint", tr)
             continue
 
-        if frontier.num_rows == 0:
+        # frontier can be None when resuming a distributed-mode checkpoint
+        # whose final frontier was empty (empty dir -> load_round None)
+        if frontier is None or frontier.num_rows == 0:
             break
         if cfg.max_urls is not None and urls_fetched >= cfg.max_urls:
             break

@@ -12,9 +12,9 @@ the corpus store (memory-mapped IPC + key index) opens once per actor in
 src/scrapper/main.go:34-40); each ``__call__`` handles one Arrow batch.
 
 Politeness enforcement: the batch asks the politeness shards for per-row
-fetch slots, then fetches in deadline order — sleeping per 50 ms window and
-bulk-taking each window's rows — so per-host min-intervals hold while
-corpus reads stay vectorized.  Row assembly is pure Arrow kernels (take +
+fetch slots, then fetches in deadline order — sleeping to each slot cluster
+(1 ms coalescing window) and bulk-taking its rows — so per-host
+min-intervals hold while corpus reads stay vectorized.  Row assembly is pure Arrow kernels (take +
 concat); no per-row Python in the hot path.  Rows denied by robots get
 ``fetch_status="robots_denied"``; missing image_ids get ``"dead"`` — soft
 fail columns, never exceptions, so one bad row can't poison a batch
@@ -31,7 +31,12 @@ import pyarrow as pa
 from ..schema import RECORD_SCHEMA
 from ..sources.corpus import CorpusStore, image_id_of_url
 
-_WINDOW_S = 0.05
+# fetch slots within this span coalesce into one vectorized corpus take.
+# It must stay well BELOW the smallest nonzero crawl-delay (50 ms fixture
+# class, and delay_scale can shrink that further): a window as wide as the
+# slot spacing would merge distinct politeness slots and fetch back-to-back,
+# silently violating the per-host min-interval this stage exists to enforce.
+_WINDOW_S = 0.001
 
 _FRONTIER_KEEP = ["url_canon", "url_hash", "host", "round", "seq",
                   "depth", "priority", "url_type"]
@@ -143,14 +148,21 @@ class FetchStage:
         out = pa.concat_tables([ok_t.select(cols), miss_t.select(cols)])
 
         if self.lineage is not None:
-            self.lineage.record.remote(
+            # awaited, not fire-and-forget: the driver drains the lineage
+            # actor at the round barrier, and an un-acked record could arrive
+            # AFTER that drain and land in the wrong round's checkpoint (or
+            # be lost on the final round) — one tiny actor round trip per
+            # batch buys ordered, per-round-exact lineage
+            import ray as _ray
+
+            _ray.get(self.lineage.record.remote(
                 stage="fetch",
                 round=int(batch.column("round")[0].as_py()),
                 rows_in=n,
                 rows_out=int(found.sum()),
                 robots_denied=int((~allowed).sum()),
                 dead=int((allowed & ~found).sum()),
-            )
+            ))
         if self.records_dir is not None:
             # Sink the wide rows (image bytes) here, immediately after fetch,
             # so they never re-enter the object store; downstream stages see

@@ -70,16 +70,22 @@ class CheckpointManager:
         lineage_rows: list[dict],
         summary: dict,
     ) -> None:
+        # clear BOTH storage forms for this round first: a crashed save from
+        # a run in the other execution mode must never leave a stale artifact
+        # that load_round would prefer over the fresh one
+        f_file = self.dir / f"frontier_after_round_{r}.parquet"
+        f_dir = self.dir / f"frontier_after_round_{r}"
+        if f_file.exists():
+            f_file.unlink()
+        if f_dir.exists():
+            shutil.rmtree(f_dir)
         if isinstance(next_frontier, pa.Table):
-            pq.write_table(next_frontier, self.dir / f"frontier_after_round_{r}.parquet")
+            pq.write_table(next_frontier, f_file)
         else:  # Dataset: distributed parquet write, no driver materialization
-            d = self.dir / f"frontier_after_round_{r}"
-            if d.exists():
-                shutil.rmtree(d)
             if next_frontier is None:
-                d.mkdir()
+                f_dir.mkdir()
             else:
-                next_frontier.write_parquet(str(d))
+                next_frontier.write_parquet(str(f_dir))
         for st in seen_states:
             i = st["shard_id"]
             victim = st["cuckoo"].get("victim")

@@ -127,7 +127,15 @@ def host_fully_blocked(host: str, seed: int = config.CORPUS_SEED,
         idx = int(host.split("-")[1].split(".")[0])
     except (IndexError, ValueError):
         return False
-    blocked = {7, 23} if n_hosts > 23 else {n_hosts - 1, n_hosts // 2}
+    if n_hosts > 23:
+        blocked = {7, 23}
+    elif n_hosts >= 4:
+        # distinct and never host-0 for any n >= 4
+        blocked = {n_hosts - 1, n_hosts // 2}
+    else:
+        # tiny host spaces: blocking 2 of <4 hosts (or host-0 itself) would
+        # gut the crawl — no fully-blocked hosts below 4
+        blocked = set()
     return idx in blocked
 
 
