@@ -165,6 +165,62 @@ def test_politeness_enforces_min_interval():
         assert (kept == 0).all()
 
 
+def test_fetch_stage_enforces_slot_gaps_wall_clock(small_corpus):
+    """The FETCH STAGE (not just the shard scheduler) must actually wait out
+    each politeness slot: its batching window may never coalesce distinct
+    slots of a crawl-delayed host into back-to-back fetches.  Regression for
+    the 50 ms coalescing window that silently merged 50 ms crawl-delay
+    slots."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from weaver_ray.functions.canonicalize import host_batch, url_hash_batch
+    from weaver_ray.schema import FRONTIER_SCHEMA
+    from weaver_ray.stages.fetch import FetchStage
+    from weaver_ray.state.robots import crawl_delay_ms, host_fully_blocked
+
+    # pick a host with the 50 ms crawl-delay class that is not fully blocked
+    host_i = next(
+        i for i in range(64)
+        if crawl_delay_ms(f"host-{i}.example") == 50
+        and not host_fully_blocked(f"host-{i}.example")
+    )
+    # URLs must LIVE on that host (url_of is hash-assigned): pick corpus ids
+    from weaver_ray.sources.corpus import host_index, image_id_of, url_of
+
+    ids = [i for i in range(1000) if host_index(image_id_of(i)) == host_i][:4]
+    assert len(ids) == 4, "fixture host unexpectedly sparse"
+    urls = [url_of(image_id_of(i)) for i in ids]
+    n = len(urls)
+    frontier = pa.table(
+        {
+            "url": pa.array(urls), "url_canon": pa.array(urls),
+            "url_hash": pa.array(url_hash_batch(urls), pa.uint64()),
+            "host": pa.array(host_batch(urls)),
+            "depth": pa.array(np.zeros(n, np.int32)),
+            "url_type": pa.array(["product"] * n),
+            "priority": pa.array(np.ones(n, np.float32)),
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "round": pa.array(np.zeros(n, np.int32)),
+            "parent_hash": pa.array(np.zeros(n, np.uint64)),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+    from weaver_ray.state.politeness import PolitenessPool
+
+    pool = PolitenessPool(num_shards=1, delay_scale=1.0)
+    stage = FetchStage(small_corpus, pool.task_view())
+    t0 = time.monotonic()
+    out = stage(frontier)
+    elapsed = time.monotonic() - t0
+    n_ok = out.filter(pa.compute.equal(out.column("fetch_status"), "ok")).num_rows
+    assert n_ok >= 3
+    # k fetches on one 50 ms-delay host need >= (k-1) * 50 ms of wall time
+    assert elapsed >= (n_ok - 1) * 0.050 * 0.95, (elapsed, n_ok)
+
+
 def test_politeness_priority_order():
     pool = PolitenessPool(num_shards=1, delay_scale=1.0)
     view = pool.task_view()
