@@ -22,18 +22,48 @@ keep 64 of the 160 bits because Ray partitions by modulo, not a ring).
 from __future__ import annotations
 
 import hashlib
-from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import numpy as np
 import pyarrow as pa
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
-# RFC 3986 unreserved + sub-delims we keep encoded-stable
-_SAFE = "-_.~!$&'()*+,;=:@/"
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _pct_normalize(s: str) -> str:
+    """RFC 3986 §6.2.2 percent-normalization: decode escapes of UNRESERVED
+    characters only, uppercase the hex of every other escape, and encode a
+    stray '%' as %25.  Reserved characters (& = / ? ...) must stay encoded —
+    decoding them would merge semantically distinct URLs (e.g. 'a=1%262'
+    vs 'a=1&2') and make canonicalization non-idempotent."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%":
+            if i + 3 <= n and s[i + 1] in _HEX and s[i + 2] in _HEX:
+                ch = chr(int(s[i + 1: i + 3], 16))
+                if ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + s[i + 1: i + 3].upper())
+                i += 3
+                continue
+            out.append("%25")  # malformed escape: literal percent, encoded
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def canonicalize(url: str, base: str | None = None) -> str:
-    """Return the canonical form of *url* (resolved against *base* if relative)."""
+    """Return the canonical form of *url* (resolved against *base* if
+    relative).  Idempotent: canonicalize(canonicalize(u)) == canonicalize(u)."""
     if base is not None:
         url = urljoin(base, url)
     parts = urlsplit(url.strip())
@@ -43,15 +73,12 @@ def canonicalize(url: str, base: str | None = None) -> str:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
-    # percent-normalize path: decode then re-encode with a fixed safe set
-    path = quote(unquote(parts.path), safe=_SAFE) or "/"
+    path = _pct_normalize(parts.path) or "/"
     query = ""
     if parts.query:
-        pairs = [kv for kv in parts.query.split("&") if kv]
+        pairs = [_pct_normalize(kv) for kv in parts.query.split("&") if kv]
         pairs.sort(key=lambda kv: kv.split("=", 1)[0])
-        query = "&".join(
-            quote(unquote(kv), safe=_SAFE + "=") for kv in pairs
-        )
+        query = "&".join(pairs)
     return urlunsplit((scheme, netloc, path, query, ""))  # fragment dropped
 
 
@@ -74,8 +101,15 @@ def canonicalize_batch(urls: pa.Array | list[str], bases: pa.Array | list[str] |
     it_urls = urls.to_pylist() if isinstance(urls, (pa.Array, pa.ChunkedArray)) else urls
     for i, u in enumerate(it_urls):
         b = it_bases[i] if it_bases is not None else None
-        # fast path: already-canonical synthetic URLs http://host-N.example/imgXXXXXXXX
-        if b is None and u.startswith("http://") and "#" not in u and "?" not in u and "%" not in u and u == u.lower():
+        # fast path: already-canonical synthetic URLs http://host-N.example/img...
+        # — must be provably equal to the scalar routine's output, so it also
+        # excludes ports/userinfo (':'/'@' after the scheme), empty paths,
+        # and surrounding whitespace, not just '#?%' and case
+        rest = u[7:]
+        if (b is None and u.startswith("http://") and u == u.lower()
+                and u == u.strip() and "#" not in u and "?" not in u
+                and "%" not in u and ":" not in rest and "@" not in rest
+                and "/" in rest):
             out.append(u)
         else:
             out.append(canonicalize(u, b))

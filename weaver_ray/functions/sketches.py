@@ -142,7 +142,11 @@ class CuckooFilter:
         self.max_kicks = max_kicks
         self.table = np.zeros((nb, bucket_size), dtype=np.uint16)
         self.count = 0
-        self._rng = np.random.default_rng(seed)
+        # eviction choices are CONTENT-DERIVED (mixed from the fingerprint
+        # and kick index), not drawn from a stateful RNG: a filter restored
+        # from a checkpoint then behaves identically to one that never
+        # stopped, which RNG-stream state cannot provide without
+        # serializing the generator
         # victim slot (standard cuckoo-filter practice, Fan et al. §4): when
         # an insert exhausts max_kicks the evicted fingerprint parks here and
         # stays queryable instead of silently vanishing — contains() never
@@ -193,10 +197,11 @@ class CuckooFilter:
         if self.victim is not None:
             self.insert_failures += 1
             return False
-        idx = i1 if self._rng.integers(2) else i2
+        idx = i1 if (fp & 1) else i2
         cur = np.uint16(fp)
-        for _ in range(self.max_kicks):
-            slot = int(self._rng.integers(self.bucket_size))
+        for kick in range(self.max_kicks):
+            h = (int(cur) * 0x9E3779B1 + kick * 0x85EBCA77) & 0xFFFFFFFF
+            slot = (h >> 16) % self.bucket_size
             cur, self.table[idx][slot] = self.table[idx][slot], cur
             idx = int(self._alt_index(idx, int(cur)))
             row = self.table[idx]
@@ -282,5 +287,4 @@ class CuckooFilter:
         v = d.get("victim")
         cf.victim = (int(v[0]), int(v[1])) if v is not None else None
         cf.insert_failures = int(d.get("insert_failures", 0))
-        cf._rng = np.random.default_rng(7)
         return cf

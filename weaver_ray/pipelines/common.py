@@ -82,11 +82,17 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
 # small queries (actor pools remain the right tool for expensive state:
 # FetchStage's corpus index, decode stages).
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 16  # bound: each entry can be a whole dimension
+                           # table / query matrix — a long-lived worker
+                           # serving many queries must not accumulate one
+                           # copy per invocation forever
 
 
 def _cached_get(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _BROADCAST_CACHE:
+        if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.clear()
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
 

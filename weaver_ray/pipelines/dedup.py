@@ -107,8 +107,10 @@ def _band_rows(doc_ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                       broadcast_threshold: int = 100_000) -> pd.DataFrame:
     """Candidate pairs from LSH banding, verified with exact shingle-set
-    Jaccard.  Verification broadcasts the shingle map (ray.put) — at scale,
-    replace with a bucketed join of pairs against shingles on doc_id."""
+    Jaccard.  Verification broadcasts the shingle map (ray.put) while the
+    CORPUS is small (< broadcast_threshold docs — the map's size scales
+    with docs, not candidates); larger corpora use the bucketed join of
+    pairs against shingles on doc_id."""
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
     def sig_batch(df: pd.DataFrame) -> pa.Table:
@@ -155,14 +157,20 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         out["jaccard"] = np.round(jac, 6)
         return out[out["jaccard"] >= jaccard_threshold]
 
+    # materialize ONCE: the bucketed path fans this dataset into two join
+    # sides — without materialization each side (and the broadcast path)
+    # would re-run shingling, the dominant CPU cost, over the whole corpus
     shingles = load(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda df: pd.DataFrame(
             {"doc_id": df["doc_id"].to_numpy(),
              "sh": [_shingle_hashes(t) for t in df["text"]]}
         ),
         batch_format="pandas",
-    )
-    if n_cand < broadcast_threshold:
+    ).materialize()
+    # broadcast-vs-bucketed gate: what gets broadcast is the CORPUS shingle
+    # map, so the switch must key on corpus size, not candidate count
+    n_docs = shingles.count()
+    if n_docs < broadcast_threshold:
         # small candidate set: broadcast the shingle map (zero shuffles)
         sm_parts = shingles.to_pandas()
         ref = ray.put(dict(zip(sm_parts["doc_id"].astype(int), sm_parts["sh"])))

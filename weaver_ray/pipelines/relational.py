@@ -18,7 +18,7 @@ import ray.data as rd
 from .common import broadcast_join, hash_join, load, load_arrow, partial_groupby
 
 
-def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: grouped sums/avgs over lineitem with per-batch
     partial aggregation — the shuffle moves one row per (group, batch)."""
     ds = load(sf_dir, "lineitem",
@@ -95,7 +95,7 @@ def top_orders(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def mktsegment_revenue(sf_dir: str) -> rd.Dataset:
+def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
     """Broadcast join: orders (big) x customer (small, ray.put once)."""
     orders = load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = load_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -146,7 +146,7 @@ def order_status_revenue(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def region_customer_counts(sf_dir: str) -> rd.Dataset:
+def region_customer_counts(sf_dir: str) -> pd.DataFrame:
     """Chained broadcast joins through two tiny dims (customer->nation->region)."""
     cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = load_arrow(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
@@ -160,7 +160,7 @@ def region_customer_counts(sf_dir: str) -> rd.Dataset:
     return out
 
 
-def event_type_stats(sf_dir: str) -> rd.Dataset:
+def event_type_stats(sf_dir: str) -> pd.DataFrame:
     """Grouped counts+sums per event type (reference per-host crawl stats,
     SURVEY.md §2.5)."""
     ds = load(sf_dir, "events", ["event_type", "value"])

@@ -37,7 +37,7 @@ def _token_features(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def token_stats_by_lang(sf_dir: str) -> rd.Dataset:
+def token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
     """Per-lang token totals (whitespace/regex tokenizer + BPE-ish count)."""
     ds = load(sf_dir, "documents", ["doc_id", "text", "lang"])
     feat = ds.map_batches(_token_features, batch_format="pandas")
@@ -52,7 +52,7 @@ def token_stats_by_lang(sf_dir: str) -> rd.Dataset:
     return out
 
 
-def quality_by_source(sf_dir: str) -> rd.Dataset:
+def quality_by_source(sf_dir: str) -> pd.DataFrame:
     """Quality-score features aggregated per source: doc length, stopword
     ratio (length/punct/stopword family of heuristics)."""
     ds = load(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
@@ -196,7 +196,7 @@ class LangId:
         )
 
 
-def langid_counts(sf_dir: str) -> rd.Dataset:
+def langid_counts(sf_dir: str) -> pd.DataFrame:
     ds = load(sf_dir, "documents", ["doc_id", "text"])
     pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
     out = partial_groupby(pred, ["pred_lang"], {"n_docs": ("doc_id", "count")}).to_pandas()

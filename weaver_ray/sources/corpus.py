@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import zlib
 from pathlib import Path
 
 import numpy as np
@@ -106,15 +105,20 @@ def make_corpus_batch(indices: np.ndarray, seed: int = config.CORPUS_SEED) -> pa
 
 # ------------------------------------------------------------------ URL space / link graph
 
-_ZIPF_CUM: np.ndarray | None = None
+_ZIPF_CUM: dict[tuple[int, float], np.ndarray] = {}
 
 
 def _zipf_cum(n_hosts: int = config.N_HOSTS, s: float = config.ZIPF_S) -> np.ndarray:
-    global _ZIPF_CUM
-    if _ZIPF_CUM is None or len(_ZIPF_CUM) != n_hosts:
+    # cache keyed by BOTH parameters — a changed exponent with the same host
+    # count must not silently reuse the old distribution
+    key = (n_hosts, float(s))
+    cum = _ZIPF_CUM.get(key)
+    if cum is None:
         w = 1.0 / np.power(np.arange(1, n_hosts + 1, dtype=np.float64), s)
-        _ZIPF_CUM = np.cumsum(w / w.sum())
-    return _ZIPF_CUM
+        cum = np.cumsum(w / w.sum())
+        _ZIPF_CUM.clear()
+        _ZIPF_CUM[key] = cum
+    return cum
 
 
 def host_index(image_id: str, n_hosts: int = config.N_HOSTS) -> int:
@@ -194,7 +198,12 @@ def generate_corpus(
         return str(d)
     d.mkdir(parents=True, exist_ok=True)
     for old in d.glob("*"):
-        old.unlink()
+        if old.is_dir():  # corpus.lance is a DIRECTORY when Lance is present
+            import shutil
+
+            shutil.rmtree(old)
+        else:
+            old.unlink()
     # generation is CPU-bound (PNG deflate + JPEG DCT/Huffman per row):
     # fan out as Ray tasks when a session exists, serial otherwise
     import ray as _ray
@@ -267,10 +276,14 @@ def read_corpus(path: str, columns: list[str] | None = None):
 
 
 def corpus_checksum(path: str) -> str:
-    """Stable digest of the full corpus table (determinism tests)."""
+    """Stable digest of the full corpus table (determinism tests): hashes
+    the Arrow IPC serialization of every batch — str(chunk) would elide all
+    but ~20 elements and miss any mid-table difference."""
     t = feather.read_table(os.path.join(path, "corpus.feather"))
     h = hashlib.sha256()
-    for col in t.column_names:
-        for chunk in t.column(col).chunks:
-            h.update(zlib.crc32(str(chunk).encode()).to_bytes(4, "big"))
+    for batch in t.to_batches():
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_batch(batch)
+        h.update(memoryview(sink.getvalue()))
     return h.hexdigest()
