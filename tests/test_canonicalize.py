@@ -50,6 +50,44 @@ def test_empty_path_and_percent_normalization():
     assert canonicalize("http://h.example/%61bc") == "http://h.example/abc"
 
 
+def test_reserved_escapes_stay_encoded():
+    """RFC 3986: decoding reserved chars would merge distinct URLs.
+    'a=1%262' (value contains '&') must NOT equal 'a=1&2' (two params)."""
+    a = canonicalize("http://h.example/p?a=1%262")
+    b = canonicalize("http://h.example/p?a=1&2")
+    assert a != b
+    assert "%26" in a
+    # %2F in a path segment is not a path separator
+    c = canonicalize("http://h.example/x%2Fy")
+    assert c == "http://h.example/x%2Fy"
+    # hex case normalizes up; unreserved still decodes; stray % is encoded
+    assert canonicalize("http://h.example/%2f%41") == "http://h.example/%2FA"
+    u = canonicalize("http://h.example/50%off")
+    assert canonicalize(u) == u  # idempotent even on malformed escapes
+
+
+@given(st.text(alphabet="abcdef0189%&=/-._~", min_size=1, max_size=24))
+def test_idempotent_with_escapes(path):
+    once = canonicalize("http://h.example/" + path)
+    assert canonicalize(once) == once
+
+
+def test_batch_fast_path_equals_scalar():
+    """The batch fast path must be indistinguishable from the scalar
+    routine — including the port/empty-path/userinfo cases that only the
+    slow path normalizes."""
+    urls = [
+        "http://host-1.example/img00000001",        # fast path
+        "http://host-1.example:80/img00000001",     # port must strip
+        "http://host-1.example",                    # empty path -> /
+        "http://user@host-1.example/x",             # userinfo -> slow path
+        "HTTP://HOST-2.EXAMPLE/ImG",                # case
+        " http://host-3.example/a ",                # whitespace
+        "http://h.example/p?b=2&a=1",               # query sort
+    ]
+    assert canonicalize_batch(urls) == [canonicalize(u) for u in urls]
+
+
 @given(st.text(alphabet="abcdefghij0189/-._~", min_size=1, max_size=30))
 def test_idempotent(path):
     u = "http://h.example/" + path
