@@ -140,14 +140,14 @@ def _image_decode_stats(sf_dir: str):
                           batch_size=128, concurrency=2)
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("fmt")
-        out = g.agg(
+        # one groupby pass — positional alignment between two separate
+        # groupbys would silently mis-attach counts if either ever reordered
+        df = df.assign(m=df["phash_decoded"] == df["phash_stored"])
+        out = df.groupby("fmt").agg(
             n_images=("decode_ok", "size"),
             n_decoded=("decode_ok", "sum"),
-            n_phash_match=("decode_ok", lambda s: 0),  # replaced below
+            n_phash_match=("m", "sum"),
         ).reset_index()
-        match = df["phash_decoded"] == df["phash_stored"]
-        out["n_phash_match"] = df.assign(m=match).groupby("fmt")["m"].sum().to_numpy()
         for c in ("n_images", "n_decoded", "n_phash_match"):
             out[c] = out[c].astype(np.int64)
         return out

@@ -12,8 +12,9 @@ scaling efficiency.  The crawl is latency-bound by design
 (fetch_latency_s simulates network RTT, one connection per fetch actor),
 because on this 1-physical-CPU sandbox only latency-bound work can scale
 with parallelism; per-host politeness bookkeeping stays on (robots checks,
-slot accounting) with delay_scale=0 so host-serialized sleeps don't put a
-parallelism-independent floor under the measurement.
+host grouping, slot ordering — delay-independent work) with delay_scale=0
+so host-serialized sleeps don't put a parallelism-independent floor under
+the measurement.
 """
 
 from __future__ import annotations
@@ -160,10 +161,9 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # warm the corpus cache (untimed) so neither child pays generation
-    from weaver_ray.sources.corpus import generate_corpus
-
-    generate_corpus(BENCH_CORPUS)
+    # no parent-side corpus warm: without a Ray session here it would run
+    # the SERIAL generation path; the first child generates (untimed,
+    # Ray-parallel) and the second hits the /tmp cache
     lo, hi = 8, 32
     a = child(lo)
     b = child(hi)

@@ -53,7 +53,11 @@ class CrawlConfig:
     n_seeds: int = N_SEEDS
     max_rounds: int = MAX_ROUNDS_DEFAULT
     max_urls: int | None = None          # stop after this many fetched URLs (budget)
-    delay_scale: float = 0.0             # multiply crawl-delay sleeps (0 = logical only)
+    delay_scale: float = 0.0             # scales the crawl delay itself (waits
+                                         # AND host clocks); robots decisions,
+                                         # host grouping and slot ORDER are
+                                         # delay-independent, so 0 runs the
+                                         # full decision logic with zero waits
     fetch_latency_s: float = 0.0         # simulated per-URL network RTT inside the
                                          # fetch actor (crawling is latency-bound; this
                                          # is what makes throughput scale with

@@ -28,6 +28,13 @@ NARROW = ["url_canon", "url_hash", "host", "round", "seq", "image_id",
 
 def read_records(records_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     files = sorted(str(p) for p in Path(records_dir).glob("round=*/part-*.parquet"))
+    if not files:
+        # fail clearly, not with Ray's empty-path ValueError deep in a task:
+        # every gather entry point and the CLI route through here
+        raise FileNotFoundError(
+            f"no crawl records under {records_dir!r} "
+            "(expected round=*/part-*.parquet — has the crawl run?)"
+        )
     return rd.read_parquet(files, columns=columns or NARROW)
 
 

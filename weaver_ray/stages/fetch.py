@@ -78,7 +78,12 @@ class FetchStage:
         prio = batch.column("priority").to_numpy(zero_copy_only=False)
         seqs = batch.column("seq").to_numpy(zero_copy_only=False)
 
-        allowed, wait_s = self.politeness.schedule(hosts, paths, prio, seqs)
+        # batch key = (round, first seq): a RETRIED task re-presents the same
+        # key and gets the cached slot assignment — host clocks and stats
+        # advance exactly once per logical batch
+        bkey = (int(batch.column("round")[0].as_py()), int(seqs.min()))
+        allowed, wait_s = self.politeness.schedule(hosts, paths, prio, seqs,
+                                                   batch_key=bkey)
 
         # fetch in deadline order, coarse windows; each window is one
         # vectorized corpus take

@@ -16,10 +16,16 @@ rows is processed in ``(priority desc, seq asc)`` order per host (the
 min-heap discipline) and returns, per row: allowed?, and the wait (seconds)
 until that row's assigned slot.
 
-``delay_scale`` scales the *enforced sleep* without changing the logical
-schedule, so tests run instantly while the bench makes politeness waits the
-dominant cost (the N->4N scaling measurement then measures scheduling, not
-the sandbox's single CPU — BASELINE.md §3).
+``delay_scale`` scales the crawl delay itself (and therefore every wait and
+the host clock): the robots decisions, host grouping and (priority, seq)
+slot ORDER are delay-independent, so with scale 0 tests exercise the full
+decision logic with all waits degenerate to zero, while the bench can turn
+real delays on to make politeness waits the dominant cost.
+
+Retry safety: ``schedule`` is idempotent per (round, first-seq) batch key —
+a retried fetch task re-presents its batch and receives the CACHED slot
+assignment instead of advancing the host clocks (and stats counters) a
+second time.
 """
 
 from __future__ import annotations
@@ -45,6 +51,12 @@ class PolitenessShard:
         self.robots_fetches = 0
         self.denied_total = 0
         self.scheduled_total = 0
+        # batch_key -> cached response: a RETRIED fetch task re-presents the
+        # same (round, first_seq) batch and must get the original slots back
+        # instead of advancing host clocks / counters twice.  Bounded: one
+        # entry per batch per round, cleared when the round advances.
+        self._batch_memo: dict[tuple, dict] = {}
+        self._memo_round: int | None = None
 
     def _host_state(self, host: str) -> dict:
         st = self.hosts.get(host)
@@ -56,24 +68,36 @@ class PolitenessShard:
             st = {
                 "rules": rules,
                 "delay_s": (rules.crawl_delay_s or 0.0) * self.delay_scale,
-                "next_free": 0.0,  # relative virtual clock, epoch = first use
-                "epoch0": time.monotonic(),
+                # host clock: starts at 0 and is pulled onto the absolute
+                # monotonic timeline by max(next_free, now) on first use
+                "next_free": 0.0,
             }
             self.hosts[host] = st
         return st
 
     def schedule(self, hosts: list[str], paths: list[str],
-                 priorities: np.ndarray, seqs: np.ndarray) -> dict:
+                 priorities: np.ndarray, seqs: np.ndarray,
+                 batch_key: tuple | None = None) -> dict:
         """Vector request: for each row, robots-check then assign a fetch
-        slot on the host's virtual clock in (priority desc, seq asc) order.
+        slot on the host's clock in (priority desc, seq asc) order.
 
         Returns {"allowed": bool[n], "wait_s": float[n]} — wait_s is how long
         the *caller* should sleep before performing row i's fetch so that
-        per-host min-intervals hold.
+        per-host min-intervals hold.  ``batch_key`` (round, first_seq, shard
+        slice id) makes the call idempotent under task retries.
         """
         n = len(hosts)
         allowed = np.ones(n, dtype=bool)
         wait_s = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return {"allowed": allowed, "wait_s": wait_s}
+        if batch_key is not None:
+            if self._memo_round != batch_key[0]:
+                self._memo_round = batch_key[0]
+                self._batch_memo = {}  # memory bounded by one round
+            cached = self._batch_memo.get(batch_key)
+            if cached is not None:
+                return cached
         now = time.monotonic()
         # group rows by host (vectorized robots check + slot arithmetic per
         # host); within a host, slots go in (priority desc, seq asc) order —
@@ -99,7 +123,10 @@ class PolitenessShard:
                 wait_s[kept] = slots - now
                 st["next_free"] = base + st["delay_s"] * k
                 self.scheduled_total += k
-        return {"allowed": allowed, "wait_s": wait_s}
+        resp = {"allowed": allowed, "wait_s": wait_s}
+        if batch_key is not None:
+            self._batch_memo[batch_key] = resp
+        return resp
 
     def stats(self) -> dict:
         return {
@@ -111,9 +138,10 @@ class PolitenessShard:
         }
 
     def serialize(self) -> dict:
-        """Checkpoint: host clocks are relative, so only counters + the set
-        of warmed hosts survive (robots re-parse on restore is cheap and the
-        fixture is deterministic)."""
+        """Checkpoint: host clocks live on this process's monotonic timeline
+        and are meaningless to a restored process, so only counters + the
+        set of warmed hosts survive (robots re-parse on restore is cheap and
+        the fixture is deterministic)."""
         return {
             "shard_id": self.shard_id,
             "hosts": list(self.hosts.keys()),
@@ -147,7 +175,8 @@ class PolitenessView:
         self.num_shards = num_shards
 
     def schedule(self, hosts: list[str], paths: list[str],
-                 priorities: np.ndarray, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                 priorities: np.ndarray, seqs: np.ndarray,
+                 batch_key: tuple | None = None) -> tuple[np.ndarray, np.ndarray]:
         n = len(hosts)
         allowed = np.ones(n, dtype=bool)
         wait_s = np.zeros(n, dtype=np.float64)
@@ -158,9 +187,10 @@ class PolitenessView:
         for s in range(self.num_shards):
             sel = np.flatnonzero(shard_ids == s)
             if len(sel):
+                key = batch_key + (s,) if batch_key is not None else None
                 futs.append(self.shards[s].schedule.remote(
                     [hosts[i] for i in sel], [paths[i] for i in sel],
-                    np.asarray(priorities)[sel], np.asarray(seqs)[sel]))
+                    np.asarray(priorities)[sel], np.asarray(seqs)[sel], key))
                 slices.append(sel)
         for fut, sel in zip(futs, slices):
             res = ray.get(fut)
