@@ -45,11 +45,14 @@ def _crawl_result(sf_dir: str):
         from weaver_ray.config import CrawlConfig
         from weaver_ray.pipelines.crawl import crawl
 
-        cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
+        # corpus size overridable so the parity battery can be exercised at
+        # a second scale (tools/check_oracle.py --crawl-corpus=10000)
+        corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
+        cfg = CrawlConfig(corpus_size=corpus, max_rounds=3, num_seen_shards=4,
                           num_politeness_shards=2, fetch_concurrency=2,
                           distributed=True)
         _CRAWL_CACHE["cfg"] = cfg
-        _CRAWL_CACHE["res"] = crawl(cfg, "/tmp/weaver_query_crawl")
+        _CRAWL_CACHE["res"] = crawl(cfg, f"/tmp/weaver_query_crawl_{corpus}")
     return _CRAWL_CACHE["res"]
 
 
@@ -302,6 +305,137 @@ def _fingerprint_sql(k: int = 8, window: int = 16) -> str:
     """
 
 
+# --------------------------------------------------------- minhash SQL oracle
+# splitmix64 in DuckDB: UBIGINT multiplication overflow RAISES (no wrap), so
+# x*y mod 2^64 is reconstructed from 32-bit halves — every intermediate stays
+# strictly below 2^64 (proof per term in the helpers).  Each splitmix
+# application is a chain of tiny CTE stages so macro-free expressions stay
+# linear in size (nesting them textually would blow up exponentially).
+
+_M32 = (1 << 32) - 1
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+
+
+def _umul64(x: str, c: int) -> str:
+    """(x * c) mod 2^64 for UBIGINT column x, Python-int constant c.
+    lo = (x&M)*clo < 2^64; carry terms each < 2^32, their sum < 2^34;
+    (hi&M)<<32 + (lo&M) <= 2^64-1 — all UBIGINT-safe."""
+    clo, chi = c & _M32, c >> 32
+    m = f"{_M32}::UBIGINT"  # mask as UBIGINT so no op demotes to BIGINT
+    # "* 2^32" instead of "<< 32": DuckDB's UBIGINT left shift raises a
+    # spurious overflow even when the result fits in 64 bits
+    lo = f"(({x} & {m}) * {clo}::UBIGINT)"
+    return (f"((((({lo} >> 32) + ((({x} >> 32) * {clo}::UBIGINT) & {m})"
+            f" + ((({x} & {m}) * {chi}::UBIGINT) & {m})) & {m}) * 4294967296::UBIGINT)"
+            f" + ({lo} & {m}))")
+
+
+def _uadd64(x: str, c: int) -> str:
+    """(x + c) mod 2^64, same 32-bit-split scheme."""
+    clo, chi = c & _M32, c >> 32
+    m = f"{_M32}::UBIGINT"
+    losum = f"(({x} & {m}) + {clo}::UBIGINT)"
+    return (f"((((({x} >> 32) + {chi}::UBIGINT + ({losum} >> 32)) & {m})"
+            f" * 4294967296::UBIGINT) + ({losum} & {m}))")
+
+
+def _emit_sm64(ctes: list, cur: str, x: str, out: str, keep: str) -> str:
+    """Append CTE stages computing out = splitmix64(x); returns final CTE."""
+    n = len(ctes)
+    names = [f"sm{n}_{k}" for k in "abcdef"]
+    steps = [
+        f"{_uadd64(x, _SM_GOLDEN)} AS z0",
+        "xor(z0, z0 >> 30) AS y1",
+        f"{_umul64('y1', _SM_C1)} AS z1",
+        "xor(z1, z1 >> 27) AS y2",
+        f"{_umul64('y2', _SM_C2)} AS z2",
+        f"xor(z2, z2 >> 31) AS {out}",
+    ]
+    for name, step in zip(names, steps):
+        ctes.append(f"{name} AS (SELECT {keep}, {step} FROM {cur})")
+        cur = name
+        keep_cols = [c.strip() for c in keep.split(",")]
+        new_col = step.rsplit(" AS ", 1)[1]
+        keep = ", ".join(keep_cols + [new_col])
+    # final stage carries keep-cols + out; callers select what they need
+    return cur
+
+
+def _minhash_sql(jaccard_threshold: float = 0.5) -> str:
+    """Exact DuckDB reconstruction of minhash_lsh_pairs: md5 token hashes ->
+    3-gram shingles (two splitmix64 folds) -> 64 minhashes (splitmix64 of
+    shingle xor seed, min per seed) -> 16x4 band hashes (three splitmix64
+    folds) -> band-bucket candidates -> exact shingle-set Jaccard verify.
+    Mirrors weaver_ray/pipelines/dedup.py constants exactly; seeds are the
+    engine's _SEEDS inlined as literals."""
+    from weaver_ray.pipelines.dedup import _SEEDS
+
+    ctes: list[str] = [
+        r"doc0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t0"
+        " FROM documents)",
+        # pad to >= 3 tokens with '~' (engine's SQL-safe pad token)
+        "doc1 AS (SELECT doc_id, list_concat(t0,"
+        " list_transform(range(3 - len(t0)), x -> '~')) AS ts FROM doc0)",
+        "pos AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM doc1)",
+        "th AS (SELECT doc_id, i,"
+        " ('0x' || substr(md5(ts[i + 1]), 1, 16))::UBIGINT AS h FROM pos)",
+        "win AS (SELECT a.doc_id, a.i, a.h AS h0, b.h AS h1, c.h AS h2"
+        " FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1"
+        " JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2)",
+        "w0 AS (SELECT doc_id, i, h2, xor(h0, h1) AS x0 FROM win)",
+    ]
+    cur = _emit_sm64(ctes, "w0", "x0", "acc1", "doc_id, i, h2")
+    ctes.append(f"w1 AS (SELECT doc_id, i, xor(acc1, h2) AS x1 FROM {cur})")
+    cur = _emit_sm64(ctes, "w1", "x1", "sgl", "doc_id, i")
+    ctes.append(f"sh AS (SELECT DISTINCT doc_id, sgl AS s FROM {cur})")
+    seed_rows = ", ".join(f"({i}, {int(s)}::UBIGINT)"
+                          for i, s in enumerate(_SEEDS))
+    ctes.append(f"seeds AS (SELECT * FROM (VALUES {seed_rows}) AS t(si, seed))")
+    ctes.append("mix0 AS (SELECT sh.doc_id, seeds.si, xor(sh.s, seeds.seed) AS mx"
+                " FROM sh CROSS JOIN seeds)")
+    cur = _emit_sm64(ctes, "mix0", "mx", "mh", "doc_id, si")
+    ctes.append(f"sig AS (SELECT doc_id, si, min(mh) AS m FROM {cur}"
+                " GROUP BY doc_id, si)")
+    ctes.append(
+        "bandrows AS (SELECT doc_id, si // 4 AS band_id,"
+        " max(CASE WHEN si % 4 = 0 THEN m END) AS b0,"
+        " max(CASE WHEN si % 4 = 1 THEN m END) AS b1,"
+        " max(CASE WHEN si % 4 = 2 THEN m END) AS b2,"
+        " max(CASE WHEN si % 4 = 3 THEN m END) AS b3"
+        " FROM sig GROUP BY doc_id, si // 4)"
+    )
+    ctes.append("f0 AS (SELECT doc_id, band_id, b2, b3, xor(b0, b1) AS fx0"
+                " FROM bandrows)")
+    cur = _emit_sm64(ctes, "f0", "fx0", "fh1", "doc_id, band_id, b2, b3")
+    ctes.append(f"f1 AS (SELECT doc_id, band_id, b3, xor(fh1, b2) AS fx1 FROM {cur})")
+    cur = _emit_sm64(ctes, "f1", "fx1", "fh2", "doc_id, band_id, b3")
+    ctes.append(f"f2 AS (SELECT doc_id, band_id, xor(fh2, b3) AS fx2 FROM {cur})")
+    cur = _emit_sm64(ctes, "f2", "fx2", "bh", "doc_id, band_id")
+    ctes.append(
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM {cur} a JOIN {cur} b"
+        " ON a.band_id = b.band_id AND a.bh = b.bh AND b.doc_id > a.doc_id)"
+    )
+    ctes.append("scount AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)")
+    ctes.append(
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni FROM cand c"
+        " JOIN sh sa ON sa.doc_id = c.doc_a"
+        " JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s"
+        " GROUP BY c.doc_a, c.doc_b)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+               round(ni::DOUBLE / (ca.ns + cb.ns - ni), 6) AS jaccard
+        FROM inter i JOIN scount ca ON ca.doc_id = i.doc_a
+                     JOIN scount cb ON cb.doc_id = i.doc_b
+        WHERE ni::DOUBLE / (ca.ns + cb.ns - ni) >= {jaccard_threshold}
+        """
+    )
+
+
 _SIMHASH_SQL = r"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
@@ -340,6 +474,9 @@ def oracle_sql() -> dict[str, str]:
         # banded engine output equals brute force exactly for hamming<=3
         # (pigeonhole over 4x16-bit bands)
         "simhash_pairs": _SIMHASH_SQL,
+        # minhash: splitmix64 rebuilt in SQL from 32-bit halves (no UBIGINT
+        # overflow), md5 token hashes, seeds inlined — exact engine parity
+        "minhash_lsh_pairs": _minhash_sql(),
         "langid_counts": _langid_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         "q1_pricing_summary": f"""

@@ -2,6 +2,10 @@
 its oracle_sql() under DuckDB (row count + column names + sorted values).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --crawl-corpus=10000
+           (runs ONLY the crawl_oracle_parity battery against the
+            independent simulator at that corpus size — exercises the
+            parity verdict beyond the default memoized 1k crawl)
 """
 
 from __future__ import annotations
@@ -56,6 +60,24 @@ def main() -> None:
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
     from weaver_ray.pipelines.common import to_table
+
+    crawl_sizes = [int(a.split("=")[1]) for a in sys.argv[1:]
+                   if a.startswith("--crawl-corpus=")]
+    if crawl_sizes:
+        import os
+
+        failures = 0
+        for size in crawl_sizes:
+            os.environ["WEAVER_QUERY_CRAWL_CORPUS"] = str(size)
+            entrymod._CRAWL_CACHE.clear()
+            row = entrymod._crawl_oracle_parity("unused").iloc[0].to_dict()
+            ok = all(bool(row[k]) for k in
+                     ("seen_equal", "order_equal", "fetched_equal", "records_equal"))
+            print(f"crawl_oracle_parity@{size:6d}  "
+                  f"{'OK' if ok else 'MISMATCH'}  {row}")
+            failures += 0 if ok else 1
+        ray.shutdown()
+        sys.exit(1 if failures else 0)
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.001"
     only = set(sys.argv[2:]) if len(sys.argv) > 2 else None

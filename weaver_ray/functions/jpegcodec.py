@@ -342,7 +342,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+        # skip them so a padded stream isn't read as marker=0xFF + garbage length
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
+        if marker == 0x00:  # stuffed byte, not a marker (shouldn't appear
+            pos += 2        # in the header segment area, but be safe)
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone

@@ -85,21 +85,37 @@ def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
     return plan, spread
 
 
-# per-worker-process cache of the CURRENT round's LPT plan: one slot,
-# replaced when the round's ref changes (same shape as seen._BLOOM_CACHE) —
-# the generic ref-keyed broadcast cache would retain every past round's plan
-# for the life of the worker process
-_PLAN_CACHE: dict[str, tuple] = {}
+# --- exact fetch-routing exchange (identity partitioning) -------------------
+# Ray's key repartition places rows at hash(key) % P: with P distinct LPT
+# part ids over P partitions, ~1/e of output blocks end up EMPTY and others
+# hold 2-3 merged parts (balls-in-bins).  A merged block becomes ONE fetch
+# task that works its parts' latency budget serially — measured 73 s vs the
+# ~47 s ideal on the bench round.  The two-stage exchange below routes part
+# i to output block i exactly: split each frontier block by LPT part
+# (zero-copy take+slice), then concat per part.  num_cpus=0 on both stages —
+# they do microseconds of work and must never compete with the
+# CPU-reserving fetch pool for slots (observed deadlock class, see below).
 
 
-def _plan_from_ref(ref):
-    key = ref.hex() if hasattr(ref, "hex") else str(ref)
-    cached = _PLAN_CACHE.get("plan")
-    if cached is not None and cached[0] == key:
-        return cached[1]
-    val = ray.get(ref)
-    _PLAN_CACHE["plan"] = (key, val)
-    return val
+@ray.remote(num_cpus=0)
+def _route_block(t: pa.Table, plan_spread, num_parts: int) -> list[pa.Table]:
+    plan, spread = plan_spread
+    hosts = t.column("host").to_pylist()
+    seqs = t.column("seq").to_numpy(zero_copy_only=False)
+    parts = np.fromiter(
+        (plan[(h, int(s) % spread[h])] for h, s in zip(hosts, seqs)),
+        dtype=np.int64, count=t.num_rows,
+    )
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    tt = t.take(pa.array(order))
+    return [tt.slice(bounds[p], bounds[p + 1] - bounds[p])
+            for p in range(num_parts)]
+
+
+@ray.remote(num_cpus=0)
+def _concat_part(*tables: pa.Table) -> pa.Table:
+    return pa.concat_tables(tables).combine_chunks()
 
 
 def _dedup_within_round_block(t: pa.Table) -> pa.Table:
@@ -176,28 +192,28 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
     plan, spread = _lpt_plan(host_counts, num_fetch_parts)
     plan_ref = ray.put((plan, spread))
 
-    def assign_part(t: pa.Table) -> pa.Table:
-        plan, spread = _plan_from_ref(plan_ref)
-        hosts = t.column("host").to_pylist()
-        seqs = t.column("seq").to_numpy(zero_copy_only=False)
-        parts = np.fromiter(
-            (plan[(h, int(s) % spread[h])] for h, s in zip(hosts, seqs)),
-            dtype=np.int64, count=t.num_rows,
-        )
-        return t.append_column("fetch_part", pa.array(parts))
-
-    # narrow bookkeeping stages take num_cpus=0: a fixed-size fetch pool
-    # sized to the whole cluster would otherwise starve its own upstream
-    # (assign_part could never get a CPU to PRODUCE the pool's input —
-    # observed deadlock); these stages do microseconds of work per block
-    f2 = frontier_ds.map_batches(assign_part, batch_format="pyarrow", num_cpus=0)
-    # materialize the repartitioned NARROW frontier to the object store
-    # before the fetch pipeline: a fixed-size fetch pool sized to the whole
-    # cluster deadlocks against any CPU-consuming upstream in the same
-    # pipeline (the pool holds every CPU while waiting for input the
-    # shuffle-map tasks can never get a CPU to produce).  Frontier rows are
-    # ~100 bytes each; the object store spills if a round is huge.
-    f3 = f2.repartition(num_fetch_parts, keys=["fetch_part"]).materialize()
+    # exact exchange (identity routing, see _route_block): the NARROW
+    # frontier moves as zero-copy Arrow slices through the object store;
+    # output block i == LPT fetch part i, so the fetch pool sees evenly
+    # loaded single-part tasks.  All exchange tasks are num_cpus=0: a
+    # fixed-size fetch pool sized to the whole cluster deadlocks against
+    # any CPU-consuming upstream in the same pipeline (the pool holds every
+    # CPU while waiting for input the exchange could never get a CPU to
+    # produce).  Frontier rows are ~100 bytes each; the object store spills
+    # if a round is huge.
+    in_refs = frontier_ds.to_arrow_refs()
+    routed = [
+        _route_block.options(num_returns=num_fetch_parts).remote(
+            ref, plan_ref, num_fetch_parts)
+        for ref in in_refs
+    ]
+    if num_fetch_parts == 1:  # num_returns=1 yields a bare ref, not a list
+        routed = [[r] for r in routed]
+    part_refs = [
+        _concat_part.remote(*[blocks[p] for blocks in routed])
+        for p in range(num_fetch_parts)
+    ]
+    f3 = rd.from_arrow_refs(part_refs)
 
     # 2. dedup -> fetch -> children, exactly the shared stages
     # dedup is RPC-bound (bloom check + shard calls): num_cpus=0 so it can
@@ -216,11 +232,9 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
             "n_hosts": cfg.n_hosts,
             "fail_marker_dir": cfg.extra.get("fail_marker_dir"),
         },
-        # cap-sized batches, NOT one batch per block: the key repartition
-        # hashes fetch_part values, so distinct LPT partitions can collide
-        # into one merged block (observed on Ray 2.49, ~1/e of partitions
-        # empty by balls-in-bins); bounding the batch size re-splits merged
-        # blocks so no fetch actor serially works two partitions' slots
+        # cap-sized batches: blocks are exact LPT parts now, but an LPT bin
+        # can exceed the cap by up to one chunk — the bound re-splits such a
+        # bin so no single __call__ works a double-length latency budget
         batch_size=max(1, -(-total_rows // num_fetch_parts)),
         batch_format="pyarrow",
         concurrency=cfg.fetch_concurrency, num_cpus=cfg.fetch_num_cpus,
@@ -340,13 +354,12 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         for d in (records_dir, out / "seen"):  # "seen" dir: legacy layout
             if d.exists():
                 shutil.rmtree(d)
-        # a FRESH run always starts from an empty checkpoint dir — explicit
+        # a FRESH run always starts with no checkpoint artifacts — explicit
         # checkpoint_dir included: stale COMMIT markers / shard snapshots
         # from an earlier run would otherwise be loaded by a later resume as
-        # if they belonged to this run
-        if Path(ckpt.dir).exists():
-            shutil.rmtree(ckpt.dir)
-        ckpt = CheckpointManager(str(ckpt.dir))
+        # if they belonged to this run.  Only KNOWN artifact filenames are
+        # deleted — a user-supplied dir holding unrelated files is preserved.
+        ckpt.clear()
         frontier = seed_frontier(cfg.n_seeds, cfg.n_hosts)
     records_dir.mkdir(parents=True, exist_ok=True)
 

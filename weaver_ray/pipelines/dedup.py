@@ -68,7 +68,10 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     hash triples)."""
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < n:
-        toks = toks + ["\x00"] * (n - len(toks))
+        # pad token "~": never produced by \w+ (no collision with a real
+        # token) and SQL-safe, so the DuckDB oracle can reproduce the pad
+        # (a NUL pad char doesn't round-trip through VARCHAR literals)
+        toks = toks + ["~"] * (n - len(toks))
     th = _stable_token_hashes(toks)
     # combine n consecutive token hashes
     acc = th[: len(th) - n + 1].copy()
@@ -104,13 +107,37 @@ def _band_rows(doc_ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
-                      broadcast_threshold: int = 100_000) -> pd.DataFrame:
+def _empty_pairs_ds(schema: dict) -> rd.Dataset:
+    return rd.from_pandas(pd.DataFrame(
+        {c: pd.Series([], dtype=t) for c, t in schema.items()}))
+
+
+def _pairs_to_pandas(ds: rd.Dataset, sort_cols: list[str],
+                     schema: dict) -> pd.DataFrame:
+    """Query shim ONLY: collect a (bounded) pair/label result set to pandas
+    for the queries()/oracle contract.  The pipelines themselves return
+    Datasets — a 100-TB dedup pass calls ``.write_parquet()`` on the
+    ``*_ds`` variant instead of collecting anything.
+
+    ``schema`` (col -> numpy dtype) pins both the all-empty case (Ray's
+    to_pandas drops the schema of an all-empty Dataset) and integer dtypes
+    that a groupby/shuffle may have widened to object/float."""
+    df = ds.to_pandas()
+    if df.empty and list(df.columns) != list(schema):  # 0-column empty frame
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema.items()})
+    for c, t in schema.items():
+        df[c] = df[c].astype(t)
+    return df[list(schema)].sort_values(sort_cols).reset_index(drop=True)
+
+
+def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
+                         broadcast_threshold: int = 100_000) -> rd.Dataset:
     """Candidate pairs from LSH banding, verified with exact shingle-set
-    Jaccard.  Verification broadcasts the shingle map (ray.put) while the
-    CORPUS is small (< broadcast_threshold docs — the map's size scales
-    with docs, not candidates); larger corpora use the bucketed join of
-    pairs against shingles on doc_id."""
+    Jaccard — returned as a Dataset (doc_a, doc_b, jaccard); nothing is
+    driver-materialized.  Verification broadcasts the shingle map (ray.put)
+    while the CORPUS is small (< broadcast_threshold docs — the map's size
+    scales with docs, not candidates); larger corpora use the bucketed join
+    of pairs against shingles on doc_id."""
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
     def sig_batch(df: pd.DataFrame) -> pa.Table:
@@ -140,9 +167,8 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     )
     n_cand = cand.count()
     if n_cand == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
+        return _empty_pairs_ds({"doc_a": np.int64, "doc_b": np.int64,
+                                "jaccard": np.float64})
 
     def _jaccard_rows(df: pd.DataFrame) -> pd.DataFrame:
         jac = []
@@ -183,7 +209,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                            sh_b=[sm[int(b)] for b in df["doc_b"]])
             return _jaccard_rows(df)
 
-        verified = cand.map_batches(verify, batch_format="pandas").to_pandas()
+        return cand.map_batches(verify, batch_format="pandas")
     else:
         # scale path: two bucketed joins of candidates vs shingles — nothing
         # is driver-materialized except the final verified pairs.  Shingle
@@ -209,16 +235,28 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         j2 = hash_join(j1, sh_b, on="doc_b",
                        lcols=["doc_a", "doc_b", "sh_a"], rcols=["doc_b", "sh_b"],
                        post=_jaccard_rows)
-        verified = j2.to_pandas()
-    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return j2
 
 
-def ngram_jaccard_pairs(sf_dir: str, band: int = 50, threshold: float = 0.2,
-                        bucket: int = 200) -> pd.DataFrame:
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
+                      broadcast_threshold: int = 100_000) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`minhash_lsh_pairs_ds`."""
+    return _pairs_to_pandas(
+        minhash_lsh_pairs_ds(sf_dir, jaccard_threshold, broadcast_threshold),
+        ["doc_a", "doc_b"],
+        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64})
+
+
+def ngram_jaccard_pairs_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
+                           bucket: int = 200) -> rd.Dataset:
     """Token-set Jaccard over doc_id-banded candidate pairs (|a-b| <= band):
     the n-gram-Jaccard dedup operator with an exact DuckDB oracle
     (list_intersect over list_distinct(regexp_extract_all)).  Same
-    bucket+ghost range-join topology as the embedding variant."""
+    bucket+ghost range-join topology as the embedding variant.  Returns a
+    Dataset of (doc_a, doc_b, jaccard); the ghost scheme emits every
+    qualifying pair in EXACTLY one bucket (anchor = non-ghost row; the
+    partner is either native to the same bucket or ghost-replicated into
+    it, never both), so no cross-bucket dedup pass is needed."""
     bucket = max(bucket, band)
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
@@ -259,16 +297,20 @@ def ngram_jaccard_pairs(sf_dir: str, band: int = 50, threshold: float = 0.2,
                              "doc_b": np.asarray(out_b, np.int64),
                              "jaccard": np.asarray(out_j, np.float64)})
 
-    out = (
-        tagged.groupby("bucket").map_groups(pairs, batch_format="pandas")
-        .to_pandas().drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    )
-    return out
+    return tagged.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
-def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
-                     bucket: int = 200, max_iters: int = 25) -> pd.DataFrame:
+def ngram_jaccard_pairs(sf_dir: str, band: int = 50, threshold: float = 0.2,
+                        bucket: int = 200) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`ngram_jaccard_pairs_ds`."""
+    return _pairs_to_pandas(
+        ngram_jaccard_pairs_ds(sf_dir, band, threshold, bucket),
+        ["doc_a", "doc_b"],
+        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64})
+
+
+def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
+                        bucket: int = 200, max_iters: int = 25) -> rd.Dataset:
     """Connected components over the n-gram-Jaccard near-dup graph:
     ``cluster_id`` = smallest doc_id reachable through near-dup pairs (the
     canonical representative a dedup pass would keep).
@@ -281,8 +323,12 @@ def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
     jumping makes convergence O(log diameter) instead of O(diameter) — a
     5000-doc chain converges in ~8 iterations, not ~100.  Convergence is
     detected by the (cheap) global label sum.  Exact DuckDB oracle via a
-    recursive transitive-closure CTE over the same pair predicate."""
-    edges_df = ngram_jaccard_pairs(sf_dir, band, threshold, bucket)[["doc_a", "doc_b"]]
+    recursive transitive-closure CTE over the same pair predicate.
+
+    Returns a Dataset of (doc_id, cluster_id) — one row per document, which
+    at 100 TB is itself large, so the result NEVER touches the driver here;
+    sink it with ``.write_parquet()`` or collect via the query shim."""
+    pairs_ds = ngram_jaccard_pairs_ds(sf_dir, band, threshold, bucket)
     docs = load(sf_dir, "documents", ["doc_id"])
     labels = docs.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
@@ -290,17 +336,28 @@ def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
         batch_format="pandas",
     ).materialize()
 
-    if edges_df.empty:
-        out = labels.to_pandas()
-        return (out.rename(columns={"label": "cluster_id"})
-                   .sort_values("doc_id").reset_index(drop=True))
+    def _as_clusters(ds: rd.Dataset) -> rd.Dataset:
+        return ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64),
+                 "cluster_id": df["label"].to_numpy(np.int64)}),
+            batch_format="pandas",
+        )
 
-    # both directions: a proposal flows across each edge either way
-    e = pd.concat([
-        edges_df.rename(columns={"doc_a": "src", "doc_b": "dst"}),
-        edges_df.rename(columns={"doc_b": "src", "doc_a": "dst"}),
-    ], ignore_index=True).astype(np.int64)
-    edges = rd.from_pandas(e)
+    # both directions (a proposal flows across each edge either way);
+    # materialized ONCE to the object store — every propagation iteration
+    # joins against it, and an unmaterialized edge set would re-run the
+    # whole pair pipeline per iteration
+    edges = pairs_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": np.concatenate([df["doc_a"].to_numpy(np.int64),
+                                    df["doc_b"].to_numpy(np.int64)]),
+             "dst": np.concatenate([df["doc_b"].to_numpy(np.int64),
+                                    df["doc_a"].to_numpy(np.int64)])}),
+        batch_format="pandas",
+    ).materialize()
+    if edges.count() == 0:
+        return _as_clusters(labels)
 
     from .common import hash_join, partial_groupby
 
@@ -338,10 +395,15 @@ def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
             break
         prev_sum = s
 
-    out = labels.to_pandas()
-    out["doc_id"] = out["doc_id"].astype(np.int64)
-    out["cluster_id"] = out["label"].astype(np.int64)
-    return out[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(drop=True)
+    return _as_clusters(labels)
+
+
+def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
+                     bucket: int = 200, max_iters: int = 25) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`neardup_clusters_ds`."""
+    return _pairs_to_pandas(
+        neardup_clusters_ds(sf_dir, band, threshold, bucket, max_iters),
+        ["doc_id"], {"doc_id": np.int64, "cluster_id": np.int64})
 
 
 # ------------------------------------------------------------------ simhash
@@ -360,7 +422,7 @@ def simhash64(text: str) -> int:
     return int(sig)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_pairs_ds(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4x16-bit band blocking (two signatures within
     hamming<=3 of 64 bits must agree exactly on >=1 of 4 bands — pigeonhole,
     so banding loses NOTHING and the output equals brute-force all-pairs),
@@ -416,19 +478,21 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         emit, batch_format="pandas")
     # cross-band dedup stays distributed: same (doc_a, doc_b) found by
     # several agreeing bands collapses to one row inside its group
-    deduped = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas")
-    out = deduped.to_pandas()
-    if out.empty:
-        return pd.DataFrame(_EMPTY)
-    out["hamming"] = out["hamming"].astype(np.int64)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`simhash_pairs_ds`."""
+    return _pairs_to_pandas(
+        simhash_pairs_ds(sf_dir, max_hamming), ["doc_a", "doc_b"],
+        {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
 
 
 # ------------------------------------------------------------------ embedding banded near-dup
 
-def embedding_near_dup_pairs(sf_dir: str, band: int = 100, threshold: float = 0.25,
-                             bucket: int = 400) -> pd.DataFrame:
+def embedding_near_dup_pairs_ds(sf_dir: str, band: int = 100, threshold: float = 0.25,
+                                bucket: int = 400) -> rd.Dataset:
     """Range self-join: pairs with vec_id difference in [1, band] and cosine
     > threshold.  Partitioning assumption: rows bucket by vec_id // bucket
     with bucket >= band, so a qualifying pair spans at most adjacent
@@ -464,12 +528,14 @@ def embedding_near_dup_pairs(sf_dir: str, band: int = 100, threshold: float = 0.
             {"vec_a": vid[a][keep].astype(np.int64), "vec_b": vid[b][keep].astype(np.int64)}
         )
 
-    out = (
-        tagged.groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
-    )
-    return out
+    # exactly-once by the ghost construction (docstring) — no dedup pass
+    return tagged.groupby("bucket").map_groups(pairs_in_bucket,
+                                               batch_format="pandas")
+
+
+def embedding_near_dup_pairs(sf_dir: str, band: int = 100, threshold: float = 0.25,
+                             bucket: int = 400) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`embedding_near_dup_pairs_ds`."""
+    return _pairs_to_pandas(
+        embedding_near_dup_pairs_ds(sf_dir, band, threshold, bucket),
+        ["vec_a", "vec_b"], {"vec_a": np.int64, "vec_b": np.int64})

@@ -219,7 +219,11 @@ def _rolling_hashes(text: str, k: int = 8) -> np.ndarray:
     both numpy and the SQL oracle compute.  Windows are over UNICODE
     CODEPOINTS (utf-32 view), not utf-8 bytes, so window count and values
     match SQL's per-character length()/substr()/ascii() on any text."""
-    b = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    # errors="ignore": a lone surrogate must degrade (skip the bad char),
+    # not raise inside the map_batches task and fail the whole pipeline.
+    # (The SQL oracle sees only well-formed fixture text, so this choice
+    # never diverges on oracle inputs.)
+    b = np.frombuffer(text.encode("utf-32-le", "ignore"), dtype=np.uint32)
     if len(b) < k:
         return np.zeros(0, dtype=np.int64)
     coeff = np.array([pow(FP_BASE, k - 1 - j, FP_PRIME) for j in range(k)],

@@ -27,9 +27,11 @@ class DecodeImageStage:
         ok = np.zeros(batch.num_rows, dtype=bool)
         ph = np.zeros(batch.num_rows, dtype=np.int64)
         fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes")
+        # one to_pylist() per batch, not a per-row as_py(): per-row indexing
+        # re-enters Arrow's chunked-array resolution for every blob
+        blobs = batch.column("bytes").to_pylist()
         for i in range(batch.num_rows):
-            blob = blobs[i].as_py()
+            blob = blobs[i]
             if blob is None or fmts[i] not in ("png", "jpeg"):
                 continue
             px = decode_image(blob, fmts[i])
@@ -71,9 +73,9 @@ class ResizeImageStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs_out, ok = [], []
-        for i in range(batch.num_rows):
-            blob = batch.column("bytes")[i].as_py()
-            fmt = batch.column("fmt")[i].as_py()
+        blobs_in = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for blob, fmt in zip(blobs_in, fmts):
             if blob is None or fmt not in ("png", "jpeg"):
                 blobs_out.append(None)
                 ok.append(False)

@@ -176,6 +176,36 @@ class CheckpointManager:
             "summary": summary,
         }
 
+    # filename shapes this manager owns — clear() deletes ONLY these
+    _ARTIFACT_PATTERNS = (
+        "COMMIT_*.json", ".COMMIT_*.tmp", "frontier_after_round_*",
+        "seen_shard_*_round_*.npz", "politeness_round_*.json",
+        "lineage_round_*.parquet",
+    )
+
+    def clear(self) -> None:
+        """Remove this run's checkpoint artifacts for a FRESH start.
+
+        Deletes only filenames matching the known artifact shapes — never
+        the directory wholesale: a caller may point checkpoint_dir at a
+        directory that also holds unrelated files, and a fresh run must not
+        silently destroy them.  Unrecognized files are left in place (they
+        can't be mistaken for checkpoints by load_round / commit scans).
+        """
+        if not self.dir.exists():
+            self.dir.mkdir(parents=True, exist_ok=True)
+            return
+        seen: set[Path] = set()
+        for pat in self._ARTIFACT_PATTERNS:
+            for p in self.dir.glob(pat):
+                if p in seen:
+                    continue
+                seen.add(p)
+                if p.is_dir():
+                    shutil.rmtree(p)
+                else:
+                    p.unlink()
+
     def clean_uncommitted_records(self, records_root: str, committed: int | None) -> None:
         """Delete record dirs for rounds after the last commit (partial
         writes from a crashed run) so a resume rewrites them exactly once."""

@@ -51,10 +51,13 @@ class PolitenessShard:
         self.robots_fetches = 0
         self.denied_total = 0
         self.scheduled_total = 0
-        # batch_key -> cached response: a RETRIED fetch task re-presents the
-        # same (round, first_seq) batch and must get the original slots back
-        # instead of advancing host clocks / counters twice.  Bounded: one
-        # entry per batch per round, cleared when the round advances.
+        # batch_key -> cached (allowed, absolute slot timestamps): a RETRIED
+        # fetch task re-presents the same (round, first_seq) batch and must
+        # get the original slots back instead of advancing host clocks /
+        # counters twice.  Slots are cached ABSOLUTE (monotonic timestamps),
+        # so a late retry waits only until its original slot — not the full
+        # original delay again.  Bounded: one entry per batch per round,
+        # cleared when the round advances.
         self._batch_memo: dict[tuple, dict] = {}
         self._memo_round: int | None = None
 
@@ -97,8 +100,10 @@ class PolitenessShard:
                 self._batch_memo = {}  # memory bounded by one round
             cached = self._batch_memo.get(batch_key)
             if cached is not None:
-                return cached
+                return {"allowed": cached["allowed"],
+                        "wait_s": np.maximum(0.0, cached["slots"] - time.monotonic())}
         now = time.monotonic()
+        slot_ts = np.full(n, now, dtype=np.float64)  # absolute slot per row
         # group rows by host (vectorized robots check + slot arithmetic per
         # host); within a host, slots go in (priority desc, seq asc) order —
         # the min-heap discipline
@@ -121,12 +126,12 @@ class PolitenessShard:
                 base = max(st["next_free"], now)
                 slots = base + st["delay_s"] * np.arange(k, dtype=np.float64)
                 wait_s[kept] = slots - now
+                slot_ts[kept] = slots
                 st["next_free"] = base + st["delay_s"] * k
                 self.scheduled_total += k
-        resp = {"allowed": allowed, "wait_s": wait_s}
         if batch_key is not None:
-            self._batch_memo[batch_key] = resp
-        return resp
+            self._batch_memo[batch_key] = {"allowed": allowed, "slots": slot_ts}
+        return {"allowed": allowed, "wait_s": wait_s}
 
     def stats(self) -> dict:
         return {
@@ -220,4 +225,11 @@ class PolitenessPool:
         return ray.get([s.serialize.remote() for s in self.shards])
 
     def restore_shards(self, states: list[dict]) -> None:
-        ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
+        # route each state to the shard it came from by its own shard_id
+        # (mirrors SeenSet.restore_shards) — caller-side list ordering must
+        # never decide which shard's counters/robots cache a state warms
+        by_id = {int(st["shard_id"]): st for st in states}
+        assert sorted(by_id) == list(range(self.num_shards)), \
+            f"politeness checkpoint shard ids {sorted(by_id)} != 0..{self.num_shards - 1}"
+        ray.get([self.shards[i].restore.remote(by_id[i])
+                 for i in range(self.num_shards)])
