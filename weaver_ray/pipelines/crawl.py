@@ -19,6 +19,10 @@ service.  Per round r:
 Ray Data has no loop operator, so rounds are driven from here; the wide
 image-bytes path streams through the fetch stage and is sunk immediately —
 only narrow frontier rows cross the barrier (SURVEY.md §7.4.1/7.4.4).
+In distributed mode the barrier itself is a task-based sample-sort exchange
+over object-store refs (see the block comment above _split_by_hash): the
+same dedup->sort->seq semantics as the driver barrier, with only counts and
+boundary keys ever touching the driver.
 """
 
 from __future__ import annotations
@@ -118,12 +122,190 @@ def _concat_part(*tables: pa.Table) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks()
 
 
-def _dedup_within_round_block(t: pa.Table) -> pa.Table:
-    """Block-local within-round dedup (rows for one url_canon are co-located
-    by the key repartition).  Same rule and same implementation as the
-    driver-barrier path: parse.dedup_within_round (keep max-priority row per
-    canon, ties to min parent_hash)."""
-    return dedup_within_round(t)
+# --- task-based distributed barrier (dedup + sample sort + seq) -------------
+# The first distributed implementation expressed the round barrier as
+# ``children.repartition(k, keys).map_batches(dedup).sort(...)``.  Correct,
+# but the trace showed the actual shuffle/sort compute is MILLISECONDS while
+# the machinery costs ~20-30 s/round at bench size: each round paid a
+# hash-shuffle aggregator actor pool spin-up, a sort sample stage, and three
+# extra streaming-executor startups (host-count pass, sort pipeline,
+# materialize).  The barrier below is the same exchange topology hand-built
+# from num_cpus=0 tasks on object refs — zero actor pools, zero extra
+# Dataset executions:
+#   split each child block by hash(url_canon) -> k co-location parts
+#   -> per part: within-round dedup + local (priority desc, canon) sort +
+#      strided key sample (tiny)
+#   -> driver: pick k-1 range boundaries from the samples (metadata only)
+#   -> split each part at the boundaries -> merge+sort per range
+#   -> seq = global offset over ranges (counts to driver, tiny)
+# Every row moves driver-free through the object store, exactly like the
+# repartition+sort it replaces; boundary sampling only affects block
+# PLACEMENT, never content or order (url_canon is unique after dedup, so the
+# global key order is total and the ranges are disjoint).  At 10^10 scale k
+# rises with data volume (blocks should stay ~100 MB) and the O(k^2) split
+# objects stay metadata-sized.
+
+
+@ray.remote(num_cpus=0)
+def _split_by_hash(t: pa.Table, k: int) -> list[pa.Table]:
+    """Route rows to k co-location parts by url_hash (a deterministic
+    function of url_canon, so duplicate canons always meet)."""
+    if t.num_columns == 0 or t.num_rows == 0:
+        return [t] * k
+    h = t.column("url_hash").to_numpy(zero_copy_only=False)
+    parts = (h % np.uint64(k)).astype(np.int64)
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(k + 1))
+    tt = t.take(pa.array(order))
+    return [tt.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(k)]
+
+
+@ray.remote(num_cpus=0, num_returns=2)
+def _dedup_sort_sample(n_samples: int, *tables: pa.Table):
+    """Within-round dedup (same rule/impl as the driver barrier:
+    parse.dedup_within_round) + local (priority desc, url_canon) sort +
+    strided key sample for range-boundary selection."""
+    from ..schema import FRONTIER_SCHEMA
+
+    ts = [t for t in tables if t.num_columns > 0]
+    if not ts:
+        return FRONTIER_SCHEMA.empty_table(), {"count": 0, "samples": []}
+    t = pa.concat_tables(ts).combine_chunks()
+    t = dedup_within_round(t)
+    n = t.num_rows
+    if n == 0:
+        return t, {"count": 0, "samples": []}
+    prio = t.column("priority").to_numpy(zero_copy_only=False)
+    canon = np.asarray(t.column("url_canon").to_pylist(), dtype=object)
+    order = np.lexsort((canon, -prio))
+    t = t.take(pa.array(order))
+    stride = max(1, n // max(1, n_samples))
+    idx = np.arange(0, n, stride)
+    ps, cs = prio[order][idx], canon[order][idx]
+    samples = [(float(p), str(c)) for p, c in zip(ps, cs)]
+    return t, {"count": n, "samples": samples}
+
+
+@ray.remote(num_cpus=0)
+def _range_split(t: pa.Table, boundaries: list) -> list[pa.Table]:
+    """Split a locally-sorted part at the global range boundaries.  A row
+    equal to a boundary key goes RIGHT (bisect_left) in every part, so the
+    ranges partition the key space exactly."""
+    import bisect
+
+    nb = len(boundaries)
+    if t.num_rows == 0:
+        return [t] * (nb + 1)
+    prio = t.column("priority").to_numpy(zero_copy_only=False)
+    canon = t.column("url_canon").to_pylist()
+    keys = list(zip((-prio.astype(np.float64)).tolist(), canon))
+    cuts = [0] + [bisect.bisect_left(keys, (-float(bp), bc))
+                  for bp, bc in boundaries] + [t.num_rows]
+    return [t.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(nb + 1)]
+
+
+@ray.remote(num_cpus=0, num_returns=2)
+def _merge_range(*tables: pa.Table):
+    """Concat one range's slices from every part and sort locally — ranges
+    are globally ordered, so local order completes the global sort."""
+    t = pa.concat_tables(tables).combine_chunks()
+    if t.num_rows:
+        prio = t.column("priority").to_numpy(zero_copy_only=False)
+        canon = np.asarray(t.column("url_canon").to_pylist(), dtype=object)
+        order = np.lexsort((canon, -prio))
+        t = t.take(pa.array(order))
+    return t, t.num_rows
+
+
+@ray.remote(num_cpus=0, num_returns=2)
+def _seq_and_host_counts(t: pa.Table, offset: int, limit: int | None):
+    """seq = global offset (the crawl-order contract) + per-block host
+    value_counts — the tiny aggregate the next round's LPT plan needs, so no
+    separate host-count pass ever runs."""
+    import pyarrow.compute as pc
+
+    if limit is not None:
+        t = t.slice(0, max(0, limit - offset))
+    idx = t.schema.get_field_index("seq")
+    t = t.set_column(idx, "seq",
+                     pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64)))
+    vc = pc.value_counts(t.column("host"))
+    hc = dict(zip(vc.field("values").to_pylist(),
+                  (int(c) for c in vc.field("counts").to_pylist())))
+    return t, {"count": t.num_rows, "host_counts": hc}
+
+
+def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
+    """Round barrier over materialized child-block refs.  Returns
+    (frontier_refs in global (priority desc, url_canon) order with seq
+    assigned, row count, per-host counts).  Only counts, samples and
+    boundary keys touch the driver."""
+    if not child_refs:
+        return None, 0, {}
+    splits = [_split_by_hash.options(num_returns=k).remote(ref, k)
+              for ref in child_refs]
+    if k == 1:  # num_returns=1 yields a bare ref, not a list
+        splits = [[s] for s in splits]
+    part_refs, meta_refs = [], []
+    for p in range(k):
+        tref, mref = _dedup_sort_sample.remote(64, *[s[p] for s in splits])
+        part_refs.append(tref)
+        meta_refs.append(mref)
+    metas = ray.get(meta_refs)
+    if sum(m["count"] for m in metas) == 0:
+        return None, 0, {}
+    # boundaries: k-1 evenly-spaced keys from the pooled samples (sorted in
+    # global key order).  Sample keys are unique (canon is globally unique
+    # after the hash-split dedup), so boundaries are strictly increasing.
+    samples = sorted((-p, c) for m in metas for p, c in m["samples"])
+    nr = min(k, len(samples))
+    step = len(samples) / nr if nr else 1
+    boundaries = [(-samples[int(step * i)][0], samples[int(step * i)][1])
+                  for i in range(1, nr)]
+    rsplits = [_range_split.options(num_returns=len(boundaries) + 1)
+               .remote(tref, boundaries) for tref in part_refs]
+    if not boundaries:
+        rsplits = [[r] for r in rsplits]
+    range_refs, count_refs = [], []
+    for i in range(len(boundaries) + 1):
+        tref, cref = _merge_range.remote(*[rs[i] for rs in rsplits])
+        range_refs.append(tref)
+        count_refs.append(cref)
+    counts = ray.get(count_refs)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out_refs, smeta_refs = [], []
+    for tref, off, cnt in zip(range_refs, offsets, counts):
+        if cnt == 0 or (remaining is not None and off >= remaining):
+            continue
+        oref, mref = _seq_and_host_counts.remote(tref, int(off), remaining)
+        out_refs.append(oref)
+        smeta_refs.append(mref)
+    smetas = ray.get(smeta_refs)
+    host_counts: dict[str, int] = {}
+    total = 0
+    for m in smetas:
+        total += m["count"]
+        for h, c in m["host_counts"].items():
+            host_counts[h] = host_counts.get(h, 0) + c
+    if total == 0:
+        return None, 0, {}
+    return out_refs, total, host_counts
+
+
+def _driver_table_to_refs(frontier: pa.Table, remaining: int | None):
+    """Seed/resume entry into the distributed loop: the (small, already
+    seq-assigned) driver table becomes one object-store block + its host
+    counts."""
+    import pyarrow.compute as pc
+
+    if remaining is not None:
+        frontier = frontier.slice(0, remaining)
+    if frontier.num_rows == 0:
+        return None, 0, {}
+    vc = pc.value_counts(frontier.column("host"))
+    hc = dict(zip(vc.field("values").to_pylist(),
+                  (int(c) for c in vc.field("counts").to_pylist())))
+    return [ray.put(frontier)], frontier.num_rows, hc
 
 
 @dataclass
@@ -166,29 +348,14 @@ def _make_dedup_fn(seen_view, lineage):
     return dedup
 
 
-def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: str,
+def _run_round_distributed(frontier_refs: list, host_counts: dict, r: int,
+                           cfg: CrawlConfig, corpus_path: str,
                            records_dir: str, seen, politeness, lineage,
                            num_fetch_parts: int):
-    """One crawl round with the frontier kept distributed.  Returns the
-    next round's frontier as a materialized Dataset (seq assigned)."""
-    import numpy as np
-    import pyarrow.compute as pc
-
-    # 1. small aggregate: per-host counts -> LPT chunk plan (broadcast).
-    # Partial per-batch counts folded on the driver (<= n_hosts rows per
-    # batch) — NOT a groupby shuffle: hosts are few, counts are tiny, and a
-    # full hash exchange per round would cost more than the aggregate.
-    def host_partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        vc = pc.value_counts(t.column("host"))
-        return pa.table({"host": vc.field("values"), "n": vc.field("counts")})
-
-    hc = frontier_ds.map_batches(host_partial, batch_format="pyarrow",
-                                 num_cpus=0).to_pandas()
-    hc = hc.groupby("host", sort=False)["n"].sum()
-    host_counts = dict(zip(hc.index, hc.to_numpy()))
-    total_rows = int(sum(host_counts.values()))
+    """One crawl round with the frontier kept as object-store refs.
+    Returns the materialized child-block refs (the barrier runs after the
+    round's bookkeeping so budget truncation can use this round's fetch
+    count)."""
     plan, spread = _lpt_plan(host_counts, num_fetch_parts)
     plan_ref = ray.put((plan, spread))
 
@@ -201,23 +368,24 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
     # CPU while waiting for input the exchange could never get a CPU to
     # produce).  Frontier rows are ~100 bytes each; the object store spills
     # if a round is huge.
-    in_refs = frontier_ds.to_arrow_refs()
     routed = [
         _route_block.options(num_returns=num_fetch_parts).remote(
             ref, plan_ref, num_fetch_parts)
-        for ref in in_refs
+        for ref in frontier_refs
     ]
     if num_fetch_parts == 1:  # num_returns=1 yields a bare ref, not a list
-        routed = [[r] for r in routed]
+        routed = [[r_] for r_ in routed]
     part_refs = [
         _concat_part.remote(*[blocks[p] for blocks in routed])
         for p in range(num_fetch_parts)
     ]
     f3 = rd.from_arrow_refs(part_refs)
 
-    # 2. dedup -> fetch -> children, exactly the shared stages
+    # dedup -> fetch -> children: the ONE Ray Data execution of the round.
     # dedup is RPC-bound (bloom check + shard calls): num_cpus=0 so it can
     # never be starved by (or starve) the CPU-reserving fetch pool
+    import pyarrow.compute as pc
+
     ds = f3.map_batches(_make_dedup_fn(seen.task_view(), lineage),
                         batch_size=None, batch_format="pyarrow", num_cpus=0)
     ds = ds.map_batches(
@@ -232,10 +400,15 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
             "n_hosts": cfg.n_hosts,
             "fail_marker_dir": cfg.extra.get("fail_marker_dir"),
         },
-        # cap-sized batches: blocks are exact LPT parts now, but an LPT bin
-        # can exceed the cap by up to one chunk — the bound re-splits such a
-        # bin so no single __call__ works a double-length latency budget
-        batch_size=max(1, -(-total_rows // num_fetch_parts)),
+        # batch_size=None: one LPT part block == one actor task, same as the
+        # driver-barrier path.  A numeric batch_size here is a trap: Ray Data
+        # bundles input blocks UP TO batch_size rows per actor task, and LPT
+        # parts sit at-or-just-below the cap, so pairs of parts merged into
+        # single tasks that worked a double-length serial latency budget
+        # (measured: 35 tasks for 64 parts, round wall +60%).  Splitting the
+        # call batches inside a task can't help either — the actor works its
+        # batches serially regardless.
+        batch_size=None,
         batch_format="pyarrow",
         concurrency=cfg.fetch_concurrency, num_cpus=cfg.fetch_num_cpus,
     )
@@ -244,60 +417,12 @@ def _run_round_distributed(frontier_ds, r: int, cfg: CrawlConfig, corpus_path: s
                    .drop_columns(["kind", "image_id", "phash", "fetch_status"]),
         batch_size=None, batch_format="pyarrow", num_cpus=0,
     )
-
-    # 3. barrier, distributed: co-locate canon -> block-local dedup -> sort.
-    # Fewer blocks than fetch parts: every extra partition here costs one
-    # shuffle-finalize + one dedup task + one sort block of fixed scheduling
-    # latency, and the narrow child rows re-shuffle next round anyway.  At
-    # 10^10 scale raise this with data volume (blocks should stay ~100 MB).
-    k = max(8, num_fetch_parts // 4)
-    best = children.repartition(k, keys=["url_canon"]).map_batches(
-        _dedup_within_round_block, batch_size=None, batch_format="pyarrow",
-        num_cpus=0,
-    )
-    nxt = best.sort(["priority", "url_canon"], descending=[True, False])
-    return nxt
-
-
-def _assign_seq_distributed(sorted_ds, remaining: int | None):
-    """seq = global offset over the sorted blocks: block sizes (tiny) to the
-    driver, per-block offset assignment as Ray tasks on the refs — no row
-    ever leaves the object store."""
-    import numpy as np
-
-    # materialize FIRST: to_arrow_refs on a lazy dataset triggers a second
-    # full execution of the round pipeline for its schema fetch (observed as
-    # a duplicate ...->Sort->limit=1 plan doubling round wall-clock); a
-    # MaterializedDataset serves schema and block refs from cache
-    sorted_ds = sorted_ds.materialize()
+    child_m = children.materialize()
     import os as _os
 
     if _os.environ.get("WEAVER_STATS"):
-        print(sorted_ds.stats(), flush=True)
-    refs = sorted_ds.to_arrow_refs()
-
-    @ray.remote
-    def nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    @ray.remote
-    def set_seq(t: pa.Table, offset: int, limit: int | None) -> pa.Table:
-        if limit is not None:
-            t = t.slice(0, max(0, limit - offset))
-        idx = t.schema.get_field_index("seq")
-        return t.set_column(idx, "seq", pa.array(np.arange(offset, offset + t.num_rows)))
-
-    sizes = ray.get([nrows.remote(rf) for rf in refs])
-    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1])).tolist()
-    out_refs = [
-        set_seq.remote(rf, off, remaining)
-        for rf, off, sz in zip(refs, offsets, sizes)
-        if sz and (remaining is None or off < remaining)
-    ]
-    total = sum(sizes) if remaining is None else min(sum(sizes), remaining)
-    if not out_refs:
-        return None, 0
-    return rd.from_arrow_refs(out_refs), int(total)
+        print(child_m.stats(), flush=True)
+    return child_m.to_arrow_refs()
 
 
 def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
@@ -407,53 +532,28 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     # (restored by the crawl() wrapper's finally)
     _ctx.max_tasks_in_flight_per_actor = 1
 
-    frontier_ds = None
+    frontier_refs = None
+    frontier_hosts: dict[str, int] = {}
     frontier_count = frontier.num_rows if frontier is not None else 0
-    if cfg.distributed:
-        # key-based repartition (the co-location primitive of the
-        # distributed barrier) requires the hash-shuffle strategy
-        # (restored by the crawl() wrapper's finally)
-        from ray.data.context import DataContext, ShuffleStrategy
-
-        _dctx = DataContext.get_current()
-        _dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # cap the per-shuffle aggregator actor pool: the default (64) spawns
-        # one actor per partition per shuffle op, which starves the fetch
-        # actor pool for CPUs on a small cluster and stalls rounds behind a
-        # 300 s aggregator-wait.  Crawl shuffle payloads are narrow frontier
-        # rows — a handful of aggregators is plenty.
-        _dctx.max_hash_shuffle_aggregators = min(8, num_fetch_parts)
-        # aggregator actors must not RESERVE CPUs: a fixed-size fetch pool
-        # sized to the cluster plus CPU-reserving aggregators over-subscribes
-        # the resource budget and deadlocks the round (observed: fetch pool
-        # waits forever behind 16 reserved aggregator CPUs).  The exchange
-        # payload is narrow frontier rows — aggregators do microseconds of
-        # work per block, so running them unreserved is safe.
-        _dctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.0
-        _dctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.0
-        if frontier is not None and frontier.num_rows:
-            frontier_ds = rd.from_arrow(frontier)
+    if cfg.distributed and frontier is not None and frontier.num_rows:
+        # seed/resume: the (small, seq-assigned) driver table enters the
+        # object store once; after that the frontier is refs end to end
+        remaining0 = None if cfg.max_urls is None else cfg.max_urls - urls_fetched
+        frontier_refs, frontier_count, frontier_hosts = _driver_table_to_refs(
+            frontier, remaining0)
 
     for r in range(start_round, cfg.max_rounds):
         if cfg.distributed:
-            if frontier_ds is None or frontier_count == 0:
+            if frontier_refs is None or frontier_count == 0:
                 break
             if cfg.max_urls is not None and urls_fetched >= cfg.max_urls:
                 break
             tr = time.monotonic()
-            if cfg.max_urls is not None:
-                # budget truncation at barrier granularity: the frontier is
-                # seq-sorted, so limit() == the driver barrier's slice
-                frontier_ds = frontier_ds.limit(cfg.max_urls - urls_fetched)
-            # this round's INPUT size (post-budget-truncation, matching what
-            # the barrier path reports)
-            round_frontier_rows = frontier_count if cfg.max_urls is None else \
-                min(frontier_count, cfg.max_urls - urls_fetched)
-            sorted_children = _run_round_distributed(
-                frontier_ds, r, cfg, corpus_path, str(records_dir),
-                seen, politeness, lineage, num_fetch_parts)
-            frontier_ds, frontier_count = _assign_seq_distributed(sorted_children, None)
-            tr = _t(f"r{r} distributed round", tr)
+            round_frontier_rows = frontier_count
+            child_refs = _run_round_distributed(
+                frontier_refs, frontier_hosts, r, cfg, corpus_path,
+                str(records_dir), seen, politeness, lineage, num_fetch_parts)
+            tr = _t(f"r{r} dedup+fetch+children", tr)
 
             # round bookkeeping from the fetch stage's per-partition sidecar
             # manifests — a handful of tiny JSON reads, NEVER a driver read
@@ -469,9 +569,18 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             n_dead = sum(s["dead"] for s in pstats)
             survivors = sum(s["rows_in"] for s in pstats)
             urls_fetched += n_ok
-            # barrier: snapshot the shard-owned blooms for the next round's
+            # snapshot the shard-owned blooms for the next round's
             # pre-filter (each shard folded its own slice as it inserted)
             seen.publish_blooms()
+            # task-based barrier: dedup + sample-sort + seq over the child
+            # refs (budget truncation applied at construction, exactly the
+            # driver barrier's post-round slice)
+            remaining = None if cfg.max_urls is None else \
+                max(0, cfg.max_urls - urls_fetched)
+            k = max(8, num_fetch_parts // 4)
+            frontier_refs, frontier_count, frontier_hosts = \
+                _distributed_barrier(child_refs, k, remaining)
+            tr = _t(f"r{r} barrier", tr)
             summary = {
                 "round": r,
                 "frontier_rows": round_frontier_rows,
@@ -485,7 +594,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             per_round.append(summary)
             ckpt.save_round(
                 r,
-                frontier_ds,
+                rd.from_arrow_refs(frontier_refs) if frontier_refs else None,
                 seen.serialize_shards(),
                 politeness.serialize_shards(),
                 ray.get(lineage.drain.remote()),
