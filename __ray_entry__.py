@@ -130,7 +130,14 @@ def _crawl_oracle_parity(sf_dir: str):
 
 def _image_decode_stats(sf_dir: str):
     """Multimodal decode stage over the generated corpus (actor pool,
-    pyarrow batches, small batch size for wide binary rows)."""
+    pyarrow batches, small batch size for wide binary rows).
+
+    SELF-EVIDENCING (rows-only by design — SQL cannot decode image bytes):
+    each per-fmt row carries its own verdicts.  ``all_decoded`` asserts
+    every row of the fmt decoded; ``phash_ok`` asserts the recomputed
+    perceptual hash matches the stored one — exactly for lossless png,
+    within hamming<=1 for jpeg (the codec's measured borderline-bit rate,
+    STATUS.md gotchas)."""
     import numpy as np
     import pandas as pd
 
@@ -145,14 +152,24 @@ def _image_decode_stats(sf_dir: str):
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         # one groupby pass — positional alignment between two separate
         # groupbys would silently mis-attach counts if either ever reordered
-        df = df.assign(m=df["phash_decoded"] == df["phash_stored"])
+        x = (df["phash_decoded"].to_numpy().astype(np.uint64)
+             ^ df["phash_stored"].to_numpy().astype(np.uint64))
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        df = df.assign(m=df["phash_decoded"] == df["phash_stored"], ham=ham)
         out = df.groupby("fmt").agg(
             n_images=("decode_ok", "size"),
             n_decoded=("decode_ok", "sum"),
             n_phash_match=("m", "sum"),
+            max_phash_hamming=("ham", "max"),
         ).reset_index()
-        for c in ("n_images", "n_decoded", "n_phash_match"):
+        for c in ("n_images", "n_decoded", "n_phash_match", "max_phash_hamming"):
             out[c] = out[c].astype(np.int64)
+        out["all_decoded"] = out["n_decoded"] == out["n_images"]
+        out["phash_ok"] = np.where(
+            out["fmt"] == "png",
+            out["max_phash_hamming"] == 0,   # lossless: bit-exact
+            out["max_phash_hamming"] <= 1,   # jpeg: perceptual tolerance
+        )
         return out
 
     return feat.to_pandas().pipe(agg)
@@ -160,27 +177,55 @@ def _image_decode_stats(sf_dir: str):
 
 def _media_stub_plumbing(sf_dir: str):
     """Audio/video stub stages: schema + actor plumbing real, codec faked
-    deterministically (libraries absent in sandbox — task brief)."""
+    deterministically (libraries absent in sandbox — task brief).
+
+    SELF-EVIDENCING (rows-only by design — the fake features are
+    engine-defined): every row carries ``schema_ok`` (stage outputs match
+    the declared Arrow schemas), ``frames_decodable`` (each emitted
+    frame_png round-trips through the real PNG decoder to 8x8x3 pixels),
+    and ``deterministic`` (a second independent pipeline run produces
+    byte-identical frames)."""
     import ray.data as rd
 
-    from weaver_ray.stages.decode import AudioFeatureStage, VideoFrameSampleStage
+    from weaver_ray.functions.imaging import decode_image
+    from weaver_ray.stages.decode import (
+        AUDIO_FEATURE_SCHEMA,
+        VIDEO_FRAME_SCHEMA,
+        AudioFeatureStage,
+        VideoFrameSampleStage,
+    )
 
-    media = rd.from_items([{"media_id": f"media{i:04d}"} for i in range(20)])
-    audio = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                              fn_constructor_kwargs={"deterministic_fake": True},
-                              concurrency=1)
-    frames = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
-                               fn_constructor_kwargs={"deterministic_fake": True,
-                                                      "n_frames": 2},
-                               concurrency=1)
+    def run_once():
+        media = rd.from_items([{"media_id": f"media{i:04d}"} for i in range(20)])
+        audio = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                                  fn_constructor_kwargs={"deterministic_fake": True},
+                                  concurrency=1)
+        frames = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                                   fn_constructor_kwargs={"deterministic_fake": True,
+                                                          "n_frames": 2},
+                                   concurrency=1)
+        return audio, frames
+
+    audio, frames = run_once()
+    schema_ok = (audio.schema().base_schema.equals(AUDIO_FEATURE_SCHEMA)
+                 and frames.schema().base_schema.equals(VIDEO_FRAME_SCHEMA))
     a = audio.to_pandas()
-    f = frames.to_pandas()
+    f = frames.to_pandas().sort_values(["media_id", "frame_idx"])
+    frames_decodable = all(
+        decode_image(blob, "png").shape == (8, 8, 3) for blob in f["frame_png"]
+    )
+    _, frames2 = run_once()
+    f2 = frames2.to_pandas().sort_values(["media_id", "frame_idx"])
+    deterministic = list(f["frame_png"]) == list(f2["frame_png"])
     f["frame_bytes"] = f["frame_png"].map(len)
     merged = a.merge(
         f.groupby("media_id", sort=True).agg(n_frames=("frame_idx", "size"),
                                              sum_frame_bytes=("frame_bytes", "sum")).reset_index(),
         on="media_id",
     )
+    merged["schema_ok"] = bool(schema_ok)
+    merged["frames_decodable"] = bool(frames_decodable)
+    merged["deterministic"] = bool(deterministic)
     return merged.drop(columns=["duration_s", "rms"])
 
 

@@ -74,8 +74,15 @@ def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
     for host in sorted(host_counts):
         cnt = host_counts[host]
         n_chunks = -(-cnt // cap)
+        # chunk sizes must match what the ROUTER produces: _route_block
+        # assigns a row to chunk seq % n_chunks, an EVEN split of the host's
+        # rows — not (cap, ..., cap, remainder).  Planning remainder-sized
+        # chunks that actually arrive full-share let LPT overpack bins
+        # (measured: 64 "balanced" parts spanning 0-696 rows, max fetch task
+        # 43 s vs the 24 s balanced ideal — the round serializes behind it).
+        base, rem = divmod(cnt, n_chunks)
         for ci in range(n_chunks):
-            size = min(cap, cnt - ci * cap)
+            size = base + (1 if ci < rem else 0)
             chunks.append((size, host, ci))
     chunks.sort(key=lambda c: (-c[0], c[1], c[2]))
     loads = [0] * num_parts
