@@ -88,12 +88,22 @@ cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
                   num_politeness_shards=2, fetch_concurrency=6)
 shutil.rmtree("/tmp/two_node_crawl", ignore_errors=True)
 res = crawl(cfg, "/tmp/two_node_crawl")
+# distributed mode on the same 2-node cluster: the task-based barrier's
+# object refs (route/split/merge/seq tasks) cross real raylets here
+dcfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=4,
+                   num_politeness_shards=2, fetch_concurrency=6,
+                   distributed=True)
+shutil.rmtree("/tmp/two_node_crawl_dist", ignore_errors=True)
+dres = crawl(dcfg, "/tmp/two_node_crawl_dist")
 print(json.dumps({{
     "n_nodes": len(nodes),
     "task_node_spread": len(spread),
     "rounds": res.rounds,
     "urls_fetched": res.urls_fetched,
     "urls_seen": res.urls_seen,
+    "dist_urls_fetched": dres.urls_fetched,
+    "dist_urls_seen": dres.urls_seen,
+    "dist_order_equals_barrier": res.order_table.equals(dres.order_table),
 }}))
 ray.shutdown()
 """
@@ -103,6 +113,11 @@ ray.shutdown()
             result.update(out)
             result["crawl_matches_single_node"] = (
                 out["urls_fetched"] == 329 and out["urls_seen"] == 360
+            )
+            result["distributed_matches"] = (
+                out["dist_urls_fetched"] == out["urls_fetched"]
+                and out["dist_urls_seen"] == out["urls_seen"]
+                and out["dist_order_equals_barrier"]
             )
         else:
             result["driver_stderr"] = run.stderr[-2000:]

@@ -242,6 +242,17 @@ def _seq_and_host_counts(t: pa.Table, offset: int, limit: int | None):
     return t, {"count": t.num_rows, "host_counts": hc}
 
 
+def _barrier_parts(child_rows: int, floor: int,
+                   rows_per_part: int = 500_000) -> int:
+    """Co-location part count for the barrier: data-sized, not
+    cluster-sized.  Narrow frontier rows are ~100 B, so 500k rows/part
+    keeps barrier blocks ~50 MB; the floor (derived from fetch
+    parallelism) keeps small rounds from serializing on one task.  At a
+    10^10-URL round this is what grows — the O(k^2) split objects stay
+    metadata-sized."""
+    return max(floor, -(-child_rows // rows_per_part))
+
+
 def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
     """Round barrier over materialized child-block refs.  Returns
     (frontier_refs in global (priority desc, url_canon) order with seq
@@ -429,7 +440,8 @@ def _run_round_distributed(frontier_refs: list, host_counts: dict, r: int,
 
     if _os.environ.get("WEAVER_STATS"):
         print(child_m.stats(), flush=True)
-    return child_m.to_arrow_refs()
+    # count() on a MaterializedDataset is metadata-only — no execution
+    return child_m.to_arrow_refs(), child_m.count()
 
 
 def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
@@ -557,7 +569,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                 break
             tr = time.monotonic()
             round_frontier_rows = frontier_count
-            child_refs = _run_round_distributed(
+            child_refs, child_rows = _run_round_distributed(
                 frontier_refs, frontier_hosts, r, cfg, corpus_path,
                 str(records_dir), seen, politeness, lineage, num_fetch_parts)
             tr = _t(f"r{r} dedup+fetch+children", tr)
@@ -584,7 +596,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             # driver barrier's post-round slice)
             remaining = None if cfg.max_urls is None else \
                 max(0, cfg.max_urls - urls_fetched)
-            k = max(8, num_fetch_parts // 4)
+            k = _barrier_parts(child_rows, floor=max(8, num_fetch_parts // 4))
             frontier_refs, frontier_count, frontier_hosts = \
                 _distributed_barrier(child_refs, k, remaining)
             tr = _t(f"r{r} barrier", tr)
