@@ -104,3 +104,37 @@ def test_edge_single_host_frontier():
     assert sum(p.num_rows for p in parts) == 200
     cap = -(-200 // 8)
     assert max(p.num_rows for p in parts) <= 2 * cap
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.sampled_from([f"h{i}.x" for i in range(10)]),
+             min_size=1, max_size=600),
+    st.integers(min_value=1, max_value=32),
+)
+def test_lpt_plan_matches_router_balance(hosts, nparts):
+    """Regression (round 3): the LPT plan's assumed chunk sizes must match
+    what _route_block's ``seq % n_chunks`` routing actually delivers.  The
+    old plan assumed (cap,...,cap,remainder) chunks while the router splits
+    each host evenly, so bins packed around remainder-sized chunks received
+    full even shares (measured: 'balanced' 214-row parts spanning 0-696
+    rows).  Property: routing REAL rows through the plan never loads any
+    part beyond cap + the worst-case per-host rounding slack."""
+    from collections import Counter
+
+    from weaver_ray.pipelines.crawl import _lpt_plan
+
+    # global seq as assign_seq would hand out: rows sorted by (host, i)
+    # is close enough — per-host seqs form contiguous runs, the realistic
+    # (and worst) case for modulo striping
+    rows = sorted((h, i) for i, h in enumerate(hosts))
+    host_counts = Counter(h for h, _ in rows)
+    plan, spread = _lpt_plan(dict(host_counts), nparts)
+    loads = Counter(plan[(h, s % spread[h])] for h, s in rows)
+    cap = -(-len(rows) // nparts)
+    # each host chunk's actual size is within +-1 of the planned even
+    # share, so a bin of m chunks can exceed its planned load by at most m
+    worst_slack = max(Counter(
+        plan[(h, ci)] for (h, ci) in plan).values())
+    assert max(loads.values()) <= cap + worst_slack
+    assert sum(loads.values()) == len(rows)
