@@ -310,6 +310,49 @@ def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
     return out_refs, total, host_counts
 
 
+@ray.remote(num_cpus=0, num_returns=2)
+def _read_frontier_part(path: str, remaining: int | None):
+    """Resume entry: one checkpointed frontier parquet part -> an
+    object-store block + its (count, host_counts) meta.  Budget truncation
+    by seq (the checkpointed frontier is seq-assigned and dense), which
+    equals the driver barrier's slice(0, remaining)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(path)
+    if remaining is not None and t.num_rows:
+        t = t.filter(pc.less(t.column("seq"), pa.scalar(remaining, pa.int64())))
+    vc = pc.value_counts(t.column("host"))
+    hc = dict(zip(vc.field("values").to_pylist(),
+                  (int(c) for c in vc.field("counts").to_pylist())))
+    return t, {"count": t.num_rows, "host_counts": hc}
+
+
+def _frontier_refs_from_files(files: list[str], remaining: int | None):
+    """Distributed-mode resume: frontier parts become refs via read tasks —
+    the frontier never touches the driver, resume included.  Only tiny
+    (count, host_counts) metas come back."""
+    if not files:
+        return None, 0, {}
+    refs, meta_refs = [], []
+    for f in files:
+        tref, mref = _read_frontier_part.remote(f, remaining)
+        refs.append(tref)
+        meta_refs.append(mref)
+    metas = ray.get(meta_refs)
+    out_refs, host_counts, total = [], {}, 0
+    for ref, m in zip(refs, metas):
+        if m["count"] == 0:
+            continue
+        out_refs.append(ref)
+        total += m["count"]
+        for h, c in m["host_counts"].items():
+            host_counts[h] = host_counts.get(h, 0) + c
+    if total == 0:
+        return None, 0, {}
+    return out_refs, total, host_counts
+
+
 def _driver_table_to_refs(frontier: pa.Table, remaining: int | None):
     """Seed/resume entry into the distributed loop: the (small, already
     seq-assigned) driver table becomes one object-store block + its host
@@ -487,9 +530,14 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     urls_fetched = 0
     per_round: list[dict] = []
     committed = ckpt.latest_committed_round() if resume else None
+    resume_files: list[str] | None = None
     if resume and committed is not None:
-        state = ckpt.load_round(committed)
+        # distributed mode never pulls the frontier through the driver —
+        # resume included: frontier parts load as Ray read tasks below
+        state = ckpt.load_round(committed, load_frontier=not cfg.distributed)
         frontier = state["frontier"]
+        if cfg.distributed:
+            resume_files = ckpt.frontier_files(committed)
         start_round = committed + 1
         urls_fetched = int(state["summary"]["urls_fetched"])
         per_round = state["summary"].get("per_round", [])
@@ -554,12 +602,17 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     frontier_refs = None
     frontier_hosts: dict[str, int] = {}
     frontier_count = frontier.num_rows if frontier is not None else 0
-    if cfg.distributed and frontier is not None and frontier.num_rows:
-        # seed/resume: the (small, seq-assigned) driver table enters the
-        # object store once; after that the frontier is refs end to end
+    if cfg.distributed:
         remaining0 = None if cfg.max_urls is None else cfg.max_urls - urls_fetched
-        frontier_refs, frontier_count, frontier_hosts = _driver_table_to_refs(
-            frontier, remaining0)
+        if resume_files is not None:
+            # resume: checkpointed frontier parts -> refs via read tasks
+            frontier_refs, frontier_count, frontier_hosts = \
+                _frontier_refs_from_files(resume_files, remaining0)
+        elif frontier is not None and frontier.num_rows:
+            # seed: the (small, seq-assigned) driver table enters the object
+            # store once; after that the frontier is refs end to end
+            frontier_refs, frontier_count, frontier_hosts = \
+                _driver_table_to_refs(frontier, remaining0)
 
     for r in range(start_round, cfg.max_rounds):
         if cfg.distributed:

@@ -122,13 +122,22 @@ class CheckpointManager:
         tmp.write_text(json.dumps(summary, default=str))
         tmp.rename(self._commit_path(r))
 
-    def load_round(self, r: int) -> dict:
+    def frontier_files(self, r: int) -> list[str]:
+        """The frontier parquet part files for round r, in order — either
+        the single driver-barrier file or the distributed write's parts.
+        Lets a distributed resume load frontier blocks as Ray tasks instead
+        of a driver read (the 10^10-URL path never materializes the
+        frontier on the driver, resume included)."""
         f_file = self.dir / f"frontier_after_round_{r}.parquet"
-        f_dir = self.dir / f"frontier_after_round_{r}"
         if f_file.exists():
-            frontier = pq.read_table(f_file)
-        else:
-            parts = sorted(f_dir.glob("*.parquet"))
+            return [str(f_file)]
+        f_dir = self.dir / f"frontier_after_round_{r}"
+        return [str(p) for p in sorted(f_dir.glob("*.parquet"))]
+
+    def load_round(self, r: int, load_frontier: bool = True) -> dict:
+        frontier = None
+        if load_frontier:
+            parts = self.frontier_files(r)
             frontier = (
                 pa.concat_tables([pq.read_table(p) for p in parts]) if parts
                 else None
