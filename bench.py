@@ -157,6 +157,41 @@ def run_flagship_only(ncpus: int) -> None:
     print(json.dumps({"num_cpus": ncpus, **stats}))
 
 
+def politeness_floor_s(records_dir: str, delay_scale: float,
+                       fetch_latency_s: float) -> float:
+    """The workload's politeness serialization floor: per round, the
+    critical host's (n-1)*crawl_delay*scale chain (+ one fetch RTT) cannot
+    be compressed by ANY parallelism — slots on one host are spaced by its
+    crawl-delay regardless of worker count.  Summed over rounds this is the
+    Amdahl lower bound on elapsed time for a politeness-on run; reported so
+    the scaling-efficiency number can be read against the achievable
+    ceiling instead of the delay-free 0.8 target."""
+    import collections
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from weaver_ray.state.robots import crawl_delay_ms
+
+    per_round: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter)
+    for f in sorted(_glob.glob(os.path.join(records_dir, "round=*",
+                                            "part-*.parquet"))):
+        rnd = f.split("round=")[1].split(os.sep)[0]
+        vc = pc.value_counts(pq.read_table(f, columns=["host"]).column("host"))
+        for h, c in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            per_round[rnd][h] += c
+    total = 0.0
+    for cnt in per_round.values():
+        total += max(
+            ((n - 1) * crawl_delay_ms(h) / 1000.0 * delay_scale
+             + fetch_latency_s)
+            for h, n in cnt.items())
+    return round(total, 1)
+
+
 def run_scaling(distributed: bool = True, delay_scale: float = 0.0,
                 out_name: str = "scaling.json") -> None:
     """N-vs-4N scaling legs in fresh processes.  Default mode is
@@ -196,6 +231,19 @@ def run_scaling(distributed: bool = True, delay_scale: float = 0.0,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }
+    if delay_scale > 0:
+        # politeness-on legs are Amdahl-bounded by the critical host's
+        # serialized delay chain; record the floor + how close each leg got
+        tag = ("dist" if distributed else "barrier") + f"_d{delay_scale}"
+        floor = politeness_floor_s(
+            f"/tmp/weaver_bench_{tag}_{hi}/records", delay_scale,
+            FETCH_LATENCY_S)
+        result["politeness_floor_s"] = floor
+        result["ceiling_utilization_hi"] = round(floor / b["elapsed_s"], 3)
+        result["max_achievable_efficiency"] = round(
+            a["elapsed_s"] / (hi / lo * floor), 3)
+        result["efficiency_vs_achievable"] = round(
+            eff / (a["elapsed_s"] / (hi / lo * floor)), 3)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=2)
@@ -211,8 +259,10 @@ def main() -> None:
         return
     if "--politeness-scaling" in sys.argv:
         # production regime: per-host crawl-delay waits ON (delay_scale=0.2
-        # of the fixture's 0/50/200/1000 ms classes) — evidences that
-        # host-serialized sleeps don't break the >=0.8 efficiency story
+        # of the fixture's 0/50/200/1000 ms classes).  Raw efficiency is
+        # Amdahl-bounded by the critical host's serialized delay chain, so
+        # the JSON also records the politeness floor and efficiency vs the
+        # achievable ceiling (BASELINE.md "Politeness-enforced scaling")
         run_scaling(distributed=True, delay_scale=0.2,
                     out_name="politeness_scaling.json")
         return
