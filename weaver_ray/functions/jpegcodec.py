@@ -124,18 +124,37 @@ def _build_code_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, 
     return out
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    out: dict[tuple[int, int], int] = {}
+_DECODE_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-peek Huffman LUT: lut[next16bits] = (symbol << 8) | code_length.
+
+    Every code of length L owns the 2^(16-L) table entries sharing its
+    L-bit prefix, so decoding is ONE list index per symbol instead of a
+    bit-by-bit tree walk (T.81 codes are <=16 bits).  Entries reachable by
+    no code stay 0 (length 0 -> corrupt stream).  Cached by table content:
+    our own streams always carry the four Annex-K tables, so per-image
+    rebuild cost is a dict hit."""
+    key = (tuple(bits), tuple(vals))
+    cached = _DECODE_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = [0] * (1 << 16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            n = 1 << (16 - length)
+            lut[lo:lo + n] = [(vals[k] << 8) | length] * n
             code += 1
             k += 1
         code <<= 1
-    return out
+    if len(_DECODE_LUT_CACHE) > 64:  # bound worker-resident cache
+        _DECODE_LUT_CACHE.clear()
+    _DECODE_LUT_CACHE[key] = lut
+    return lut
 
 
 _ENC_DC = (_build_code_table(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -289,44 +308,6 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        # strip byte stuffing once up front
-        self.data = data.replace(b"\xff\x00", b"\xff")
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def bits(self, n: int) -> int:
-        while self.nbits < n:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman stream")
-
-
-def _extend(v: int, size: int) -> int:
-    """Inverse of magnitude coding."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline 4:4:4 (or grayscale) JFIF stream to (h, w, 3) uint8."""
     if data[:2] != b"\xff\xd8":
@@ -408,35 +389,64 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     # find EOI (last ff d9) to bound the entropy stream
     end = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[entropy_start: end if end > 0 else len(data)])
+    # unstuff once; pad 6 zero bytes so every 48-bit window read is in range
+    buf = data[entropy_start: end if end > 0 else len(data)].replace(
+        b"\xff\x00", b"\xff") + b"\x00" * 6
 
     nby, nbx = -(-h // 8), -(-w // 8)
     nmcu = nby * nbx
     nc = len(comps)
     coefs = [np.zeros((nmcu, 64), dtype=np.float64) for _ in range(nc)]
     pred = [0] * nc
+    # hot loop: decode via 16-bit-peek LUTs.  A 48-bit big-endian window
+    # starting at the cursor's byte holds the 16-bit peek AND the value
+    # bits that follow (7 skew + 16 code + 16 value <= 48), so each
+    # (symbol, value) pair costs one bytes-slice int conversion + one list
+    # index — ~10x the bit-at-a-time tree walk this replaced.
+    p = 0  # bit cursor into buf
+    from_bytes = int.from_bytes
     for m in range(nmcu):
         for ci, dc_t, ac_t in scan:
             dct = htabs[(0, dc_t)]
             act = htabs[(1, ac_t)]
             zz = coefs[ci][m]
-            size = br.huff(dct)
-            diff = _extend(br.bits(size), size) if size else 0
-            pred[ci] += diff
+            i = p >> 3
+            sh = p & 7
+            w48 = from_bytes(buf[i:i + 6], "big")
+            e = dct[(w48 >> (32 - sh)) & 0xFFFF]
+            if not e:
+                raise ValueError("bad Huffman stream")
+            size = e >> 8
+            p += e & 0xFF
+            if size:
+                v = (w48 >> (48 - sh - (e & 0xFF) - size)) & ((1 << size) - 1)
+                p += size
+                pred[ci] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
             zz[0] = pred[ci]
             k = 1
             while k < 64:
-                sym = br.huff(act)
+                i = p >> 3
+                sh = p & 7
+                w48 = from_bytes(buf[i:i + 6], "big")
+                e = act[(w48 >> (32 - sh)) & 0xFFFF]
+                if not e:
+                    raise ValueError("bad Huffman stream")
+                sym = e >> 8
+                ln = e & 0xFF
+                p += ln
                 if sym == 0x00:  # EOB
                     break
-                run, size = sym >> 4, sym & 0xF
                 if sym == 0xF0:  # ZRL
                     k += 16
                     continue
-                k += run
+                k += sym >> 4
+                size = sym & 0xF
                 if k > 63:
                     raise ValueError("AC index overflow")
-                zz[k] = _extend(br.bits(size), size) if size else 0
+                if size:
+                    v = (w48 >> (48 - sh - ln - size)) & ((1 << size) - 1)
+                    p += size
+                    zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                 k += 1
 
     planes = []
