@@ -309,11 +309,14 @@ def ngram_jaccard_pairs(sf_dir: str, band: int = 50, threshold: float = 0.2,
         {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64})
 
 
-def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
-                        bucket: int = 200, max_iters: int = 25) -> rd.Dataset:
-    """Connected components over the n-gram-Jaccard near-dup graph:
-    ``cluster_id`` = smallest doc_id reachable through near-dup pairs (the
-    canonical representative a dedup pass would keep).
+def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
+                            max_iters: int = 25) -> rd.Dataset:
+    """Connected components over an undirected int64 graph:
+    ``cluster_id`` = smallest node_id reachable — the canonical
+    representative a dedup pass would keep.  ``nodes`` carries a
+    ``doc_id`` column (one row per node); ``edges_src_dst`` carries
+    directed ``src``/``dst`` int64 rows (pass each undirected edge once —
+    both directions are added here).
 
     Distributed shape: min-label propagation WITH pointer jumping — labels
     live in a Dataset; each iteration (a) joins edge sources against
@@ -322,15 +325,12 @@ def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
     takes the per-doc min with a partial-aggregation groupby.  Pointer
     jumping makes convergence O(log diameter) instead of O(diameter) — a
     5000-doc chain converges in ~8 iterations, not ~100.  Convergence is
-    detected by the (cheap) global label sum.  Exact DuckDB oracle via a
-    recursive transitive-closure CTE over the same pair predicate.
+    detected by the (cheap) global label sum.
 
-    Returns a Dataset of (doc_id, cluster_id) — one row per document, which
+    Returns a Dataset of (doc_id, cluster_id) — one row per node, which
     at 100 TB is itself large, so the result NEVER touches the driver here;
     sink it with ``.write_parquet()`` or collect via the query shim."""
-    pairs_ds = ngram_jaccard_pairs_ds(sf_dir, band, threshold, bucket)
-    docs = load(sf_dir, "documents", ["doc_id"])
-    labels = docs.map_batches(
+    labels = nodes.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
                                  "label": df["doc_id"].to_numpy(np.int64)}),
         batch_format="pandas",
@@ -347,13 +347,13 @@ def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
     # both directions (a proposal flows across each edge either way);
     # materialized ONCE to the object store — every propagation iteration
     # joins against it, and an unmaterialized edge set would re-run the
-    # whole pair pipeline per iteration
-    edges = pairs_ds.map_batches(
+    # whole upstream pair pipeline per iteration
+    edges = edges_src_dst.map_batches(
         lambda df: pd.DataFrame(
-            {"src": np.concatenate([df["doc_a"].to_numpy(np.int64),
-                                    df["doc_b"].to_numpy(np.int64)]),
-             "dst": np.concatenate([df["doc_b"].to_numpy(np.int64),
-                                    df["doc_a"].to_numpy(np.int64)])}),
+            {"src": np.concatenate([df["src"].to_numpy(np.int64),
+                                    df["dst"].to_numpy(np.int64)]),
+             "dst": np.concatenate([df["dst"].to_numpy(np.int64),
+                                    df["src"].to_numpy(np.int64)])}),
         batch_format="pandas",
     ).materialize()
     if edges.count() == 0:
@@ -396,6 +396,22 @@ def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
         prev_sum = s
 
     return _as_clusters(labels)
+
+
+def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
+                        bucket: int = 200, max_iters: int = 25) -> rd.Dataset:
+    """Connected components over the n-gram-Jaccard near-dup graph (see
+    :func:`connected_components_ds` for the distributed shape).  Exact
+    DuckDB oracle via a recursive transitive-closure CTE over the same
+    pair predicate."""
+    pairs_ds = ngram_jaccard_pairs_ds(sf_dir, band, threshold, bucket)
+    edges = pairs_ds.map_batches(
+        lambda df: pd.DataFrame({"src": df["doc_a"].to_numpy(np.int64),
+                                 "dst": df["doc_b"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return connected_components_ds(docs, edges, max_iters)
 
 
 def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
