@@ -230,7 +230,7 @@ def _media_stub_plumbing(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from weaver_ray.pipelines import dedup, relational, similarity, textops
+    from weaver_ray.pipelines import dedup, images, relational, similarity, textops
 
     return {
         # relational / reference-operator parity (SURVEY.md §2)
@@ -278,6 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "image_decode_stats": _image_decode_stats,
         "media_stub_plumbing": _media_stub_plumbing,
+        # image axis: phash near-dup over the image+caption table (planted
+        # noisy variants from real decode->noise->re-encode), full SQL
+        # oracles over the same on-disk parquet
+        "image_phash_pairs": images.image_phash_pairs,
+        "image_phash_clusters": images.image_phash_clusters,
+        "corpus_format_stats": images.corpus_format_stats,
     }
 
 
@@ -509,6 +515,68 @@ _SIMHASH_SQL = r"""
 """
 
 
+def _image_sql() -> dict[str, str]:
+    """DuckDB oracles for the image axis.  Both engines read the SAME two
+    on-disk parquet tables — the base image+caption corpus and its noisy
+    variants (real decode -> +/-2 pixel noise -> re-encode -> phash,
+    deterministic and memoized; generated here so the SQL's read_parquet
+    paths exist whenever the driver executes the strings).  The banded Ray
+    engine is checked against a brute-force ``bit_count(xor(..))``
+    self-join (lossless at hamming<=3 by the 4x16-band pigeonhole) and a
+    recursive transitive closure for the components — the simhash /
+    neardup_clusters oracle pattern applied to the image table."""
+    from weaver_ray.pipelines.images import generate_variants
+    from weaver_ray.sources.corpus import generate_corpus
+
+    base = generate_corpus(1000) + "/part-*.parquet"
+    var = generate_variants(1000) + "/part-*.parquet"
+    u = f"""SELECT image_id, phash FROM read_parquet('{base}')
+                 UNION ALL
+                 SELECT image_id, phash FROM read_parquet('{var}')"""
+    # invertible node-id scheme shared with pipelines/images.py:
+    # base img%08d -> 8*i, variant img%08dvJ -> 8*i + 1 + J
+    node = ("CAST(substr(image_id, 4, 8) AS BIGINT) * 8"
+            " + CASE WHEN length(image_id) > 11"
+            " THEN CAST(substr(image_id, 13) AS BIGINT) + 1 ELSE 0 END")
+    return {
+        "image_phash_pairs": f"""
+            WITH u AS ({u})
+            SELECT a.image_id AS image_a, b.image_id AS image_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM u a JOIN u b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "image_phash_clusters": f"""
+            WITH RECURSIVE u AS ({u}),
+            nodes AS (SELECT image_id, {node} AS nid, phash FROM u),
+            pairs AS (
+                SELECT a.nid AS na, b.nid AS nb
+                FROM nodes a JOIN nodes b ON a.nid < b.nid
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ), edges AS (
+                SELECT na AS src, nb AS dst FROM pairs
+                UNION ALL SELECT nb, na FROM pairs
+            ), reach AS (
+                SELECT nid, nid AS r FROM nodes
+                UNION
+                SELECT e.dst AS nid, reach.r
+                FROM reach JOIN edges e ON e.src = reach.nid
+            )
+            SELECT n.image_id, CAST(min(reach.r) AS BIGINT) AS cluster_id
+            FROM reach JOIN nodes n ON n.nid = reach.nid
+            GROUP BY n.image_id
+        """,
+        "corpus_format_stats": f"""
+            SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels,
+                   CAST(sum(octet_length(bytes)) AS BIGINT) AS sum_bytes,
+                   max(w) AS max_w, max(h) AS max_h,
+                   round(sum(octet_length(bytes))::DOUBLE / count(*), 4) AS avg_bytes
+            FROM read_parquet('{base}') GROUP BY fmt
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     TOK = r"\w+"
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
@@ -524,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "langid_counts": _langid_sql(),
         "doc_fingerprints": _fingerprint_sql(),
+        **_image_sql(),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -99,3 +99,80 @@ def test_psnr_scale():
     px = gen_pixels(2).astype(np.float64)
     noisy = np.clip(px + np.random.default_rng(1).normal(0, 2.0, px.shape), 0, 255).astype(np.uint8)
     assert psnr(px.astype(np.uint8), noisy) >= 40.0
+
+
+# ------------------------------------------------------------------ image-axis pipelines
+
+def test_image_phash_clusters_recover_planted(ray_session):
+    """Every planted noisy variant must land in its base image's cluster,
+    and no cluster may span two distinct base images (false merge)."""
+    import pandas as pd
+
+    from weaver_ray.pipelines import images
+
+    cl = images.image_phash_clusters("unused", n_base=1000)
+    # node scheme: base of any image id = first 8 digits
+    cl = cl.assign(base=cl["image_id"].str.slice(0, 11))
+    by_base = cl.groupby("base")["cluster_id"].nunique()
+    assert (by_base == 1).all()          # variants joined their base
+    by_cluster = cl.groupby("cluster_id")["base"].nunique()
+    assert (by_cluster == 1).all()       # no false merges
+    assert cl["cluster_id"].nunique() == 1000
+
+
+def test_image_phash_banding_equals_bruteforce(ray_session):
+    """4x16-band blocking at hamming<=3 is lossless vs all-pairs
+    (pigeonhole) — checked against a numpy brute force over the same
+    phash universe."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.functions.imaging import hamming64
+    from weaver_ray.pipelines import images
+    from weaver_ray.sources.corpus import generate_corpus
+
+    base = pq.read_table(
+        sorted(__import__("glob").glob(generate_corpus(1000) + "/part-*.parquet"))[0],
+        columns=["image_id", "phash"])
+    var = pq.read_table(images.generate_variants(1000) + "/part-00000.parquet",
+                        columns=["image_id", "phash"])
+    ids = base.column("image_id").to_pylist() + var.column("image_id").to_pylist()
+    ph = np.concatenate([base.column("phash").to_numpy(),
+                         var.column("phash").to_numpy()]).astype(np.int64)
+    order = np.argsort(np.array(ids))
+    ids = [ids[k] for k in order]
+    ph = ph[order]
+    a, b = np.triu_indices(len(ids), k=1)
+    ham = hamming64(ph[a], ph[b])
+    keep = ham <= 3
+    brute = {(ids[i], ids[j], int(h))
+             for i, j, h in zip(a[keep], b[keep], ham[keep])}
+    engine = images.image_phash_pairs("unused", n_base=1000)
+    got = set(zip(engine["image_a"], engine["image_b"], engine["hamming"]))
+    assert got == brute
+
+
+def test_variant_corpus_deterministic_and_decodable():
+    """Variant rows re-decode to the exact stored phash (PNG lossless) and
+    regeneration is byte-identical (the oracle depends on determinism)."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.functions.imaging import decode_image, phash64 as ph64
+    from weaver_ray.pipelines import images
+
+    d = images.generate_variants(1000)
+    t = pq.read_table(d + "/part-00000.parquet")
+    for k in range(0, t.num_rows, 37):
+        px = decode_image(t.column("bytes")[k].as_py(), "png")
+        assert ph64(px) == t.column("phash")[k].as_py()
+        assert px.shape == (t.column("h")[k].as_py(), t.column("w")[k].as_py(), 3)
+    # regeneration determinism: rebuild one chunk serially and compare
+    import pyarrow.feather as feather
+
+    from weaver_ray.sources.corpus import generate_corpus
+
+    base = feather.read_table(generate_corpus(1000) + "/corpus.feather")
+    rebuilt = images._make_variant_rows(base, np.array([0, 4, 8]), 42)
+    stored = t.slice(0, rebuilt.num_rows)
+    assert rebuilt.equals(stored.select(rebuilt.schema.names))

@@ -1,0 +1,296 @@
+"""Image-axis pipelines over the image+caption corpus (the input table of
+BASELINE.json's input_hint): perceptual-hash near-dup pairs + connected
+components, and per-format corpus statistics.
+
+Variant corpus (planted near-dups): for a deterministic subset of base
+rows, DECODE the stored bytes with the real codec (PNG pure-Python /
+JPEG pure-numpy), add small deterministic pixel noise, RE-ENCODE as PNG
+and recompute the phash — written once to parquet and memoized.  +/-2
+pixel noise moves the 64-bit phash by <=1 bit (measured; the DCT
+low-frequency signs are stable under small perturbations), so every
+base<->variant pair sits within hamming<=2 and is recoverable at the
+ham<=3 threshold.  Both the Ray engine and the DuckDB oracle read the
+SAME two parquet directories: the banded engine + distributed connected
+components are hash-checked against a brute-force ``bit_count(xor(..))``
+self-join + recursive transitive closure (__ray_entry__.py) — the same
+banded==brute-force pigeonhole argument as simhash (4 bands x 16 bits
+cover hamming<=3).
+
+Reference analog: the reference stores fetched page assets keyed by
+content hash (src/scrapper/productHandler.go:31-57); near-dup detection
+over the stored image table is the training-data extension the task
+brief asks for (SURVEY.md §2.7 phash hook).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .. import config
+from ..functions.imaging import decode_image, encode_image, phash64
+from ..sources.corpus import (
+    corpus_dir,
+    generate_corpus,
+    image_id_of,
+    read_corpus,
+)
+from .common import partial_groupby
+from .dedup import _pairs_to_pandas, connected_components_ds
+
+_VARIANTS_VERSION = 1
+_NOISE = 2          # +/- pixel noise amplitude (phash moves <=1 bit)
+_MAX_VARIANTS = 7   # node-id scheme reserves 3 bits per base image
+
+
+def variants_dir(n_base: int, seed: int = config.CORPUS_SEED,
+                 root: str = "/tmp/weaver_corpus") -> str:
+    return os.path.join(
+        root, f"seed{seed}_n{n_base}_variants_v{_VARIANTS_VERSION}")
+
+
+def _chosen_variants(i: int) -> int:
+    """Deterministic plant plan: every 4th base image gets 1 or 2 noisy
+    variants (cluster sizes 2 and 3 both exercised)."""
+    return (1 + (i // 4) % 2) if i % 4 == 0 else 0
+
+
+def _make_variant_rows(base: pa.Table, indices: np.ndarray,
+                       seed: int) -> pa.Table:
+    ids, blobs, ws, hs, caps, phs, bases = [], [], [], [], [], [], []
+    rows = {base.column("image_id")[k].as_py(): k for k in range(base.num_rows)}
+    for i in indices:
+        bid = image_id_of(int(i))
+        k = rows[bid]
+        px = decode_image(base.column("bytes")[k].as_py(),
+                          base.column("fmt")[k].as_py())
+        for j in range(_chosen_variants(int(i))):
+            rng = np.random.default_rng([seed, 777, int(i), j])
+            delta = rng.integers(-_NOISE, _NOISE + 1, size=px.shape,
+                                 dtype=np.int16)
+            px2 = np.clip(px.astype(np.int16) + delta, 0, 255).astype(np.uint8)
+            blob, fmt2 = encode_image(px2, "png")  # lossless: stored == decoded
+            ids.append(f"{bid}v{j}")
+            blobs.append(blob)
+            ws.append(px2.shape[1])
+            hs.append(px2.shape[0])
+            caps.append(base.column("caption")[k].as_py())
+            phs.append(phash64(px2))
+            bases.append(bid)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["png"] * len(ids), pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+            "base_id": pa.array(bases, pa.string()),
+        }
+    )
+
+
+def generate_variants(n_base: int = 1000, seed: int = config.CORPUS_SEED,
+                      root: str = "/tmp/weaver_corpus") -> str:
+    """Write (and cache) the noisy-variant table for the (seed, n_base)
+    corpus.  Decode/noise/encode fans out as Ray tasks when a session
+    exists (CPU-bound codec work), serial otherwise."""
+    base_path = generate_corpus(n_base, seed, root)
+    d = Path(variants_dir(n_base, seed, root))
+    done = d / "_DONE"
+    if done.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for old in d.glob("*"):
+        old.unlink()
+
+    import pyarrow.feather as feather
+    import ray as _ray
+
+    chosen = np.array([i for i in range(n_base) if _chosen_variants(i)])
+    chunk = 250
+    starts = list(range(0, len(chosen), chunk))
+
+    def make(idx: np.ndarray) -> pa.Table:
+        base = feather.read_table(os.path.join(base_path, "corpus.feather"))
+        return _make_variant_rows(base, idx, seed)
+
+    if _ray.is_initialized() and len(starts) > 1:
+        gen = _ray.remote(lambda s0: make(chosen[s0:s0 + chunk]))
+        chunks = _ray.get([gen.remote(s0) for s0 in starts])
+    else:
+        chunks = [make(chosen[s0:s0 + chunk]) for s0 in starts]
+    pq.write_table(pa.concat_tables(chunks), d / "part-00000.parquet")
+    done.write_text(f"n_base={n_base} seed={seed} noise={_NOISE}\n")
+    return str(d)
+
+
+def read_variants(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    files = sorted(str(p) for p in Path(path).glob("part-*.parquet"))
+    return rd.read_parquet(files, columns=columns)
+
+
+# ------------------------------------------------------------------ phash near-dup
+
+def _phash_universe(n_base: int) -> rd.Dataset:
+    """(image_id, phash) over base corpus UNION variants — column-pruned
+    scans of both parquet directories."""
+    base = read_corpus(generate_corpus(n_base), ["image_id", "phash"])
+    var = read_variants(generate_variants(n_base), ["image_id", "phash"])
+    return base.union(var)
+
+
+def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
+                         n_base: int = 1000) -> rd.Dataset:
+    """Perceptual-hash near-dup pairs: 4x16-bit band blocking (pigeonhole:
+    hamming<=3 of 64 bits implies >=1 exact band match — banding is
+    lossless vs brute force), hamming verified inside each band bucket,
+    cross-band dedup as a distributed groupby.  Same shape as
+    simhash_pairs_ds; at 100 TB nothing here touches the driver."""
+
+    def band_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df["phash"].to_numpy().astype(np.uint64)
+        n = len(ph)
+        return pd.DataFrame(
+            {
+                "image_id": np.tile(df["image_id"].to_numpy(), 4),
+                "phash": np.tile(ph.astype(np.int64), 4),
+                "band_id": np.repeat(np.arange(4, dtype=np.int32), n),
+                "band_val": np.concatenate(
+                    [((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                     for b in range(4)]
+                ),
+            }
+        )
+
+    bands = _phash_universe(n_base).map_batches(band_batch, batch_format="pandas")
+
+    _EMPTY = {"image_a": pd.Series([], dtype=object),
+              "image_b": pd.Series([], dtype=object),
+              "hamming": pd.Series([], dtype=np.int64)}
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("image_id").sort_values("image_id")
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY)
+        ids = g["image_id"].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        x = ph[a] ^ ph[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming  # selectivity applied IN the bucket
+        return pd.DataFrame({"image_a": ids[a][keep], "image_b": ids[b][keep],
+                             "hamming": ham[keep]})
+
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        emit, batch_format="pandas")
+    return pairs.groupby(["image_a", "image_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def image_phash_pairs(sf_dir: str, max_hamming: int = 3,
+                      n_base: int = 1000) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`image_phash_pairs_ds`."""
+    return _pairs_to_pandas(
+        image_phash_pairs_ds(sf_dir, max_hamming, n_base),
+        ["image_a", "image_b"],
+        {"image_a": object, "image_b": object, "hamming": np.int64})
+
+
+# node-id scheme (invertible, SQL-reconstructable): base img%08d -> 8*i,
+# variant img%08dvJ -> 8*i + 1 + J  (J < _MAX_VARIANTS)
+def _node_ids(image_ids: pd.Series) -> np.ndarray:
+    i = image_ids.str.slice(3, 11).astype(np.int64)
+    var = image_ids.str.len().gt(11)
+    j = pd.Series(np.zeros(len(image_ids), dtype=np.int64),
+                  index=image_ids.index)
+    if var.any():
+        j[var] = image_ids[var].str.slice(12).astype(np.int64) + 1
+    return (i * 8 + j).to_numpy()
+
+
+def _image_id_of_node(nodes: np.ndarray) -> np.ndarray:
+    i, r = nodes // 8, nodes % 8
+    return np.array(
+        [f"img{b:08d}" + ("" if rr == 0 else f"v{rr - 1}")
+         for b, rr in zip(i, r)], dtype=object)
+
+
+def image_phash_clusters_ds(sf_dir: str, max_hamming: int = 3,
+                            n_base: int = 1000) -> rd.Dataset:
+    """Connected components over the phash near-dup graph (pairs from
+    :func:`image_phash_pairs_ds`, components via the shared distributed
+    min-label propagation in dedup.connected_components_ds).  Output:
+    (image_id, cluster_id) with cluster_id = smallest reachable node id —
+    the canonical representative an image-dedup pass would keep."""
+    pairs = image_phash_pairs_ds(sf_dir, max_hamming, n_base)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"src": _node_ids(df["image_a"]),
+                                 "dst": _node_ids(df["image_b"])}),
+        batch_format="pandas",
+    )
+    nodes = _phash_universe(n_base).map_batches(
+        lambda df: pd.DataFrame({"doc_id": _node_ids(df["image_id"])}),
+        batch_format="pandas",
+    )
+    labels = connected_components_ds(nodes, edges)
+    # node id -> image id is pure arithmetic (no join needed: the scheme
+    # is invertible); keeps the result one narrow map away from the labels
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"image_id": _image_id_of_node(df["doc_id"].to_numpy(np.int64)),
+             "cluster_id": df["cluster_id"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+
+
+def image_phash_clusters(sf_dir: str, max_hamming: int = 3,
+                         n_base: int = 1000) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`image_phash_clusters_ds`."""
+    return _pairs_to_pandas(
+        image_phash_clusters_ds(sf_dir, max_hamming, n_base),
+        ["image_id"], {"image_id": object, "cluster_id": np.int64})
+
+
+# ------------------------------------------------------------------ corpus stats
+
+def corpus_format_stats(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """Per-format stats over the image table (count / pixels / stored
+    bytes / max dims) — partial aggregation; the shuffle moves one row per
+    (fmt, batch).  byte sizes come from the binary column itself, so the
+    scan must carry ``bytes`` (inherent to the metric, not a missing
+    prune)."""
+    ds = read_corpus(generate_corpus(n_base), ["fmt", "w", "h", "bytes"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n_pixels=(df["w"].astype(np.int64)
+                                   * df["h"].astype(np.int64)),
+                         n_bytes=df["bytes"].map(len).astype(np.int64))
+
+    out = partial_groupby(
+        ds, ["fmt"],
+        {
+            "n_images": ("fmt", "count"),
+            "sum_pixels": ("n_pixels", "sum"),
+            "sum_bytes": ("n_bytes", "sum"),
+            "max_w": ("w", "max"),
+            "max_h": ("h", "max"),
+        },
+        prep=prep,
+    ).to_pandas()  # two groups: finish driver-side
+    for c in ("n_images", "sum_pixels", "sum_bytes"):
+        out[c] = out[c].astype(np.int64)
+    out["max_w"] = out["max_w"].astype(np.int32)
+    out["max_h"] = out["max_h"].astype(np.int32)
+    out["avg_bytes"] = (out["sum_bytes"] / out["n_images"]).round(4)
+    return out.sort_values("fmt").reset_index(drop=True)
