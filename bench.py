@@ -56,7 +56,14 @@ QUERY_NAMES = [
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
     "image_decode_stats",
+    "image_phash_clusters",
 ]
+
+# the image-axis scale leg: phash banding + connected components over a
+# 10k-image corpus (+ ~3.7k planted variants) — input generation is
+# memoized and pre-warmed OUTSIDE the timer, so the number is the
+# pipeline, not corpus synthesis
+IMAGE_SCALE_NBASE = 10_000
 
 
 def _init_ray(ncpus: int) -> None:
@@ -143,6 +150,18 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         out[name] = round(time.monotonic() - t0, 3)
         # progress to stderr so an interrupted run still shows what finished
         print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
+
+    # image-axis scale leg (see IMAGE_SCALE_NBASE note)
+    from weaver_ray.pipelines import images
+
+    images.generate_variants(IMAGE_SCALE_NBASE)  # memoized input, untimed
+    t0 = time.monotonic()
+    to_table(images.image_phash_clusters_ds("unused", n_base=IMAGE_SCALE_NBASE))
+    out[f"image_phash_clusters_{IMAGE_SCALE_NBASE // 1000}k"] = round(
+        time.monotonic() - t0, 3)
+    print(f"[bench] image_phash_clusters_{IMAGE_SCALE_NBASE // 1000}k: "
+          f"{out[f'image_phash_clusters_{IMAGE_SCALE_NBASE // 1000}k']}s",
+          file=sys.stderr, flush=True)
     return out
 
 
