@@ -309,8 +309,133 @@ def ngram_jaccard_pairs(sf_dir: str, band: int = 50, threshold: float = 0.2,
         {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64})
 
 
+# --- task-based connected components ---------------------------------------
+# The first implementation expressed each label-propagation iteration as Ray
+# Data hash joins + a partial groupby (3 sort-shuffles per iteration).
+# Correct, but the per-iteration compute is MILLISECONDS while the shuffle
+# machinery (aggregator pools, sort sampling, executor startups) cost
+# 35-45 s/iteration at bench size — the same disease the crawl round
+# barrier had (crawl.py:_distributed_barrier) and the same cure: hand-build
+# the exchange topology from num_cpus=0 tasks on object refs.  Per
+# iteration, every row still moves peer-to-peer through the object store,
+# partitioned by hash(node) — the driver only ever sees k per-part
+# changed-counts (ints).  num_cpus=0 because each task does microseconds of
+# numpy on metadata-sized arrays and must never compete with CPU-reserving
+# pools for slots (crawl.py:426 deadlock class).
+
+
+def _cc_owner(v: np.ndarray, k: int) -> np.ndarray:
+    """Partition owner of each int64 node id (mixed so structured id
+    schemes — e.g. images' 8*i+j — don't skew a modulo)."""
+    u = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((u >> np.uint64(21)) % np.uint64(k)).astype(np.int64)
+
+
+def _cc_split_pairs(a: np.ndarray, b: np.ndarray, owner_of: np.ndarray,
+                    k: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Route (a[i], b[i]) pairs to k parts by owner_of[i] (zero-copy
+    slices of one stable sort, crawl.py:_split_by_hash pattern)."""
+    order = np.argsort(owner_of, kind="stable")
+    bounds = np.searchsorted(owner_of[order], np.arange(k + 1))
+    aa, bb = a[order], b[order]
+    return [(aa[bounds[p]:bounds[p + 1]], bb[bounds[p]:bounds[p + 1]])
+            for p in range(k)]
+
+
+@ray.remote(num_cpus=0)
+def _cc_split_nodes(t: pa.Table, k: int) -> list[np.ndarray]:
+    if "doc_id" not in t.column_names:  # all-empty block: 0-column schema
+        return [np.empty(0, np.int64)] * k
+    v = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return [a for a, _ in _cc_split_pairs(v, v, _cc_owner(v, k), k)]
+
+
+@ray.remote(num_cpus=0)
+def _cc_split_edges(t: pa.Table, k: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Both directions (a proposal flows across each edge either way),
+    routed by owner(src) so every edge is co-located with its source's
+    label slice."""
+    if "src" not in t.column_names:  # all-empty block: 0-column schema
+        e = np.empty(0, np.int64)
+        return [(e, e)] * k
+    s0 = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    d0 = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate([s0, d0])
+    dst = np.concatenate([d0, s0])
+    return _cc_split_pairs(src, dst, _cc_owner(src, k), k)
+
+
+@ray.remote(num_cpus=0)
+def _cc_build_part(n_node_chunks: int, *chunks):
+    """Static per-part state: sorted unique local node ids + local edges
+    with src resolved to a positional index.  Local nodes also absorb any
+    edge endpoint missing from ``nodes`` (owner(src) == this part), which
+    preserves the Dataset implementation's semantics (propagation created
+    label rows for unseen endpoints)."""
+    node_chunks = chunks[:n_node_chunks]
+    edge_chunks = chunks[n_node_chunks:]
+    srcs = [s for s, _ in edge_chunks]
+    dsts = [d for _, d in edge_chunks]
+    nodes = np.unique(np.concatenate(list(node_chunks) + srcs))
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    return nodes, np.searchsorted(nodes, src), dst
+
+
+@ray.remote(num_cpus=0)
+def _cc_resolve(static, labels: np.ndarray, k: int, *jump_reqs):
+    """Resolve label lookups owned by this part: static edge requests
+    (src is local) and incoming pointer-jump requests (key = some part's
+    current label, owned here).  Emits (target, proposed_label) pairs,
+    locally min-reduced per target (combiner) then routed by
+    owner(target)."""
+    nodes, src_idx, dst = static
+    tgt = [dst]
+    val = [labels[src_idx]]
+    for key, target in jump_reqs:
+        if len(key):
+            tgt.append(target)
+            val.append(labels[np.searchsorted(nodes, key)])
+    target = np.concatenate(tgt)
+    prop = np.concatenate(val)
+    if len(target):  # local per-target min before the exchange
+        order = np.lexsort((prop, target))
+        target, prop = target[order], prop[order]
+        first = np.ones(len(target), dtype=bool)
+        first[1:] = target[1:] != target[:-1]
+        target, prop = target[first], prop[first]
+    return _cc_split_pairs(target, prop, _cc_owner(target, k), k)
+
+
+@ray.remote(num_cpus=0)
+def _cc_apply(static, labels: np.ndarray, k: int, *proposals):
+    """Per-node min over incoming proposals; returns (new labels, changed
+    count, k next-round jump-request slices).  Jump requests ask
+    owner(label) for label(label(doc)) — pointer jumping keeps convergence
+    O(log diameter) instead of O(diameter)."""
+    nodes, _, _ = static
+    new = labels.copy()
+    for target, prop in proposals:
+        if len(target):
+            idx = np.searchsorted(nodes, target)
+            np.minimum.at(new, idx, prop)
+    changed = int(np.count_nonzero(new < labels))
+    nontriv = new != nodes  # identity jumps resolve to themselves: skip
+    key, target = new[nontriv], nodes[nontriv]
+    return (new, changed,
+            *_cc_split_pairs(key, target, _cc_owner(key, k), k))
+
+
+@ray.remote(num_cpus=0)
+def _cc_emit(static, labels: np.ndarray) -> pa.Table:
+    nodes, _, _ = static
+    return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                     "cluster_id": pa.array(labels, pa.int64())})
+
+
 def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
-                            max_iters: int = 25) -> rd.Dataset:
+                            max_iters: int = 25,
+                            num_parts: int = 16) -> rd.Dataset:
     """Connected components over an undirected int64 graph:
     ``cluster_id`` = smallest node_id reachable — the canonical
     representative a dedup pass would keep.  ``nodes`` carries a
@@ -318,84 +443,67 @@ def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
     directed ``src``/``dst`` int64 rows (pass each undirected edge once —
     both directions are added here).
 
-    Distributed shape: min-label propagation WITH pointer jumping — labels
-    live in a Dataset; each iteration (a) joins edge sources against
-    current labels (bucketed hash join) and (b) shortcuts label -> label(label)
-    (labels self-join), then unions proposals with the current labels and
-    takes the per-doc min with a partial-aggregation groupby.  Pointer
-    jumping makes convergence O(log diameter) instead of O(diameter) — a
-    5000-doc chain converges in ~8 iterations, not ~100.  Convergence is
-    detected by the (cheap) global label sum.
+    Distributed shape: min-label propagation WITH pointer jumping over
+    hash-partitioned label slices, each iteration two rounds of
+    num_cpus=0 tasks (resolve: edge + jump lookups against the owning
+    slice, with a per-target min combiner before the exchange; apply:
+    per-node min + next jump requests).  All pair traffic is
+    object-store-to-object-store; the driver sees only per-part changed
+    counts.  See the block comment above for why this is task-based
+    rather than Ray Data joins, and crawl.py:_distributed_barrier for
+    the precedent.  At 100 TB ``num_parts`` rises with the node count
+    (slices should stay ~100 MB); the O(k^2) exchange objects stay
+    metadata-sized.
 
-    Returns a Dataset of (doc_id, cluster_id) — one row per node, which
-    at 100 TB is itself large, so the result NEVER touches the driver here;
-    sink it with ``.write_parquet()`` or collect via the query shim."""
-    labels = nodes.map_batches(
-        lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
-                                 "label": df["doc_id"].to_numpy(np.int64)}),
-        batch_format="pandas",
-    ).materialize()
+    Returns a Dataset of (doc_id, cluster_id) — one row per node
+    (node universe = ``nodes`` ∪ edge endpoints, matching the previous
+    Dataset implementation), which at 100 TB is itself large, so the
+    result NEVER touches the driver here; sink it with
+    ``.write_parquet()`` or collect via the query shim."""
+    k = num_parts
+    node_splits = [_cc_split_nodes.options(num_returns=k).remote(r, k)
+                   for r in nodes.to_arrow_refs()]
+    edge_splits = [_cc_split_edges.options(num_returns=k).remote(r, k)
+                   for r in edges_src_dst.to_arrow_refs()]
+    if k == 1:  # num_returns=1 returns the bare ref, not a list
+        node_splits = [[s] for s in node_splits]
+        edge_splits = [[s] for s in edge_splits]
+    statics = [
+        _cc_build_part.remote(
+            len(node_splits),
+            *[s[p] for s in node_splits], *[s[p] for s in edge_splits])
+        for p in range(k)
+    ]
+    labels = [_cc_init_labels.remote(st) for st in statics]
 
-    def _as_clusters(ds: rd.Dataset) -> rd.Dataset:
-        return ds.map_batches(
-            lambda df: pd.DataFrame(
-                {"doc_id": df["doc_id"].to_numpy(np.int64),
-                 "cluster_id": df["label"].to_numpy(np.int64)}),
-            batch_format="pandas",
-        )
-
-    # both directions (a proposal flows across each edge either way);
-    # materialized ONCE to the object store — every propagation iteration
-    # joins against it, and an unmaterialized edge set would re-run the
-    # whole upstream pair pipeline per iteration
-    edges = edges_src_dst.map_batches(
-        lambda df: pd.DataFrame(
-            {"src": np.concatenate([df["src"].to_numpy(np.int64),
-                                    df["dst"].to_numpy(np.int64)]),
-             "dst": np.concatenate([df["dst"].to_numpy(np.int64),
-                                    df["src"].to_numpy(np.int64)])}),
-        batch_format="pandas",
-    ).materialize()
-    if edges.count() == 0:
-        return _as_clusters(labels)
-
-    from .common import hash_join, partial_groupby
-
-    prev_sum = None
+    jump_reqs = [[] for _ in range(k)]  # [dest_part] -> refs from each part
     for _ in range(max_iters):
-        lab_src = labels.map_batches(
-            lambda df: pd.DataFrame({"src": df["doc_id"], "label": df["label"]}),
-            batch_format="pandas",
-        )
-        prop = hash_join(
-            edges, lab_src, on="src",
-            lcols=["src", "dst"], rcols=["src", "label"],
-            post=lambda df: pd.DataFrame({"doc_id": df["dst"].to_numpy(np.int64),
-                                          "label": df["label"].to_numpy(np.int64)}),
-        )
-        # pointer jumping: doc -> label(label(doc))
-        lab_key = labels.map_batches(
-            lambda df: pd.DataFrame({"k": df["label"], "doc_id": df["doc_id"]}),
-            batch_format="pandas",
-        )
-        lab_val = labels.map_batches(
-            lambda df: pd.DataFrame({"k": df["doc_id"], "label": df["label"]}),
-            batch_format="pandas",
-        )
-        jump = hash_join(
-            lab_key, lab_val, on="k",
-            lcols=["k", "doc_id"], rcols=["k", "label"],
-            post=lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
-                                          "label": df["label"].to_numpy(np.int64)}),
-        )
-        labels = partial_groupby(prop.union(labels).union(jump), ["doc_id"],
-                                 {"label": ("label", "min")}).materialize()
-        s = labels.sum("label")
-        if s == prev_sum:  # fixpoint: no label decreased anywhere
-            break
-        prev_sum = s
+        props = [
+            _cc_resolve.options(num_returns=k).remote(
+                statics[q], labels[q], k, *jump_reqs[q])
+            for q in range(k)
+        ]
+        if k == 1:
+            props = [[r] for r in props]
+        outs = [
+            _cc_apply.options(num_returns=k + 2).remote(
+                statics[p], labels[p], k, *[props[q][p] for q in range(k)])
+            for p in range(k)
+        ]
+        labels = [o[0] for o in outs]
+        jump_reqs = [[outs[p][2 + dest] for p in range(k)]
+                     for dest in range(k)]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break  # fixpoint: no label decreased anywhere
 
-    return _as_clusters(labels)
+    return rd.from_arrow_refs(
+        [_cc_emit.remote(statics[p], labels[p]) for p in range(k)])
+
+
+@ray.remote(num_cpus=0)
+def _cc_init_labels(static) -> np.ndarray:
+    nodes, _, _ = static
+    return nodes.copy()
 
 
 def neardup_clusters_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
