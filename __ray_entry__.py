@@ -283,7 +283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracles over the same on-disk parquet
         "image_phash_pairs": images.image_phash_pairs,
         "image_phash_clusters": images.image_phash_clusters,
+        "image_phash_topk": images.image_phash_topk,
         "corpus_format_stats": images.corpus_format_stats,
+        "caption_stats_by_fmt": images.caption_stats_by_fmt,
     }
 
 
@@ -572,6 +574,38 @@ def _image_sql() -> dict[str, str]:
                    CAST(sum(octet_length(bytes)) AS BIGINT) AS sum_bytes,
                    max(w) AS max_w, max(h) AS max_h,
                    round(sum(octet_length(bytes))::DOUBLE / count(*), 4) AS avg_bytes
+            FROM read_parquet('{base}') GROUP BY fmt
+        """,
+        # query subset = every 50th base image (n_base=1000, n_queries=20);
+        # rank ties broken (hamming, image_id) exactly as the engine does
+        "image_phash_topk": f"""
+            WITH u AS ({u}),
+            q AS (
+                SELECT image_id AS query_id, phash AS qph
+                FROM read_parquet('{base}')
+                WHERE CAST(substr(image_id, 4, 8) AS BIGINT) % 50 = 0
+            ),
+            ranked AS (
+                SELECT q.query_id, u.image_id,
+                       CAST(bit_count(xor(q.qph, u.phash)) AS BIGINT) AS hamming,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY bit_count(xor(q.qph, u.phash)), u.image_id
+                       ) AS rank
+                FROM q JOIN u ON u.image_id <> q.query_id
+            )
+            SELECT query_id, image_id, hamming, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "caption_stats_by_fmt": rf"""
+            SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(len(regexp_extract_all(caption, '\w+'))) AS BIGINT)
+                       AS sum_tokens,
+                   CAST(sum(length(caption)) AS BIGINT) AS sum_chars,
+                   CAST(max(len(regexp_extract_all(caption, '\w+'))) AS BIGINT)
+                       AS max_tokens,
+                   sum(len(regexp_extract_all(caption, '\w+')))::DOUBLE
+                         / count(*) AS avg_tokens
             FROM read_parquet('{base}') GROUP BY fmt
         """,
     }

@@ -176,3 +176,46 @@ def test_variant_corpus_deterministic_and_decodable():
     rebuilt = images._make_variant_rows(base, np.array([0, 4, 8]), 42)
     stored = t.slice(0, rebuilt.num_rows)
     assert rebuilt.equals(stored.select(rebuilt.schema.names))
+
+
+def test_image_phash_topk_ranks_variants_first():
+    """Similarity search: a query image with planted noisy variants must
+    rank them at the top (hamming <= 2 by construction), ranks must be
+    dense 1..k per query, and hamming must be nondecreasing within a
+    query (ties broken by image_id)."""
+    from weaver_ray.pipelines import images
+
+    out = images.image_phash_topk("unused", k=5, n_queries=20, n_base=1000)
+    assert set(out.columns) == {"query_id", "image_id", "hamming", "rank"}
+    assert out.groupby("query_id")["rank"].apply(
+        lambda r: list(r) == list(range(1, len(r) + 1))).all()
+    for qid, g in out.groupby("query_id"):
+        assert (g["hamming"].diff().dropna() >= 0).all()
+        assert (g["image_id"] != qid).all()  # self excluded
+        i = int(qid[3:11])
+        n_var = images._chosen_variants(i)
+        if n_var:  # planted variants are the nearest neighbors
+            top = set(g.head(n_var)["image_id"])
+            assert top == {f"{qid}v{j}" for j in range(n_var)}
+            assert (g.head(n_var)["hamming"] <= 2).all()
+
+
+def test_caption_stats_by_fmt_totals():
+    """Cross-modal caption profile: per-fmt counts must partition the
+    corpus and token sums must match a direct pandas recount."""
+    import glob
+    import re
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines import images
+    from weaver_ray.sources.corpus import generate_corpus
+
+    out = images.caption_stats_by_fmt("unused", n_base=1000)
+    t = pq.read_table(sorted(glob.glob(generate_corpus(1000) + "/part-*.parquet")),
+                      columns=["fmt", "caption"]).to_pandas()
+    assert int(out["n_images"].sum()) == len(t)
+    want = t.groupby("fmt")["caption"].apply(
+        lambda s: int(s.str.count(r"\w+").sum()))
+    got = dict(zip(out["fmt"], out["sum_tokens"]))
+    assert got == want.to_dict()

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from .. import config
@@ -262,6 +263,70 @@ def image_phash_clusters(sf_dir: str, max_hamming: int = 3,
         ["image_id"], {"image_id": object, "cluster_id": np.int64})
 
 
+# ------------------------------------------------------------------ phash top-k
+
+# 8-bit popcount LUT (numpy 1.26 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(ph: np.ndarray, qph: np.ndarray) -> np.ndarray:
+    """(N, Q) hamming distances between two uint64 phash vectors —
+    vectorized XOR + per-byte LUT popcount, no Python loop."""
+    x = ph[:, None] ^ qph[None, :]
+    return (_POP8[x.view(np.uint8)]
+            .reshape(len(ph), len(qph), 8).sum(-1).astype(np.int64))
+
+
+def image_phash_topk(sf_dir: str, k: int = 5, n_queries: int = 20,
+                     n_base: int = 1000) -> pd.DataFrame:
+    """Similarity search on the image axis: exact top-k nearest images by
+    phash hamming for a deterministic query subset (every
+    ``n_base // n_queries``-th base image), over base ∪ variants.
+
+    Same shape as similarity.ann_bruteforce_topk: the tiny query phash
+    vector is broadcast once with ``ray.put``, each Arrow batch does one
+    vectorized XOR+popcount against it plus a local top-k, and the driver
+    merges the k*n_blocks candidate rows.  Ties resolved (hamming asc,
+    image_id asc) so ranks are deterministic and SQL-reproducible."""
+    import pyarrow.dataset as pads
+
+    step = max(1, n_base // n_queries)
+    qids = [image_id_of(i) for i in range(0, n_base, step)]
+    # prune at the read: only the query rows leave storage
+    base_files = sorted(
+        str(p) for p in Path(generate_corpus(n_base)).glob("part-*.parquet"))
+    qt = pq.read_table(base_files, columns=["image_id", "phash"],
+                       filters=pads.field("image_id").isin(qids))
+    qmap = dict(zip(qt.column("image_id").to_pylist(),
+                    qt.column("phash").to_pylist()))
+    qph = np.array([qmap[q] for q in qids], np.int64).astype(np.uint64)
+    ref = ray.put((np.array(qids, dtype=object), qph))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        qids, qph = _cached_get(ref)
+        ids = df["image_id"].to_numpy()
+        ham = _hamming_matrix(df["phash"].to_numpy().astype(np.uint64), qph)
+        out_q, out_i, out_h = [], [], []
+        for qi, qid in enumerate(qids):
+            idx = np.flatnonzero(ids != qid)  # exclude self
+            order = idx[np.lexsort((ids[idx], ham[idx, qi]))][:k]
+            out_q.extend([qid] * len(order))
+            out_i.extend(ids[order])
+            out_h.extend(ham[order, qi])
+        return pd.DataFrame({"query_id": np.asarray(out_q, object),
+                             "image_id": np.asarray(out_i, object),
+                             "hamming": np.asarray(out_h, np.int64)})
+
+    cand = (_phash_universe(n_base)
+            .map_batches(local_topk, batch_format="pandas").to_pandas())
+    out = (cand.sort_values(["query_id", "hamming", "image_id"])
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    out["rank"] = out.groupby("query_id").cumcount().to_numpy(np.int64) + 1
+    return out
+
+
 # ------------------------------------------------------------------ corpus stats
 
 def corpus_format_stats(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
@@ -293,4 +358,37 @@ def corpus_format_stats(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     out["max_w"] = out["max_w"].astype(np.int32)
     out["max_h"] = out["max_h"].astype(np.int32)
     out["avg_bytes"] = (out["sum_bytes"] / out["n_images"]).round(4)
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
+def caption_stats_by_fmt(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """Cross-modal stats: caption token/char counts grouped by image
+    format (the image+caption table is multimodal by construction —
+    this is the text-side profile of the image corpus).  Token counting
+    mirrors textops (``str.count(r"\\w+")`` == DuckDB
+    ``len(regexp_extract_all(...))``); partial aggregation, the shuffle
+    moves one row per (fmt, batch)."""
+    ds = read_corpus(generate_corpus(n_base), ["fmt", "caption"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            n_tokens=df["caption"].str.count(r"\w+").astype(np.int64),
+            n_chars=df["caption"].str.len().astype(np.int64))
+
+    out = partial_groupby(
+        ds, ["fmt"],
+        {
+            "n_images": ("fmt", "count"),
+            "sum_tokens": ("n_tokens", "sum"),
+            "sum_chars": ("n_chars", "sum"),
+            "max_tokens": ("n_tokens", "max"),
+        },
+        prep=prep,
+    ).to_pandas()  # two groups: finish driver-side
+    for c in ("n_images", "sum_tokens", "sum_chars", "max_tokens"):
+        out[c] = out[c].astype(np.int64)
+    # UNrounded: sum/count of the same ints is the same IEEE double in any
+    # engine, while round(x, 4) differs on half-way cases (banker's vs
+    # half-away — 10.05625 rounds to .0562 in numpy, .0563 in DuckDB)
+    out["avg_tokens"] = out["sum_tokens"] / out["n_images"]
     return out.sort_values("fmt").reset_index(drop=True)
