@@ -196,15 +196,18 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
-    """Vectorized hamming distance between int64 phash columns."""
+    """Vectorized hamming distance between int64 phash columns
+    (broadcasts: a (N,1) vs b (1,Q) gives the (N, Q) distance matrix)."""
     x = np.bitwise_xor(a.astype(np.uint64), np.uint64(b) if np.isscalar(b) else b.astype(np.uint64))
-    return np.bitwise_count(x) if hasattr(np, "bitwise_count") else _popcount64(x)
+    return np.bitwise_count(x).astype(np.int64) if hasattr(np, "bitwise_count") else _popcount64(x)
+
+
+# 8-bit popcount LUT: 8 table lookups + a sum beat the 64-pass shift loop
+# ~6x (numpy 1.26 has no bitwise_count ufunc)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    x = x.copy()
-    c = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        c += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return c
+    flat = np.ascontiguousarray(x).reshape(-1)
+    return (_POP8[flat.view(np.uint8)].reshape(-1, 8).sum(1)
+            .astype(np.int64).reshape(x.shape))

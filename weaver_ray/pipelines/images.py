@@ -35,7 +35,7 @@ import ray
 import ray.data as rd
 
 from .. import config
-from ..functions.imaging import decode_image, encode_image, phash64
+from ..functions.imaging import decode_image, encode_image, hamming64, phash64
 from ..sources.corpus import (
     corpus_dir,
     generate_corpus,
@@ -153,8 +153,10 @@ def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
     """Perceptual-hash near-dup pairs: 4x16-bit band blocking (pigeonhole:
     hamming<=3 of 64 bits implies >=1 exact band match — banding is
     lossless vs brute force), hamming verified inside each band bucket,
-    cross-band dedup as a distributed groupby.  Same shape as
-    simhash_pairs_ds; at 100 TB nothing here touches the driver."""
+    cross-band dedup as a partial-aggregation groupby.  Shares
+    dedup.banded_hamming_pairs_ds with simhash; at 100 TB nothing here
+    touches the driver."""
+    from .dedup import banded_hamming_pairs_ds
 
     def band_batch(df: pd.DataFrame) -> pd.DataFrame:
         ph = df["phash"].to_numpy().astype(np.uint64)
@@ -162,7 +164,7 @@ def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
         return pd.DataFrame(
             {
                 "image_id": np.tile(df["image_id"].to_numpy(), 4),
-                "phash": np.tile(ph.astype(np.int64), 4),
+                "sig": np.tile(ph.astype(np.int64), 4),
                 "band_id": np.repeat(np.arange(4, dtype=np.int32), n),
                 "band_val": np.concatenate(
                     [((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
@@ -172,31 +174,8 @@ def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
         )
 
     bands = _phash_universe(n_base).map_batches(band_batch, batch_format="pandas")
-
-    _EMPTY = {"image_a": pd.Series([], dtype=object),
-              "image_b": pd.Series([], dtype=object),
-              "hamming": pd.Series([], dtype=np.int64)}
-
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("image_id").sort_values("image_id")
-        if len(g) < 2:
-            return pd.DataFrame(_EMPTY)
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy().astype(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = ph[a] ^ ph[b]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming  # selectivity applied IN the bucket
-        return pd.DataFrame({"image_a": ids[a][keep], "image_b": ids[b][keep],
-                             "hamming": ham[keep]})
-
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
-        emit, batch_format="pandas")
-    return pairs.groupby(["image_a", "image_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return banded_hamming_pairs_ds(bands, "image_id", "image_a", "image_b",
+                                   max_hamming)
 
 
 def image_phash_pairs(sf_dir: str, max_hamming: int = 3,
@@ -265,18 +244,6 @@ def image_phash_clusters(sf_dir: str, max_hamming: int = 3,
 
 # ------------------------------------------------------------------ phash top-k
 
-# 8-bit popcount LUT (numpy 1.26 has no bitwise_count)
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-
-
-def _hamming_matrix(ph: np.ndarray, qph: np.ndarray) -> np.ndarray:
-    """(N, Q) hamming distances between two uint64 phash vectors —
-    vectorized XOR + per-byte LUT popcount, no Python loop."""
-    x = ph[:, None] ^ qph[None, :]
-    return (_POP8[x.view(np.uint8)]
-            .reshape(len(ph), len(qph), 8).sum(-1).astype(np.int64))
-
-
 def image_phash_topk(sf_dir: str, k: int = 5, n_queries: int = 20,
                      n_base: int = 1000) -> pd.DataFrame:
     """Similarity search on the image axis: exact top-k nearest images by
@@ -307,7 +274,7 @@ def image_phash_topk(sf_dir: str, k: int = 5, n_queries: int = 20,
 
         qids, qph = _cached_get(ref)
         ids = df["image_id"].to_numpy()
-        ham = _hamming_matrix(df["phash"].to_numpy().astype(np.uint64), qph)
+        ham = hamming64(df["phash"].to_numpy()[:, None], qph[None, :])
         out_q, out_i, out_h = [], [], []
         for qi, qid in enumerate(qids):
             idx = np.flatnonzero(ids != qid)  # exclude self
