@@ -114,27 +114,41 @@ def test_edge_single_host_frontier():
 )
 def test_lpt_plan_matches_router_balance(hosts, nparts):
     """Regression (round 3): the LPT plan's assumed chunk sizes must match
-    what _route_block's ``seq % n_chunks`` routing actually delivers.  The
-    old plan assumed (cap,...,cap,remainder) chunks while the router splits
-    each host evenly, so bins packed around remainder-sized chunks received
-    full even shares (measured: 'balanced' 214-row parts spanning 0-696
-    rows).  Property: routing REAL rows through the plan never loads any
-    part beyond cap + the worst-case per-host rounding slack."""
+    what _route_block actually delivers.  Two generations of this bug:
+    (1) the plan assumed (cap,...,cap,remainder) chunks while the router
+    split each host evenly (measured: 'balanced' 214-row parts spanning
+    0-696 rows); (2) the router striped by global ``seq % n_chunks``,
+    which is only even when a host's seqs are contiguous — hypothesis
+    found an interleaving (a host's rows all on even seqs) that landed a
+    host's whole round on one chunk.  _route_block now routes by exact
+    within-host rank (offsets from per-block host counts + stable local
+    rank), so routed loads must equal the planned LPT loads EXACTLY."""
     from collections import Counter
 
     from weaver_ray.pipelines.crawl import _lpt_plan
 
-    # global seq as assign_seq would hand out: rows sorted by (host, i)
-    # is close enough — per-host seqs form contiguous runs, the realistic
-    # (and worst) case for modulo striping
-    rows = sorted((h, i) for i, h in enumerate(hosts))
-    host_counts = Counter(h for h, _ in rows)
+    host_counts = Counter(hosts)
     plan, spread = _lpt_plan(dict(host_counts), nparts)
-    loads = Counter(plan[(h, s % spread[h])] for h, s in rows)
-    cap = -(-len(rows) // nparts)
-    # each host chunk's actual size is within +-1 of the planned even
-    # share, so a bin of m chunks can exceed its planned load by at most m
-    worst_slack = max(Counter(
-        plan[(h, ci)] for (h, ci) in plan).values())
-    assert max(loads.values()) <= cap + worst_slack
-    assert sum(loads.values()) == len(rows)
+
+    # exact-rank routing, as _route_block computes it (offset 0 + stable
+    # within-block cumcount; row ORDER must not matter — any interleaving
+    # gives each host the dense ranks 0..cnt-1)
+    seen: Counter = Counter()
+    loads: Counter = Counter()
+    for h in hosts:
+        loads[plan[(h, seen[h] % spread[h])]] += 1
+        seen[h] += 1
+
+    # planned loads: even-split chunk sizes packed by the same LPT
+    planned: Counter = Counter()
+    for (h, ci), p in plan.items():
+        cnt, n_chunks = host_counts[h], spread[h]
+        base, rem = divmod(cnt, n_chunks)
+        planned[p] += base + (1 if ci < rem else 0)
+
+    assert loads == {p: c for p, c in planned.items() if c}
+    assert sum(loads.values()) == len(hosts)
+    # LPT quality floor: chunks are <= cap by construction, so no part
+    # can exceed twice the even share
+    cap = -(-len(hosts) // nparts)
+    assert max(loads.values()) <= 2 * cap

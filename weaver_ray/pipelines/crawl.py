@@ -109,12 +109,28 @@ def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
 
 
 @ray.remote(num_cpus=0)
-def _route_block(t: pa.Table, plan_spread, num_parts: int) -> list[pa.Table]:
+def _route_block(t: pa.Table, plan_spread, offsets: dict,
+                 num_parts: int) -> list[pa.Table]:
     plan, spread = plan_spread
-    hosts = t.column("host").to_pylist()
-    seqs = t.column("seq").to_numpy(zero_copy_only=False)
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    # exact within-host global rank = rows of this host in earlier blocks
+    # (offsets, from the barrier's per-block host counts) + stable local
+    # rank.  rank % n_chunks splits every host into EXACTLY the sizes the
+    # LPT plan packed.  (The first version striped by global seq %
+    # n_chunks, which is only even when a host's seqs are contiguous —
+    # interleaved priority runs can alias mod n_chunks, in the worst case
+    # landing a host's whole round on one chunk.)
+    _, inv = np.unique(hosts, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    ranks = np.empty(t.num_rows, dtype=np.int64)
+    si = inv[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    ends = np.r_[starts[1:], len(si)]
+    for s, e in zip(starts, ends):
+        h = hosts[order[s]]
+        ranks[order[s:e]] = offsets.get(h, 0) + np.arange(e - s)
     parts = np.fromiter(
-        (plan[(h, int(s) % spread[h])] for h, s in zip(hosts, seqs)),
+        (plan[(h, int(rk) % spread[h])] for h, rk in zip(hosts, ranks)),
         dtype=np.int64, count=t.num_rows,
     )
     order = np.argsort(parts, kind="stable")
@@ -259,7 +275,7 @@ def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
     assigned, row count, per-host counts).  Only counts, samples and
     boundary keys touch the driver."""
     if not child_refs:
-        return None, 0, {}
+        return None, 0, {}, []
     splits = [_split_by_hash.options(num_returns=k).remote(ref, k)
               for ref in child_refs]
     if k == 1:  # num_returns=1 yields a bare ref, not a list
@@ -271,7 +287,7 @@ def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
         meta_refs.append(mref)
     metas = ray.get(meta_refs)
     if sum(m["count"] for m in metas) == 0:
-        return None, 0, {}
+        return None, 0, {}, []
     # boundaries: k-1 evenly-spaced keys from the pooled samples (sorted in
     # global key order).  Sample keys are unique (canon is globally unique
     # after the hash-split dedup), so boundaries are strictly increasing.
@@ -306,8 +322,12 @@ def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
         for h, c in m["host_counts"].items():
             host_counts[h] = host_counts.get(h, 0) + c
     if total == 0:
-        return None, 0, {}
-    return out_refs, total, host_counts
+        return None, 0, {}, []
+    # per-block host counts ride along so the fetch router can compute
+    # exact within-host global ranks (blocks are range-partitions of the
+    # canon order, so each host spans few blocks — O(n_hosts + k) driver
+    # metadata, same class as host_counts itself)
+    return out_refs, total, host_counts, [m["host_counts"] for m in smetas]
 
 
 @ray.remote(num_cpus=0, num_returns=2)
@@ -333,24 +353,25 @@ def _frontier_refs_from_files(files: list[str], remaining: int | None):
     the frontier never touches the driver, resume included.  Only tiny
     (count, host_counts) metas come back."""
     if not files:
-        return None, 0, {}
+        return None, 0, {}, []
     refs, meta_refs = [], []
     for f in files:
         tref, mref = _read_frontier_part.remote(f, remaining)
         refs.append(tref)
         meta_refs.append(mref)
     metas = ray.get(meta_refs)
-    out_refs, host_counts, total = [], {}, 0
+    out_refs, block_hcs, host_counts, total = [], [], {}, 0
     for ref, m in zip(refs, metas):
         if m["count"] == 0:
             continue
         out_refs.append(ref)
+        block_hcs.append(m["host_counts"])
         total += m["count"]
         for h, c in m["host_counts"].items():
             host_counts[h] = host_counts.get(h, 0) + c
     if total == 0:
-        return None, 0, {}
-    return out_refs, total, host_counts
+        return None, 0, {}, []
+    return out_refs, total, host_counts, block_hcs
 
 
 def _driver_table_to_refs(frontier: pa.Table, remaining: int | None):
@@ -362,11 +383,11 @@ def _driver_table_to_refs(frontier: pa.Table, remaining: int | None):
     if remaining is not None:
         frontier = frontier.slice(0, remaining)
     if frontier.num_rows == 0:
-        return None, 0, {}
+        return None, 0, {}, []
     vc = pc.value_counts(frontier.column("host"))
     hc = dict(zip(vc.field("values").to_pylist(),
                   (int(c) for c in vc.field("counts").to_pylist())))
-    return [ray.put(frontier)], frontier.num_rows, hc
+    return [ray.put(frontier)], frontier.num_rows, hc, [hc]
 
 
 @dataclass
@@ -409,7 +430,8 @@ def _make_dedup_fn(seen_view, lineage):
     return dedup
 
 
-def _run_round_distributed(frontier_refs: list, host_counts: dict, r: int,
+def _run_round_distributed(frontier_refs: list, host_counts: dict,
+                           block_hcs: list, r: int,
                            cfg: CrawlConfig, corpus_path: str,
                            records_dir: str, seen, politeness, lineage,
                            num_fetch_parts: int):
@@ -419,6 +441,13 @@ def _run_round_distributed(frontier_refs: list, host_counts: dict, r: int,
     count)."""
     plan, spread = _lpt_plan(host_counts, num_fetch_parts)
     plan_ref = ray.put((plan, spread))
+    # per-block within-host offsets for exact rank routing (_route_block):
+    # block b's offset for host h = rows of h in blocks 0..b-1
+    offsets_per_block, running = [], {}
+    for hc in block_hcs:
+        offsets_per_block.append({h: running.get(h, 0) for h in hc})
+        for h, c in hc.items():
+            running[h] = running.get(h, 0) + c
 
     # exact exchange (identity routing, see _route_block): the NARROW
     # frontier moves as zero-copy Arrow slices through the object store;
@@ -431,8 +460,8 @@ def _run_round_distributed(frontier_refs: list, host_counts: dict, r: int,
     # if a round is huge.
     routed = [
         _route_block.options(num_returns=num_fetch_parts).remote(
-            ref, plan_ref, num_fetch_parts)
-        for ref in frontier_refs
+            ref, plan_ref, offs, num_fetch_parts)
+        for ref, offs in zip(frontier_refs, offsets_per_block)
     ]
     if num_fetch_parts == 1:  # num_returns=1 yields a bare ref, not a list
         routed = [[r_] for r_ in routed]
@@ -601,17 +630,18 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
 
     frontier_refs = None
     frontier_hosts: dict[str, int] = {}
+    frontier_block_hcs: list[dict] = []
     frontier_count = frontier.num_rows if frontier is not None else 0
     if cfg.distributed:
         remaining0 = None if cfg.max_urls is None else cfg.max_urls - urls_fetched
         if resume_files is not None:
             # resume: checkpointed frontier parts -> refs via read tasks
-            frontier_refs, frontier_count, frontier_hosts = \
+            frontier_refs, frontier_count, frontier_hosts, frontier_block_hcs = \
                 _frontier_refs_from_files(resume_files, remaining0)
         elif frontier is not None and frontier.num_rows:
             # seed: the (small, seq-assigned) driver table enters the object
             # store once; after that the frontier is refs end to end
-            frontier_refs, frontier_count, frontier_hosts = \
+            frontier_refs, frontier_count, frontier_hosts, frontier_block_hcs = \
                 _driver_table_to_refs(frontier, remaining0)
 
     for r in range(start_round, cfg.max_rounds):
@@ -623,8 +653,9 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             tr = time.monotonic()
             round_frontier_rows = frontier_count
             child_refs, child_rows = _run_round_distributed(
-                frontier_refs, frontier_hosts, r, cfg, corpus_path,
-                str(records_dir), seen, politeness, lineage, num_fetch_parts)
+                frontier_refs, frontier_hosts, frontier_block_hcs, r, cfg,
+                corpus_path, str(records_dir), seen, politeness, lineage,
+                num_fetch_parts)
             tr = _t(f"r{r} dedup+fetch+children", tr)
 
             # round bookkeeping from the fetch stage's per-partition sidecar
@@ -650,7 +681,7 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             remaining = None if cfg.max_urls is None else \
                 max(0, cfg.max_urls - urls_fetched)
             k = _barrier_parts(child_rows, floor=max(8, num_fetch_parts // 4))
-            frontier_refs, frontier_count, frontier_hosts = \
+            frontier_refs, frontier_count, frontier_hosts, frontier_block_hcs = \
                 _distributed_barrier(child_refs, k, remaining)
             tr = _t(f"r{r} barrier", tr)
             summary = {
