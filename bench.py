@@ -55,8 +55,10 @@ QUERY_NAMES = [
     "ann_bruteforce_topk",
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "neardup_clusters",
     "image_decode_stats",
     "image_phash_clusters",
+    "image_phash_topk",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

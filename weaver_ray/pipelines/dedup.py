@@ -147,22 +147,53 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
 
     bands = ds.map_batches(sig_batch, batch_format="pandas")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
+    # coarse-bucketed shuffles (see banded_hamming_pairs_ds: map_groups
+    # calls a pandas fn PER GROUP, and LSH band hashes over N docs make
+    # O(N*bands) mostly-singleton groups — group inside the bucket with
+    # one sort + boundary scan instead)
+    NB = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = _splitmix64(
+            df["band_hash"].to_numpy().astype(np.uint64)
+            ^ df["band_id"].to_numpy().astype(np.uint64)).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "band_key": key,
+                             "bk": _cc_owner(key, NB)})
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_key", "doc_id"])
+        key = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s:e][a])
+            out_b.append(ids[s:e][b])
+        empty = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a).astype(np.int64) if out_a else empty,
+             "doc_b": np.concatenate(out_b).astype(np.int64) if out_b else empty})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
     # candidate pairs stay a Dataset end to end: cross-band dedup is a
-    # distributed groupby (one row per (doc_a, doc_b) group), materialized
-    # to the OBJECT STORE (narrow int64 pairs), never to the driver
+    # distributed (coarse-bucketed) groupby, materialized to the OBJECT
+    # STORE (narrow int64 pairs), never to the driver
     cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        bands.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bk").map_groups(emit_bucket, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(
+                pk=(pd.util.hash_pandas_object(
+                    df[["doc_a", "doc_b"]], index=False) % NB).astype(np.int64)),
+            batch_format="pandas")
+        .groupby("pk").map_groups(dedup_bucket, batch_format="pandas")
         .materialize()
     )
     n_cand = cand.count()
