@@ -230,7 +230,8 @@ def _media_stub_plumbing(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from weaver_ray.pipelines import dedup, images, relational, similarity, textops
+    from weaver_ray.pipelines import (audio, dedup, images, relational,
+                                      similarity, textops)
 
     return {
         # relational / reference-operator parity (SURVEY.md §2)
@@ -286,6 +287,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_topk": images.image_phash_topk,
         "corpus_format_stats": images.corpus_format_stats,
         "caption_stats_by_fmt": images.caption_stats_by_fmt,
+        # audio axis: REAL WAV/PCM16 corpus (pure-numpy RIFF codec).
+        # audio_wav_stats has a full SQL oracle (canonical-header container
+        # arithmetic); audio_wav_features is self-evidencing (per-row
+        # freq_ok/rms_ok verdicts vs the synth's declared parameters)
+        "audio_wav_stats": audio.audio_wav_stats,
+        "audio_wav_features": audio.audio_wav_features,
     }
 
 
@@ -527,11 +534,13 @@ def _image_sql() -> dict[str, str]:
     self-join (lossless at hamming<=3 by the 4x16-band pigeonhole) and a
     recursive transitive closure for the components — the simhash /
     neardup_clusters oracle pattern applied to the image table."""
+    from weaver_ray.pipelines.audio import generate_audio_corpus
     from weaver_ray.pipelines.images import generate_variants
     from weaver_ray.sources.corpus import generate_corpus
 
     base = generate_corpus(1000) + "/part-*.parquet"
     var = generate_variants(1000) + "/part-*.parquet"
+    aud = generate_audio_corpus(200) + "/part-*.parquet"
     u = f"""SELECT image_id, phash FROM read_parquet('{base}')
                  UNION ALL
                  SELECT image_id, phash FROM read_parquet('{var}')"""
@@ -596,6 +605,17 @@ def _image_sql() -> dict[str, str]:
             )
             SELECT query_id, image_id, hamming, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # container arithmetic: this corpus writes canonical 44-byte-header
+        # mono PCM16 at 8 kHz, so the sample count is a pure function of the
+        # blob length — the oracle audits the engine's DECODED stream
+        # against the container's own bookkeeping
+        "audio_wav_stats": f"""
+            SELECT media_id,
+                   CAST(octet_length(wav) AS BIGINT) AS n_bytes,
+                   CAST((octet_length(wav) - 44) / 2 AS BIGINT) AS n_samples,
+                   ((octet_length(wav) - 44) / 2)::DOUBLE / 8000 AS duration_s
+            FROM read_parquet('{aud}')
         """,
         "caption_stats_by_fmt": rf"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,

@@ -1,0 +1,90 @@
+"""WAV codec + audio pipeline tests (the audio analog of test_imaging).
+
+The WAV path is REAL (pure-numpy RIFF/PCM16, functions/wavcodec.py):
+round trips are bit-exact, the chunk walker survives extra RIFF chunks,
+and the feature extractor matches closed-form values on a pure sine.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def test_wav_round_trip_exact():
+    from weaver_ray.functions.wavcodec import decode_wav, encode_wav, synth_audio
+
+    rate, pcm = synth_audio("clip000042")
+    r2, p2 = decode_wav(encode_wav(pcm, rate))
+    assert r2 == rate
+    assert np.array_equal(pcm, p2)
+
+
+def test_wav_chunk_walk_and_rejects():
+    from weaver_ray.functions.wavcodec import decode_wav, encode_wav, synth_audio
+
+    rate, pcm = synth_audio("clip000007")
+    blob = encode_wav(pcm, rate)
+    # insert an odd-sized LIST chunk (word-aligned pad byte) between fmt
+    # and data — a conforming reader must skip it
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    blob2 = blob[:fmt_end] + extra + blob[fmt_end:]
+    blob2 = b"RIFF" + struct.pack("<I", len(blob2) - 8) + blob2[8:]
+    r2, p2 = decode_wav(blob2)
+    assert r2 == rate and np.array_equal(pcm, p2)
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense bytes")
+    # stereo rejected loudly, not misdecoded
+    bad = bytearray(blob)
+    bad[22:24] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_audio_features_closed_form():
+    """Pure sine: RMS == A/sqrt(2), ZCR == 2*f0, dominant bin == f0."""
+    from weaver_ray.functions.wavcodec import RATE, audio_features
+
+    f0, amp = 440.0, 0.5
+    t = np.arange(RATE) / RATE
+    pcm = np.clip(np.round(amp * np.sin(2 * np.pi * f0 * t) * 32767),
+                  -32768, 32767).astype(np.int16)
+    f = audio_features(RATE, pcm)
+    assert abs(f["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(f["zcr_hz"] - 2 * f0) < 10
+    assert abs(f["dominant_freq_hz"] - f0) < 1.5
+    assert f["n_samples"] == RATE and f["duration_s"] == 1.0
+
+
+def test_audio_corpus_deterministic(ray_session):
+    """Regeneration is byte-identical (the SQL oracle depends on it)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.audio import audio_dir, generate_audio_corpus
+
+    d = generate_audio_corpus(50)
+    t1 = pq.read_table(d + "/part-00000.parquet")
+    shutil.rmtree(audio_dir(50))
+    t2 = pq.read_table(generate_audio_corpus(50) + "/part-00000.parquet")
+    assert t1.equals(t2)
+
+
+def test_wav_feature_stage_and_query(ray_session):
+    """End-to-end actor-pool decode: every clip decodes, per-row verdicts
+    hold (dominant frequency within 2 bins of the declared f0, RMS inside
+    the fade envelope), and the SQL-oracled stats view agrees with the
+    container arithmetic."""
+    from weaver_ray.pipelines.audio import audio_wav_features, audio_wav_stats
+
+    ft = audio_wav_features("unused", n_clips=50)
+    assert len(ft) == 50
+    assert ft["decode_ok"].all()
+    assert ft["freq_ok"].all()
+    assert ft["rms_ok"].all()
+    st = audio_wav_stats("unused", n_clips=50)
+    assert (st["n_samples"] == (st["n_bytes"] - 44) // 2).all()
+    assert (st["n_samples"].to_numpy()
+            == ft.sort_values("media_id")["n_samples"].to_numpy()).all()

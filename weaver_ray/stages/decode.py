@@ -1,6 +1,8 @@
-"""Multimodal stages: image decode / feature-extract / resize, plus stub
-plumbing for audio/video (libraries absent in this sandbox — task brief:
-stub the codec, make the Ray-side plumbing real and tested).
+"""Multimodal stages: image decode / feature-extract / resize (REAL: PNG +
+baseline JPEG codecs), audio WAV/PCM decode + features (REAL: pure-numpy
+RIFF codec), plus stub plumbing for compressed audio / video (libraries
+absent in this sandbox — task brief: stub the codec, make the Ray-side
+plumbing real and tested).
 
 All stages are actor-pool ``map_batches`` classes over ``pyarrow`` batches
 with small batch sizes (binary payload rows are wide — SURVEY.md §7.4.4).
@@ -13,8 +15,65 @@ import pyarrow as pa
 
 from ..functions.imaging import decode_image, phash64, png_encode
 
-HAVE_AUDIO = False  # no soundfile/librosa in this sandbox
+HAVE_AUDIO = False  # no soundfile/librosa (COMPRESSED codecs) in sandbox;
+#                     WAV/PCM is REAL — see WavFeatureStage / wavcodec.py
 HAVE_VIDEO = False  # no av/opencv in this sandbox
+
+
+WAV_FEATURE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("duration_s", pa.float64()),
+        pa.field("rms", pa.float64()),
+        pa.field("zcr_hz", pa.float64()),
+        pa.field("dominant_freq_hz", pa.float64()),
+        pa.field("n_samples", pa.int64()),
+    ]
+)
+
+
+class WavFeatureStage:
+    """REAL audio decode + clip-level feature extraction for WAV/PCM16
+    bytes (pure-numpy RIFF codec, functions/wavcodec.py — the audio
+    analog of the baseline JPEG codec).  Per-clip container parse is
+    inherent; the per-sample math (RMS / zero crossings / rFFT) is
+    vectorized numpy.  Compressed codecs (mp3/ogg) remain environment-
+    gated in AudioFeatureStage."""
+
+    def __init__(self):
+        from ..functions.wavcodec import audio_features, decode_wav
+
+        self._decode = decode_wav
+        self._features = audio_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("wav").to_pylist()  # one to_pylist per batch
+        rows = {k: np.zeros(len(ids)) for k in
+                ("duration_s", "rms", "zcr_hz", "dominant_freq_hz")}
+        n_samples = np.zeros(len(ids), dtype=np.int64)
+        ok = np.zeros(len(ids), dtype=bool)
+        for i, blob in enumerate(blobs):
+            if blob is None:
+                continue
+            try:
+                f = self._features(*self._decode(blob))
+            except ValueError:
+                continue
+            for k in rows:
+                rows[k][i] = f[k]
+            n_samples[i] = f["n_samples"]
+            ok[i] = True
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "decode_ok": pa.array(ok),
+                **{k: pa.array(v) for k, v in rows.items()},
+                "n_samples": pa.array(n_samples),
+            },
+            schema=WAV_FEATURE_SCHEMA,
+        )
 
 
 class DecodeImageStage:
