@@ -231,7 +231,7 @@ def _media_stub_plumbing(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from weaver_ray.pipelines import (audio, dedup, images, relational,
-                                      similarity, textops)
+                                      similarity, textops, video)
 
     return {
         # relational / reference-operator parity (SURVEY.md §2)
@@ -293,6 +293,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # freq_ok/rms_ok verdicts vs the synth's declared parameters)
         "audio_wav_stats": audio.audio_wav_stats,
         "audio_wav_features": audio.audio_wav_features,
+        # video axis: REAL MJPEG-AVI corpus (pure-python RIFF muxer +
+        # baseline JPEG frames).  video_avi_stats has a full SQL oracle
+        # (engine parses binary headers, oracle reads declared columns);
+        # video_frame_features is self-evidencing (decode/shape/brightness
+        # verdicts per sampled frame)
+        "video_avi_stats": video.video_avi_stats,
+        "video_frame_features": video.video_frame_features,
     }
 
 
@@ -536,11 +543,13 @@ def _image_sql() -> dict[str, str]:
     neardup_clusters oracle pattern applied to the image table."""
     from weaver_ray.pipelines.audio import generate_audio_corpus
     from weaver_ray.pipelines.images import generate_variants
+    from weaver_ray.pipelines.video import generate_video_corpus
     from weaver_ray.sources.corpus import generate_corpus
 
     base = generate_corpus(1000) + "/part-*.parquet"
     var = generate_variants(1000) + "/part-*.parquet"
     aud = generate_audio_corpus(200) + "/part-*.parquet"
+    vid = generate_video_corpus(40) + "/part-*.parquet"
     u = f"""SELECT image_id, phash FROM read_parquet('{base}')
                  UNION ALL
                  SELECT image_id, phash FROM read_parquet('{var}')"""
@@ -616,6 +625,15 @@ def _image_sql() -> dict[str, str]:
                    CAST((octet_length(wav) - 44) / 2 AS BIGINT) AS n_samples,
                    ((octet_length(wav) - 44) / 2)::DOUBLE / 8000 AS duration_s
             FROM read_parquet('{aud}')
+        """,
+        # the engine side PARSES the AVI binary headers; the oracle reads
+        # the declared parquet columns — equality proves the container
+        # encodes exactly what the synth declared
+        "video_avi_stats": f"""
+            SELECT media_id,
+                   CAST(octet_length(avi) AS BIGINT) AS n_bytes,
+                   n_frames, w, h, fps
+            FROM read_parquet('{vid}')
         """,
         "caption_stats_by_fmt": rf"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,

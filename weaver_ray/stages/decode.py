@@ -193,6 +193,90 @@ class AudioFeatureStage:
         )
 
 
+AVI_FRAME_FEATURE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("decode_ok", pa.bool_()),
+        pa.field("w", pa.int32()),
+        pa.field("h", pa.int32()),
+        pa.field("phash", pa.int64()),
+        pa.field("mean_r", pa.float64()),
+        pa.field("mean_g", pa.float64()),
+        pa.field("mean_b", pa.float64()),
+    ]
+)
+
+
+class AviFrameSampleStage:
+    """REAL video frame sampling + per-frame features for MJPEG AVI bytes
+    (pure-python RIFF demux, functions/avicodec.py; frames decoded with
+    the baseline JPEG codec).  Samples ``n_frames`` evenly across each
+    clip; per-frame pixel math is vectorized numpy.  Exotic containers
+    (multi-stream, non-MJPG) raise in decode_avi and surface as
+    decode_ok=False rows."""
+
+    def __init__(self, n_frames: int = 3):
+        import struct
+
+        from ..functions.avicodec import decode_avi
+        from ..functions.jpegcodec import jpeg_decode
+
+        self.n_frames = n_frames
+        self._demux = decode_avi
+        self._decode = jpeg_decode
+        # malformed containers: bad magic/stream type (ValueError) or a
+        # truncated header slice (struct.error)
+        self._err = (ValueError, struct.error)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("avi").to_pylist()  # one to_pylist per batch
+        out = {k: [] for k in ("media_id", "frame_idx", "decode_ok", "w", "h",
+                               "phash", "mean_r", "mean_g", "mean_b")}
+
+        def emit(mid, idx, ok, w=0, h=0, ph=0, means=(0.0, 0.0, 0.0)):
+            out["media_id"].append(mid)
+            out["frame_idx"].append(idx)
+            out["decode_ok"].append(ok)
+            out["w"].append(w)
+            out["h"].append(h)
+            out["phash"].append(ph)
+            out["mean_r"].append(means[0])
+            out["mean_g"].append(means[1])
+            out["mean_b"].append(means[2])
+
+        for mid, blob in zip(ids, blobs):
+            try:
+                clip = self._demux(blob)
+            except self._err:
+                emit(mid, -1, False)
+                continue
+            n = clip["n_frames"]
+            k = min(self.n_frames, n)
+            picks = np.unique(np.linspace(0, n - 1, k).round().astype(int)) \
+                if n else np.array([], int)
+            for idx in picks:
+                px = self._decode(clip["frames"][idx])
+                m = px.reshape(-1, 3).mean(axis=0)
+                emit(mid, int(idx), True, px.shape[1], px.shape[0],
+                     phash64(px), tuple(np.round(m, 4)))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(np.asarray(out["frame_idx"], np.int32)),
+                "decode_ok": pa.array(out["decode_ok"]),
+                "w": pa.array(np.asarray(out["w"], np.int32)),
+                "h": pa.array(np.asarray(out["h"], np.int32)),
+                "phash": pa.array(np.asarray(out["phash"], np.int64)),
+                "mean_r": pa.array(np.asarray(out["mean_r"], np.float64)),
+                "mean_g": pa.array(np.asarray(out["mean_g"], np.float64)),
+                "mean_b": pa.array(np.asarray(out["mean_b"], np.float64)),
+            },
+            schema=AVI_FRAME_FEATURE_SCHEMA,
+        )
+
+
 VIDEO_FRAME_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.string()),
