@@ -176,8 +176,10 @@ def _image_decode_stats(sf_dir: str):
 
 
 def _media_stub_plumbing(sf_dir: str):
-    """Audio/video stub stages: schema + actor plumbing real, codec faked
-    deterministically (libraries absent in sandbox — task brief).
+    """COMPRESSED-codec stub stages (mp3/ogg/h264 libraries absent in
+    sandbox — task brief): schema + actor plumbing real, codec faked
+    deterministically.  The uncompressed paths are REAL elsewhere:
+    WAV/PCM16 (audio_wav_*) and MJPEG-AVI (video_*) run actual codecs.
 
     SELF-EVIDENCING (rows-only by design — the fake features are
     engine-defined): every row carries ``schema_ok`` (stage outputs match

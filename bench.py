@@ -59,6 +59,8 @@ QUERY_NAMES = [
     "image_decode_stats",
     "image_phash_clusters",
     "image_phash_topk",
+    "audio_wav_features",
+    "video_frame_features",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
