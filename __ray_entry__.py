@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "suppliers_with_orders": relational.suppliers_with_orders,
         "earliest_events": relational.earliest_events,
+        "price_quantiles": relational.price_quantiles,
         "event_sample_stats": relational.event_sample_stats,
         "approx_distinct_users": relational.approx_distinct_users,
         # text analysis
@@ -725,6 +726,19 @@ def oracle_sql() -> dict[str, str]:
         "earliest_events": """
             SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
             FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 100) t
+        """,
+        # exact selection, not an approximation: the engine's histogram
+        # refinement returns actual elements under DuckDB's quantile_disc
+        # rank rule sorted[max(0, ceil(q*n)-1)] — values hash-match
+        "price_quantiles": """
+            SELECT 0.25::DOUBLE AS quantile,
+                   quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL SELECT 0.5::DOUBLE,
+                   quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT 0.9::DOUBLE,
+                   quantile_disc(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL SELECT 0.99::DOUBLE,
+                   quantile_disc(l_extendedprice, 0.99) FROM lineitem
         """,
         "first_event_per_user": """
             SELECT user_id, epoch_us(ts) AS first_ts_us, event_id AS first_event_id,

@@ -74,3 +74,50 @@ def test_sampling_deterministic():
     assert a.equals(b)
     n = int(a["n_sampled"][0])
     assert 0 < n < 1000  # 10% of 1000-row events table, loose bounds
+
+
+def test_price_quantiles_exact(ray_session):
+    """Distributed histogram-selection quantiles return ACTUAL elements
+    under DuckDB's quantile_disc rank rule — checked against a direct
+    numpy sort, including with a tiny collect budget that forces the
+    per-bucket recursion path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import price_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    vals = np.sort(pq.read_table(sf + "/lineitem.parquet",
+                                 columns=["l_extendedprice"])
+                   .column("l_extendedprice").to_numpy())
+    n = len(vals)
+    qs = (0.25, 0.5, 0.9, 0.99)
+    want = {q: float(vals[max(0, int(np.ceil(q * n)) - 1)]) for q in qs}
+    for budget in (5_000_000, 2):  # fast path AND forced recursion
+        out = price_quantiles(sf, qs, collect_budget=budget)
+        got = dict(zip(out["quantile"], out["value"]))
+        assert got == want, (budget, got, want)
+
+
+def test_price_quantiles_duplicate_pileup(ray_session, tmp_path):
+    """A value repeated past the collect budget cannot be separated by
+    range splitting; the distinct-histogram fallback must still return
+    the exact element."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import price_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([np.full(2000, 5.0),
+                           rng.uniform(10, 20, 500).round(2)])
+    pq.write_table(pa.table({"l_extendedprice": vals}),
+                   tmp_path / "lineitem.parquet")
+    s = np.sort(vals)
+    n = len(s)
+    qs = (0.25, 0.5, 0.9)
+    out = price_quantiles(str(tmp_path), qs, collect_budget=100)
+    got = dict(zip(out["quantile"], out["value"]))
+    want = {q: float(s[max(0, int(np.ceil(q * n)) - 1)]) for q in qs}
+    assert got == want

@@ -349,3 +349,126 @@ def user_hourly_windows(sf_dir: str) -> rd.Dataset:
         return out
 
     return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+
+
+def price_quantiles(sf_dir: str,
+                    qs: tuple = (0.25, 0.5, 0.9, 0.99),
+                    collect_budget: int = 5_000_000) -> pd.DataFrame:
+    """EXACT distributed quantiles over lineitem.l_extendedprice by
+    iterative histogram selection — a selection problem, not a sort:
+
+    1. one pass for (count, min, max) partials (one tiny row per batch);
+    2. one pass summing per-batch 8192-bucket histograms (each batch emits
+       ONE fixed-size uint64 vector; at cluster scale the sum becomes a
+       tree reduce — the driver never sees row data);
+    3. one pass collecting only the values inside the few buckets that
+       contain target ranks (n/8192-sized slices).  If duplicates pile a
+       bucket past the collect budget, the histogram recurses INSIDE that
+       bucket's range instead of collecting it.
+
+    A full ``sort`` would move every row; this moves O(batches * 64 KB)
+    histogram partials + O(n/8192) refined values.  Rank rule matches
+    DuckDB ``quantile_disc``: sorted[max(0, ceil(q*n) - 1)] (pinned
+    empirically; oracle in __ray_entry__.py)."""
+    B = 8192
+
+    ds = load(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy()
+        return pd.DataFrame({"n": [len(x)],
+                             "lo": [x.min() if len(x) else np.inf],
+                             "hi": [x.max() if len(x) else -np.inf]})
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"quantile": pd.Series(qs, dtype=np.float64),
+                             "value": pd.Series([np.nan] * len(qs))})
+    ranks = {q: max(0, int(np.ceil(q * n)) - 1) for q in qs}  # 0-based
+
+    def histogram(lo: float, hi: float) -> np.ndarray:
+        width = (hi - lo) or 1.0
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            x = df["l_extendedprice"].to_numpy()
+            x = x[(x >= lo) & (x <= hi)]
+            idx = np.minimum((((x - lo) / width) * B).astype(np.int64), B - 1)
+            return pd.DataFrame({"h": [np.bincount(idx, minlength=B)
+                                       .astype(np.int64).tobytes()]})
+
+        parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        return np.sum([np.frombuffer(b, dtype=np.int64) for b in parts["h"]],
+                      axis=0)
+
+    def collect_bucket(lo: float, hi: float, b: int) -> np.ndarray:
+        """Values whose bucket index over [lo, hi] is exactly b —
+        the same arithmetic as the histogram pass, so counts agree."""
+        width = (hi - lo) or 1.0
+
+        def coll(df: pd.DataFrame) -> pd.DataFrame:
+            x = df["l_extendedprice"].to_numpy()
+            x = x[(x >= lo) & (x <= hi)]
+            idx = np.minimum((((x - lo) / width) * B).astype(np.int64), B - 1)
+            return pd.DataFrame({"v": x[idx == b]})
+
+        return np.sort(
+            ds.map_batches(coll, batch_format="pandas").to_pandas()["v"]
+            .to_numpy())
+
+    def distinct_in_bucket(lo: float, hi: float, b: int) -> pd.Series:
+        """(value -> count) for bucket b — a partial-aggregation pass that
+        moves only DISTINCT values, so a bucket holding millions of copies
+        of a handful of prices (the duplicate pile-up a range split cannot
+        separate) resolves exactly without collecting the copies."""
+        width = (hi - lo) or 1.0
+
+        def vc(df: pd.DataFrame) -> pd.DataFrame:
+            x = df["l_extendedprice"].to_numpy()
+            x = x[(x >= lo) & (x <= hi)]
+            idx = np.minimum((((x - lo) / width) * B).astype(np.int64), B - 1)
+            u, c = np.unique(x[idx == b], return_counts=True)
+            return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
+
+        parts = ds.map_batches(vc, batch_format="pandas").to_pandas()
+        return parts.groupby("v")["c"].sum().sort_index()
+
+    # one full-range histogram resolves most quantiles; a duplicate-heavy
+    # bucket (count > budget) recurses with its own narrowed range —
+    # per-quantile, so multiple heavy buckets cannot shadow each other
+    lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
+    counts0 = histogram(lo0, hi0)
+    cum0 = np.cumsum(counts0)
+
+    def resolve(rank: int) -> float:
+        lo, hi, counts, cum = lo0, hi0, counts0, cum0
+        for _ in range(12):  # range shrinks 8192x per level
+            b = int(np.searchsorted(cum, rank + 1))
+            within = rank - (int(cum[b - 1]) if b else 0)
+            width = (hi - lo) or 1.0
+            if int(counts[b]) <= collect_budget:
+                return float(collect_bucket(lo, hi, b)[within])
+            lo2 = lo + width * b / B
+            hi2 = lo + width * (b + 1) / B if b < B - 1 else hi
+            if lo2 == hi2 or (hi2 - lo2) < abs(lo2) * 1e-12:
+                # range too narrow to split further: duplicate pile-up —
+                # resolve by rank over the distinct-value histogram
+                g = distinct_in_bucket(lo, hi, b)
+                j = int(np.searchsorted(np.cumsum(g.to_numpy()), within + 1))
+                return float(g.index[j])
+            lo, hi, rank = lo2, hi2, within
+            counts = histogram(lo, hi)
+            cum = np.cumsum(counts)
+        # depth exhausted (adversarially clustered doubles): same exact
+        # distinct-histogram resolution over the final narrowed bucket
+        b = int(np.searchsorted(cum, rank + 1))
+        within = rank - (int(cum[b - 1]) if b else 0)
+        g = distinct_in_bucket(lo, hi, b)
+        j = int(np.searchsorted(np.cumsum(g.to_numpy()), within + 1))
+        return float(g.index[j])
+
+    return pd.DataFrame({
+        "quantile": pd.Series(list(qs), dtype=np.float64),
+        "value": pd.Series([resolve(r) for r in
+                            (ranks[q] for q in qs)], dtype=np.float64),
+    })
