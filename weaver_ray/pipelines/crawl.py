@@ -442,7 +442,11 @@ def _run_round_distributed(frontier_refs: list, host_counts: dict,
     plan, spread = _lpt_plan(host_counts, num_fetch_parts)
     plan_ref = ray.put((plan, spread))
     # per-block within-host offsets for exact rank routing (_route_block):
-    # block b's offset for host h = rows of h in blocks 0..b-1
+    # block b's offset for host h = rows of h in blocks 0..b-1.  The zip
+    # below would silently DROP frontier blocks on a length mismatch, so
+    # assert alignment loudly.
+    assert len(block_hcs) == len(frontier_refs), \
+        f"block host-counts ({len(block_hcs)}) != frontier blocks ({len(frontier_refs)})"
     offsets_per_block, running = [], {}
     for hc in block_hcs:
         offsets_per_block.append({h: running.get(h, 0) for h in hc})
