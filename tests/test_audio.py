@@ -88,3 +88,26 @@ def test_wav_feature_stage_and_query(ray_session):
     assert (st["n_samples"] == (st["n_bytes"] - 44) // 2).all()
     assert (st["n_samples"].to_numpy()
             == ft.sort_values("media_id")["n_samples"].to_numpy()).all()
+
+
+def test_wav_stage_surfaces_truncated_blob():
+    """A truncated fmt chunk (struct.error, not ValueError) must become a
+    decode_ok=False row, not a stage crash (review finding)."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from weaver_ray.functions.wavcodec import encode_wav, synth_audio
+    from weaver_ray.stages.decode import WavFeatureStage
+
+    _, pcm = synth_audio("clip000009")
+    good = encode_wav(pcm)
+    truncated = (b"RIFF" + struct.pack("<I", 14) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    out = WavFeatureStage()(pa.table({
+        "media_id": pa.array(["bad", "none", "good"], pa.string()),
+        "wav": pa.array([truncated, None, good], pa.large_binary()),
+    })).to_pandas()
+    assert list(out["decode_ok"]) == [False, False, True]
+    assert out.loc[2, "n_samples"] == len(pcm)

@@ -123,3 +123,22 @@ def test_avi_stage_surfaces_bad_blob(ray_session):
     df = out.to_pandas()
     assert not df.loc[df["media_id"] == "bad", "decode_ok"].any()
     assert df.loc[df["media_id"] == "good", "decode_ok"].all()
+
+
+def test_avi_stage_zero_frame_clip_keeps_row():
+    """A structurally valid zero-frame AVI must still produce one output
+    row (frame_idx=-1, decode_ok=True) — clips never silently vanish
+    (review finding)."""
+    import pyarrow as pa
+
+    from weaver_ray.functions.avicodec import encode_avi
+    from weaver_ray.stages.decode import AviFrameSampleStage
+
+    blob = encode_avi([], 32, 32, 10)
+    out = AviFrameSampleStage(n_frames=2)(pa.table({
+        "media_id": pa.array(["empty"], pa.string()),
+        "avi": pa.array([blob], pa.large_binary()),
+    })).to_pandas()
+    assert len(out) == 1
+    assert bool(out.loc[0, "decode_ok"]) and int(out.loc[0, "frame_idx"]) == -1
+    assert int(out.loc[0, "w"]) == 32

@@ -208,6 +208,8 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
+    if x.dtype.itemsize != 8:  # the uint8 view below assumes 8-byte lanes
+        x = x.astype(np.uint64)
     flat = np.ascontiguousarray(x).reshape(-1)
     return (_POP8[flat.view(np.uint8)].reshape(-1, 8).sum(1)
             .astype(np.int64).reshape(x.shape))

@@ -28,6 +28,7 @@ import ray
 import ray.data as rd
 
 from .. import config
+from .common import memoized_parquet_corpus
 from ..functions.wavcodec import RATE, encode_wav, synth_audio, synth_params
 
 _AUDIO_VERSION = 1
@@ -44,15 +45,8 @@ def media_id_of(i: int) -> str:
 
 def generate_audio_corpus(n_clips: int = 200, seed: int = config.CORPUS_SEED,
                           root: str = "/tmp/weaver_corpus") -> str:
-    """Write (and cache) the WAV corpus.  Synthesis fans out as Ray tasks
-    when a session exists (per-clip sin/noise/encode is CPU-bound)."""
-    d = Path(audio_dir(n_clips, seed, root))
-    done = d / "_DONE"
-    if done.exists():
-        return str(d)
-    d.mkdir(parents=True, exist_ok=True)
-    for old in d.glob("*"):
-        old.unlink()
+    """Write (and cache) the WAV corpus (shared scaffold:
+    common.memoized_parquet_corpus)."""
 
     def make(lo: int, hi: int) -> pa.Table:
         ids = [media_id_of(i) for i in range(lo, hi)]
@@ -62,14 +56,9 @@ def generate_audio_corpus(n_clips: int = 200, seed: int = config.CORPUS_SEED,
 
     chunk = 100
     spans = [(lo, min(lo + chunk, n_clips)) for lo in range(0, n_clips, chunk)]
-    if ray.is_initialized() and len(spans) > 1:
-        gen = ray.remote(make)
-        chunks = ray.get([gen.remote(lo, hi) for lo, hi in spans])
-    else:
-        chunks = [make(lo, hi) for lo, hi in spans]
-    pq.write_table(pa.concat_tables(chunks), d / "part-00000.parquet")
-    done.write_text(f"n_clips={n_clips} seed={seed} rate={RATE}\n")
-    return str(d)
+    return memoized_parquet_corpus(
+        audio_dir(n_clips, seed, root), spans, make,
+        f"n_clips={n_clips} seed={seed} rate={RATE}\n")
 
 
 def read_audio(path: str, columns: list[str] | None = None) -> rd.Dataset:

@@ -22,6 +22,33 @@ def load(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def memoized_parquet_corpus(dir_path: str, spans: list[tuple[int, int]],
+                            make, sentinel: str) -> str:
+    """Shared synth-corpus scaffold (audio/video media tables): write
+    ``make(lo, hi)`` chunks once to ``dir_path/part-00000.parquet`` with a
+    ``_DONE`` sentinel; chunk synthesis fans out as Ray tasks when a
+    session exists (per-item codec work is CPU-bound), serial otherwise."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    d = Path(dir_path)
+    done = d / "_DONE"
+    if done.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for old in d.glob("*"):
+        old.unlink()
+    if ray.is_initialized() and len(spans) > 1:
+        gen = ray.remote(make)
+        chunks = ray.get([gen.remote(lo, hi) for lo, hi in spans])
+    else:
+        chunks = [make(lo, hi) for lo, hi in spans]
+    pq.write_table(pa.concat_tables(chunks), d / "part-00000.parquet")
+    done.write_text(sentinel)
+    return str(d)
+
+
 def load_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
     """Driver-side Arrow load for SMALL dimension tables only (broadcast
     side of a join). Never call on lineitem/orders/documents at scale."""

@@ -112,6 +112,8 @@ def _lpt_plan(host_counts: dict[str, int], num_parts: int) -> tuple[dict, dict]:
 def _route_block(t: pa.Table, plan_spread, offsets: dict,
                  num_parts: int) -> list[pa.Table]:
     plan, spread = plan_spread
+    if t.num_rows == 0:
+        return [t] * num_parts
     hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
     # exact within-host global rank = rows of this host in earlier blocks
     # (offsets, from the barrier's per-block host counts) + stable local

@@ -179,23 +179,14 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
             {"doc_a": np.concatenate(out_a).astype(np.int64) if out_a else empty,
              "doc_b": np.concatenate(out_b).astype(np.int64) if out_b else empty})
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
-
     # candidate pairs stay a Dataset end to end: cross-band dedup is a
     # distributed (coarse-bucketed) groupby, materialized to the OBJECT
     # STORE (narrow int64 pairs), never to the driver
-    cand = (
+    cand = bucketed_pair_dedup(
         bands.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bk").map_groups(emit_bucket, batch_format="pandas")
-        .map_batches(
-            lambda df: df.assign(
-                pk=(pd.util.hash_pandas_object(
-                    df[["doc_a", "doc_b"]], index=False) % NB).astype(np.int64)),
-            batch_format="pandas")
-        .groupby("pk").map_groups(dedup_bucket, batch_format="pandas")
-        .materialize()
-    )
+        .groupby("bk").map_groups(emit_bucket, batch_format="pandas"),
+        "doc_a", "doc_b", ["doc_a", "doc_b"], NB,
+    ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return _empty_pairs_ds({"doc_a": np.int64, "doc_b": np.int64,
@@ -407,7 +398,8 @@ def _cc_build_part(n_node_chunks: int, *chunks):
     edge_chunks = chunks[n_node_chunks:]
     srcs = [s for s, _ in edge_chunks]
     dsts = [d for _, d in edge_chunks]
-    nodes = np.unique(np.concatenate(list(node_chunks) + srcs))
+    empty = [np.empty(0, np.int64)]  # both inputs can be 0-block datasets
+    nodes = np.unique(np.concatenate(list(node_chunks) + srcs + empty))
     src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
     return nodes, np.searchsorted(nodes, src), dst
@@ -642,15 +634,28 @@ def banded_hamming_pairs_ds(bands: rd.Dataset, id_col: str, a_col: str,
 
     pairs = (bands.map_batches(add_bucket, batch_format="pandas")
              .groupby("bk").map_groups(emit_bucket, batch_format="pandas"))
+    return bucketed_pair_dedup(pairs, a_col, b_col,
+                               [a_col, b_col, "hamming"], num_buckets)
 
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+
+def bucketed_pair_dedup(pairs: rd.Dataset, a_col: str, b_col: str,
+                        keep_cols: list[str],
+                        num_buckets: int = 64) -> rd.Dataset:
+    """Distributed first-wins dedup of (a, b) pair rows: coarse-bucket by
+    a hash of the pair, drop_duplicates inside each bucket (vectorized C,
+    not a per-pair map_groups; see banded_hamming_pairs_ds for why a Ray
+    Data Aggregate is also the wrong tool here).  Correct whenever
+    duplicate rows are interchangeable — every caller's duplicates carry
+    identical payload columns (same hamming / no payload)."""
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
         pk = pd.util.hash_pandas_object(df[[a_col, b_col]], index=False)
         return df.assign(pk=(pk % num_buckets).astype(np.int64))
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates([a_col, b_col])[[a_col, b_col, "hamming"]]
+        return g.drop_duplicates([a_col, b_col])[keep_cols]
 
-    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
+    return (pairs.map_batches(add_pk, batch_format="pandas")
             .groupby("pk").map_groups(dedup_bucket, batch_format="pandas"))
 
 

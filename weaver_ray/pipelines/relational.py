@@ -387,85 +387,93 @@ def price_quantiles(sf_dir: str,
                              "value": pd.Series([np.nan] * len(qs))})
     ranks = {q: max(0, int(np.ceil(q * n)) - 1) for q in qs}  # 0-based
 
-    def histogram(lo: float, hi: float) -> np.ndarray:
-        width = (hi - lo) or 1.0
+    # membership is defined by the bucket-INDEX chain, never by a range
+    # re-filter: a value exactly on a child-range edge can land in the
+    # neighbor bucket under FP division, so a `lo2 <= x <= hi2` filter at
+    # the next level would disagree with the parent's counts and shift
+    # ranks.  Every pass below filters by "idx(level_i) == b_i for all
+    # recursion levels so far" using the identical arithmetic, which
+    # partitions the parent bucket EXACTLY.
+    def _level_idx(x: np.ndarray, lo: float, width: float) -> np.ndarray:
+        return np.clip((((x - lo) / width) * B).astype(np.int64), 0, B - 1)
 
+    def _chain_mask(x: np.ndarray, chain: list) -> np.ndarray:
+        keep = np.ones(len(x), dtype=bool)
+        for clo, cwidth, cb in chain:
+            keep &= _level_idx(x, clo, cwidth) == cb
+        return keep
+
+    def histogram(chain: list, lo: float, width: float) -> np.ndarray:
         def hist(df: pd.DataFrame) -> pd.DataFrame:
             x = df["l_extendedprice"].to_numpy()
-            x = x[(x >= lo) & (x <= hi)]
-            idx = np.minimum((((x - lo) / width) * B).astype(np.int64), B - 1)
-            return pd.DataFrame({"h": [np.bincount(idx, minlength=B)
+            x = x[_chain_mask(x, chain)]
+            return pd.DataFrame({"h": [np.bincount(_level_idx(x, lo, width),
+                                                   minlength=B)
                                        .astype(np.int64).tobytes()]})
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
         return np.sum([np.frombuffer(b, dtype=np.int64) for b in parts["h"]],
                       axis=0)
 
-    def collect_bucket(lo: float, hi: float, b: int) -> np.ndarray:
-        """Values whose bucket index over [lo, hi] is exactly b —
-        the same arithmetic as the histogram pass, so counts agree."""
-        width = (hi - lo) or 1.0
-
+    def collect_bucket(chain: list) -> np.ndarray:
         def coll(df: pd.DataFrame) -> pd.DataFrame:
             x = df["l_extendedprice"].to_numpy()
-            x = x[(x >= lo) & (x <= hi)]
-            idx = np.minimum((((x - lo) / width) * B).astype(np.int64), B - 1)
-            return pd.DataFrame({"v": x[idx == b]})
+            return pd.DataFrame({"v": x[_chain_mask(x, chain)]})
 
         return np.sort(
             ds.map_batches(coll, batch_format="pandas").to_pandas()["v"]
             .to_numpy())
 
-    def distinct_in_bucket(lo: float, hi: float, b: int) -> pd.Series:
-        """(value -> count) for bucket b — a partial-aggregation pass that
-        moves only DISTINCT values, so a bucket holding millions of copies
-        of a handful of prices (the duplicate pile-up a range split cannot
+    def distinct_in_bucket(chain: list) -> pd.Series:
+        """(value -> count) — a partial-aggregation pass that moves only
+        DISTINCT values, so a bucket holding millions of copies of a
+        handful of prices (the duplicate pile-up a range split cannot
         separate) resolves exactly without collecting the copies."""
-        width = (hi - lo) or 1.0
 
         def vc(df: pd.DataFrame) -> pd.DataFrame:
             x = df["l_extendedprice"].to_numpy()
-            x = x[(x >= lo) & (x <= hi)]
-            idx = np.minimum((((x - lo) / width) * B).astype(np.int64), B - 1)
-            u, c = np.unique(x[idx == b], return_counts=True)
+            u, c = np.unique(x[_chain_mask(x, chain)], return_counts=True)
             return pd.DataFrame({"v": u, "c": c.astype(np.int64)})
 
         parts = ds.map_batches(vc, batch_format="pandas").to_pandas()
         return parts.groupby("v")["c"].sum().sort_index()
 
-    # one full-range histogram resolves most quantiles; a duplicate-heavy
-    # bucket (count > budget) recurses with its own narrowed range —
-    # per-quantile, so multiple heavy buckets cannot shadow each other
+    def rank_in_distinct(chain: list, within: int) -> float:
+        g = distinct_in_bucket(chain)
+        j = int(np.searchsorted(np.cumsum(g.to_numpy()), within + 1))
+        return float(g.index[j])
+
+    # one full-range histogram resolves most quantiles; a bucket past the
+    # collect budget recurses with its own narrowed level — per-quantile,
+    # so multiple heavy buckets cannot shadow each other
     lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
-    counts0 = histogram(lo0, hi0)
+    width0 = (hi0 - lo0) or 1.0
+    counts0 = histogram([], lo0, width0)
     cum0 = np.cumsum(counts0)
 
     def resolve(rank: int) -> float:
-        lo, hi, counts, cum = lo0, hi0, counts0, cum0
-        for _ in range(12):  # range shrinks 8192x per level
+        chain: list = []
+        lo, width, counts, cum = lo0, width0, counts0, cum0
+        for _ in range(12):  # ranges shrink 8192x per level
             b = int(np.searchsorted(cum, rank + 1))
             within = rank - (int(cum[b - 1]) if b else 0)
-            width = (hi - lo) or 1.0
+            level = chain + [(lo, width, b)]
             if int(counts[b]) <= collect_budget:
-                return float(collect_bucket(lo, hi, b)[within])
+                return float(collect_bucket(level)[within])
             lo2 = lo + width * b / B
-            hi2 = lo + width * (b + 1) / B if b < B - 1 else hi
-            if lo2 == hi2 or (hi2 - lo2) < abs(lo2) * 1e-12:
-                # range too narrow to split further: duplicate pile-up —
+            width2 = width / B
+            if width2 < abs(lo2) * 1e-12 or width2 == 0.0:
+                # too narrow to split further: duplicate pile-up —
                 # resolve by rank over the distinct-value histogram
-                g = distinct_in_bucket(lo, hi, b)
-                j = int(np.searchsorted(np.cumsum(g.to_numpy()), within + 1))
-                return float(g.index[j])
-            lo, hi, rank = lo2, hi2, within
-            counts = histogram(lo, hi)
+                return rank_in_distinct(level, within)
+            chain, lo, width, rank = level, lo2, width2, within
+            counts = histogram(chain, lo, width)
             cum = np.cumsum(counts)
         # depth exhausted (adversarially clustered doubles): same exact
         # distinct-histogram resolution over the final narrowed bucket
         b = int(np.searchsorted(cum, rank + 1))
         within = rank - (int(cum[b - 1]) if b else 0)
-        g = distinct_in_bucket(lo, hi, b)
-        j = int(np.searchsorted(np.cumsum(g.to_numpy()), within + 1))
-        return float(g.index[j])
+        return rank_in_distinct(chain + [(lo, width, b)], within)
 
     return pd.DataFrame({
         "quantile": pd.Series(list(qs), dtype=np.float64),

@@ -30,6 +30,7 @@ import ray
 import ray.data as rd
 
 from .. import config
+from .common import memoized_parquet_corpus
 from ..functions.avicodec import decode_avi, encode_avi
 from ..functions.jpegcodec import jpeg_encode
 
@@ -73,15 +74,8 @@ def synth_frames(media_id: str) -> list[np.ndarray]:
 
 def generate_video_corpus(n_clips: int = 40, seed: int = config.CORPUS_SEED,
                           root: str = "/tmp/weaver_corpus") -> str:
-    """Write (and cache) the AVI corpus (media_id, avi, declared metadata).
-    Per-clip JPEG encoding fans out as Ray tasks when a session exists."""
-    d = Path(video_dir(n_clips, seed, root))
-    done = d / "_DONE"
-    if done.exists():
-        return str(d)
-    d.mkdir(parents=True, exist_ok=True)
-    for old in d.glob("*"):
-        old.unlink()
+    """Write (and cache) the AVI corpus (media_id, avi, declared metadata)
+    via the shared scaffold (common.memoized_parquet_corpus)."""
 
     def make(lo: int, hi: int) -> pa.Table:
         ids, blobs, nfr = [], [], []
@@ -103,14 +97,9 @@ def generate_video_corpus(n_clips: int = 40, seed: int = config.CORPUS_SEED,
 
     chunk = 20
     spans = [(lo, min(lo + chunk, n_clips)) for lo in range(0, n_clips, chunk)]
-    if ray.is_initialized() and len(spans) > 1:
-        gen = ray.remote(make)
-        chunks = ray.get([gen.remote(lo, hi) for lo, hi in spans])
-    else:
-        chunks = [make(lo, hi) for lo, hi in spans]
-    pq.write_table(pa.concat_tables(chunks), d / "part-00000.parquet")
-    done.write_text(f"n_clips={n_clips} seed={seed} fps={FPS} size={SIZE}\n")
-    return str(d)
+    return memoized_parquet_corpus(
+        video_dir(n_clips, seed, root), spans, make,
+        f"n_clips={n_clips} seed={seed} fps={FPS} size={SIZE}\n")
 
 
 def read_video(path: str, columns: list[str] | None = None) -> rd.Dataset:

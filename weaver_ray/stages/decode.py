@@ -42,10 +42,15 @@ class WavFeatureStage:
     gated in AudioFeatureStage."""
 
     def __init__(self):
+        import struct
+
         from ..functions.wavcodec import audio_features, decode_wav
 
         self._decode = decode_wav
         self._features = audio_features
+        # malformed containers: bad magic/format (ValueError) or a
+        # truncated header slice (struct.error)
+        self._err = (ValueError, struct.error)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -59,7 +64,7 @@ class WavFeatureStage:
                 continue
             try:
                 f = self._features(*self._decode(blob))
-            except ValueError:
+            except self._err:
                 continue
             for k in rows:
                 rows[k][i] = f[k]
@@ -247,15 +252,22 @@ class AviFrameSampleStage:
             out["mean_b"].append(means[2])
 
         for mid, blob in zip(ids, blobs):
+            if blob is None:
+                emit(mid, -1, False)
+                continue
             try:
                 clip = self._demux(blob)
             except self._err:
                 emit(mid, -1, False)
                 continue
             n = clip["n_frames"]
+            if n == 0:
+                # a valid zero-frame container still gets its one row —
+                # clips must never silently vanish from the output
+                emit(mid, -1, True, clip["w"], clip["h"])
+                continue
             k = min(self.n_frames, n)
-            picks = np.unique(np.linspace(0, n - 1, k).round().astype(int)) \
-                if n else np.array([], int)
+            picks = np.unique(np.linspace(0, n - 1, k).round().astype(int))
             for idx in picks:
                 px = self._decode(clip["frames"][idx])
                 m = px.reshape(-1, 3).mean(axis=0)
