@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # banded hamming machinery; rows-only (FFT is not SQL-expressible)
         # but self-evidencing: planted/is_planted_complete verdict columns
         "audio_fp_pairs": audio.audio_fp_pairs,
+        "audio_fp_clusters": audio.audio_fp_clusters,
         # video axis: REAL MJPEG-AVI corpus (pure-python RIFF muxer +
         # baseline JPEG frames).  video_avi_stats has a full SQL oracle
         # (engine parses binary headers, oracle reads declared columns);

@@ -152,3 +152,45 @@ def test_audio_fp_pairs_banded_equals_bruteforce(ray_session):
         for j in range(audio._chosen_variants(i)):
             mid = audio.media_id_of(i)
             assert ((df["clip_a"] == mid) & (df["clip_b"] == f"{mid}v{j}")).any()
+
+
+def test_audio_fp_clusters_match_union_find(ray_session):
+    """Distributed components over the audio near-dup graph equal a
+    sequential union-find over the same pairs, and every planted variant
+    lands in its base's cluster."""
+    from weaver_ray.pipelines import audio
+
+    pairs = audio.audio_fp_pairs("unused", n_clips=100)
+    out = audio.audio_fp_clusters("unused", n_clips=100)
+    # sequential union-find ground truth
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["clip_a"], pairs["clip_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = dict(zip(out["media_id"], out["cluster_id"]))
+    # same partition: two ids share a cluster iff union-find agrees
+    node = dict(zip(out["media_id"],
+                    audio._node_ids(out["media_id"])))
+    for a, b in zip(pairs["clip_a"], pairs["clip_b"]):
+        assert labels[a] == labels[b]
+    # planted variants co-clustered with their base
+    for i in range(100):
+        mid = audio.media_id_of(i)
+        for j in range(audio._chosen_variants(i)):
+            assert labels[f"{mid}v{j}"] == labels[mid]
+    # cluster_id is the minimum member node id
+    import collections
+
+    members = collections.defaultdict(list)
+    for m, c in labels.items():
+        members[c].append(node[m])
+    for c, ns in members.items():
+        assert c == min(ns)

@@ -259,3 +259,58 @@ def audio_fp_pairs(sf_dir: str, max_hamming: int = 9,
     got = int(df["planted"].sum())
     df["is_planted_complete"] = got >= want
     return df
+
+
+# node-id scheme (invertible, mirrors images): base clip%06d -> 8*i,
+# variant clip%06dvJ -> 8*i + 1 + J  (J < _MAX_VARIANTS)
+def _node_ids(media_ids: pd.Series) -> np.ndarray:
+    i = media_ids.str.slice(4, 10).astype(np.int64)
+    var = media_ids.str.len().gt(10)
+    j = pd.Series(np.zeros(len(media_ids), dtype=np.int64),
+                  index=media_ids.index)
+    if var.any():
+        j[var] = media_ids[var].str.slice(11).astype(np.int64) + 1
+    return (i * 8 + j).to_numpy()
+
+
+def _media_id_of_node(nodes: np.ndarray) -> np.ndarray:
+    i, r = nodes // 8, nodes % 8
+    return np.array(
+        [f"clip{b:06d}" + ("" if rr == 0 else f"v{rr - 1}")
+         for b, rr in zip(i, r)], dtype=object)
+
+
+def audio_fp_clusters_ds(sf_dir: str, max_hamming: int = 9,
+                         n_clips: int = 200) -> rd.Dataset:
+    """Connected components over the audio near-dup graph — the same
+    task-based distributed label propagation as text and image clustering
+    (dedup.connected_components_ds), completing the modality symmetry."""
+    from .dedup import connected_components_ds
+
+    pairs = audio_fp_pairs_ds(sf_dir, max_hamming, n_clips)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"src": _node_ids(df["clip_a"]),
+                                 "dst": _node_ids(df["clip_b"])}),
+        batch_format="pandas",
+    )
+    nodes = _fp_universe(n_clips).map_batches(
+        lambda df: pd.DataFrame({"doc_id": _node_ids(df["media_id"])}),
+        batch_format="pandas",
+    )
+    labels = connected_components_ds(nodes, edges)
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"media_id": _media_id_of_node(df["doc_id"].to_numpy(np.int64)),
+             "cluster_id": df["cluster_id"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+
+
+def audio_fp_clusters(sf_dir: str, max_hamming: int = 9,
+                      n_clips: int = 200) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`audio_fp_clusters_ds`."""
+    from .dedup import _pairs_to_pandas
+
+    return _pairs_to_pandas(
+        audio_fp_clusters_ds(sf_dir, max_hamming, n_clips),
+        ["media_id"], {"media_id": object, "cluster_id": np.int64})
