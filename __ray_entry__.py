@@ -233,7 +233,7 @@ def _media_stub_plumbing(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from weaver_ray.pipelines import (audio, dedup, images, relational,
-                                      similarity, textops, video)
+                                      similarity, temporal, textops, video)
 
     return {
         # relational / reference-operator parity (SURVEY.md §2)
@@ -253,6 +253,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": relational.price_quantiles,
         "event_sample_stats": relational.event_sample_stats,
         "approx_distinct_users": relational.approx_distinct_users,
+        # temporal / keyed-window operators (the brief's "custom operators
+        # Ray Data lacks": as-of join, hopping/session windows, rolling
+        # aggregate, per-group top-k, pivot) — all full SQL oracles
+        "asof_purchase_attribution": temporal.asof_purchase_attribution,
+        "sliding_window_stats": temporal.sliding_window_stats,
+        "session_windows": temporal.session_windows,
+        "rolling_event_avg": temporal.rolling_event_avg,
+        "top_orders_per_customer": temporal.top_orders_per_customer,
+        "pivot_event_counts": temporal.pivot_event_counts,
+        "user_value_quantiles": temporal.user_value_quantiles,
+        "distinct_users_per_type": temporal.distinct_users_per_type,
+        "user_cumulative_value": temporal.user_cumulative_value,
+        "event_gap_stats": temporal.event_gap_stats,
+        "value_histogram": temporal.value_histogram,
         # text analysis
         "token_stats_by_lang": textops.token_stats_by_lang,
         "quality_by_source": textops.quality_by_source,
@@ -759,6 +773,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id, window_hour
+        """,
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle; tie
+        # rules mirrored exactly (>= match, duplicate click timestamps keep
+        # max event_id, unmatched -> -1 so the int column never floats)
+        "asof_purchase_attribution": """
+            WITH c AS (
+                SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   coalesce(c.click_id, -1) AS click_id,
+                   coalesce(epoch_us(c.ts), -1) AS click_ts_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # hopping windows: size 2h / hop 1h -> every event in exactly 2
+        # windows (window_start = hour_bucket - i for i in 0..1)
+        "sliding_window_stats": """
+            SELECT (epoch_us(ts) // 3600000000 - i) * 3600000000
+                       AS window_start_us,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest(range(2)) AS i) offs
+            GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 <= 1800000000
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "rolling_event_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS rolling_avg
+            FROM events
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders) t
+            WHERE rn <= 3
+        """,
+        # per-group exact quantiles: engine's grouped numpy selection uses
+        # the same rank rule as quantile_disc — values are exact elements
+        "user_value_quantiles": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   quantile_disc(value, 0.25) AS p25_value,
+                   quantile_disc(value, 0.5) AS p50_value,
+                   quantile_disc(value, 0.9) AS p90_value
+            FROM events GROUP BY user_id
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "user_cumulative_value": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+            FROM events
+        """,
+        # -1 sentinel for single-event users (no gaps), matching the
+        # engine's NULL-free convention
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                       / 1000000.0 AS gap_s
+                FROM events
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   coalesce(round(avg(gap_s), 4), -1) AS avg_gap_s,
+                   coalesce(round(max(gap_s), 4), -1) AS max_gap_s
+            FROM g GROUP BY user_id
+        """,
+        "value_histogram": """
+            SELECT greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9), 0)
+                       AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id
         """,
         "token_stats_by_lang": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -56,6 +56,10 @@ QUERY_NAMES = [
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
     "neardup_clusters",
+    "asof_purchase_attribution",
+    "sliding_window_stats",
+    "session_windows",
+    "top_orders_per_customer",
     "image_decode_stats",
     "image_phash_clusters",
     "image_phash_topk",

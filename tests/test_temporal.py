@@ -1,0 +1,134 @@
+"""Edge-path tests for the temporal/keyed-window operators
+(weaver_ray/pipelines/temporal.py).  Full-table equality vs DuckDB is
+covered by the parametrized oracle battery (test_queries_oracle); these pin
+the tie/boundary rules on hand-built inputs where the expected answer is
+known by inspection."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from weaver_ray.pipelines import temporal
+from weaver_ray.pipelines.common import to_table
+
+T0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, seconds_after_t0, user_id, event_type, value)."""
+    df = pd.DataFrame(rows, columns=["event_id", "s", "user_id", "event_type", "value"])
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array(T0 + df["s"].to_numpy().astype("timedelta64[s]").astype(
+            "timedelta64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "value": pa.array(df["value"], pa.float64()),
+        "props": pa.array(["{}"] * len(df), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_asof_tie_and_unmatched(tmp_path):
+    sf = _write_events(tmp_path, [
+        # user 1: purchase BEFORE any click -> -1; exact-tie click matches;
+        # duplicate click timestamps keep max(event_id)
+        (1, 10, 1, "purchase", 1.0),
+        (2, 20, 1, "click", 0.0),
+        (3, 20, 1, "click", 0.0),     # dup ts with event 2 -> 3 wins
+        (4, 20, 1, "purchase", 1.0),  # tie ts: matches click 3
+        (5, 30, 1, "purchase", 1.0),  # latest click <= 30 is still 3
+        # user 2: clicks only -> no output rows
+        (6, 5, 2, "click", 0.0),
+    ])
+    out = to_table(temporal.asof_purchase_attribution(sf, num_buckets=3)
+                   ).to_pandas().sort_values("purchase_id")
+    assert list(out["purchase_id"]) == [1, 4, 5]
+    assert list(out["click_id"]) == [-1, 3, 3]
+    assert out.loc[out["purchase_id"] == 1, "click_ts_us"].iloc[0] == -1
+
+
+def test_asof_no_clicks_at_all(tmp_path):
+    sf = _write_events(tmp_path, [(1, 10, 1, "purchase", 1.0)])
+    out = to_table(temporal.asof_purchase_attribution(sf)).to_pandas()
+    assert list(out["click_id"]) == [-1]
+    assert out["click_id"].dtype == np.int64
+
+
+def test_session_gap_boundary(tmp_path):
+    gap_s = 30 * 60
+    sf = _write_events(tmp_path, [
+        (1, 0, 1, "view", 1.0),
+        (2, gap_s, 1, "view", 2.0),          # exactly the gap -> SAME session
+        (3, 2 * gap_s + 1, 1, "view", 4.0),  # gap exceeded by 1s -> new session
+        (4, 0, 2, "view", 8.0),              # other user never chains
+    ])
+    out = to_table(temporal.session_windows(sf, num_buckets=2)).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start_us")
+    assert list(u1["n_events"]) == [2, 1]
+    assert list(u1["sum_value"]) == [3.0, 4.0]
+    assert list(out[out["user_id"] == 2]["n_events"]) == [1]
+
+
+def test_rolling_min_periods_and_order(tmp_path):
+    sf = _write_events(tmp_path, [
+        (1, 0, 1, "view", 2.0),
+        (2, 10, 1, "view", 4.0),
+        (3, 20, 1, "view", 12.0),
+        (4, 30, 1, "view", 2.0),
+    ])
+    out = to_table(temporal.rolling_event_avg(sf)).to_pandas().sort_values("event_id")
+    assert list(out["rolling_avg"]) == [2.0, 3.0, 6.0, 6.0]
+
+
+def test_top_orders_per_customer_ties_and_short_groups(tmp_path):
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 7, 9], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([50.0, 50.0, 99.0, 1.0, 10.0], pa.float64()),
+        "o_orderdate": pa.array([T0.item()] * 5, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 5),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = to_table(temporal.top_orders_per_customer(str(tmp_path), k=3,
+                                                    num_buckets=2)).to_pandas()
+    c7 = out[out["o_custkey"] == 7].sort_values("rank")
+    # price desc, orderkey asc on the 50.0 tie
+    assert list(c7["o_orderkey"]) == [3, 1, 2]
+    assert list(c7["rank"]) == [1, 2, 3]
+    c9 = out[out["o_custkey"] == 9]
+    assert list(c9["rank"]) == [1]  # short group keeps all rows
+
+
+def test_sliding_windows_fanout(tmp_path):
+    # one event at 00:30 -> windows starting 00:00 and 23:00 (prev day)
+    sf = _write_events(tmp_path, [(1, 1800, 1, "view", 5.0)])
+    out = to_table(temporal.sliding_window_stats(sf)).to_pandas()
+    assert len(out) == 2
+    starts = sorted(out["window_start_us"])
+    assert starts[1] - starts[0] == temporal.US_PER_HOUR
+    assert set(out["n_events"]) == {1}
+
+
+def test_keyed_map_groups_key_completeness(tmp_path):
+    # every key's rows must arrive in ONE call, regardless of bucket count
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import keyed_map_groups
+
+    df = pd.DataFrame({"k": np.arange(1000) % 37, "v": np.arange(1000)})
+    seen = []
+
+    def fn(g):
+        ks = g["k"].unique()
+        return pd.DataFrame({"k": ks, "n": [int((g["k"] == k).sum()) for k in ks]})
+
+    out = to_table(keyed_map_groups(rd.from_pandas(df), "k", fn, num_buckets=5)
+                   ).to_pandas()
+    # one output row per key with the full count proves no key was split
+    assert len(out) == 37
+    assert (out["n"].to_numpy() >= 27).all() and out["n"].sum() == 1000

@@ -83,6 +83,7 @@ def host_stats(records_dir: str) -> rd.Dataset:
             "n_denied": ("is_denied", "sum"),
             "n_dead": ("is_dead", "sum"),
         },
+        many_groups=True,  # hosts are millions at crawl scale
     )
     return out.map_batches(
         lambda df: df.astype({c: np.int64 for c in ("n_urls", "n_ok", "n_denied", "n_dead")}),

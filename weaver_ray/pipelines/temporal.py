@@ -1,0 +1,398 @@
+"""Temporal / keyed-window operators the reference's gather+merge layer
+implies but Ray Data lacks natively: as-of join, sliding (hopping) windows,
+session windows, rolling aggregates, per-group top-k, and pivot.
+
+These are the "custom operators" case of the build brief (as-of join, range
+join, windowed aggregate): each is a composition of map_batches +
+ONE hash-keyed shuffle (common.keyed_map_groups) with all per-key work
+vectorized inside the bucket — never a per-key map_groups (millions of tiny
+pandas calls) and never a driver-side sort.  Partitioning assumption, stated
+per the brief: a single key's rows fit one bucket worker (true for per-user
+event streams and per-customer order lists; a pathological hot key would
+need salting + a merge pass, as done for hot hosts in stages/parse.py).
+
+Every operator here has a full DuckDB oracle in __ray_entry__.py — ordering
+ties are pinned by (ts, event_id) / (o_totalprice, o_orderkey) total orders
+so engine and SQL agree exactly; float aggregates are rounded on both sides
+(the established convention, see relational.user_hourly_windows).
+
+Reference analogs: gather merge ordering (SURVEY §2.5 O1/O3 —
+internal/gather/gather.go first-match + FIFO), extended to the event-time
+window family a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .common import keyed_map_groups, load, partial_groupby
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def asof_purchase_attribution(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """As-of join (attribution): each 'purchase' event joins the LATEST
+    'click' event of the same user with click.ts <= purchase.ts.
+
+    Plan: filter both roles out of one pruned read, hash-bucket by user_id
+    (complete users per bucket — the as-of partitioning assumption), then a
+    vectorized pandas merge_asof per bucket.  The shuffle moves only the
+    filtered event roles, never the full table; at cluster scale each
+    bucket is one task and the merge is O(n log n) in bucket rows.
+
+    Tie rules (pinned so the DuckDB ASOF oracle agrees exactly):
+    - equal timestamps match (allow_exact_matches / ts >= ts);
+    - duplicate click timestamps within a user keep max(event_id).
+    Purchases with no prior click keep click_id = -1 (LEFT semantics;
+    -1 instead of NULL so the int column survives the pandas/Arrow
+    round-trip without float coercion on either side of the oracle).
+    """
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_roles(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_type"].isin(("purchase", "click"))]
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=_ts_us(g["ts"]))
+        p = g[g["event_type"] == "purchase"].sort_values(["ts_us", "event_id"])
+        c = (g[g["event_type"] == "click"]
+             .sort_values(["ts_us", "event_id"])
+             .drop_duplicates(["user_id", "ts_us"], keep="last"))
+        if p.empty:
+            return pd.DataFrame({"purchase_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "purchase_ts_us": pd.Series([], dtype=np.int64),
+                                 "click_id": pd.Series([], dtype=np.int64),
+                                 "click_ts_us": pd.Series([], dtype=np.int64)})
+        j = pd.merge_asof(
+            p[["event_id", "user_id", "ts_us"]],
+            c[["event_id", "user_id", "ts_us"]].rename(
+                columns={"event_id": "click_id", "ts_us": "click_ts_us"}),
+            on=None, left_on="ts_us", right_on="click_ts_us",
+            by="user_id", direction="backward", allow_exact_matches=True,
+        )
+        out = pd.DataFrame({
+            "purchase_id": j["event_id"].astype(np.int64),
+            "user_id": j["user_id"].astype(np.int64),
+            "purchase_ts_us": j["ts_us"].astype(np.int64),
+            "click_id": j["click_id"].fillna(-1).astype(np.int64),
+            "click_ts_us": j["click_ts_us"].fillna(-1).astype(np.int64),
+        })
+        return out
+
+    filtered = ds.map_batches(keep_roles, batch_format="pandas")
+    return keyed_map_groups(filtered, "user_id", attribute, num_buckets)
+
+
+# ------------------------------------------------- sliding (hopping) windows
+
+
+def sliding_window_stats(sf_dir: str, size_hours: int = 2,
+                         hop_hours: int = 1) -> rd.Dataset:
+    """Hopping event-time windows (size 2h, hop 1h): every event lands in
+    size/hop windows.  The fan-out happens INSIDE the partial-agg combiner
+    (np.repeat on the batch — the shuffle then moves one tiny partial row
+    per (window, type) per batch, never the replicated events), so the
+    window overlap factor costs memory only within a batch."""
+    assert size_hours % hop_hours == 0, "window must be a whole number of hops"
+    fanout = size_hours // hop_hours
+    hop_us = hop_hours * US_PER_HOUR
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        bucket = _ts_us(batch["ts"]) // hop_us
+        n = len(batch)
+        reps = pd.DataFrame({
+            "event_type": np.repeat(batch["event_type"].to_numpy(), fanout),
+            "value": np.repeat(batch["value"].to_numpy(), fanout),
+            "window_start_us": (np.repeat(bucket, fanout)
+                                - np.tile(np.arange(fanout, dtype=np.int64), n)
+                                ) * hop_us,
+        })
+        return reps
+
+    ds = load(sf_dir, "events", ["ts", "event_type", "value"])
+    out = partial_groupby(
+        ds, ["window_start_us", "event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        prep=expand,
+        many_groups=True,  # windows x types is thousands of keys
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = batch["sum_value"].round(4)
+        batch["n_events"] = batch["n_events"].astype(np.int64)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------- session windows
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30,
+                    num_buckets: int = 16) -> rd.Dataset:
+    """Gap-based sessionization per user: a new session starts when the gap
+    to the previous event of the same user exceeds ``gap_minutes``.  One
+    hash shuffle by user; inside each bucket the lag/cumsum session
+    assignment is fully vectorized across ALL users at once (sort by
+    (user_id, ts, event_id), shift, cumsum — no per-user loop)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=_ts_us(g["ts"])).sort_values(
+            ["user_id", "ts_us", "event_id"])
+        user = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same_user = np.concatenate(([False], user[1:] == user[:-1]))
+        gap_ok = np.concatenate(([False], (ts[1:] - ts[:-1]) <= gap_us))
+        new_session = ~(same_user & gap_ok)
+        g = g.assign(session_seq=np.cumsum(new_session))
+        agg = g.groupby(["user_id", "session_seq"], sort=False).agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("event_id", "size"),
+            sum_value=("value", "sum"),
+        ).reset_index().drop(columns="session_seq")
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["sum_value"] = agg["sum_value"].round(4)
+        return agg
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return keyed_map_groups(ds, "user_id", sessionize, num_buckets)
+
+
+# -------------------------------------------------------- rolling aggregate
+
+
+def rolling_event_avg(sf_dir: str, window: int = 3,
+                      num_buckets: int = 16) -> rd.Dataset:
+    """Row-based rolling mean per user (last ``window`` events ordered by
+    (ts, event_id) — a unique total order, so the oracle window frame is
+    identical).  Same single-shuffle bucket pattern; pandas' grouped
+    rolling kernel does the per-user windows vectorized."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=_ts_us(g["ts"])).sort_values(
+            ["user_id", "ts_us", "event_id"])
+        avg = (g.groupby("user_id", sort=False)["value"]
+               .rolling(window, min_periods=1).mean()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64),
+            "user_id": g["user_id"].astype(np.int64),
+            "rolling_avg": avg.round(4),
+        })
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return keyed_map_groups(ds, "user_id", roll, num_buckets)
+
+
+# -------------------------------------------------------- per-group top-k
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3,
+                            num_buckets: int = 16) -> rd.Dataset:
+    """Grouped top-k: each customer's k most expensive orders with rank.
+    Two-phase like global top-k (relational.top_orders): a per-BLOCK
+    partial top-k per key runs inside map_batches first, so the shuffle
+    moves at most k rows per (key, block) — at scale that's the combiner
+    that keeps a skewed customer from shipping every order."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                                  ascending=[True, False, True])
+                .groupby("o_custkey", sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        top = g.groupby("o_custkey", sort=False).head(k).copy()
+        top["rank"] = top.groupby("o_custkey", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "o_custkey": top["o_custkey"].astype(np.int64),
+            "o_orderkey": top["o_orderkey"].astype(np.int64),
+            "o_totalprice": top["o_totalprice"].round(2),
+            "rank": top["rank"].astype(np.int64),
+        })
+
+    ds = load(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_map_groups(partials, "o_custkey", final, num_buckets)
+
+
+# ---------------------------------------------------- per-group quantiles
+
+
+def user_value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.9),
+                         num_buckets: int = 16) -> rd.Dataset:
+    """Exact per-user quantiles of the event value (grouped complement of
+    the global price_quantiles selection).  High-cardinality key + small
+    per-key group = the keyed_map_groups regime: one shuffle, then a pure
+    numpy grouped selection (sort once, per-group offsets, fancy-indexed
+    rank extraction — no per-user loop).  Rank rule matches DuckDB
+    quantile_disc: sorted[max(0, ceil(q*n) - 1)]."""
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value"])
+        users = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy()
+        first = np.concatenate(([True], users[1:] != users[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(users)))
+        out = {"user_id": users[starts].astype(np.int64),
+               "n_events": counts.astype(np.int64)}
+        for q in qs:
+            idx = starts + np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
+            out[f"p{int(q * 100)}_value"] = vals[idx]
+        return pd.DataFrame(out)
+
+    ds = load(sf_dir, "events", ["user_id", "value"])
+    return keyed_map_groups(ds, "user_id", quantiles, num_buckets)
+
+
+# ------------------------------------------------- grouped distinct counts
+
+
+def distinct_users_per_type(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """count(DISTINCT user_id) per event_type at scale: per-batch pair
+    dedup (combiner), then ONE shuffle by user (a user's duplicates across
+    batches all land in the same bucket, so within-bucket dedup is globally
+    exact), then tiny per-(bucket, type) partial counts reduced by a
+    5-group aggregate.  The naive alternative — groupby(type).agg(unique)
+    — ships every row of the biggest type to one task."""
+
+    def pair_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = d.groupby("event_type", sort=False).size().rename("n_users")
+        return out.reset_index()
+
+    ds = load(sf_dir, "events", ["user_id", "event_type"])
+    per_batch = ds.map_batches(pair_dedup, batch_format="pandas")
+    per_bucket = keyed_map_groups(per_batch, "user_id", count_distinct,
+                                  num_buckets)
+    out = partial_groupby(per_bucket, ["event_type"],
+                          {"n_users": ("n_users", "sum")})
+    return out.map_batches(
+        lambda df: df.astype({"n_users": np.int64}), batch_format="pandas")
+
+
+# ------------------------------------------------------------ running sum
+
+
+def user_cumulative_value(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Running total per user ordered by (ts, event_id) — the prefix-sum
+    window.  Same single-shuffle bucket pattern; the cumsum is one
+    vectorized grouped kernel over the whole bucket."""
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=_ts_us(g["ts"])).sort_values(
+            ["user_id", "ts_us", "event_id"])
+        run = g.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64),
+            "user_id": g["user_id"].astype(np.int64),
+            "cum_value": run.round(4),
+        })
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return keyed_map_groups(ds, "user_id", cumsum, num_buckets)
+
+
+# -------------------------------------------------------- lag / gap stats
+
+
+def event_gap_stats(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per-user inter-event gap profile (lag deltas): n_events, avg and max
+    gap in seconds.  Single-event users have no gaps and report -1 (the
+    repo's NULL-free sentinel convention, mirrored by coalesce in the
+    oracle)."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=_ts_us(g["ts"])).sort_values(
+            ["user_id", "ts_us", "event_id"])
+        users = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same = users[1:] == users[:-1]
+        d = pd.DataFrame({"user_id": users[1:][same],
+                          "gap_s": (ts[1:] - ts[:-1])[same] / 1e6})
+        n = pd.Series(users).value_counts(sort=False)
+        agg = d.groupby("user_id", sort=False)["gap_s"].agg(["mean", "max"])
+        out = pd.DataFrame({
+            "user_id": n.index.to_numpy().astype(np.int64),
+            "n_events": n.to_numpy().astype(np.int64),
+        })
+        out["avg_gap_s"] = out["user_id"].map(agg["mean"]).fillna(-1).round(4)
+        out["max_gap_s"] = out["user_id"].map(agg["max"]).fillna(-1).round(4)
+        return out
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return keyed_map_groups(ds, "user_id", gaps, num_buckets)
+
+
+# --------------------------------------------------------------- histogram
+
+
+def value_histogram(sf_dir: str, width: float = 50.0,
+                    n_bins: int = 10) -> rd.Dataset:
+    """Fixed-bin global histogram of event values: each batch emits at most
+    n_bins partial rows (np.bincount combiner), the reduce is an n_bins
+    aggregate — the classic fixed-size-partial pattern (same shape as the
+    exact-quantile histogram pass, relational.price_quantiles)."""
+
+    def bins(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.clip((batch["value"].to_numpy() / width).astype(np.int64),
+                      0, n_bins - 1)
+        counts = np.bincount(idx, minlength=n_bins)
+        keep = counts > 0
+        return pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64)[keep],
+                             "n": counts[keep]})
+
+    ds = load(sf_dir, "events", ["value"])
+    parts = ds.map_batches(bins, batch_format="pandas")
+    out = partial_groupby(parts, ["bin"], {"n": ("n", "sum")})
+    return out.map_batches(lambda df: df.astype({"n": np.int64}),
+                           batch_format="pandas")
+
+
+# ------------------------------------------------------------------- pivot
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(sf_dir: str) -> rd.Dataset:
+    """Pivot (long -> wide): one row per user with a count column per event
+    type.  Expressed as conditional partial aggregation — the indicator
+    columns are built inside the combiner, so the shuffle is one tiny
+    partial row per (user, batch), and unseen types still appear as 0."""
+
+    def indicators(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": batch["user_id"]}
+        et = batch["event_type"].to_numpy()
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        return pd.DataFrame(out)
+
+    ds = load(sf_dir, "events", ["user_id", "event_type"])
+    aggs = {f"n_{t}": (f"n_{t}", "sum") for t in EVENT_TYPES}
+    out = partial_groupby(ds, ["user_id"], aggs, prep=indicators,
+                          many_groups=True)  # one group per user
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for t in EVENT_TYPES:
+            batch[f"n_{t}"] = batch[f"n_{t}"].astype(np.int64)
+        batch["n_total"] = sum(batch[f"n_{t}"] for t in EVENT_TYPES)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
