@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Ray Data lacks": as-of join, hopping/session windows, rolling
         # aggregate, per-group top-k, pivot) — all full SQL oracles
         "asof_purchase_attribution": temporal.asof_purchase_attribution,
+        "range_join_click_windows": temporal.range_join_click_windows,
         "sliding_window_stats": temporal.sliding_window_stats,
         "session_windows": temporal.session_windows,
         "rolling_event_avg": temporal.rolling_event_avg,
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": textops.langid_counts,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -285,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_exhaustive_topk": similarity.ann_ivf_exhaustive_topk,
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "embedding_norm_stats": similarity.embedding_norm_stats,
         # crawl engine (stateful; rows-only by design, but parity is
@@ -792,6 +795,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
+        # range (interval) join: half-open window [ts-1h, ts), LEFT
+        # semantics (purchases with no in-window click keep 0 / 0.0)
+        "range_join_click_windows": """
+            WITH p AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, epoch_us(ts) AS ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(count(c.ts) AS BIGINT) AS n_clicks,
+                   round(coalesce(sum(c.value), 0), 4) AS sum_click_value
+            FROM p LEFT JOIN c ON c.user_id = p.user_id
+                               AND c.ts >= p.ts - 3600000000 AND c.ts < p.ts
+            GROUP BY p.event_id, p.user_id
+        """,
         # hopping windows: size 2h / hop 1h -> every event in exactly 2
         # windows (window_start = hour_bucket - i for i in 0..1)
         "sliding_window_stats": """
@@ -914,6 +934,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS n_uniq_tokens
             FROM documents
         """,
+        # tf-idf: tf * ln(N/df) over lowercase \\w+ tokens; ties pinned
+        # (tf_idf desc, token asc); df = docs containing the token
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOK}')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+            ), dfreq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                       tf.tf * ln(n.n::DOUBLE / dfreq.df) AS score,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(n.n::DOUBLE / dfreq.df) DESC,
+                                    tf.token) AS rank
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, round(score, 4) AS tf_idf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "vocab_top_tokens": f"""
             SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
                 SELECT unnest(regexp_extract_all(text, '{TOK}')) AS token
@@ -981,6 +1025,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2
               ON e2.vec_id - e1.vec_id BETWEEN 1 AND 100
              AND list_cosine_similarity(e1.embedding, e2.embedding) > 0.25
+        """,
+        # exhaustive-probe IVF == brute force by construction (every cell
+        # probed), so the approximate operator's full machinery gets the
+        # same value-hash oracle as the exact baseline
+        "ann_ivf_exhaustive_topk": """
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 5) t
+            WHERE rn <= 10
         """,
         "ann_bruteforce_topk": """
             SELECT query_id, neighbor_id FROM (

@@ -174,6 +174,17 @@ def test_ann_ivf_recall(dup_dir):
         assert len(e & a) >= 2  # recall@5 >= 0.4 with 2/4 cells probed
 
 
+def test_ann_ivf_exhaustive_equals_bruteforce(dup_dir):
+    """Probing every cell must reduce IVF to the exact answer — this is the
+    invariant the ann_ivf_exhaustive_topk SQL oracle relies on."""
+    from weaver_ray.pipelines.similarity import (ann_bruteforce_topk,
+                                                 ann_ivf_exhaustive_topk)
+
+    exact = ann_bruteforce_topk(dup_dir, n_queries=2, k=5)
+    full = ann_ivf_exhaustive_topk(dup_dir, n_queries=2, k=5, n_cells=4)
+    assert exact.values.tolist() == full.values.tolist()
+
+
 def test_neardup_clusters_match_union_find(dup_dir):
     """Distributed label propagation must equal a sequential union-find
     over the same near-dup pairs (pointer jumping included)."""

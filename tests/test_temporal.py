@@ -58,6 +58,30 @@ def test_asof_no_clicks_at_all(tmp_path):
     assert out["click_id"].dtype == np.int64
 
 
+def test_range_join_window_bounds(tmp_path):
+    """Half-open [ts-1h, ts): the click exactly 1h before is IN, the click
+    at the purchase instant is OUT; no-click purchases keep (0, 0.0);
+    appearance-order user codes must still aggregate the right user."""
+    H = 3600
+    sf = _write_events(tmp_path, [
+        # user 7 appears first among purchases, user 1 first among clicks —
+        # exercises the composite-key sort (codes are appearance-ordered)
+        (1, 2 * H, 7, "purchase", 1.0),
+        (2, 2 * H - H, 7, "click", 10.0),      # exactly ts-1h: included
+        (3, 2 * H, 7, "click", 100.0),         # at purchase instant: excluded
+        (4, 2 * H - H - 1, 7, "click", 7.0),   # just outside: excluded
+        (5, H, 1, "click", 5.0),
+        (6, H + 10, 1, "purchase", 1.0),
+        (7, 5 * H, 2, "purchase", 1.0),        # user with no clicks
+    ])
+    out = (to_table(temporal.range_join_click_windows(sf, num_buckets=3))
+           .to_pandas().sort_values("purchase_id").reset_index(drop=True))
+    assert list(out["purchase_id"]) == [1, 6, 7]
+    assert list(out["n_clicks"]) == [1, 1, 0]
+    assert list(out["sum_click_value"]) == [10.0, 5.0, 0.0]
+    assert out["n_clicks"].dtype == np.int64
+
+
 def test_session_gap_boundary(tmp_path):
     gap_s = 30 * 60
     sf = _write_events(tmp_path, [

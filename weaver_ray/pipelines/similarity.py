@@ -161,6 +161,22 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 8,
     )
 
 
+def ann_ivf_exhaustive_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                            n_cells: int = 8) -> pd.DataFrame:
+    """IVF with ``n_probe == n_cells``: every cell is probed, so the probe
+    mask degenerates to ``vid != qid`` and the output MUST equal exact
+    brute-force top-k.  This runs the full IVF machinery (sampled k-means
+    training, broadcast centroids, per-batch cell assignment, probe-masked
+    scan, candidate merge) through a path whose answer is SQL-checkable —
+    the oracle is the same brute-force cosine top-k SQL as
+    ann_bruteforce_topk, giving the approximate operator's plumbing a full
+    value-hash correctness gate (the recall-vs-exact check in
+    ann_ivf_recall then only has to vouch for the pruning, not the
+    machinery)."""
+    return ann_ivf_topk(sf_dir, n_queries=n_queries, k=k,
+                        n_cells=n_cells, n_probe=n_cells)
+
+
 def ann_ivf_recall(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
     """Self-evidencing check row for the approximate operator: recall@k of
     IVF (2/8 cells probed) against the exact brute-force top-k, computed by

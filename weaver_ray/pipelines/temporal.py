@@ -93,6 +93,72 @@ def asof_purchase_attribution(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return keyed_map_groups(filtered, "user_id", attribute, num_buckets)
 
 
+# ------------------------------------------------------------- range join
+
+
+def range_join_click_windows(sf_dir: str, window_hours: int = 1,
+                             num_buckets: int = 16) -> rd.Dataset:
+    """Range (interval) join: each 'purchase' aggregates ALL 'click' events
+    of the same user in the preceding window [purchase.ts - W, purchase.ts).
+
+    Plan: same one-shuffle shape as the as-of join (complete users per
+    bucket), but inside the bucket the window aggregate is computed with a
+    composite (user, ts) key + two vectorized searchsorted calls and a
+    click-value prefix sum — O((P+C) log C) per bucket, never the P×C
+    expansion an actual join would materialize.  LEFT semantics: purchases
+    with no in-window click keep (0, 0.0).  Window bounds are half-open
+    [ts-W, ts) so a click at the purchase instant is excluded — mirrored in
+    the DuckDB oracle's predicate exactly."""
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                 "value"])
+    win_us = window_hours * US_PER_HOUR
+
+    def keep_roles(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_type"].isin(("purchase", "click"))]
+
+    def windowed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=_ts_us(g["ts"]))
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
+        empty = pd.DataFrame({"purchase_id": pd.Series([], dtype=np.int64),
+                              "user_id": pd.Series([], dtype=np.int64),
+                              "n_clicks": pd.Series([], dtype=np.int64),
+                              "sum_click_value": pd.Series([], dtype=np.float64)})
+        if p.empty:
+            return empty
+        # composite int64 key: dense user code * ts-span + ts offset keeps
+        # (user, ts) order in ONE sortable array so both window bounds are a
+        # single vectorized searchsorted over all purchases at once
+        all_users = pd.concat([p["user_id"], c["user_id"]]).unique()
+        code = pd.Series(np.arange(len(all_users), dtype=np.int64),
+                         index=all_users)
+        all_ts = np.concatenate([p["ts_us"].to_numpy(), c["ts_us"].to_numpy()])
+        t0 = int(all_ts.min())
+        span = int(all_ts.max()) - t0 + 2
+        assert len(all_users) * span < 2 ** 62, \
+            "composite key overflow: shrink bucket count or window the ts range"
+        ckey = code[c["user_id"]].to_numpy() * span + (c["ts_us"].to_numpy() - t0)
+        # sort clicks by the COMPOSITE key (codes are appearance-ordered, so
+        # sorting by raw user_id would not sort ckey) — searchsorted needs it
+        corder = np.argsort(ckey, kind="stable")
+        ckey = ckey[corder]
+        cval = c["value"].to_numpy(np.float64)[corder]
+        pcode = code[p["user_id"]].to_numpy() * span
+        pts = p["ts_us"].to_numpy() - t0
+        lo = np.searchsorted(ckey, pcode + np.maximum(pts - win_us, 0), "left")
+        hi = np.searchsorted(ckey, pcode + pts, "left")
+        prefix = np.concatenate([[0.0], np.cumsum(cval)])
+        return pd.DataFrame({
+            "purchase_id": p["event_id"].to_numpy(np.int64),
+            "user_id": p["user_id"].to_numpy(np.int64),
+            "n_clicks": (hi - lo).astype(np.int64),
+            "sum_click_value": np.round(prefix[hi] - prefix[lo], 4),
+        })
+
+    filtered = ds.map_batches(keep_roles, batch_format="pandas")
+    return keyed_map_groups(filtered, "user_id", windowed, num_buckets)
+
+
 # ------------------------------------------------- sliding (hopping) windows
 
 

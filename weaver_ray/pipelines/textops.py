@@ -157,6 +157,58 @@ def stratified_sample_docs(sf_dir: str, per_group: int = 20) -> rd.Dataset:
     return ds.groupby("lang").map_groups(pick, batch_format="pandas")
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-document top-k terms by tf-idf (tf * ln(N/df)) — the classic
+    training-data relevance profile.
+
+    Scale shape: (doc, token, tf) pairs are complete within each batch (a
+    document is one row), document frequency is a many_groups partial
+    aggregate over the pairs (one row per (token, batch) moves), the
+    df-lookup is a token-bucketed hash join (vocabulary-sized side — too
+    big to broadcast at corpus scale), and the per-doc top-k ranks inside
+    doc_id-bucketed groups, vectorized across all docs per bucket.  Ties:
+    (tf_idf desc, token asc), pinned on both engine and oracle."""
+    from .common import hash_join, keyed_map_groups
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+
+    def tf_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        pairs = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "token": toks})
+                 .explode("token").dropna(subset=["token"]))
+        tf = (pairs.groupby(["doc_id", "token"], sort=False).size()
+              .reset_index(name="tf"))
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pandas")
+    # df(token) = number of docs containing it: pairs are distinct per
+    # (doc, token), so a count per token is exactly the document frequency
+    dfreq = partial_groupby(pairs, ["token"], {"df": ("doc_id", "count")},
+                            many_groups=True)
+    joined = hash_join(pairs, dfreq, on="token",
+                       lcols=["doc_id", "token", "tf"], rcols=["token", "df"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(tf_idf=g["tf"].to_numpy(np.float64)
+                     * np.log(float(n_docs) / g["df"].to_numpy(np.float64)))
+        g = g.sort_values(["doc_id", "tf_idf", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1).astype(np.int64)
+        g = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "token": g["token"].to_numpy(object),
+            "tf": g["tf"].to_numpy(np.int64),
+            "df": g["df"].to_numpy(np.int64),
+            "tf_idf": g["tf_idf"].round(4).to_numpy(np.float64),
+            "rank": g["rank"].to_numpy(np.int64),
+        })
+
+    return keyed_map_groups(joined, "doc_id", topk)
+
+
 # ------------------------------------------------------------------ language ID
 
 _LANG_PROFILES = {
