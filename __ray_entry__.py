@@ -232,8 +232,9 @@ def _media_stub_plumbing(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from weaver_ray.pipelines import (audio, dedup, images, relational,
-                                      similarity, temporal, textops, video)
+    from weaver_ray.pipelines import (analytics, audio, dedup, images,
+                                      relational, similarity, temporal,
+                                      textops, video)
 
     return {
         # relational / reference-operator parity (SURVEY.md §2)
@@ -268,6 +269,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": temporal.user_cumulative_value,
         "event_gap_stats": temporal.event_gap_stats,
         "value_histogram": temporal.value_histogram,
+        # wide analytics: star joins, set ops, JSON extraction, moment
+        # aggregates, global window ranking — all full SQL oracles
+        "brand_revenue": analytics.brand_revenue,
+        "local_supplier_volume": analytics.local_supplier_volume,
+        "users_click_and_purchase": analytics.users_click_and_purchase,
+        "props_key_stats": analytics.props_key_stats,
+        "price_quantity_corr": analytics.price_quantity_corr,
+        "customer_value_ntiles": analytics.customer_value_ntiles,
+        "lineitem_rollup": analytics.lineitem_rollup,
+        "embedding_dim_stats": analytics.embedding_dim_stats,
+        "clean_text_hashes": textops.clean_text_hashes,
         # text analysis
         "token_stats_by_lang": textops.token_stats_by_lang,
         "quality_by_source": textops.quality_by_source,
@@ -902,6 +914,104 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1
+        """,
+        # large-large join: agg pushed into the join buckets engine-side
+        "brand_revenue": """
+            SELECT p.p_brand,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        # TPC-H Q5 shape: 6-table star with the customer==supplier nation
+        # locality predicate
+        "local_supplier_volume": """
+            SELECT n.n_name, r.r_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name, r.r_name
+        """,
+        # set intersection (distinct users in BOTH streams)
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        # typed JSON-path extraction over the semi-structured props column
+        "props_key_stats": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(k)::DOUBLE / count(*), 4) AS avg_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM k GROUP BY event_type
+        """,
+        # moment-partial correlation/covariance (sample flavor, like DuckDB)
+        "price_quantity_corr": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+                   round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # rollup: engine distributes only the finest grain, derives coarser
+        # grains from its partials
+        "lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # list-column profile: the oracle pays the full unnest, the engine
+        # keeps the list packed (one partial row per dim per batch)
+        "embedding_dim_stats": """
+            WITH u AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS e
+                FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   round(sum(e) / count(*), 4) AS avg_val,
+                   round(CAST(min(e) AS DOUBLE), 4) AS min_val,
+                   round(CAST(max(e) AS DOUBLE), 4) AS max_val,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY dim
+        """,
+        # normalization transform checked on the transformed strings
+        # themselves (md5 per row), not an aggregate of them
+        "clean_text_hashes": """
+            WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+                FROM documents
+            )
+            SELECT doc_id, md5(ct) AS clean_md5,
+                   CAST(len(ct) AS BIGINT) AS clean_len
+            FROM c
+        """,
+        # global window ranking: NTILE + row_number over exact integer-cent
+        # spend (float sum order would make near-tie ranks nondeterministic)
+        "customer_value_ntiles": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, spend_cents,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile
+            FROM spend
+            WINDOW w AS (ORDER BY spend_cents DESC, o_custkey)
         """,
         "pivot_event_counts": """
             SELECT user_id,

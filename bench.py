@@ -60,6 +60,10 @@ QUERY_NAMES = [
     "sliding_window_stats",
     "session_windows",
     "top_orders_per_customer",
+    "range_join_click_windows",
+    "tfidf_top_terms",
+    "local_supplier_volume",
+    "customer_value_ntiles",
     "image_decode_stats",
     "image_phash_clusters",
     "image_phash_topk",

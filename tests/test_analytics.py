@@ -1,0 +1,152 @@
+"""Edge-path tests for the wide-analytics operators
+(weaver_ray/pipelines/analytics.py) and the global_row_number primitive.
+Full-table equality vs DuckDB runs in the oracle battery; these pin the
+rank/NTILE/tie/empty rules on inputs where the answer is known by
+inspection."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from weaver_ray.pipelines import analytics
+from weaver_ray.pipelines.analytics import _ntile_of
+from weaver_ray.pipelines.common import global_row_number, to_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, event_type, k)."""
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "k"])
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")] * len(df),
+                       pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "value": pa.array([1.0] * len(df), pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in df["k"]], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_global_row_number_matches_lexsort():
+    df = pd.DataFrame({"a": [5, 1, 5, 2, 2, 9], "b": [1, 0, 0, 7, 3, 2]})
+    # many tiny blocks so the prefix-offset exchange actually crosses blocks
+    ds = rd.from_pandas([df.iloc[[i]] for i in range(len(df))])
+    ranked, n = global_row_number(ds, ["a", "b"], descending=[True, False])
+    assert n == len(df)
+    out = ranked.to_pandas().sort_values("rank").reset_index(drop=True)
+    expect = df.sort_values(["a", "b"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["a", "b"]], expect)
+    assert list(out["rank"]) == list(range(len(df)))
+
+
+def test_ntile_size_rule():
+    # n=10, t=4 -> sizes 3,3,2,2 (first n%t tiles get ceil(n/t))
+    tiles = _ntile_of(np.arange(10), 10, 4)
+    assert list(np.bincount(tiles)[1:]) == [3, 3, 2, 2]
+    assert list(tiles) == sorted(tiles)  # monotone in rank
+    # fewer rows than tiles: each row its own tile
+    assert list(_ntile_of(np.arange(3), 3, 4)) == [1, 2, 3]
+
+
+def test_intersection_edges(tmp_path):
+    sf = _write_events(tmp_path, [
+        (1, 1, "click", 0), (2, 1, "purchase", 0),   # both -> in
+        (3, 2, "click", 0), (4, 2, "click", 0),      # clicks only -> out
+        (5, 3, "purchase", 0),                        # purchase only -> out
+        (6, 4, "view", 0),                            # other type -> out
+        (7, 5, "purchase", 0), (8, 5, "click", 0),   # both, reversed order
+    ])
+    out = to_table(analytics.users_click_and_purchase(sf, num_buckets=3)
+                   ).to_pandas()
+    assert sorted(out["user_id"]) == [1, 5]
+    assert out["user_id"].dtype == np.int64
+
+
+def test_intersection_empty(tmp_path):
+    sf = _write_events(tmp_path, [(1, 1, "view", 0)])
+    out = to_table(analytics.users_click_and_purchase(sf, num_buckets=2))
+    assert out.num_rows == 0
+
+
+def test_props_key_stats_values(tmp_path):
+    sf = _write_events(tmp_path, [
+        (1, 1, "click", 10), (2, 1, "click", -3), (3, 2, "view", 7),
+    ])
+    out = analytics.props_key_stats(sf).set_index("event_type")
+    assert out.loc["click", "n"] == 2
+    assert out.loc["click", "avg_k"] == 3.5
+    assert out.loc["click", "min_k"] == -3
+    assert out.loc["view", "max_k"] == 7
+
+
+def test_corr_matches_numpy():
+    import duckdb
+
+    out = analytics.price_quantity_corr(SF).set_index("l_returnflag")
+    li = duckdb.sql(
+        f"SELECT l_returnflag, l_extendedprice, l_quantity "
+        f"FROM '{SF}/lineitem.parquet'").df()
+    for flag, g in li.groupby("l_returnflag"):
+        expect = np.corrcoef(g["l_extendedprice"], g["l_quantity"])[0, 1]
+        assert abs(out.loc[flag, "corr_price_qty"] - expect) < 1e-3
+        assert out.loc[flag, "n"] == len(g)
+
+
+def test_rollup_grains_consistent():
+    out = analytics.lineitem_rollup(SF)
+    tot = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    fine = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    sub = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+    assert len(tot) == 1
+    assert tot["n_items"].iloc[0] == fine["n_items"].sum() == sub["n_items"].sum()
+    # every subtotal equals the sum of its children's item counts
+    for flag, g in fine.groupby("l_returnflag"):
+        assert sub.set_index("l_returnflag").loc[flag, "n_items"] == g["n_items"].sum()
+
+
+def test_embedding_dim_stats_matches_numpy():
+    import pyarrow.parquet as pq_
+
+    out = analytics.embedding_dim_stats(SF).set_index("dim")
+    m = np.stack(pq_.read_table(f"{SF}/embeddings.parquet")["embedding"]
+                 .to_numpy(zero_copy_only=False)).astype(np.float64)
+    assert len(out) == m.shape[1]
+    np.testing.assert_allclose(out["avg_val"], m.mean(axis=0).round(4), atol=1e-9)
+    np.testing.assert_allclose(out["min_val"], m.min(axis=0).round(4), atol=0)
+    assert (out["n"] == m.shape[0]).all()
+
+
+def test_clean_text_normalization(tmp_path):
+    from weaver_ray.pipelines import textops
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["  Hello\t\tWORLD \n", "a  b"], pa.string()),
+                  "lang": pa.array(["en", "en"]),
+                  "source": pa.array(["s", "s"]),
+                  "n_chars": pa.array([10, 4], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = to_table(textops.clean_text_hashes(str(tmp_path))).to_pandas()
+    out = out.set_index("doc_id")
+    import hashlib
+    assert out.loc[1, "clean_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert out.loc[1, "clean_len"] == len("hello world")
+    assert out.loc[2, "clean_md5"] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_ntiles_monotone_and_partition():
+    out = to_table(analytics.customer_value_ntiles(SF, tiles=4, num_buckets=4)
+                   ).to_pandas().sort_values("rank").reset_index(drop=True)
+    # ranks are a permutation of 0..n-1, spend nonincreasing along them
+    assert list(out["rank"]) == list(range(len(out)))
+    assert (np.diff(out["spend_cents"].to_numpy()) <= 0).all()
+    # tiles are monotone in rank and sized by the q/q+1 rule
+    sizes = np.bincount(out["tile"])[1:]
+    n, t = len(out), 4
+    assert sizes.max() - sizes.min() <= 1 and sizes.sum() == n
+    assert (np.sort(sizes)[::-1] == sizes).all()

@@ -61,18 +61,22 @@ def test_media_stub_schema_plumbing():
     import ray.data as rd
 
     media = rd.from_items([{"media_id": f"m{i}"} for i in range(4)])
-    frames = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
-                               fn_constructor_kwargs={"deterministic_fake": True,
-                                                      "n_frames": 2},
-                               concurrency=1).to_pandas()
+    def run_once():
+        # sort by key before comparing: per-row content is deterministic in
+        # (media_id, frame_idx); Dataset BLOCK order across runs is not part
+        # of the contract (from_items blocks can surface in any order)
+        return (media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                                  fn_constructor_kwargs={"deterministic_fake": True,
+                                                         "n_frames": 2},
+                                  concurrency=1).to_pandas()
+                .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+
+    frames = run_once()
     assert len(frames) == 8
     px = png_decode(frames["frame_png"].iloc[0])
     assert px.shape == (8, 8, 3)
     # deterministic across runs
-    frames2 = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
-                                fn_constructor_kwargs={"deterministic_fake": True,
-                                                       "n_frames": 2},
-                                concurrency=1).to_pandas()
+    frames2 = run_once()
     assert (frames["frame_png"] == frames2["frame_png"]).all()
 
 

@@ -257,6 +257,44 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def global_row_number(ds: rd.Dataset, keys: list[str],
+                      descending: bool | list[bool] = False,
+                      rank_col: str = "rank") -> tuple[rd.Dataset, int]:
+    """0-based global row numbers in total sort order, distributed.
+
+    ``ds.sort`` already totally orders the blocks; turning block-local
+    positions into global ones needs only the per-block ROW COUNTS on the
+    driver (one int per block — never rows), after which a zero-cpu task per
+    block stamps ``offset + arange(len(block))``.  Same metadata-only
+    exchange pattern as the crawl barrier's host-count ride-along
+    (crawl.py).  Returns (stamped Dataset, total row count).
+
+    This is the primitive behind rank/NTILE-style global window functions —
+    the reference has no analog (its only global order is the queue's
+    insertion-order scan, src/queue/main.go:51-59, which is a sequential
+    bottleneck by construction)."""
+
+    mat = ds.sort(keys, descending=descending).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        offsets[1:] = np.cumsum(counts[:-1])
+
+    @ray.remote(num_cpus=0)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            rank_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64)))
+
+    out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out), int(sum(counts))
+
+
 def to_table(obj) -> pa.Table:
     """Normalize a Dataset / DataFrame / Table to pyarrow for tests.
 

@@ -121,6 +121,28 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     return hashed.groupby("text_hash").map_groups(first_wins, batch_format="pandas")
 
 
+def clean_text_hashes(sf_dir: str) -> rd.Dataset:
+    """Text-normalization TRANSFORM (lowercase, collapse whitespace runs to
+    one space, strip ends) with the oracle checking the transformed strings
+    THEMSELVES — output is (doc_id, md5(clean_text), clean_len), so the
+    value-hash compare certifies every per-row result, not an aggregate of
+    them.  The string ops are vectorized pandas str kernels; only the final
+    digest is a per-row hashlib call (same precedent as exact_dedup_docs's
+    content hash)."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["text"].str.lower()
+             .str.replace(r"\s+", " ", regex=True).str.strip())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "clean_md5": [hashlib.md5(s.encode()).hexdigest() for s in t],
+            "clean_len": t.str.len().astype(np.int64),
+        })
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
 def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """Global token-frequency top-k (the wordcount of training-data
     pipelines): per-batch vectorized value_counts -> partial-agg groupby sum
