@@ -944,17 +944,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         # typed JSON-path extraction over the semi-structured props column
+        # k typed DOUBLE, keyless rows dropped — matches the engine's
+        # vectorized extract exactly (see analytics.props_key_stats)
         "props_key_stats": """
             WITH k AS (
                 SELECT event_type,
-                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                       CAST(json_extract(props, '$.k') AS DOUBLE) AS k
                 FROM events
             )
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                   round(sum(k)::DOUBLE / count(*), 4) AS avg_k,
-                   CAST(min(k) AS BIGINT) AS min_k,
-                   CAST(max(k) AS BIGINT) AS max_k
-            FROM k GROUP BY event_type
+                   round(sum(k) / count(*), 4) AS avg_k,
+                   round(min(k), 4) AS min_k,
+                   round(max(k), 4) AS max_k
+            FROM k WHERE k IS NOT NULL GROUP BY event_type
         """,
         # moment-partial correlation/covariance (sample flavor, like DuckDB)
         "price_quantity_corr": """

@@ -18,7 +18,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def _write_events(tmp_path, rows):
-    """rows: (event_id, user_id, event_type, k)."""
+    """rows: (event_id, user_id, event_type, k); k=None writes props
+    WITHOUT the key."""
     df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "k"])
     t = pa.table({
         "event_id": pa.array(df["event_id"], pa.int64()),
@@ -27,7 +28,8 @@ def _write_events(tmp_path, rows):
         "user_id": pa.array(df["user_id"], pa.int64()),
         "event_type": pa.array(df["event_type"], pa.string()),
         "value": pa.array([1.0] * len(df), pa.float64()),
-        "props": pa.array([f'{{"k": {k}}}' for k in df["k"]], pa.string()),
+        "props": pa.array(["{}" if k is None else f'{{"k": {k}}}'
+                           for k in df["k"]], pa.string()),
     })
     pq.write_table(t, tmp_path / "events.parquet")
     return str(tmp_path)
@@ -77,12 +79,18 @@ def test_intersection_empty(tmp_path):
 def test_props_key_stats_values(tmp_path):
     sf = _write_events(tmp_path, [
         (1, 1, "click", 10), (2, 1, "click", -3), (3, 2, "view", 7),
+        (4, 3, "click", None),   # missing key: dropped (count(k) semantics)
+        (5, 3, "view", 1.5),     # float k: DOUBLE, not truncated to 1
+        (6, 4, "error", None),   # type with NO keyed rows: absent entirely
     ])
     out = analytics.props_key_stats(sf).set_index("event_type")
     assert out.loc["click", "n"] == 2
     assert out.loc["click", "avg_k"] == 3.5
-    assert out.loc["click", "min_k"] == -3
-    assert out.loc["view", "max_k"] == 7
+    assert out.loc["click", "min_k"] == -3.0
+    assert out.loc["view", "max_k"] == 7.0
+    assert out.loc["view", "n"] == 2
+    assert out.loc["view", "avg_k"] == 4.25   # (7 + 1.5) / 2
+    assert "error" not in out.index
 
 
 def test_corr_matches_numpy():
@@ -137,6 +145,34 @@ def test_clean_text_normalization(tmp_path):
     assert out.loc[1, "clean_md5"] == hashlib.md5(b"hello world").hexdigest()
     assert out.loc[1, "clean_len"] == len("hello world")
     assert out.loc[2, "clean_md5"] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_clean_text_matches_duckdb_on_exotic_whitespace(tmp_path):
+    """RE2's \\s is ASCII-only ([\\t\\n\\f\\r ]) and DuckDB trim() strips
+    only spaces; the engine must match THAT, not Python's wider \\s/strip
+    (a vertical tab or \\xa0 must survive on both sides identically)."""
+    import duckdb
+    from weaver_ray.pipelines import textops
+
+    texts = ["a\x0bb  c\xa0d", " x\tY\x0b ", "plain"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * 3),
+                  "source": pa.array(["s"] * 3),
+                  "n_chars": pa.array([len(s) for s in texts], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    engine = (to_table(textops.clean_text_hashes(str(tmp_path))).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    oracle = duckdb.sql(f"""
+        WITH c AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+            FROM '{tmp_path}/documents.parquet'
+        )
+        SELECT doc_id, md5(ct) AS clean_md5, CAST(len(ct) AS BIGINT) AS clean_len
+        FROM c ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(engine, oracle)
 
 
 def test_ntiles_monotone_and_partition():

@@ -97,6 +97,34 @@ def test_sink_ignores_torn_writes(tmp_path):
     assert len(back) == len(df)
 
 
+def test_sink_empty_input_and_empty_read(tmp_path):
+    """An empty Dataset must write cleanly (no KeyError on the column-less
+    stats frame) and a dir with zero committed partitions must read back as
+    an empty Dataset, not a read_parquet([]) crash."""
+    out = str(tmp_path / "sink")
+    empty = rd.from_pandas(_frame(0))
+    stats = write_partitioned(empty, out, key="doc_id", num_partitions=4)
+    assert len(stats) == 0
+    assert list(stats.columns) == ["partition", "rows", "skipped"]
+    assert read_partitioned(out).count() == 0
+
+
+def test_sink_stale_wider_layout(tmp_path):
+    """A prior run with MORE partitions must not leak committed stale
+    partitions into a narrower re-run: resume=True refuses loudly,
+    resume=False clears every part-* artifact."""
+    df = _frame(200)
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_pandas(df), out, key="doc_id", num_partitions=8)
+    with pytest.raises(ValueError, match="num_partitions"):
+        write_partitioned(rd.from_pandas(df.head(50)), out, key="doc_id",
+                          num_partitions=4)
+    write_partitioned(rd.from_pandas(df.head(50)), out, key="doc_id",
+                      num_partitions=4, resume=False)
+    back = read_partitioned(out).to_pandas()
+    pd.testing.assert_frame_equal(_canon(back), _canon(df.head(50)))
+
+
 def test_sink_carries_neardup_output(tmp_path, dup_docs_dir):
     """Integration: the cluster pipeline's Dataset output flows straight
     into the sink (the 100-TB output path VERDICT r2 asked for)."""

@@ -133,12 +133,18 @@ def props_key_stats(sf_dir: str) -> pd.DataFrame:
     single-key path the extraction is a VECTORIZED regex over the string
     column — a general nested-path extractor would need a per-row
     json.loads, which is exactly the per-row hot-path cost this engine
-    avoids; the scope constraint is the trade and it is documented here."""
+    avoids; the scope constraint is the trade and it is documented here.
+    k is typed DOUBLE and rows WITHOUT the key are dropped, mirroring the
+    oracle's ``CAST(json_extract(...) AS DOUBLE) ... WHERE k IS NOT NULL``
+    exactly (an int-only extract would silently truncate '1.5' and crash
+    on a missing key)."""
     ds = load(sf_dir, "events", ["event_type", "props"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
-        return b.assign(k=k.astype(np.int64))
+        k = b["props"].str.extract(
+            r'"k"\s*:\s*(-?\d+(?:\.\d+)?)', expand=False).astype(np.float64)
+        b = b.assign(k=k)
+        return b[k.notna()]
 
     out = partial_groupby(
         ds, ["event_type"],
@@ -150,8 +156,8 @@ def props_key_stats(sf_dir: str) -> pd.DataFrame:
         "event_type": out["event_type"],
         "n": out["n"].astype(np.int64),
         "avg_k": (out["sum_k"] / out["n"]).round(4),
-        "min_k": out["min_k"].astype(np.int64),
-        "max_k": out["max_k"].astype(np.int64),
+        "min_k": out["min_k"].round(4),
+        "max_k": out["max_k"].round(4),
     }).sort_values("event_type").reset_index(drop=True)
 
 

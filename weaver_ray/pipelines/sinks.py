@@ -18,9 +18,11 @@ finished ranges.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -55,10 +57,22 @@ def write_partitioned(ds: rd.Dataset, out_dir: str, key: str,
     """
     os.makedirs(out_dir, exist_ok=True)
     if not resume:
-        for p in range(num_partitions):
-            for path in (_marker(out_dir, p), _data_path(out_dir, p)):
-                if os.path.exists(path):
-                    os.remove(path)
+        # delete EVERY prior part artifact (data, marker, tmp), not just
+        # 0..num_partitions-1: a prior run with MORE partitions would
+        # otherwise leave committed stale partitions that read_partitioned
+        # happily mixes into the new result
+        for path in glob.glob(os.path.join(out_dir, "part-*")):
+            os.remove(path)
+    else:
+        stale = [m for m in glob.glob(os.path.join(out_dir, "part-*.done"))
+                 if int(os.path.basename(m).split("-")[1].split(".")[0])
+                 >= num_partitions]
+        if stale:
+            raise ValueError(
+                f"{out_dir} holds committed partitions >= num_partitions="
+                f"{num_partitions} (prior run used a different layout): "
+                f"{sorted(os.path.basename(m) for m in stale)[:4]}... — "
+                "pass resume=False to rewrite, or match num_partitions")
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -78,17 +92,30 @@ def write_partitioned(ds: rd.Dataset, out_dir: str, key: str,
                                   kind="mergesort").reset_index(drop=True)
         tmp = _data_path(out_dir, part) + ".tmp"
         group.to_parquet(tmp, index=False)
-        os.replace(tmp, _data_path(out_dir, part))
+        with open(tmp, "rb+") as fh:  # fsync data BEFORE the rename: an OS
+            os.fsync(fh.fileno())     # crash must never persist the marker
+        os.replace(tmp, _data_path(out_dir, part))  # over torn data
         mtmp = mk + ".tmp"
         with open(mtmp, "w") as fh:
             json.dump({"partition": part, "rows": len(group)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(mtmp, mk)  # marker commit AFTER data: crash -> re-write
+        dfd = os.open(out_dir, os.O_RDONLY)  # persist the dir entries too
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return pd.DataFrame({"partition": [part], "rows": [len(group)],
                              "skipped": [False]})
 
     stats = (ds.map_batches(tag, batch_format="pandas")
              .groupby("__part").map_groups(write_part, batch_format="pandas")
              .to_pandas())
+    if "partition" not in stats.columns:  # empty input: no groups, no files
+        stats = pd.DataFrame({"partition": pd.Series([], dtype=np.int64),
+                              "rows": pd.Series([], dtype=np.int64),
+                              "skipped": pd.Series([], dtype=bool)})
     return stats.sort_values("partition").reset_index(drop=True)
 
 
@@ -100,4 +127,10 @@ def read_partitioned(out_dir: str) -> rd.Dataset:
         _data_path(out_dir, int(f.split("-")[1].split(".")[0]))
         for f in os.listdir(out_dir) if f.endswith(".done")
     )
+    if not files:
+        # zero committed partitions (empty result, or a reader racing the
+        # first commit): an empty Dataset, not a read_parquet([]) crash.
+        # Like Dataset.to_pandas() on an all-empty result, it carries no
+        # schema (BASELINE.md lessons).
+        return rd.from_items([])
     return rd.read_parquet(files)

@@ -126,27 +126,36 @@ def range_join_click_windows(sf_dir: str, window_hours: int = 1,
                               "sum_click_value": pd.Series([], dtype=np.float64)})
         if p.empty:
             return empty
-        # composite int64 key: dense user code * ts-span + ts offset keeps
-        # (user, ts) order in ONE sortable array so both window bounds are a
-        # single vectorized searchsorted over all purchases at once
+        # composite int64 key: dense user code * M + RANK of the click ts
+        # keeps (user, ts) order in ONE sortable array so both window bounds
+        # are a single vectorized searchsorted over all purchases at once.
+        # Ranks (positions in the bucket's sorted distinct click-ts array)
+        # instead of raw ts offsets keep the key's magnitude a function of
+        # the BUCKET's row count, never the timestamp span — a year-long
+        # span with ~146k users per bucket would overflow int64 otherwise;
+        # with ranks the product stays < rows² (safe to ~3e9 rows/bucket)
         all_users = pd.concat([p["user_id"], c["user_id"]]).unique()
         code = pd.Series(np.arange(len(all_users), dtype=np.int64),
                          index=all_users)
-        all_ts = np.concatenate([p["ts_us"].to_numpy(), c["ts_us"].to_numpy()])
-        t0 = int(all_ts.min())
-        span = int(all_ts.max()) - t0 + 2
-        assert len(all_users) * span < 2 ** 62, \
-            "composite key overflow: shrink bucket count or window the ts range"
-        ckey = code[c["user_id"]].to_numpy() * span + (c["ts_us"].to_numpy() - t0)
+        uniq_cts = np.unique(c["ts_us"].to_numpy())
+        M = np.int64(len(uniq_cts) + 1)
+        assert len(all_users) * M < 2 ** 62, \
+            "composite key overflow: bucket exceeds ~3e9 rows — raise num_buckets"
+        crank = np.searchsorted(uniq_cts, c["ts_us"].to_numpy(), "left")
+        ckey = code[c["user_id"]].to_numpy() * M + crank
         # sort clicks by the COMPOSITE key (codes are appearance-ordered, so
         # sorting by raw user_id would not sort ckey) — searchsorted needs it
         corder = np.argsort(ckey, kind="stable")
         ckey = ckey[corder]
         cval = c["value"].to_numpy(np.float64)[corder]
-        pcode = code[p["user_id"]].to_numpy() * span
-        pts = p["ts_us"].to_numpy() - t0
-        lo = np.searchsorted(ckey, pcode + np.maximum(pts - win_us, 0), "left")
-        hi = np.searchsorted(ckey, pcode + pts, "left")
+        pcode = code[p["user_id"]].to_numpy() * M
+        pts = p["ts_us"].to_numpy()
+        # clicks in [pts - W, pts) == ranks in [r_lo, r_hi): searchsorted
+        # 'left' over the distinct ts array maps both bounds exactly
+        r_lo = np.searchsorted(uniq_cts, pts - win_us, "left")
+        r_hi = np.searchsorted(uniq_cts, pts, "left")
+        lo = np.searchsorted(ckey, pcode + r_lo, "left")
+        hi = np.searchsorted(ckey, pcode + r_hi, "left")
         prefix = np.concatenate([[0.0], np.cumsum(cval)])
         return pd.DataFrame({
             "purchase_id": p["event_id"].to_numpy(np.int64),

@@ -132,8 +132,12 @@ def clean_text_hashes(sf_dir: str) -> rd.Dataset:
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
     def clean(df: pd.DataFrame) -> pd.DataFrame:
+        # explicit ASCII whitespace class + space-only strip: DuckDB's RE2
+        # '\s' is [\t\n\f\r ] (no \x0b, no unicode spaces) and trim() strips
+        # only ' ' — Python's \s / str.strip() are wider and would diverge
+        # from the oracle on a vertical tab or \xa0
         t = (df["text"].str.lower()
-             .str.replace(r"\s+", " ", regex=True).str.strip())
+             .str.replace(r"[\t\n\f\r ]+", " ", regex=True).str.strip(" "))
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype(np.int64),
             "clean_md5": [hashlib.md5(s.encode()).hexdigest() for s in t],
@@ -204,7 +208,11 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
         tf["tf"] = tf["tf"].astype(np.int64)
         return tf
 
-    pairs = ds.map_batches(tf_pairs, batch_format="pandas")
+    # materialize: `pairs` feeds BOTH the df aggregate and the join's left
+    # side, and Ray Data re-executes a shared lazy subplan per consumer —
+    # without this the tokenize+explode stage (the query's most expensive
+    # scan) runs twice
+    pairs = ds.map_batches(tf_pairs, batch_format="pandas").materialize()
     # df(token) = number of docs containing it: pairs are distinct per
     # (doc, token), so a count per token is exactly the document frequency
     dfreq = partial_groupby(pairs, ["token"], {"df": ("doc_id", "count")},
