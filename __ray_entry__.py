@@ -278,7 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantity_corr": analytics.price_quantity_corr,
         "customer_value_ntiles": analytics.customer_value_ntiles,
         "lineitem_rollup": analytics.lineitem_rollup,
+        "lineitem_cube": analytics.lineitem_cube,
         "embedding_dim_stats": analytics.embedding_dim_stats,
+        "users_click_no_purchase": analytics.users_click_no_purchase,
+        "customer_order_profile": analytics.customer_order_profile,
+        "daily_activity_fulljoin": analytics.daily_activity_fulljoin,
+        "monthly_revenue": analytics.monthly_revenue,
         "clean_text_hashes": textops.clean_text_hashes,
         # text analysis
         "token_stats_by_lang": textops.token_stats_by_lang,
@@ -289,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "quality_filter_docs": textops.quality_filter_docs,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -296,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         "neardup_clusters": dedup.neardup_clusters,
+        "neardup_canonical_docs": dedup.neardup_canonical_docs,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -317,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_pairs": images.image_phash_pairs,
         "image_phash_clusters": images.image_phash_clusters,
         "image_phash_topk": images.image_phash_topk,
+        "multimodal_joint_pairs": images.multimodal_joint_pairs,
         "corpus_format_stats": images.corpus_format_stats,
         "caption_stats_by_fmt": images.caption_stats_by_fmt,
         # audio axis: REAL WAV/PCM16 corpus (pure-numpy RIFF codec).
@@ -602,6 +610,30 @@ def _image_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
             FROM u a JOIN u b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        # cross-modal: phash-near AND caption-token-Jaccard — both modality
+        # predicates brute-forced; the engine generates candidates via
+        # banding and verifies captions only on those
+        "multimodal_joint_pairs": f"""
+            WITH uc AS (
+                SELECT image_id, phash, caption FROM read_parquet('{base}')
+                UNION ALL
+                SELECT image_id, phash, caption FROM read_parquet('{var}')
+            ), toks AS (
+                SELECT image_id, phash,
+                       list_distinct(regexp_extract_all(lower(caption),
+                                                        '[A-Za-z0-9_]+')) AS ts
+                FROM uc
+            )
+            SELECT a.image_id AS image_a, b.image_id AS image_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+                   round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                         / len(list_distinct(list_concat(a.ts, b.ts))), 4)
+                       AS caption_jaccard
+            FROM toks a JOIN toks b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+              AND len(list_intersect(a.ts, b.ts))::DOUBLE
+                  / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
         """,
         "image_phash_clusters": f"""
             WITH RECURSIVE u AS ({u}),
@@ -943,6 +975,45 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
+        # set difference (clicked but never purchased) — same flag-dedup
+        # combiner as the intersection, inverted keep rule
+        "users_click_no_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        # LEFT OUTER join preserving unmatched customers (0-filled)
+        "customer_order_profile": """
+            SELECT c.c_custkey,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        # FULL OUTER join across two fact tables on epoch day (0-filled)
+        "daily_activity_fulljoin": """
+            WITH o AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            ), e AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(coalesce(o.day, e.day) AS BIGINT) AS day,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day
+        """,
+        # calendar extraction fused into the partial-agg combiner
+        "monthly_revenue": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
         # typed JSON-path extraction over the semi-structured props column
         # k typed DOUBLE, keyless rows dropped — matches the engine's
         # vectorized extract exactly (see analytics.props_key_stats)
@@ -973,6 +1044,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # cube: all four grains derive from the same finest-grain partials
+        "lineitem_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         # list-column profile: the oracle pays the full unnest, the engine
         # keeps the list packed (one partial row per dim per batch)
@@ -1045,6 +1124,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{TOK}')) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS n_uniq_tokens
             FROM documents
+        """,
+        # C4-style quality gate: alpha-run words (identical under Python re
+        # and RE2 — \\w would drag in unicode classes), mean word length,
+        # stopword presence; the filter mask uses the UNROUNDED mean on
+        # both sides
+        "quality_filter_docs": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       regexp_matches(text, '{STOP}') AS has_stop
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(n_alpha::DOUBLE / greatest(n_words, 1), 4) AS mean_word_len
+            FROM f
+            WHERE n_words >= 10 AND has_stop
+              AND n_alpha::DOUBLE / greatest(n_words, 1) BETWEEN 2.0 AND 10.0
         """,
         # tf-idf: tf * ln(N/df) over lowercase \\w+ tokens; ties pinned
         # (tf_idf desc, token asc); df = docs containing the token
@@ -1131,6 +1228,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY doc_id
+        """,
+        # canonical-doc retention: same transitive closure, then one
+        # representative per cluster (longest doc, ties to smallest id)
+        "neardup_canonical_docs": f"""
+            WITH RECURSIVE tsets AS (
+                SELECT doc_id, list_distinct(regexp_extract_all(text, '{TOK}')) AS ts
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM tsets a JOIN tsets b ON b.doc_id - a.doc_id BETWEEN 1 AND 50
+                WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2
+            ), edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), reach AS (
+                SELECT doc_id, doc_id AS r FROM documents
+                UNION
+                SELECT e.dst AS doc_id, reach.r
+                FROM reach JOIN edges e ON e.src = reach.doc_id
+            ), lab AS (
+                SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+            ), ranked AS (
+                SELECT l.cluster_id, l.doc_id, d.n_chars,
+                       count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+                       row_number() OVER (PARTITION BY l.cluster_id
+                           ORDER BY d.n_chars DESC, l.doc_id) AS rn
+                FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+            )
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cluster_size AS BIGINT) AS cluster_size
+            FROM ranked WHERE rn = 1
         """,
         "embedding_near_dup_pairs": """
             SELECT CAST(e1.vec_id AS BIGINT) AS vec_a, CAST(e2.vec_id AS BIGINT) AS vec_b

@@ -186,3 +186,136 @@ def test_ntiles_monotone_and_partition():
     n, t = len(out), 4
     assert sizes.max() - sizes.min() <= 1 and sizes.sum() == n
     assert (np.sort(sizes)[::-1] == sizes).all()
+
+
+def _write_orders_customers(tmp_path, custkeys, orders):
+    """orders: (o_orderkey, o_custkey, o_totalprice, date_str)."""
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(custkeys, pa.int64()),
+        "c_name": pa.array([f"c{k}" for k in custkeys]),
+        "c_nationkey": pa.array([0] * len(custkeys), pa.int32()),
+        "c_acctbal": pa.array([0.0] * len(custkeys), pa.float64()),
+        "c_mktsegment": pa.array(["M"] * len(custkeys)),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(orders)),
+        "o_totalprice": pa.array([o[2] for o in orders], pa.float64()),
+        "o_orderdate": pa.array([np.datetime64(o[3], "us") for o in orders],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * len(orders)),
+    }), tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+def test_customer_order_profile_preserves_orderless(tmp_path):
+    """LEFT join: customer 3 has no orders and must appear 0-filled."""
+    sf = _write_orders_customers(
+        tmp_path, [1, 2, 3],
+        [(10, 1, 100.0, "2024-01-01"), (11, 1, 50.5, "2024-02-01"),
+         (12, 2, 7.25, "2024-01-15")])
+    out = (to_table(analytics.customer_order_profile(sf, num_buckets=4))
+           .to_pandas().set_index("c_custkey"))
+    assert len(out) == 3
+    assert out.loc[1, "n_orders"] == 2 and out.loc[1, "total_spend"] == 150.5
+    assert out.loc[3, "n_orders"] == 0 and out.loc[3, "total_spend"] == 0.0
+
+
+def test_daily_activity_fulljoin_one_sided_days(tmp_path):
+    """FULL OUTER: days present on only one side survive, 0-filled."""
+    sf = _write_orders_customers(
+        tmp_path, [1],
+        [(10, 1, 1.0, "2024-01-01"), (11, 1, 1.0, "2024-01-03")])
+    _write_events(tmp_path, [(1, 1, "click", 1), (2, 1, "view", 1)])
+    # events fixture stamps all rows 2024-01-01
+    out = (to_table(analytics.daily_activity_fulljoin(sf, num_buckets=4))
+           .to_pandas().set_index("day"))
+    d0 = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
+    assert out.loc[d0, "n_orders"] == 1 and out.loc[d0, "n_events"] == 2
+    d2 = d0 + 2
+    assert out.loc[d2, "n_orders"] == 1 and out.loc[d2, "n_events"] == 0
+
+
+def test_cube_grains_consistent():
+    out = analytics.lineitem_cube(SF)
+    tot = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    fine = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    by_flag = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+    by_status = out[(out.l_returnflag == "ALL") & (out.l_linestatus != "ALL")]
+    assert len(tot) == 1
+    n = tot["n_items"].iloc[0]
+    assert n == fine["n_items"].sum() == by_flag["n_items"].sum() \
+        == by_status["n_items"].sum()
+    for status, g in fine.groupby("l_linestatus"):
+        assert (by_status.set_index("l_linestatus").loc[status, "n_items"]
+                == g["n_items"].sum())
+
+
+def test_users_click_no_purchase_difference(tmp_path):
+    sf = _write_events(tmp_path, [
+        (1, 1, "click", 1),                       # click only -> kept
+        (2, 2, "click", 1), (3, 2, "purchase", 1),  # both -> dropped
+        (4, 3, "purchase", 1),                    # purchase only -> dropped
+        (5, 4, "view", 1),                        # neither stream -> dropped
+    ])
+    out = analytics.users_click_no_purchase(sf, num_buckets=4)
+    assert list(out["user_id"]) == [1]
+    assert out["user_id"].dtype == np.int64
+
+
+def test_users_click_no_purchase_empty_schema(tmp_path):
+    """All clickers purchased: result must be EMPTY but typed."""
+    sf = _write_events(tmp_path, [(1, 1, "click", 1), (2, 1, "purchase", 1)])
+    out = analytics.users_click_no_purchase(sf, num_buckets=4)
+    assert len(out) == 0 and list(out.columns) == ["user_id"]
+    assert out["user_id"].dtype == np.int64
+
+
+def test_monthly_revenue_boundaries(tmp_path):
+    """Orders on a month boundary split into the right calendar cells."""
+    sf = _write_orders_customers(
+        tmp_path, [1],
+        [(10, 1, 1.0, "2023-12-31T23:59:59"), (11, 1, 2.0, "2024-01-01T00:00:00"),
+         (12, 1, 4.0, "2024-01-31T12:00:00")])
+    out = analytics.monthly_revenue(sf).set_index(["year", "month"])
+    assert out.loc[(2023, 12), "revenue"] == 1.0
+    assert out.loc[(2024, 1), "revenue"] == 6.0
+    assert out.loc[(2024, 1), "n_orders"] == 2
+
+
+def test_sql_round_half_away():
+    from weaver_ray.pipelines.common import sql_round
+
+    assert sql_round(4.28125, 4) == 4.2813   # numpy banker's gives .2812
+    assert sql_round(-4.28125, 4) == -4.2813
+    assert sql_round(1.5, 0) == 2.0 and sql_round(2.5, 0) == 3.0
+    np.testing.assert_allclose(sql_round([0.12344, 0.12346], 4),
+                               [0.1234, 0.1235])
+
+
+def test_quality_filter_edges(tmp_path):
+    """Each gate rejects independently; survivors carry audited features."""
+    from weaver_ray.pipelines import textops
+
+    texts = [
+        "the quick brown fox jumps over a lazy dog and runs to the river",  # pass
+        "the cat sat",                                    # too few words
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",  # no stopword
+        "the aa bb cc dd ee ff gg hh ii jj",              # mean word len < 2? (all 2s + the=3) -> passes len, check
+        "the " + " ".join(["supercalifragilistic"] * 12),  # mean word len > 10
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(s) for s in texts], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (to_table(textops.quality_filter_docs(str(tmp_path)))
+           .to_pandas().set_index("doc_id"))
+    assert 0 in out.index          # passes all gates
+    assert 1 not in out.index      # min_words
+    assert 2 not in out.index      # stopword gate
+    assert 3 in out.index          # 11 words, mean len (3+20)/11 ~ 2.09 >= 2
+    assert 4 not in out.index      # mean word len > 10
+    assert out.loc[0, "n_words"] == 14

@@ -219,3 +219,26 @@ def test_minhash_bucketed_verify_matches_broadcast(dup_dir):
     a = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5)
     b = minhash_lsh_pairs(dup_dir, jaccard_threshold=0.5, broadcast_threshold=0)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_neardup_canonical_docs_picks_longest(dup_dir):
+    """One representative per cluster: the longest doc, ties to smallest
+    doc_id; sizes must agree with the cluster labels; singletons kept."""
+    from weaver_ray.pipelines.dedup import (neardup_canonical_docs,
+                                            neardup_clusters)
+    import pyarrow.parquet as pq_
+
+    labels = neardup_clusters(dup_dir, band=50, threshold=0.5, bucket=60)
+    chars = pq_.read_table(f"{dup_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"]).to_pandas()
+    lab = labels.merge(chars, on="doc_id")
+    out = neardup_canonical_docs(dup_dir, band=50, threshold=0.5, bucket=60)
+    assert len(out) == labels["cluster_id"].nunique()  # one per cluster
+    assert out["cluster_size"].sum() == len(labels)    # partition covers all
+    for _, row in out.iterrows():
+        g = lab[lab["cluster_id"] == row["cluster_id"]]
+        best = g.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        assert row["doc_id"] == best["doc_id"]
+        assert row["n_chars"] == best["n_chars"]
+        assert row["cluster_size"] == len(g)

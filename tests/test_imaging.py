@@ -219,3 +219,23 @@ def test_caption_stats_by_fmt_totals():
         lambda s: int(s.str.count(r"\w+").sum()))
     got = dict(zip(out["fmt"], out["sum_tokens"]))
     assert got == want.to_dict()
+
+
+def test_multimodal_joint_pairs_cross_modal(ray_session):
+    """Joint pairs are a subset of the phash candidates; every planted
+    base<->variant pair survives (captions identical -> jaccard 1.0)."""
+    from weaver_ray.pipelines import images
+
+    mm = images.multimodal_joint_pairs("unused", n_base=1000)
+    ph = images.image_phash_pairs("unused", n_base=1000)
+    mm_keys = set(zip(mm["image_a"], mm["image_b"]))
+    ph_keys = set(zip(ph["image_a"], ph["image_b"]))
+    assert mm_keys <= ph_keys
+    planted = {(a, b) for a, b in ph_keys if b.startswith(a + "v")
+               or (a[:11] == b[:11] and "v" in a and "v" in b)}
+    assert planted <= mm_keys
+    byk = mm.set_index(["image_a", "image_b"])
+    for k in planted:
+        assert byk.loc[k, "caption_jaccard"] == 1.0
+    assert (mm["caption_jaccard"] >= 0.5).all()
+    assert (mm["hamming"] <= 3).all()

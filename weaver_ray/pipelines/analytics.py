@@ -100,12 +100,12 @@ def local_supplier_volume(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     }).sort_values("n_name").reset_index(drop=True)
 
 
-def users_click_and_purchase(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
-    """Distributed set INTERSECTION: distinct users present in both the
-    'click' and the 'purchase' streams.  Per-batch flag dedup (one row per
+def _user_type_flag_set(sf_dir: str, keep_rule, num_buckets: int) -> rd.Dataset:
+    """Shared machinery for distributed set ops over the user/event-type
+    streams (INTERSECTION and DIFFERENCE): per-batch flag dedup (one row per
     user per batch, two booleans) is the combiner; the reduce is one hash
     shuffle of those tiny flag rows — a type's full row set is never
-    co-located."""
+    co-located.  ``keep_rule(has_click, has_purchase) -> bool mask``."""
     ds = load(sf_dir, "events", ["user_id", "event_type"])
 
     def flags(b: pd.DataFrame) -> pd.DataFrame:
@@ -119,11 +119,31 @@ def users_click_and_purchase(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         gg = g.groupby("user_id", sort=False)
         f = pd.DataFrame({"has_click": gg["has_click"].max(),
                           "has_purchase": gg["has_purchase"].max()}).reset_index()
-        keep = f.loc[f["has_click"] & f["has_purchase"], ["user_id"]]
+        keep = f.loc[keep_rule(f["has_click"], f["has_purchase"]), ["user_id"]]
         return keep.astype({"user_id": np.int64})
 
     partials = ds.map_batches(flags, batch_format="pandas")
     return keyed_map_groups(partials, "user_id", reduce, num_buckets)
+
+
+def users_click_and_purchase(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Distributed set INTERSECTION: distinct users present in both the
+    'click' and the 'purchase' streams (see :func:`_user_type_flag_set`)."""
+    return _user_type_flag_set(sf_dir, lambda c, p: c & p, num_buckets)
+
+
+def users_click_no_purchase(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed set DIFFERENCE (the EXCEPT complement of
+    :func:`users_click_and_purchase`): distinct users who clicked but never
+    purchased — same flag-dedup combiner, inverted keep rule.  The result
+    is LEGITIMATELY empty at small sf (every clicker purchased), so the
+    shim pins the (user_id:int64) schema that ``Dataset.to_pandas()`` drops
+    on an all-empty result."""
+    ds = _user_type_flag_set(sf_dir, lambda c, p: c & ~p, num_buckets)
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"user_id": np.empty(0, np.int64)})
+    return df.astype({"user_id": np.int64})
 
 
 def props_key_stats(sf_dir: str) -> pd.DataFrame:
@@ -289,3 +309,124 @@ def customer_value_ntiles(sf_dir: str, tiles: int = 4,
         })
 
     return ranked.map_batches(stamp_tile, batch_format="pandas")
+
+
+def customer_order_profile(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """LEFT OUTER join that PRESERVES unmatched left rows: every customer
+    with their order count and lifetime spend, 0-filled for customers who
+    never ordered.  Orders pre-aggregate to one partial row per custkey
+    BEFORE the join (the shuffle moves aggregates, not order rows); the
+    left join itself is the bucketed hash join with ``how="left"`` — both
+    sides are fact-sized at scale, so neither broadcasts."""
+    cust = load(sf_dir, "customer", ["c_custkey"])
+    orders = load(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    agg = partial_groupby(
+        orders, ["c_custkey"],
+        {"n_orders": ("o_totalprice", "count"),
+         "total_spend": ("o_totalprice", "sum")},
+        many_groups=True, num_buckets=num_buckets)
+
+    def fill(j: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": j["c_custkey"].astype(np.int64),
+            "n_orders": j["n_orders"].fillna(0).astype(np.int64),
+            "total_spend": j["total_spend"].fillna(0.0).astype(np.float64).round(2),
+        })
+
+    return hash_join(
+        cust, agg, on="c_custkey",
+        lcols=["c_custkey"],
+        rcols=["c_custkey", "n_orders", "total_spend"],
+        num_buckets=num_buckets, how="left", post=fill)
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def daily_activity_fulljoin(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """FULL OUTER join across two different fact tables: daily order counts
+    vs daily event counts, keeping days present on EITHER side (0-filled).
+    Each side collapses to one partial row per day inside map_batches, so
+    the outer join's co-shuffle moves day-count partials only.  Days are
+    epoch days (``epoch_us // 86_400e6``) so the key is a plain int64 on
+    both the engine and the DuckDB oracle."""
+    def day_of(col: str):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            us = b[col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            return pd.DataFrame({"day": us // _US_PER_DAY})
+        return prep
+
+    o_daily = partial_groupby(
+        load(sf_dir, "orders", ["o_orderdate"]), ["day"],
+        {"n_orders": ("day", "count")}, prep=day_of("o_orderdate"),
+        many_groups=True, num_buckets=num_buckets)
+    e_daily = partial_groupby(
+        load(sf_dir, "events", ["ts"]), ["day"],
+        {"n_events": ("day", "count")}, prep=day_of("ts"),
+        many_groups=True, num_buckets=num_buckets)
+
+    def fill(j: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": j["day"].astype(np.int64),
+            "n_orders": j["n_orders"].fillna(0).astype(np.int64),
+            "n_events": j["n_events"].fillna(0).astype(np.int64),
+        })
+
+    return hash_join(
+        o_daily, e_daily, on="day",
+        lcols=["day", "n_orders"], rcols=["day", "n_events"],
+        num_buckets=num_buckets, how="outer", post=fill)
+
+
+def lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(returnflag, linestatus): like :func:`lineitem_rollup`,
+    the finest grain is the ONLY distributed aggregation; all three coarser
+    grains (each dimension alone + grand total) re-reduce its handful of
+    partial rows driver-side — a cube never re-scans the data."""
+    ds = load(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    fine = partial_groupby(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"revenue": ("l_extendedprice", "sum"),
+         "n_items": ("l_extendedprice", "count")},
+    ).to_pandas()
+    by_flag = (fine.groupby("l_returnflag", as_index=False)
+               [["revenue", "n_items"]].sum().assign(l_linestatus="ALL"))
+    by_status = (fine.groupby("l_linestatus", as_index=False)
+                 [["revenue", "n_items"]].sum().assign(l_returnflag="ALL"))
+    tot = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "revenue": [fine["revenue"].sum()],
+                        "n_items": [fine["n_items"].sum()]})
+    out = pd.concat([fine, by_flag, by_status, tot], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return (out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
+            .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
+
+
+def monthly_revenue(sf_dir: str) -> pd.DataFrame:
+    """Date-function battery: revenue and order counts by calendar
+    (year, month) extracted from the order timestamp — the date-extraction
+    prep fuses into the partial-aggregation combiner."""
+    ds = load(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(b["o_orderdate"])
+        return pd.DataFrame({
+            "year": dt.year.to_numpy().astype(np.int64),
+            "month": dt.month.to_numpy().astype(np.int64),
+            "o_totalprice": b["o_totalprice"].to_numpy(),
+        })
+
+    out = partial_groupby(
+        ds, ["year", "month"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")},
+        prep=prep,
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return (out[["year", "month", "revenue", "n_orders"]]
+            .sort_values(["year", "month"]).reset_index(drop=True))

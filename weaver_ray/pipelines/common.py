@@ -295,6 +295,16 @@ def global_row_number(ds: rd.Dataset, keys: list[str],
     return rd.from_arrow_refs(out), int(sum(counts))
 
 
+def sql_round(x, digits: int):
+    """Round half AWAY FROM ZERO, matching SQL/DuckDB ``round()``.  numpy's
+    ``.round()`` is banker's (half to even): 4.28125 rounds to 4.2812 in
+    numpy but 4.2813 in DuckDB — any oracle-checked ratio of small integers
+    can land exactly on that half."""
+    arr = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** digits
+    return np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s
+
+
 def to_table(obj) -> pa.Table:
     """Normalize a Dataset / DataFrame / Table to pyarrow for tests.
 

@@ -553,6 +553,49 @@ def neardup_clusters(sf_dir: str, band: int = 50, threshold: float = 0.2,
         ["doc_id"], {"doc_id": np.int64, "cluster_id": np.int64})
 
 
+def neardup_canonical_docs_ds(sf_dir: str, band: int = 50,
+                              threshold: float = 0.2, bucket: int = 200,
+                              num_buckets: int = 16) -> rd.Dataset:
+    """Canonical-document retention: for each near-dup cluster keep ONE
+    representative — the longest document (ties to the smallest doc_id) —
+    the step a training-data dedup pass actually ends with (drop the copies,
+    keep the best).  Composition of existing distributed pieces: the
+    connected-components labels join back to the document lengths through
+    the bucketed hash join, then one hash shuffle keyed by cluster_id picks
+    each cluster's argmax vectorized (clusters are complete within a
+    bucket, so the pick is exact)."""
+    from .common import hash_join, keyed_map_groups
+
+    labels = neardup_clusters_ds(sf_dir, band, threshold, bucket)
+    docs = load(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = hash_join(
+        labels, docs, on="doc_id",
+        lcols=["doc_id", "cluster_id"], rcols=["doc_id", "n_chars"],
+        num_buckets=num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        sizes = g.groupby("cluster_id", sort=False)["doc_id"].transform("size")
+        head = ~g["cluster_id"].duplicated()
+        out = g.loc[head, ["cluster_id", "doc_id", "n_chars"]].copy()
+        out["cluster_size"] = sizes[head].to_numpy()
+        return out.astype({"cluster_id": np.int64, "doc_id": np.int64,
+                           "n_chars": np.int64, "cluster_size": np.int64})
+
+    return keyed_map_groups(joined, "cluster_id", pick, num_buckets)
+
+
+def neardup_canonical_docs(sf_dir: str, band: int = 50,
+                           threshold: float = 0.2, bucket: int = 200) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`neardup_canonical_docs_ds`."""
+    return _pairs_to_pandas(
+        neardup_canonical_docs_ds(sf_dir, band, threshold, bucket),
+        ["cluster_id"],
+        {"cluster_id": np.int64, "doc_id": np.int64,
+         "n_chars": np.int64, "cluster_size": np.int64})
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(text: str) -> int:

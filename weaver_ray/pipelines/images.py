@@ -25,6 +25,7 @@ brief asks for (SURVEY.md §2.7 phash hook).
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 
 import numpy as np
@@ -185,6 +186,77 @@ def image_phash_pairs(sf_dir: str, max_hamming: int = 3,
         image_phash_pairs_ds(sf_dir, max_hamming, n_base),
         ["image_a", "image_b"],
         {"image_a": object, "image_b": object, "hamming": np.int64})
+
+
+_CAPTION_TOK = re.compile(r"[A-Za-z0-9_]+")
+
+
+def multimodal_joint_pairs_ds(sf_dir: str, max_hamming: int = 3,
+                              min_jaccard: float = 0.5,
+                              n_base: int = 1000,
+                              num_buckets: int = 16) -> rd.Dataset:
+    """CROSS-MODAL near-dup: pairs close in BOTH modalities — perceptual
+    hash (image pixels) AND caption token-set Jaccard (text).  The cheap
+    banded phash blocking generates candidates; the caption check runs only
+    on those (output-bounded), joined in through two bucketed hash joins —
+    a phash collision between unrelated images is rejected by its caption,
+    which is exactly why a multimodal corpus dedups on both signals.  The
+    per-pair token-set work is bounded by the candidate count, never the
+    corpus."""
+    from .common import hash_join
+
+    pairs = image_phash_pairs_ds(sf_dir, max_hamming, n_base)
+    caps = _phash_caption_universe(n_base)
+
+    def jaccard(j: pd.DataFrame) -> pd.DataFrame:
+        if j.empty:
+            return pd.DataFrame({
+                "image_a": pd.Series([], dtype=object),
+                "image_b": pd.Series([], dtype=object),
+                "hamming": pd.Series([], dtype=np.int64),
+                "caption_jaccard": pd.Series([], dtype=np.float64)})
+        ta = [set(_CAPTION_TOK.findall(c.lower())) for c in j["cap_a"]]
+        tb = [set(_CAPTION_TOK.findall(c.lower())) for c in j["cap_b"]]
+        jac = np.array([(len(a & b) / len(a | b)) if (a or b) else 0.0
+                        for a, b in zip(ta, tb)])
+        out = pd.DataFrame({
+            "image_a": j["image_a"], "image_b": j["image_b"],
+            "hamming": j["hamming"].astype(np.int64),
+            "caption_jaccard": np.round(jac, 4)})
+        return out[jac >= min_jaccard]
+
+    # decorate both pair sides with their caption (bucketed joins keyed by
+    # each side's image id — captions stay distributed)
+    a_caps = caps.map_batches(
+        lambda b: b.rename(columns={"image_id": "image_a", "caption": "cap_a"}),
+        batch_format="pandas")
+    b_caps = caps.map_batches(
+        lambda b: b.rename(columns={"image_id": "image_b", "caption": "cap_b"}),
+        batch_format="pandas")
+    withe_a = hash_join(pairs, a_caps, on="image_a",
+                        lcols=["image_a", "image_b", "hamming"],
+                        rcols=["image_a", "cap_a"], num_buckets=num_buckets)
+    return hash_join(withe_a, b_caps, on="image_b",
+                     lcols=["image_a", "image_b", "hamming", "cap_a"],
+                     rcols=["image_b", "cap_b"], num_buckets=num_buckets,
+                     post=jaccard)
+
+
+def _phash_caption_universe(n_base: int) -> rd.Dataset:
+    base = read_corpus(generate_corpus(n_base), ["image_id", "caption"])
+    var = read_variants(generate_variants(n_base), ["image_id", "caption"])
+    return base.union(var)
+
+
+def multimodal_joint_pairs(sf_dir: str, max_hamming: int = 3,
+                           min_jaccard: float = 0.5,
+                           n_base: int = 1000) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`multimodal_joint_pairs_ds`."""
+    return _pairs_to_pandas(
+        multimodal_joint_pairs_ds(sf_dir, max_hamming, min_jaccard, n_base),
+        ["image_a", "image_b"],
+        {"image_a": object, "image_b": object, "hamming": np.int64,
+         "caption_jaccard": np.float64})
 
 
 # node-id scheme (invertible, SQL-reconstructable): base img%08d -> 8*i,

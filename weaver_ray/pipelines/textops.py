@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .common import load, partial_groupby
+from .common import load, partial_groupby, sql_round
 
 TOKEN_RE = r"\w+"
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -73,6 +73,36 @@ def quality_by_source(sf_dir: str) -> pd.DataFrame:
     out["avg_stop_ratio"] = (out["sum_stop_ratio"] / out["n_docs"]).round(6)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out[["source", "n_docs", "avg_chars", "avg_stop_ratio"]]
+
+
+def quality_filter_docs(sf_dir: str, min_words: int = 10,
+                        min_wl: float = 2.0, max_wl: float = 10.0) -> rd.Dataset:
+    """C4-style document quality FILTER: keep documents with enough alpha
+    words, a sane mean word length, and at least one English stopword — the
+    gating step a training-data pipeline runs before dedup.  Pure
+    vectorized ``str.count`` / ``str.contains`` per batch (no row loop, no
+    shuffle: a filter is embarrassingly parallel), emitting the computed
+    features alongside the ids so the decision is auditable.  Word = alpha
+    run ``[A-Za-z]+`` (identical under Python re and DuckDB RE2, unlike
+    ``\\w``'s unicode classes)."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_words = text.str.count(r"[A-Za-z]+").astype(np.int64)
+        n_alpha = text.str.count(r"[A-Za-z]").astype(np.int64)
+        mean_wl = n_alpha / n_words.clip(lower=1)
+        has_stop = text.str.contains(STOP_RE, regex=True)
+        mask = ((n_words >= min_words) & (mean_wl >= min_wl)
+                & (mean_wl <= max_wl) & has_stop)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_words": n_words.to_numpy(),
+            # half-away rounding: these int ratios land exactly on halves
+            "mean_word_len": sql_round(mean_wl, 4),
+        })[mask.to_numpy()]
+
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def doc_token_counts(sf_dir: str) -> rd.Dataset:
