@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_orders": relational.suppliers_with_orders,
         "earliest_events": relational.earliest_events,
         "price_quantiles": relational.price_quantiles,
+        "price_quantiles_cont": relational.price_quantiles_cont,
         "event_sample_stats": relational.event_sample_stats,
         "approx_distinct_users": relational.approx_distinct_users,
         # temporal / keyed-window operators (the brief's "custom operators
@@ -295,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": textops.vocab_top_tokens,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "quality_filter_docs": textops.quality_filter_docs,
+        "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -305,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_canonical_docs": dedup.neardup_canonical_docs,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_topk_per_label": similarity.ann_topk_per_label,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_ivf_exhaustive_topk": similarity.ann_ivf_exhaustive_topk,
         "ann_ivf_recall": similarity.ann_ivf_recall,
@@ -806,6 +809,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.99::DOUBLE,
                    quantile_disc(l_extendedprice, 0.99) FROM lineitem
         """,
+        # interpolated flavor: same rank-selection machinery, two order
+        # statistics + linear interpolation (rounded 4 on both sides)
+        "price_quantiles_cont": """
+            SELECT 0.25::DOUBLE AS quantile,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS value
+            FROM lineitem
+            UNION ALL SELECT 0.5::DOUBLE,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
+            UNION ALL SELECT 0.9::DOUBLE,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
+            UNION ALL SELECT 0.99::DOUBLE,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem
+        """,
         "first_event_per_user": """
             SELECT user_id, epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
                    event_type AS first_event_type
@@ -1125,6 +1141,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS n_uniq_tokens
             FROM documents
         """,
+        # inverted index: ascending comma-joined postings per token (flat
+        # string column so the value-hash compare applies)
+        "token_postings": f"""
+            WITH p AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{TOK}')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM p GROUP BY token
+        """,
         # C4-style quality gate: alpha-run words (identical under Python re
         # and RE2 — \\w would drag in unicode classes), mean word length,
         # stopword presence; the filter mask uses the UNROUNDED mean on
@@ -1279,6 +1308,18 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                                     e.vec_id) AS rn
                 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 5) t
+            WHERE rn <= 10
+        """,
+        # metadata-filtered ANN: neighbors share the query's label
+        "ann_topk_per_label": """
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e
+                  ON e.vec_id <> q.vec_id AND e.label = q.label
                 WHERE q.vec_id < 5) t
             WHERE rn <= 10
         """,

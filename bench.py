@@ -64,6 +64,9 @@ QUERY_NAMES = [
     "tfidf_top_terms",
     "local_supplier_volume",
     "customer_value_ntiles",
+    "customer_order_profile",
+    "quality_filter_docs",
+    "multimodal_joint_pairs",
     "image_decode_stats",
     "image_phash_clusters",
     "image_phash_topk",

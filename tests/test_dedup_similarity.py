@@ -242,3 +242,32 @@ def test_neardup_canonical_docs_picks_longest(dup_dir):
         assert row["doc_id"] == best["doc_id"]
         assert row["n_chars"] == best["n_chars"]
         assert row["cluster_size"] == len(g)
+
+
+def test_ann_topk_per_label_filters(dup_dir, tmp_path):
+    """Filtered ANN: neighbors must share the query's label; equals a
+    per-label numpy brute force with the (cos desc, id asc) tiebreak."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from weaver_ray.pipelines.similarity import ann_topk_per_label
+
+    rng = np.random.default_rng(11)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    pq_.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    out = ann_topk_per_label(str(tmp_path), n_queries=3, k=5)
+    V = vecs.astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qid in range(3):
+        got = out.loc[out["query_id"] == qid, "neighbor_id"].to_numpy()
+        cand = np.flatnonzero((labels == labels[qid]) & (np.arange(n) != qid))
+        cos = Vn[cand] @ Vn[qid]
+        want = cand[np.lexsort((cand, -cos))][:5]
+        assert list(got) == list(want)
+        assert (labels[got] == labels[qid]).all()

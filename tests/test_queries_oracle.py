@@ -121,3 +121,50 @@ def test_price_quantiles_duplicate_pileup(ray_session, tmp_path):
     got = dict(zip(out["quantile"], out["value"]))
     want = {q: float(s[max(0, int(np.ceil(q * n)) - 1)]) for q in qs}
     assert got == want
+
+
+def test_price_quantiles_cont_interpolates(ray_session):
+    """percentile_cont flavor: linear interpolation between the two order
+    statistics around q*(n-1), checked against numpy's 'linear' method —
+    including with a tiny collect budget forcing the recursion path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import price_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    vals = np.sort(pq.read_table(sf + "/lineitem.parquet",
+                                 columns=["l_extendedprice"])
+                   .column("l_extendedprice").to_numpy())
+    qs = (0.25, 0.5, 0.9, 0.99)
+    want = {q: round(float(np.quantile(vals, q, method="linear")), 4)
+            for q in qs}
+    for budget in (5_000_000, 2):
+        out = price_quantiles(sf, qs, collect_budget=budget, method="cont")
+        got = dict(zip(out["quantile"], out["value"]))
+        assert got == want, (budget, got, want)
+
+
+def test_token_postings_inverted_index(ray_session, tmp_path):
+    """Postings are ascending doc_ids, df equals the posting length, and a
+    token in k docs appears exactly once with k entries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.textops import token_postings
+
+    texts = ["alpha beta gamma", "beta gamma", "gamma ALPHA alpha"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 2, 7], pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    out = (to_table(token_postings(str(tmp_path), num_buckets=4))
+           .to_pandas().set_index("token"))
+    assert out.loc["gamma", "postings"] == "2,7,10"
+    assert out.loc["gamma", "df"] == 3
+    assert out.loc["alpha", "postings"] == "7,10"  # case-folded, per-doc distinct
+    assert out.loc["beta", "df"] == 2
+    assert len(out) == 3

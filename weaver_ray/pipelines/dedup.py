@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.sketches import _splitmix64
-from .common import load
+from .common import load, task_hash_exchange
 
 _TOKEN_RE = re.compile(r"\w+")
 
@@ -151,15 +151,14 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
     # calls a pandas fn PER GROUP, and LSH band hashes over N docs make
     # O(N*bands) mostly-singleton groups — group inside the bucket with
     # one sort + boundary scan instead)
-    NB = 64
+    NB = 16  # exchange parallelism: rises with cluster width at scale
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         key = _splitmix64(
             df["band_hash"].to_numpy().astype(np.uint64)
             ^ df["band_id"].to_numpy().astype(np.uint64)).astype(np.int64)
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
-                             "band_key": key,
-                             "bk": _cc_owner(key, NB)})
+                             "band_key": key})
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["band_key", "doc_id"])
@@ -179,13 +178,15 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
             {"doc_a": np.concatenate(out_a).astype(np.int64) if out_a else empty,
              "doc_b": np.concatenate(out_b).astype(np.int64) if out_b else empty})
 
-    # candidate pairs stay a Dataset end to end: cross-band dedup is a
-    # distributed (coarse-bucketed) groupby, materialized to the OBJECT
-    # STORE (narrow int64 pairs), never to the driver
+    # candidate pairs stay a Dataset end to end: both the band grouping and
+    # the cross-band dedup ride the task-based hash exchange, materialized
+    # to the OBJECT STORE (narrow int64 pairs), never to the driver
+    cand_raw = task_hash_exchange(
+        bands.map_batches(add_bucket, batch_format="pandas"),
+        lambda df: _cc_owner(df["band_key"].to_numpy(), NB),
+        emit_bucket, NB)
     cand = bucketed_pair_dedup(
-        bands.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bk").map_groups(emit_bucket, batch_format="pandas"),
-        "doc_a", "doc_b", ["doc_a", "doc_b"], NB,
+        cand_raw, "doc_a", "doc_b", ["doc_a", "doc_b"], NB,
     ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
@@ -614,28 +615,32 @@ def simhash64(text: str) -> int:
 
 def banded_hamming_pairs_ds(bands: rd.Dataset, id_col: str, a_col: str,
                             b_col: str, max_hamming: int,
-                            num_buckets: int = 64) -> rd.Dataset:
+                            num_buckets: int = 16) -> rd.Dataset:
     """Shared banded-signature candidate machinery (simhash + image
     phash): ``bands`` carries (id_col, sig:int64, band_id:int32,
     band_val:int64) rows; returns deduped (a_col, b_col, hamming) pairs
     with hamming verified inside the buckets.
 
-    Two scale-shape points over the naive groupby-per-band-value:
+    Three scale-shape points over the naive groupby-per-band-value:
 
-    - The shuffle groups by a COARSE bucket (hash of (band_id, band_val)
-      % num_buckets), not by raw band value: ``map_groups`` calls a
-      pandas fn per group, and a 16-bit band over N docs makes O(N)
-      mostly-singleton groups — the per-group call overhead dwarfs the
-      hamming math.  Inside a bucket the real (band_id, band_val) groups
-      are recovered with one sort + boundary scan and only size>=2 groups
-      do any work.  num_buckets rises with cluster size at scale (it is
-      the shuffle's parallelism).
+    - The exchange partitions by a COARSE bucket (hash of (band_id,
+      band_val) % num_buckets), not by raw band value: a per-group pandas
+      call over a 16-bit band's O(N) mostly-singleton groups would dwarf
+      the hamming math.  Inside a bucket the real (band_id, band_val)
+      groups are recovered with one sort + boundary scan and only size>=2
+      groups do any work.  num_buckets rises with cluster size at scale
+      (it is the exchange's parallelism).
     - Cross-band dedup is ALSO coarse-bucketed (hash of the pair % B) with
       a vectorized drop_duplicates per bucket — neither a per-pair
       map_groups (per-group call overhead) nor a Ray Data Aggregate
       (aggregator-pool spin-up measured 3.5x this shape's whole cost at
       bench size).  Duplicate pairs carry the SAME hamming in every
       agreeing band, so keep-first equals keep-min.
+    - Both exchanges move as num_cpus=0 task splits over object-store refs
+      (common.task_hash_exchange), not Ray Data sort-shuffles: 4 narrow
+      rows per signature in and output-bounded pairs out are tiny next to
+      a sort-shuffle's fixed sampling/pool costs (the crawl-barrier /
+      connected-components finding applied to the candidate machinery).
     """
     from ..functions.imaging import _popcount64
 
@@ -672,18 +677,23 @@ def banded_hamming_pairs_ds(bands: rd.Dataset, id_col: str, a_col: str,
             id_col: df[id_col],
             "sig": df["sig"].to_numpy().astype(np.int64),
             "band_key": key,
-            "bk": _cc_owner(key, num_buckets),  # mixed hash, not raw mod
         })
 
-    pairs = (bands.map_batches(add_bucket, batch_format="pandas")
-             .groupby("bk").map_groups(emit_bucket, batch_format="pandas"))
+    # both exchanges ride the task-based hash exchange: this shape's data
+    # (4 narrow rows per signature in, output-bounded pairs out) is tiny
+    # next to a sort-shuffle's fixed costs (common.task_hash_exchange)
+    tagged = bands.map_batches(add_bucket, batch_format="pandas")
+    pairs = task_hash_exchange(
+        tagged,
+        lambda df: _cc_owner(df["band_key"].to_numpy(), num_buckets),
+        emit_bucket, num_buckets)
     return bucketed_pair_dedup(pairs, a_col, b_col,
                                [a_col, b_col, "hamming"], num_buckets)
 
 
 def bucketed_pair_dedup(pairs: rd.Dataset, a_col: str, b_col: str,
                         keep_cols: list[str],
-                        num_buckets: int = 64) -> rd.Dataset:
+                        num_buckets: int = 16) -> rd.Dataset:
     """Distributed first-wins dedup of (a, b) pair rows: coarse-bucket by
     a hash of the pair, drop_duplicates inside each bucket (vectorized C,
     not a per-pair map_groups; see banded_hamming_pairs_ds for why a Ray
@@ -691,15 +701,14 @@ def bucketed_pair_dedup(pairs: rd.Dataset, a_col: str, b_col: str,
     duplicate rows are interchangeable — every caller's duplicates carry
     identical payload columns (same hamming / no payload)."""
 
-    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+    def part_of(df: pd.DataFrame) -> np.ndarray:
         pk = pd.util.hash_pandas_object(df[[a_col, b_col]], index=False)
-        return df.assign(pk=(pk % num_buckets).astype(np.int64))
+        return (pk.to_numpy() % num_buckets).astype(np.int64)
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([a_col, b_col])[keep_cols]
 
-    return (pairs.map_batches(add_pk, batch_format="pandas")
-            .groupby("pk").map_groups(dedup_bucket, batch_format="pandas"))
+    return task_hash_exchange(pairs, part_of, dedup_bucket, num_buckets)
 
 
 def simhash_pairs_ds(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:

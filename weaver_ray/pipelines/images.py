@@ -194,19 +194,56 @@ _CAPTION_TOK = re.compile(r"[A-Za-z0-9_]+")
 def multimodal_joint_pairs_ds(sf_dir: str, max_hamming: int = 3,
                               min_jaccard: float = 0.5,
                               n_base: int = 1000,
-                              num_buckets: int = 16) -> rd.Dataset:
+                              num_buckets: int = 16,
+                              broadcast_threshold: int = 100_000) -> rd.Dataset:
     """CROSS-MODAL near-dup: pairs close in BOTH modalities — perceptual
     hash (image pixels) AND caption token-set Jaccard (text).  The cheap
     banded phash blocking generates candidates; the caption check runs only
-    on those (output-bounded), joined in through two bucketed hash joins —
-    a phash collision between unrelated images is rejected by its caption,
-    which is exactly why a multimodal corpus dedups on both signals.  The
-    per-pair token-set work is bounded by the candidate count, never the
-    corpus."""
-    from .common import hash_join
+    on those (output-bounded) — a phash collision between unrelated images
+    is rejected by its caption, which is exactly why a multimodal corpus
+    dedups on both signals.  The per-pair token-set work is bounded by the
+    candidate count, never the corpus.
+
+    Caption decoration is gated like minhash's verify side: while the
+    CORPUS is small (< broadcast_threshold rows) the caption map broadcasts
+    via ray.put and the whole verify is ONE map_batches over the pairs
+    (zero shuffles — each bucketed join costs seconds of fixed sort/pool
+    machinery, which dwarfs a 1k-image corpus); past the gate it becomes
+    two bucketed hash joins keyed by each pair side, so captions stay
+    distributed at 100 TB."""
+    import ray
+
+    from .common import _cached_get, hash_join
 
     pairs = image_phash_pairs_ds(sf_dir, max_hamming, n_base)
-    caps = _phash_caption_universe(n_base)
+
+    def _jac_frame(image_a, image_b, hamming, ta, tb) -> pd.DataFrame:
+        jac = np.array([(len(a & b) / len(a | b)) if (a or b) else 0.0
+                        for a, b in zip(ta, tb)])
+        out = pd.DataFrame({
+            "image_a": image_a, "image_b": image_b,
+            "hamming": np.asarray(hamming, np.int64),
+            "caption_jaccard": np.round(jac, 4)})
+        return out[jac >= min_jaccard]
+
+    def _toks(captions) -> list:
+        return [set(_CAPTION_TOK.findall(c.lower())) for c in captions]
+
+    n_corpus = _phash_caption_universe(n_base).count()  # parquet metadata
+    if n_corpus < broadcast_threshold:
+        cap_tbl = pa.concat_tables(ray.get(
+            _phash_caption_universe(n_base).materialize().to_arrow_refs()))
+        cap_map = dict(zip(cap_tbl["image_id"].to_pylist(),
+                           _toks(cap_tbl["caption"].to_pylist())))
+        ref = ray.put(cap_map)
+
+        def verify(j: pd.DataFrame) -> pd.DataFrame:
+            m = _cached_get(ref)
+            return _jac_frame(j["image_a"], j["image_b"], j["hamming"],
+                              [m[i] for i in j["image_a"]],
+                              [m[i] for i in j["image_b"]])
+
+        return pairs.map_batches(verify, batch_format="pandas")
 
     def jaccard(j: pd.DataFrame) -> pd.DataFrame:
         if j.empty:
@@ -215,18 +252,10 @@ def multimodal_joint_pairs_ds(sf_dir: str, max_hamming: int = 3,
                 "image_b": pd.Series([], dtype=object),
                 "hamming": pd.Series([], dtype=np.int64),
                 "caption_jaccard": pd.Series([], dtype=np.float64)})
-        ta = [set(_CAPTION_TOK.findall(c.lower())) for c in j["cap_a"]]
-        tb = [set(_CAPTION_TOK.findall(c.lower())) for c in j["cap_b"]]
-        jac = np.array([(len(a & b) / len(a | b)) if (a or b) else 0.0
-                        for a, b in zip(ta, tb)])
-        out = pd.DataFrame({
-            "image_a": j["image_a"], "image_b": j["image_b"],
-            "hamming": j["hamming"].astype(np.int64),
-            "caption_jaccard": np.round(jac, 4)})
-        return out[jac >= min_jaccard]
+        return _jac_frame(j["image_a"], j["image_b"], j["hamming"],
+                          _toks(j["cap_a"]), _toks(j["cap_b"]))
 
-    # decorate both pair sides with their caption (bucketed joins keyed by
-    # each side's image id — captions stay distributed)
+    caps = _phash_caption_universe(n_base)
     a_caps = caps.map_batches(
         lambda b: b.rename(columns={"image_id": "image_a", "caption": "cap_a"}),
         batch_format="pandas")

@@ -353,7 +353,8 @@ def user_hourly_windows(sf_dir: str) -> rd.Dataset:
 
 def price_quantiles(sf_dir: str,
                     qs: tuple = (0.25, 0.5, 0.9, 0.99),
-                    collect_budget: int = 5_000_000) -> pd.DataFrame:
+                    collect_budget: int = 5_000_000,
+                    method: str = "disc") -> pd.DataFrame:
     """EXACT distributed quantiles over lineitem.l_extendedprice by
     iterative histogram selection — a selection problem, not a sort:
 
@@ -475,8 +476,39 @@ def price_quantiles(sf_dir: str,
         within = rank - (int(cum[b - 1]) if b else 0)
         return rank_in_distinct(chain + [(lo, width, b)], within)
 
+    if method == "cont":
+        # percentile_cont: interpolate between the two order statistics
+        # around pos = q*(n-1) — the SAME rank-selection machinery resolves
+        # both neighbors (memoized: adjacent quantiles share elements)
+        cache: dict[int, float] = {}
+
+        def at(rank: int) -> float:
+            if rank not in cache:
+                cache[rank] = resolve(rank)
+            return cache[rank]
+
+        vals = []
+        for q in qs:
+            pos = q * (n - 1)
+            lo_r, hi_r = int(np.floor(pos)), int(np.ceil(pos))
+            v_lo = at(lo_r)
+            v_hi = v_lo if hi_r == lo_r else at(hi_r)
+            vals.append(v_lo + (pos - lo_r) * (v_hi - v_lo))
+        return pd.DataFrame({
+            "quantile": pd.Series(list(qs), dtype=np.float64),
+            "value": pd.Series(np.round(vals, 4), dtype=np.float64),
+        })
+
     return pd.DataFrame({
         "quantile": pd.Series(list(qs), dtype=np.float64),
         "value": pd.Series([resolve(r) for r in
                             (ranks[q] for q in qs)], dtype=np.float64),
     })
+
+
+def price_quantiles_cont(sf_dir: str,
+                         qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """Interpolated (``percentile_cont``) quantiles: the disc machinery's
+    rank selection applied to the two order statistics around q*(n-1), then
+    linear interpolation — still O(histogram partials), never a sort."""
+    return price_quantiles(sf_dir, qs, method="cont")

@@ -79,6 +79,66 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
     return out
 
 
+def ann_topk_per_label(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """Metadata-FILTERED similarity search: exact top-k cosine neighbors
+    restricted to corpus rows sharing the query's label — the production
+    shape ('nearest neighbors within the same language / source / shard').
+    Same broadcast-queries + per-batch-matmul scan as
+    :func:`ann_bruteforce_topk`; the label predicate is one extra
+    vectorized mask per query, applied to the batch's label column before
+    local top-k selection.  At scale the label would also be the storage
+    partition key, turning the mask into read-path pruning."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding", "label"],
+                       filters=pads.field("vec_id") < n_queries)
+    qids = qt.column("vec_id").to_numpy()
+    qlabels = qt.column("label").to_numpy()
+    Q = _matrix(qt.column("embedding").to_pylist())
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qids, qlabels, Qn))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        qids, qlabels, Qn = _cached_get(ref)
+        vid = df["vec_id"].to_numpy()
+        lab = df["label"].to_numpy()
+        E = _matrix(df["embedding"].to_numpy())
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cos = Qn @ En.T
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            row = cos[qi]
+            idx = np.flatnonzero((vid != qid) & (lab == qlabels[qi]))
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((vid[idx], -row[idx]))][: k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(vid[order])
+            out_c.extend(row[order])
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, np.int64),
+             "neighbor_id": np.asarray(out_n, np.int64),
+             "cos": np.asarray(out_c, np.float64)})
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["query_id", "cos", "neighbor_id"],
+                         ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .drop(columns=["cos"])
+        .reset_index(drop=True)
+    )
+
+
 def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 8,
                  n_probe: int = 2, train_iters: int = 5) -> pd.DataFrame:
     """IVF variant: k-means cells trained on a seeded DISTRIBUTED sample

@@ -269,6 +269,43 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     return keyed_map_groups(joined, "doc_id", topk)
 
 
+def token_postings(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Distributed INVERTED-INDEX build: token -> (document frequency,
+    ascending posting list) — the search-index counterpart of the dedup
+    family.  Distinct (doc, token) pairs are emitted per batch (documents
+    are whole rows, so batch-local dedup is exact); ONE hash shuffle keyed
+    by token co-locates each token's postings; assembly inside the bucket
+    is a sorted groupby-join.  Postings travel as comma-joined strings so
+    the driver's value-hash compare sees a flat column (DuckDB mirror:
+    ``string_agg(... ORDER BY doc_id)``); a production sink would keep
+    list<int64> and write through pipelines.sinks.write_partitioned keyed
+    by token bucket."""
+    from .common import keyed_map_groups
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        pairs = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "token": toks})
+                 .explode("token").dropna(subset=["token"]).drop_duplicates())
+        pairs["doc_id"] = pairs["doc_id"].astype(np.int64)
+        return pairs
+
+    pairs = ds.map_batches(pairs_batch, batch_format="pandas")
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        g["s"] = g["doc_id"].astype(str)
+        gg = g.groupby("token", sort=False)
+        # the per-token string join is output-bounded assembly work (it
+        # touches each posting once), not a hot-path row loop
+        out = pd.DataFrame({"df": gg.size().astype(np.int64),
+                            "postings": gg["s"].agg(",".join)}).reset_index()
+        return out
+
+    return keyed_map_groups(pairs, "token", build, num_buckets)
+
+
 # ------------------------------------------------------------------ language ID
 
 _LANG_PROFILES = {
