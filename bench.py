@@ -322,14 +322,21 @@ def main() -> None:
 
     pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
     queries = bench_queries(sf_dir)
+    # fresh Ray session for the crawl legs: the query battery leaves ~150
+    # idle worker processes (actor pools, num_cpus=0 task warmups) whose
+    # scheduler bookkeeping depresses crawl throughput ~20% when the legs
+    # share its session (measured 144 vs 183 urls/s) — the headline number
+    # should measure the crawler, not the battery's residue
+    import ray
+
+    ray.shutdown()
+    _init_ray(ncpus)
     crawl_stats = bench_crawl(ncpus)
     print(f"[bench] crawl barrier: {crawl_stats['urls_per_sec']} urls/s",
           file=sys.stderr, flush=True)
     dist_stats = bench_crawl(ncpus, distributed=True, warm=False)
     print(f"[bench] crawl distributed: {dist_stats['urls_per_sec']} urls/s",
           file=sys.stderr, flush=True)
-    import ray
-
     ray.shutdown()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({

@@ -229,7 +229,7 @@ def multimodal_joint_pairs_ds(sf_dir: str, max_hamming: int = 3,
     def _toks(captions) -> list:
         return [set(_CAPTION_TOK.findall(c.lower())) for c in captions]
 
-    n_corpus = _phash_caption_universe(n_base).count()  # parquet metadata
+    n_corpus = _universe_row_count(n_base)  # parquet metadata, no executor
     if n_corpus < broadcast_threshold:
         cap_tbl = pa.concat_tables(ray.get(
             _phash_caption_universe(n_base).materialize().to_arrow_refs()))
@@ -275,6 +275,17 @@ def _phash_caption_universe(n_base: int) -> rd.Dataset:
     base = read_corpus(generate_corpus(n_base), ["image_id", "caption"])
     var = read_variants(generate_variants(n_base), ["image_id", "caption"])
     return base.union(var)
+
+
+def _universe_row_count(n_base: int) -> int:
+    """Row count of base ∪ variants from parquet FILE METADATA — the
+    broadcast-vs-join gate needs only a size, so don't pay a Ray
+    streaming-executor launch (~1 s fixed on this sandbox) to count."""
+    total = 0
+    for root in (generate_corpus(n_base), generate_variants(n_base)):
+        for p in Path(root).glob("part-*.parquet"):
+            total += pq.ParquetFile(p).metadata.num_rows
+    return total
 
 
 def multimodal_joint_pairs(sf_dir: str, max_hamming: int = 3,
