@@ -1008,12 +1008,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # FULL OUTER join across two fact tables on epoch day (0-filled)
         "daily_activity_fulljoin": """
+            -- floor(), not //: DuckDB integer // truncates toward zero
+            -- while the engine's numpy // floors — they disagree on any
+            -- pre-1970 timestamp (floor is the calendar-correct choice:
+            -- 1969-12-31 belongs to day -1, not day 0)
             WITH o AS (
-                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000.0)
+                            AS BIGINT) AS day,
                        count(*) AS n_orders
                 FROM orders GROUP BY 1
             ), e AS (
-                SELECT epoch_us(ts) // 86400000000 AS day,
+                SELECT CAST(floor(epoch_us(ts) / 86400000000.0)
+                            AS BIGINT) AS day,
                        count(*) AS n_events
                 FROM events GROUP BY 1
             )

@@ -139,11 +139,11 @@ def users_click_no_purchase(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     is LEGITIMATELY empty at small sf (every clicker purchased), so the
     shim pins the (user_id:int64) schema that ``Dataset.to_pandas()`` drops
     on an all-empty result."""
-    ds = _user_type_flag_set(sf_dir, lambda c, p: c & ~p, num_buckets)
-    df = ds.to_pandas()
-    if df.empty:
-        return pd.DataFrame({"user_id": np.empty(0, np.int64)})
-    return df.astype({"user_id": np.int64})
+    from .dedup import _pairs_to_pandas
+
+    return _pairs_to_pandas(
+        _user_type_flag_set(sf_dir, lambda c, p: c & ~p, num_buckets),
+        ["user_id"], {"user_id": np.int64})
 
 
 def props_key_stats(sf_dir: str) -> pd.DataFrame:
@@ -350,7 +350,9 @@ def daily_activity_fulljoin(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     vs daily event counts, keeping days present on EITHER side (0-filled).
     Each side collapses to one partial row per day inside map_batches, so
     the outer join's co-shuffle moves day-count partials only.  Days are
-    epoch days (``epoch_us // 86_400e6``) so the key is a plain int64 on
+    epoch days (``epoch_us // 86_400e6``, FLOOR division — pre-1970
+    timestamps land on negative days; the oracle mirrors this with
+    ``floor()``, since DuckDB's integer ``//`` truncates) on
     both the engine and the DuckDB oracle."""
     def day_of(col: str):
         def prep(b: pd.DataFrame) -> pd.DataFrame:

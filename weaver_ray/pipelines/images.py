@@ -43,7 +43,7 @@ from ..sources.corpus import (
     image_id_of,
     read_corpus,
 )
-from .common import partial_groupby
+from .common import partial_groupby, sql_round
 from .dedup import _pairs_to_pandas, connected_components_ds
 
 _VARIANTS_VERSION = 1
@@ -223,7 +223,7 @@ def multimodal_joint_pairs_ds(sf_dir: str, max_hamming: int = 3,
         out = pd.DataFrame({
             "image_a": image_a, "image_b": image_b,
             "hamming": np.asarray(hamming, np.int64),
-            "caption_jaccard": np.round(jac, 4)})
+            "caption_jaccard": sql_round(jac, 4)})
         return out[jac >= min_jaccard]
 
     def _toks(captions) -> list:
