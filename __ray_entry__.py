@@ -294,6 +294,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": textops.langid_counts,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        # self-evidencing (bound_ok / in_exact_topk verdict columns);
+        # estimate depends on batch boundaries, so no SQL oracle by
+        # design.  c=20 forces the truncation path at test scale (the
+        # synthetic vocab is small) so the recorded run exercises the
+        # sketch, not the exact degenerate case
+        "heavy_hitter_tokens": lambda sf: textops.heavy_hitter_tokens(sf, c=20),
         "tfidf_top_terms": textops.tfidf_top_terms,
         "quality_filter_docs": textops.quality_filter_docs,
         "token_postings": textops.token_postings,
@@ -312,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exhaustive_topk": similarity.ann_ivf_exhaustive_topk,
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "embedding_norm_stats": similarity.embedding_norm_stats,
+        "label_centroids": similarity.label_centroids,
         # crawl engine (stateful; rows-only by design, but parity is
         # self-evidenced by crawl_oracle_parity's verdict columns)
         "crawl_flagship_seen": _crawl_seen,
@@ -1227,6 +1234,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        # per-label mean embedding: the oracle pays the full unnest (one
+        # row per vector element) that the engine's partial-sum matrix
+        # path never materializes
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS e
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   round(sum(e) / count(*), 4) AS centroid,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY label, dim
         """,
         "ngram_jaccard_pairs": f"""
             SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,

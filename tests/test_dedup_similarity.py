@@ -271,3 +271,31 @@ def test_ann_topk_per_label_filters(dup_dir, tmp_path):
         want = cand[np.lexsort((cand, -cos))][:5]
         assert list(got) == list(want)
         assert (labels[got] == labels[qid]).all()
+
+
+def test_label_centroids_matches_numpy(tmp_path):
+    """Grouped vector mean == numpy per-label mean (4-dp, half-away)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.similarity import label_centroids
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 6
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 4).astype(np.int32)
+    pq_.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    out = label_centroids(str(tmp_path))
+    assert list(out.columns) == ["label", "dim", "centroid", "n"]
+    assert len(out) == 4 * d
+    V = vecs.astype(np.float64)
+    for lab in range(4):
+        want = sql_round(V[labels == lab].mean(axis=0), 4)
+        got = out.loc[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9)
+        assert (out.loc[out["label"] == lab, "n"] == (labels == lab).sum()).all()

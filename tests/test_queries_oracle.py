@@ -168,3 +168,23 @@ def test_token_postings_inverted_index(ray_session, tmp_path):
     assert out.loc["alpha", "postings"] == "7,10"  # case-folded, per-doc distinct
     assert out.loc["beta", "df"] == 2
     assert len(out) == 3
+
+
+def test_heavy_hitter_tokens_bounds(ray_session):
+    """Mergeable frequent-items sketch: in the truncating regime every
+    returned token's undercount stays within the recorded bound; with a
+    roomy budget the sketch degenerates to exact (bound 0, recall 1)."""
+    from weaver_ray.pipelines.textops import heavy_hitter_tokens
+
+    sf = "/root/testdata/sf0.001"
+    tight = heavy_hitter_tokens(sf, k=10, c=5)
+    assert tight["bound_ok"].all()
+    assert (tight["est_n"] <= tight["exact_n"]).all()
+    assert (tight["exact_n"] - tight["est_n"] <= tight["bound"]).all()
+    roomy = heavy_hitter_tokens(sf, k=10, c=500)
+    assert roomy["bound"].eq(0).all()
+    assert roomy["bound_ok"].all() and roomy["in_exact_topk"].all()
+    assert (roomy["est_n"] == roomy["exact_n"]).all()
+    # deterministic output
+    again = heavy_hitter_tokens(sf, k=10, c=5)
+    assert tight.equals(again)

@@ -282,3 +282,50 @@ def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
     out = out.drop(columns=["sum_norm"]).sort_values("label").reset_index(drop=True)
     out["label"] = out["label"].astype(np.int32)
     return out
+
+
+def label_centroids(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Per-label mean embedding (class centroids) — the seed computation
+    for k-means/IVF training, per-class drift monitoring, and
+    nearest-centroid classification over a labeled embedding corpus.
+
+    Grouped VECTOR aggregation without exploding the list column
+    row-wise: each batch stacks into a (rows x dim) float64 matrix and
+    scatter-adds into one (labels_in_batch x dim) partial via
+    ``np.add.at``, emitting long-form (label, dim, sum, n) partial rows
+    — n_labels x dim rows per batch move through the reduce, never
+    n_rows x dim.  The reduce is the bucketed many_groups path (label x
+    dim keys).  The DuckDB oracle pays the full unnest-with-ordinality;
+    output values are rounded with half-away semantics so both engines
+    print the same 4 decimals."""
+    import pyarrow as pa
+
+    from .common import partial_groupby, sql_round
+
+    ds = load(sf_dir, "embeddings", ["label", "embedding"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        lab = t["label"].to_numpy()
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq))
+        dim = m.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt.astype(np.int64), dim),
+        })
+
+    parts = ds.map_batches(prep, batch_format="pyarrow")
+    g = partial_groupby(parts, ["label", "dim"],
+                        {"s": ("s", "sum"), "n": ("n", "sum")},
+                        many_groups=True, num_buckets=num_buckets).to_pandas()
+    return pd.DataFrame({
+        "label": g["label"].astype(np.int64),
+        "dim": g["dim"].astype(np.int64),
+        "centroid": sql_round(g["s"] / g["n"], 4),
+        "n": g["n"].astype(np.int64),
+    }).sort_values(["label", "dim"]).reset_index(drop=True)

@@ -410,3 +410,75 @@ def doc_fingerprints(sf_dir: str, k: int = 8, window: int = 16) -> rd.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 20, c: int = 200,
+                        num_buckets: int = 16) -> pd.DataFrame:
+    """Approximate heavy hitters (frequent tokens) from MERGEABLE bounded
+    summaries — the one-pass, bounded-memory complement of the exact
+    :func:`vocab_top_tokens`.  At 100 TB an exact global wordcount
+    shuffles one row per (token, batch) for the WHOLE vocabulary; this
+    sketch caps each batch's contribution at ``c`` rows regardless of
+    vocabulary size (Misra-Gries-style truncation: the mergeable-summaries
+    shape of Agarwal et al., PODS'12).
+
+    Per batch: exact vectorized value_counts truncated to its top ``c``
+    tokens, plus the batch's largest DROPPED count as a sentinel row.
+    Merged estimate for a token = sum of its kept counts, which
+    UNDERCOUNTS by at most the sum over batches of that batch's largest
+    dropped count (a token absent from a batch's summary appeared there
+    at most dropped_max times).  The result is self-evidencing: each
+    returned token carries its exact count (one extra filtered pass over
+    the corpus — cheap, k tokens only), the global undercount bound, and
+    verdict columns ``bound_ok`` (exact - est <= bound AND est <= exact)
+    plus ``in_exact_topk`` vs :func:`vocab_top_tokens` — recall of the
+    sketch at this (k, c).
+
+    No SQL oracle by design: the estimate depends on the engine's batch
+    boundaries; the in-row verdicts ARE the correctness evidence (the
+    ann_ivf_recall pattern)."""
+    _SENTINEL = "\x00dropped_max"  # TOKEN_RE tokens are \w+ — cannot collide
+    ds = load(sf_dir, "documents", ["text"])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.findall(TOKEN_RE).explode().value_counts()
+        kept = vc.iloc[:c]
+        dropped_max = int(vc.iloc[c:].max()) if len(vc) > c else 0
+        return pd.DataFrame({
+            "token": np.append(kept.index.to_numpy(dtype=object), _SENTINEL),
+            "n": np.append(kept.to_numpy(np.int64), np.int64(dropped_max)),
+        })
+
+    merged = partial_groupby(
+        ds.map_batches(summarize, batch_format="pandas"),
+        ["token"], {"n": ("n", "sum")}, many_groups=True,
+        num_buckets=num_buckets).to_pandas()
+    bound = int(merged.loc[merged["token"] == _SENTINEL, "n"].sum())
+    est = merged[merged["token"] != _SENTINEL]
+    top = est.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    top = top.rename(columns={"n": "est_n"}).reset_index(drop=True)
+
+    # exact counts for JUST the returned tokens (broadcast-small side):
+    # one filtered pass, k rows per batch max
+    want = set(top["token"])
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.findall(TOKEN_RE).explode().value_counts()
+        vc = vc[vc.index.isin(want)]
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    exact = partial_groupby(
+        ds.map_batches(exact_counts, batch_format="pandas"),
+        ["token"], {"exact_n": ("n", "sum")}, many_groups=True,
+        num_buckets=num_buckets).to_pandas()
+    out = top.merge(exact, on="token", how="left")
+    out["exact_n"] = out["exact_n"].fillna(0).astype(np.int64)
+    out["est_n"] = out["est_n"].astype(np.int64)
+    out["bound"] = np.int64(bound)
+    out["bound_ok"] = (out["est_n"] <= out["exact_n"]) & (
+        out["exact_n"] - out["est_n"] <= bound)
+    exact_topk = set(vocab_top_tokens(sf_dir, k=k)["token"])
+    out["in_exact_topk"] = out["token"].isin(exact_topk)
+    return out.sort_values(["est_n", "token"],
+                           ascending=[False, True]).reset_index(drop=True)
