@@ -319,3 +319,22 @@ def test_quality_filter_edges(tmp_path):
     assert 3 in out.index          # 11 words, mean len (3+20)/11 ~ 2.09 >= 2
     assert 4 not in out.index      # mean word len > 10
     assert out.loc[0, "n_words"] == 14
+
+
+def test_task_hash_exchange_single_part(ray_session):
+    """num_returns=1 hands back ONE ref to the whole returned list; the
+    k==1 path must unwrap it so apply_fn sees the same payload type as
+    k>1 (regression: every exchange crashed single-part before the
+    unwrap_single_return fix)."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import task_hash_exchange, to_table
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 1, 3], "v": [10, 20, 30, 40]}))
+    out = task_hash_exchange(
+        ds,
+        lambda df: np.zeros(len(df), dtype=np.int64),
+        lambda df: df.groupby("k", as_index=False)["v"].sum(),
+        num_parts=1)
+    got = to_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [1, 2, 3] and list(got["v"]) == [40, 20, 40]

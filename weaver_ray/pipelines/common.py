@@ -305,6 +305,16 @@ def _tx_split(t: pa.Table, k: int, part_of):
 
 
 @ray.remote(num_cpus=0)
+def unwrap_single_return(lst):
+    """Peel the one element of a single-part split: with
+    ``num_returns=1`` Ray hands back ONE ref to the WHOLE returned list,
+    so a ``k == 1`` exchange would otherwise feed downstream tasks a
+    1-element list where every ``k > 1`` path feeds the payload itself
+    (ValueError/unpack bugs the moment any exchange runs single-part)."""
+    return lst[0]
+
+
+@ray.remote(num_cpus=0)
 def _tx_apply(apply_fn, *chunks: pa.Table) -> pa.Table:
     df = pd.concat([c.to_pandas() for c in chunks], ignore_index=True)
     return pa.Table.from_pandas(apply_fn(df), preserve_index=False)
@@ -332,8 +342,8 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
     splits = [_tx_split.options(num_returns=num_parts).remote(r, num_parts,
                                                               part_of)
               for r in refs]
-    if num_parts == 1:  # num_returns=1 yields a bare ref, not a list
-        splits = [[s] for s in splits]
+    if num_parts == 1:  # num_returns=1 yields ONE ref to the whole list
+        splits = [[unwrap_single_return.remote(s)] for s in splits]
     outs = [_tx_apply.remote(apply_fn, *[splits[i][p]
                                          for i in range(len(refs))])
             for p in range(num_parts)]

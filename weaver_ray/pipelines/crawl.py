@@ -39,6 +39,7 @@ import ray
 import ray.data as rd
 
 from ..config import CrawlConfig
+from .common import unwrap_single_return
 from ..sources.corpus import generate_corpus
 from ..stages.fetch import FetchStage, split_union
 from ..stages.parse import (
@@ -280,8 +281,8 @@ def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
         return None, 0, {}, []
     splits = [_split_by_hash.options(num_returns=k).remote(ref, k)
               for ref in child_refs]
-    if k == 1:  # num_returns=1 yields a bare ref, not a list
-        splits = [[s] for s in splits]
+    if k == 1:  # num_returns=1 yields ONE ref to the whole returned list
+        splits = [[unwrap_single_return.remote(s)] for s in splits]
     part_refs, meta_refs = [], []
     for p in range(k):
         tref, mref = _dedup_sort_sample.remote(64, *[s[p] for s in splits])
@@ -300,8 +301,8 @@ def _distributed_barrier(child_refs: list, k: int, remaining: int | None):
                   for i in range(1, nr)]
     rsplits = [_range_split.options(num_returns=len(boundaries) + 1)
                .remote(tref, boundaries) for tref in part_refs]
-    if not boundaries:
-        rsplits = [[r] for r in rsplits]
+    if not boundaries:  # num_returns=1: one ref to the whole list
+        rsplits = [[unwrap_single_return.remote(r)] for r in rsplits]
     range_refs, count_refs = [], []
     for i in range(len(boundaries) + 1):
         tref, cref = _merge_range.remote(*[rs[i] for rs in rsplits])
@@ -469,8 +470,8 @@ def _run_round_distributed(frontier_refs: list, host_counts: dict,
             ref, plan_ref, offs, num_fetch_parts)
         for ref, offs in zip(frontier_refs, offsets_per_block)
     ]
-    if num_fetch_parts == 1:  # num_returns=1 yields a bare ref, not a list
-        routed = [[r_] for r_ in routed]
+    if num_fetch_parts == 1:  # num_returns=1: one ref to the whole list
+        routed = [[unwrap_single_return.remote(r_)] for r_ in routed]
     part_refs = [
         _concat_part.remote(*[blocks[p] for blocks in routed])
         for p in range(num_fetch_parts)

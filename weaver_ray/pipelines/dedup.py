@@ -483,15 +483,26 @@ def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
     (node universe = ``nodes`` ∪ edge endpoints, matching the previous
     Dataset implementation), which at 100 TB is itself large, so the
     result NEVER touches the driver here; sink it with
-    ``.write_parquet()`` or collect via the query shim."""
-    k = num_parts
+    ``.write_parquet()`` or collect via the query shim.
+
+    ``num_parts`` is a CAP: the actual slice count is sized to the data
+    (ceil(rows / 64k), metadata-only counts on the materialized inputs),
+    so a bench-scale graph doesn't pay 2*k tiny scheduling rounds per
+    iteration for milliseconds of numpy, while at 100 TB the cap is what
+    rises with the cluster."""
+    nodes = nodes.materialize()
+    edges_src_dst = edges_src_dst.materialize()
+    n = max(nodes.count(), edges_src_dst.count(), 1)
+    k = max(1, min(num_parts, -(-n // 65_536)))
     node_splits = [_cc_split_nodes.options(num_returns=k).remote(r, k)
                    for r in nodes.to_arrow_refs()]
     edge_splits = [_cc_split_edges.options(num_returns=k).remote(r, k)
                    for r in edges_src_dst.to_arrow_refs()]
-    if k == 1:  # num_returns=1 returns the bare ref, not a list
-        node_splits = [[s] for s in node_splits]
-        edge_splits = [[s] for s in edge_splits]
+    if k == 1:  # num_returns=1 yields ONE ref to the whole returned list
+        from .common import unwrap_single_return
+
+        node_splits = [[unwrap_single_return.remote(s)] for s in node_splits]
+        edge_splits = [[unwrap_single_return.remote(s)] for s in edge_splits]
     statics = [
         _cc_build_part.remote(
             len(node_splits),
@@ -508,7 +519,9 @@ def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
             for q in range(k)
         ]
         if k == 1:
-            props = [[r] for r in props]
+            from .common import unwrap_single_return
+
+            props = [[unwrap_single_return.remote(r)] for r in props]
         outs = [
             _cc_apply.options(num_returns=k + 2).remote(
                 statics[p], labels[p], k, *[props[q][p] for q in range(k)])
