@@ -109,19 +109,12 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
                 out[out_col] = getattr(gg[out_col], f)()
             return pd.DataFrame(out).reset_index()
 
-        def tag(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["__bucket"] = (
-                pd.util.hash_pandas_object(batch[keys], index=False).to_numpy()
-                % num_buckets
-            ).astype(np.int64)
-            return batch
+        def part_of(df: pd.DataFrame) -> np.ndarray:
+            return (pd.util.hash_pandas_object(df[keys], index=False)
+                    .to_numpy() % num_buckets).astype(np.int64)
 
-        def apply(group: pd.DataFrame) -> pd.DataFrame:
-            return reduce_bucket(group.drop(columns="__bucket"))
-
-        return (partials.map_batches(tag, batch_format="pandas")
-                .groupby("__bucket").map_groups(apply, batch_format="pandas"))
+        return task_hash_exchange(partials, part_of, reduce_bucket,
+                                  num_buckets)
 
     reduce_aggs = []
     for out_col, (_in, fn) in aggs.items():
@@ -194,33 +187,34 @@ def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.
     hash(key) % num_buckets (not a per-key map_groups — millions of tiny
     groups each paying a pandas call), and all per-key work vectorized
     inside the bucket.  num_buckets scales with cluster width; a skewed key
-    is bounded by that single key's data volume, never the whole table."""
+    is bounded by that single key's data volume, never the whole table.
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = bucket_of(batch[key], num_buckets)
-        return batch
-
-    def apply(group: pd.DataFrame) -> pd.DataFrame:
-        return fn(group.drop(columns="__bucket"))
-
-    return (ds.map_batches(tag, batch_format="pandas")
-            .groupby("__bucket").map_groups(apply, batch_format="pandas"))
+    The shuffle is the task-based hash exchange, not a Ray Data
+    sort-shuffle: the sort machinery's fixed costs (range sampling,
+    aggregator pools, extra executor startups) were measured at seconds
+    per operator on this sandbox for identical data movement.  ``fn``
+    must tolerate an EMPTY typed frame (hash holes happen whenever the
+    key cardinality is small vs num_buckets — pandas vectorized code is
+    empty-safe by default)."""
+    return task_hash_exchange(
+        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets)
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
               lcols: list[str], rcols: list[str], num_buckets: int = 16,
               how: str = "inner", post=None) -> rd.Dataset:
     """Explicit partitioned hash join for two LARGE sides: tag each side,
-    bucket by hash(key) % B, co-shuffle with one groupby over the union, and
-    pandas-merge within each bucket (the portable pattern from the Ray
-    guide; Dataset.join exists in this Ray version — this implementation is
-    kept explicit so the shuffle and its key are visible and salt-able).
+    bucket by hash(key) % B, co-shuffle the union through the task-based
+    hash exchange, and pandas-merge within each bucket (the portable
+    pattern from the Ray guide; Dataset.join exists in this Ray version —
+    this implementation is kept explicit so the shuffle and its key are
+    visible and salt-able, and the exchange skips the sort-shuffle's
+    fixed sampling/pool costs for identical data movement).
 
     ``lcols``/``rcols`` are each side's columns (the union block carries
     both sets, null-filled).  ``post(joined_df)`` runs inside each bucket —
     push grouped aggregates here so the shuffle's output is partial rows,
-    not joined rows.
+    not joined rows; it must tolerate an empty typed frame (hash holes).
     """
 
     # both sides must share ONE schema through the union (the sort shuffle
@@ -254,7 +248,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         j = j.infer_objects()  # undo object coercion from the null-filled union
         return post(j) if post is not None else j
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return task_hash_exchange(
+        both, lambda df: df["__bucket"].to_numpy(), join_bucket, num_buckets)
 
 
 def global_row_number(ds: rd.Dataset, keys: list[str],

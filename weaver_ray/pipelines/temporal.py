@@ -317,6 +317,12 @@ def user_value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.9),
     quantile_disc: sorted[max(0, ceil(q*n) - 1)]."""
 
     def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # hash hole: np.r_[True, ...] on empty yields one
+            return pd.DataFrame(  # phantom start index
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 **{f"p{int(q * 100)}_value": pd.Series([], dtype=np.float64)
+                    for q in qs}})
         g = g.sort_values(["user_id", "value"])
         users = g["user_id"].to_numpy()
         vals = g["value"].to_numpy()
