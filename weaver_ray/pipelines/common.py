@@ -330,7 +330,15 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
     between num_cpus=0 tasks — the driver sees only refs, so the exchange
     is exactly as distributed as the groupby it replaces; at cluster scale
     ``num_parts`` is the exchange's parallelism, same as the bucket count
-    it replaces."""
+    it replaces.
+
+    Payload constraint: columns must survive a plain Arrow<->pandas
+    round-trip (numerics, strings, bytes, lists).  Python-set columns and
+    Ray tensor-extension columns do NOT — those stages stay on Ray Data's
+    groupby, whose block serialization carries them faithfully (see
+    ngram_jaccard_pairs_ds / embedding_near_dup_pairs_ds).  ``apply_fn``
+    must tolerate an EMPTY typed frame: unlike map_groups, every part is
+    instantiated, so hash holes reach it."""
     refs = ds.materialize().to_arrow_refs()
     if not refs:
         return rd.from_items([])

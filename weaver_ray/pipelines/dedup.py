@@ -320,6 +320,10 @@ def ngram_jaccard_pairs_ds(sf_dir: str, band: int = 50, threshold: float = 0.2,
                              "doc_b": np.asarray(out_b, np.int64),
                              "jaccard": np.asarray(out_j, np.float64)})
 
+    # stays a Ray Data groupby (not the task exchange): the ``toks``
+    # payload is a column of Python SETS, which only Ray Data's own
+    # block serialization carries faithfully — the exchange's Arrow
+    # round-trip would lossily coerce them to list arrays
     return tagged.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
@@ -790,6 +794,9 @@ def embedding_near_dup_pairs_ds(sf_dir: str, band: int = 100, threshold: float =
     tagged = ds.map_batches(tag, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # np.stack crashes on an empty list
+            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                                 "vec_b": pd.Series([], dtype=np.int64)})
         g = g.sort_values("vec_id")
         vid = g["vec_id"].to_numpy()
         ghost = g["ghost"].to_numpy()
@@ -803,7 +810,10 @@ def embedding_near_dup_pairs_ds(sf_dir: str, band: int = 100, threshold: float =
             {"vec_a": vid[a][keep].astype(np.int64), "vec_b": vid[b][keep].astype(np.int64)}
         )
 
-    # exactly-once by the ghost construction (docstring) — no dedup pass
+    # exactly-once by the ghost construction (docstring) — no dedup pass.
+    # Stays a Ray Data groupby (not the task exchange): the embedding
+    # column rides Ray's tensor-extension Arrow type, which the
+    # exchange's plain to_pandas round-trip cannot convert
     return tagged.groupby("bucket").map_groups(pairs_in_bucket,
                                                batch_format="pandas")
 

@@ -185,8 +185,11 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
     in deterministic (ts, event_id) order."""
     ds = load(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
+    def first_rows(bucket: pd.DataFrame) -> pd.DataFrame:
+        # complete user groups per bucket: one sort + drop_duplicates
+        # keeps each user's (ts, event_id)-first row, vectorized
+        g = bucket.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
+            "user_id")
         # epoch micros, explicitly: pandas datetime64 unit (ns vs us) varies
         # with the parquet reader, so never astype(int64) a datetime directly
         ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -199,7 +202,9 @@ def first_event_per_user(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ds.groupby("user_id").map_groups(first_row, batch_format="pandas")
+    from .common import keyed_map_groups
+
+    return keyed_map_groups(ds, "user_id", first_rows)
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
@@ -338,17 +343,20 @@ def user_hourly_windows(sf_dir: str) -> rd.Dataset:
     partition by user, tumble ts into 1-hour buckets inside map_groups."""
     ds = load(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        hours = ts_us // 3_600_000_000
-        gg = g.assign(window_hour=hours).groupby("window_hour")
+    def windows(bucket: pd.DataFrame) -> pd.DataFrame:
+        # complete user groups per bucket: tumble + aggregate every
+        # (user, hour) window in one vectorized groupby
+        ts_us = bucket["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gg = bucket.assign(window_hour=ts_us // 3_600_000_000).groupby(
+            ["user_id", "window_hour"], sort=False)
         out = gg.agg(n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["sum_value"] = out["sum_value"].round(4)
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+    from .common import keyed_map_groups
+
+    return keyed_map_groups(ds, "user_id", windows)
 
 
 def price_quantiles(sf_dir: str,

@@ -139,16 +139,19 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text_hash": [g["text_hash"].iloc[0]],
-                "keeper_doc_id": [np.int64(g["doc_id"].min())],
-                "dup_count": [np.int64(len(g))],
-            }
-        )
+    def first_wins(bucket: pd.DataFrame) -> pd.DataFrame:
+        # complete hash groups per bucket (keyed_map_groups) — first-wins
+        # is ONE vectorized groupby over the bucket, not a call per hash
+        gg = bucket.groupby("text_hash", sort=False)
+        out = gg.agg(keeper_doc_id=("doc_id", "min"),
+                     dup_count=("doc_id", "size")).reset_index()
+        out["keeper_doc_id"] = out["keeper_doc_id"].astype(np.int64)
+        out["dup_count"] = out["dup_count"].astype(np.int64)
+        return out
 
-    return hashed.groupby("text_hash").map_groups(first_wins, batch_format="pandas")
+    from .common import keyed_map_groups
+
+    return keyed_map_groups(hashed, "text_hash", first_wins)
 
 
 def clean_text_hashes(sf_dir: str) -> rd.Dataset:
@@ -204,13 +207,20 @@ def stratified_sample_docs(sf_dir: str, per_group: int = 20) -> rd.Dataset:
     state, so the DuckDB oracle selects the identical rows)."""
     ds = load(sf_dir, "documents", ["doc_id", "lang"])
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        key = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in g["doc_id"]]
-        g = g.assign(__k=key).sort_values("__k").head(per_group)
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        # complete lang groups per bucket: rank by md5 within each lang
+        # (one groupby-rank over the bucket), keep the per_group smallest
+        key = [hashlib.md5(str(int(d)).encode()).hexdigest()
+               for d in bucket["doc_id"]]
+        g = bucket.assign(__k=key)
+        g = g[g.groupby("lang", sort=False)["__k"].rank(method="first")
+              <= per_group]
         return pd.DataFrame({"lang": g["lang"].to_numpy(),
                              "doc_id": g["doc_id"].to_numpy(np.int64)})
 
-    return ds.groupby("lang").map_groups(pick, batch_format="pandas")
+    from .common import keyed_map_groups
+
+    return keyed_map_groups(ds, "lang", pick)
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
