@@ -338,3 +338,28 @@ def test_task_hash_exchange_single_part(ray_session):
         num_parts=1)
     got = to_table(out).to_pandas().sort_values("k").reset_index(drop=True)
     assert list(got["k"]) == [1, 2, 3] and list(got["v"]) == [40, 20, 40]
+
+
+def test_bucket_of_is_batch_independent(ray_session):
+    """The bucket must be a function of the key VALUE alone: digit-only
+    string keys must land where the same key lands in a mixed batch
+    (regression: whole-batch to_numeric hashed '42' as an integer in an
+    all-numeric batch and as a string elsewhere — joins silently dropped
+    those keys), and an int key must co-bucket with its object-coerced
+    string form."""
+    from weaver_ray.pipelines.common import bucket_of, hash_join, to_table
+    import ray.data as rd
+
+    b_pure = bucket_of(pd.Series(["42", "1999"]), 16)
+    b_mixed = bucket_of(pd.Series(["42", "1999", "abc"]), 16)
+    assert list(b_pure) == list(b_mixed[:2])
+    assert bucket_of(pd.Series([42], dtype=np.int64), 16)[0] == \
+        bucket_of(pd.Series(["42"], dtype=object), 16)[0]
+
+    # end-to-end: the confirmed repro — a join key whose one side arrives
+    # in an all-numeric-parsable block must still meet its match
+    left = rd.from_pandas(pd.DataFrame({"token": ["42"], "l": [1]}))
+    right = rd.from_pandas(pd.DataFrame({"token": ["42", "abc"], "r": [7, 8]}))
+    out = to_table(hash_join(left, right, on="token",
+                             lcols=["token", "l"], rcols=["token", "r"]))
+    assert out.num_rows == 1 and out.to_pandas()["r"].iloc[0] == 7

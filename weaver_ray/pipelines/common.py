@@ -166,16 +166,21 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, on: str | list[str],
 
 
 def bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
-    """Stable hash bucket of a key column.  hash_array treats object-dtype
-    and int64 arrays differently, and upstream concats can coerce either
-    side of a co-shuffle to object — normalize so equal keys always land in
-    the same bucket."""
-    if key.dtype == object:
-        try:
-            key = pd.to_numeric(key)
-        except (ValueError, TypeError):
-            key = key.astype(str)
-    return (pd.util.hash_array(key.to_numpy()) % num_buckets).astype(np.int64)
+    """Stable hash bucket of a key column: hash the STRING form of every
+    key, whatever the batch dtype.
+
+    The bucket must be a function of the KEY VALUE alone — never of the
+    batch it arrives in or the dtype a concat coerced it to.  The
+    previous whole-batch ``pd.to_numeric`` fallback violated that: a
+    batch holding only digit-parsable string keys (e.g. a 1-block side
+    whose tokens are years or IDs) hashed as INTEGERS while the same
+    keys in a mixed batch hashed as STRINGS, so equal keys landed in
+    different buckets and the co-shuffle silently dropped their joins.
+    String-canonical hashing is batch-independent and also keeps an
+    int64 column co-bucketed with an object-coerced copy of itself
+    (str(42) either way)."""
+    return (pd.util.hash_array(key.astype(str).to_numpy())
+            % num_buckets).astype(np.int64)
 
 
 def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.Dataset:

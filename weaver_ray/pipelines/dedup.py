@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.sketches import _splitmix64
-from .common import load, task_hash_exchange
+from .common import load, task_hash_exchange, unwrap_single_return
 
 _TOKEN_RE = re.compile(r"\w+")
 
@@ -503,8 +503,6 @@ def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
     edge_splits = [_cc_split_edges.options(num_returns=k).remote(r, k)
                    for r in edges_src_dst.to_arrow_refs()]
     if k == 1:  # num_returns=1 yields ONE ref to the whole returned list
-        from .common import unwrap_single_return
-
         node_splits = [[unwrap_single_return.remote(s)] for s in node_splits]
         edge_splits = [[unwrap_single_return.remote(s)] for s in edge_splits]
     statics = [
@@ -523,8 +521,6 @@ def connected_components_ds(nodes: rd.Dataset, edges_src_dst: rd.Dataset,
             for q in range(k)
         ]
         if k == 1:
-            from .common import unwrap_single_return
-
             props = [[unwrap_single_return.remote(r)] for r in props]
         outs = [
             _cc_apply.options(num_returns=k + 2).remote(
@@ -794,7 +790,9 @@ def embedding_near_dup_pairs_ds(sf_dir: str, band: int = 100, threshold: float =
     tagged = ds.map_batches(tag, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:  # np.stack crashes on an empty list
+        if g.empty:  # belt-and-braces only: map_groups never delivers an
+            # empty group today, but np.stack([]) would crash if a future
+            # caller moved this fn onto an exchange-style partitioner
             return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
                                  "vec_b": pd.Series([], dtype=np.int64)})
         g = g.sort_values("vec_id")

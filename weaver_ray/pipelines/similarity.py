@@ -305,6 +305,11 @@ def label_centroids(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     ds = load(sf_dir, "embeddings", ["label", "embedding"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:  # np.stack needs at least one array
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
         m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         lab = t["label"].to_numpy()
         uniq, inv = np.unique(lab, return_inverse=True)

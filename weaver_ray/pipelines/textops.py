@@ -463,10 +463,23 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, c: int = 200,
         ds.map_batches(summarize, batch_format="pandas"),
         ["token"], {"n": ("n", "sum")}, many_groups=True,
         num_buckets=num_buckets).to_pandas()
+    if "token" not in merged.columns:  # EMPTY documents table: to_pandas
+        merged = pd.DataFrame(         # of an all-empty Dataset drops the
+            {"token": pd.Series([], dtype=object),  # schema entirely
+             "n": pd.Series([], dtype=np.int64)})
     bound = int(merged.loc[merged["token"] == _SENTINEL, "n"].sum())
     est = merged[merged["token"] != _SENTINEL]
     top = est.sort_values(["n", "token"], ascending=[False, True]).head(k)
     top = top.rename(columns={"n": "est_n"}).reset_index(drop=True)
+
+    if top.empty:  # token-less corpus: an all-empty exchange output loses
+        return pd.DataFrame(  # the token column, so skip the exact pass
+            {"token": pd.Series([], dtype=object),
+             "est_n": pd.Series([], dtype=np.int64),
+             "exact_n": pd.Series([], dtype=np.int64),
+             "bound": pd.Series([], dtype=np.int64),
+             "bound_ok": pd.Series([], dtype=bool),
+             "in_exact_topk": pd.Series([], dtype=bool)})
 
     # exact counts for JUST the returned tokens (broadcast-small side):
     # one filtered pass, k rows per batch max
