@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": lambda sf: textops.heavy_hitter_tokens(sf, c=20),
         "tfidf_top_terms": textops.tfidf_top_terms,
         "quality_filter_docs": textops.quality_filter_docs,
+        "repetition_filter_docs": textops.repetition_filter_docs,
+        "contamination_overlap_docs": textops.contamination_overlap_docs,
         "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
@@ -1184,6 +1186,66 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE n_words >= 10 AND has_stop
               AND n_alpha::DOUBLE / greatest(n_words, 1) BETWEEN 2.0 AND 10.0
+        """,
+        # Gopher-style repetition gate over word n-grams: most-frequent
+        # bigram token coverage + duplicate-trigram fraction; thresholds
+        # compare ROUNDED values on both sides so the boundary agrees.
+        # DuckDB list slices are 1-based INCLUSIVE (ts[i:i+2] is 3 tokens)
+        "repetition_filter_docs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+                FROM documents
+            ),
+            base AS (SELECT doc_id, len(ts) AS n_tokens FROM toks),
+            big AS (
+                SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+                FROM toks, UNNEST(range(1, len(ts))) r(i)
+                WHERE len(ts) >= 2
+            ),
+            bc AS (
+                SELECT doc_id, max(c) AS max_bg FROM (
+                    SELECT doc_id, bg, count(*) AS c FROM big
+                    GROUP BY doc_id, bg
+                ) GROUP BY doc_id
+            ),
+            tri AS (
+                SELECT doc_id, array_to_string(ts[i:i + 2], ' ') AS tg
+                FROM toks, UNNEST(range(1, len(ts) - 1)) r(i)
+                WHERE len(ts) >= 3
+            ),
+            tc AS (
+                SELECT doc_id, count(*) AS n3, count(DISTINCT tg) AS d3
+                FROM tri GROUP BY doc_id
+            ),
+            f AS (
+                SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                       round(CASE WHEN coalesce(max_bg, 0) = 0 THEN 0.0
+                             ELSE 2.0 * max_bg / greatest(b.n_tokens, 1)
+                             END, 4) AS top2_frac,
+                       round(CASE WHEN coalesce(n3, 0) = 0 THEN 0.0
+                             ELSE 1.0 - d3::DOUBLE / n3 END, 4) AS dup3_frac
+                FROM base b
+                LEFT JOIN bc USING (doc_id) LEFT JOIN tc USING (doc_id)
+            )
+            SELECT * FROM f WHERE top2_frac <= 0.10 AND dup3_frac <= 0.01
+        """,
+        # decontamination: distinct shared word 4-grams between each
+        # training doc and the doc_id%53==0 "benchmark" subset
+        "contamination_overlap_docs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(ts[i:i + 3], ' ') AS g
+                FROM toks, UNNEST(range(1, len(ts) - 2)) r(i)
+                WHERE len(ts) >= 4
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM (
+                SELECT DISTINCT doc_id, g FROM grams
+                WHERE doc_id % 53 <> 0 AND g IN (SELECT g FROM bench)
+            ) GROUP BY doc_id
         """,
         # tf-idf: tf * ln(N/df) over lowercase \\w+ tokens; ties pinned
         # (tf_idf desc, token asc); df = docs containing the token

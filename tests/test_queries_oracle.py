@@ -188,3 +188,51 @@ def test_heavy_hitter_tokens_bounds(ray_session):
     # deterministic output
     again = heavy_hitter_tokens(sf, k=10, c=5)
     assert tight.equals(again)
+
+
+def test_repetition_filter_blocks_boilerplate(ray_session, tmp_path):
+    """Gopher-style gate: a top-bigram-dominated doc and a duplicate-
+    trigram-dominated doc are dropped; varied text passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import repetition_filter_docs
+
+    clean = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray")  # 24 distinct words
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["buy now " * 50, clean, "a b c " * 30],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = repetition_filter_docs(str(tmp_path)).to_pandas()
+    assert set(out["doc_id"]) == {2}
+    row = out.set_index("doc_id").loc[2]
+    assert row["n_tokens"] == 24
+    assert row["dup3_frac"] == 0.0
+
+
+def test_contamination_overlap_counts_shared_grams(ray_session, tmp_path):
+    """Decontamination check: a doc sharing two distinct word 4-grams with
+    the benchmark subset (doc_id % 53 == 0) is flagged with that exact
+    count; disjoint docs are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import contamination_overlap_docs
+
+    bench = "zulu yankee xray whiskey victor uniform"
+    docs = pa.table({
+        "doc_id": pa.array([0, 7, 9], pa.int64()),  # 0 -> benchmark side
+        "text": [bench,
+                 "prefix zulu yankee xray whiskey victor suffix suffix",
+                 "totally clean words nothing shared here at all"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = contamination_overlap_docs(str(tmp_path)).to_pandas()
+    assert set(out["doc_id"]) == {7}
+    # shared 4-grams: "zulu yankee xray whiskey" and "yankee xray whiskey
+    # victor"; the benchmark's "xray whiskey victor uniform" does NOT occur
+    # in doc 7 ("...victor suffix") -> exactly 2
+    assert int(out.set_index("doc_id").loc[7, "n_overlap"]) == 2

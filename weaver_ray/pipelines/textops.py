@@ -505,3 +505,128 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, c: int = 200,
     out["in_exact_topk"] = out["token"].isin(exact_topk)
     return out.sort_values(["est_n", "token"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+# token class shared by the repetition / contamination operators — identical
+# under Python re and DuckDB RE2 (no unicode \w classes)
+REP_TOKEN_RE = r"[A-Za-z0-9_]+"
+
+
+def repetition_filter_docs(sf_dir: str, max_top2_frac: float = 0.10,
+                           max_dup3_frac: float = 0.01) -> rd.Dataset:
+    """Gopher-style repetition FILTER (Rae et al. 2021 §A1.1 heuristics,
+    adapted to word n-grams): keep documents whose most-frequent word
+    BIGRAM covers <= ``max_top2_frac`` of tokens AND whose duplicate
+    TRIGRAM fraction (1 - distinct/total 3-grams) is <= ``max_dup3_frac``;
+    repetitive boilerplate fails both.  Features ride along for audit.
+
+    Engine shape: ONE map_batches — per-doc metrics never cross batches, so
+    the whole filter is embarrassingly parallel with zero shuffles.  Inside
+    a batch the n-gram statistics are ONE exploded token frame + vectorized
+    shifted-concat n-gram construction + two pandas groupbys (no per-doc
+    Python loop).  Thresholds compare ROUNDED values so the engine and the
+    SQL oracle agree at the boundary."""
+    from itertools import chain
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(REP_TOKEN_RE)
+        n_tok = toks.map(len).to_numpy(np.int64)
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        doc = np.repeat(doc_ids, n_tok)
+        tok = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+        dser = pd.Series(doc)
+        same1 = (dser.shift(-1) == dser).to_numpy()
+        same2 = (dser.shift(-2) == dser).to_numpy()
+        bg = tok + " " + tok.shift(-1)
+        tg = bg + " " + tok.shift(-2)
+        bgf = pd.DataFrame({"doc": doc, "bg": bg})[same1]
+        max_bg = (bgf.groupby(["doc", "bg"], sort=False).size()
+                  .groupby("doc").max())
+        tgf = pd.DataFrame({"doc": doc, "tg": tg})[same1 & same2]
+        g3 = tgf.groupby("doc", sort=False)["tg"]
+        n3, d3 = g3.size(), g3.nunique()
+        base = pd.DataFrame({"doc_id": doc_ids, "n_tokens": n_tok})
+        base["max_bg"] = base["doc_id"].map(max_bg).fillna(0).to_numpy(np.int64)
+        base["n3"] = base["doc_id"].map(n3).fillna(0).to_numpy(np.int64)
+        base["d3"] = base["doc_id"].map(d3).fillna(0).to_numpy(np.int64)
+        top2 = np.where(base["max_bg"] > 0,
+                        2.0 * base["max_bg"] / base["n_tokens"].clip(lower=1),
+                        0.0)
+        dup3 = np.where(base["n3"] > 0,
+                        1.0 - base["d3"] / base["n3"].clip(lower=1), 0.0)
+        base["top2_frac"] = sql_round(pd.Series(top2), 4)
+        base["dup3_frac"] = sql_round(pd.Series(dup3), 4)
+        keep = ((base["top2_frac"] <= max_top2_frac)
+                & (base["dup3_frac"] <= max_dup3_frac)).to_numpy()
+        return base[["doc_id", "n_tokens", "top2_frac", "dup3_frac"]][keep]
+
+    return ds.map_batches(feats, batch_format="pandas")
+
+
+def contamination_overlap_docs(sf_dir: str, n: int = 4,
+                               modulus: int = 53) -> rd.Dataset:
+    """Benchmark DECONTAMINATION check (the n-gram-overlap gate every
+    training-data pipeline runs before release): flag training documents
+    that share any word ``n``-gram with the "benchmark" subset
+    (``doc_id % modulus == 0`` — a deterministic stand-in for an eval set),
+    returning ``(doc_id, n_overlap)`` with n_overlap = distinct shared
+    n-grams.
+
+    Scale shape: the benchmark n-gram set is built by one distributed
+    distinct pass and BROADCAST once via ``ray.put`` (eval sets are small
+    by definition — MB, not TB); the training-side scan is ONE map_batches
+    with a vectorized hash-set membership probe per batch.  Zero shuffles
+    end to end.  At 100 TB the broadcast payload would be u64 n-gram
+    hashes; literal strings here keep the DuckDB oracle exact."""
+    from itertools import chain
+
+    import ray
+
+    from .common import _cached_get
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grams(df: pd.DataFrame, bench_side: bool) -> pd.DataFrame:
+        sel = (df["doc_id"] % modulus == 0) == bench_side
+        sub = df[sel.to_numpy()]
+        toks = sub["text"].str.findall(REP_TOKEN_RE)
+        cnt = (toks.map(len) - (n - 1)).clip(lower=0).to_numpy(np.int64)
+        doc = np.repeat(sub["doc_id"].to_numpy(np.int64), cnt)
+        tok = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+        parts = [tok.shift(-i) for i in range(n)]
+        gram_all = parts[0].str.cat(parts[1:], sep=" ")
+        # valid gram start positions: within-doc offsets 0..len-n
+        starts = np.concatenate(
+            [np.arange(c) for c in cnt]) if len(cnt) else np.zeros(0, np.int64)
+        offs = np.concatenate(
+            [np.full(c, o) for c, o in zip(
+                cnt, np.concatenate(([0], np.cumsum(
+                    toks.map(len).to_numpy(np.int64))[:-1])))]
+        ) if len(cnt) else np.zeros(0, np.int64)
+        if not len(doc):
+            # typed empty (string, not object): Ray's block size estimator
+            # chokes (noisily, non-fatally) on empty object columns
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "g": pd.Series([], dtype="string")})
+        grams = gram_all.to_numpy()[offs + starts]
+        return pd.DataFrame({"doc_id": doc, "g": grams}).drop_duplicates()
+
+    bench_pdf = (ds.map_batches(lambda df: _grams(df, True)[["g"]],
+                                batch_format="pandas")
+                 .to_pandas())  # distinct grams of the SMALL benchmark side
+    bench_set = frozenset(bench_pdf["g"]) if len(bench_pdf) else frozenset()
+    bench_ref = ray.put(bench_set)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bset = _cached_get(bench_ref)
+        pairs = _grams(df, False)
+        hit = pairs[pairs["g"].isin(bset)]
+        out = hit.groupby("doc_id", sort=False).size().reset_index(
+            name="n_overlap")
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["n_overlap"] = out["n_overlap"].astype(np.int64)
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")

@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 from .. import config
 from ..functions.canonicalize import host_batch, url_hash_batch
 from ..schema import FRONTIER_SCHEMA
-from ..sources.corpus import children_of, seed_image_ids, url_of, url_type_of
+from ..sources.corpus import (children_of, seed_image_ids, url_of,
+                              url_of_batch, url_type_of)
 
 PRIORITY_DECAY = 0.8
 PRIORITY_FLOOR = 0.05
@@ -56,7 +57,6 @@ def extract_children(batch: pa.Table, corpus_size: int, n_hosts: int = config.N_
     Input needs only narrow columns (url_canon, url_type, fetch_status,
     round, depth, priority) — the caller must NOT route image bytes through
     this stage."""
-    urls, hashes_parent, depths, prios, rounds = [], [], [], [], []
     ok = pc.equal(batch.column("fetch_status"), "ok")
     keep = batch.filter(ok)
     canon = keep.column("url_canon").to_pylist()
@@ -65,16 +65,30 @@ def extract_children(batch: pa.Table, corpus_size: int, n_hosts: int = config.N_
     depth_arr = keep.column("depth").to_numpy(zero_copy_only=False)
     prio_arr = keep.column("priority").to_numpy(zero_copy_only=False)
     round_arr = keep.column("round").to_numpy(zero_copy_only=False)
+    # per-parent handler calls stay (they are the extension surface and the
+    # sha1 link-graph semantics); everything derived from the parent row is
+    # vectorized via an np.repeat index instead of per-child Python appends
+    child_ids: list[str] = []
+    counts = np.zeros(len(canon), np.int64)
     for i, c in enumerate(canon):
         handler = _HANDLERS.get(utypes[i])
         if handler is None:  # unknown type -> log+drop (reference behavior)
             continue
-        for child_id in handler(c, corpus_size):
-            urls.append(url_of(child_id, n_hosts))
-            hashes_parent.append(parent_hashes[i])
-            depths.append(depth_arr[i] + 1)
-            prios.append(max(PRIORITY_FLOOR, round(float(prio_arr[i]) * PRIORITY_DECAY, 6)))
-            rounds.append(round_arr[i] + 1)
+        ids = handler(c, corpus_size)
+        counts[i] = len(ids)
+        child_ids.extend(ids)
+    idx = np.repeat(np.arange(len(canon), dtype=np.int64), counts)
+    urls = url_of_batch(child_ids, n_hosts)
+    # priority decay must equal the scalar path bit-for-bit: Python round()
+    # (correctly-rounded half-even) per UNIQUE parent priority — priorities
+    # take a handful of distinct decay^r values, so this is O(uniq)
+    uvals = np.unique(prio_arr) if len(prio_arr) else prio_arr
+    umap = np.array(
+        [max(PRIORITY_FLOOR, round(float(v) * PRIORITY_DECAY, 6)) for v in uvals],
+        np.float32,
+    )
+    prios = umap[np.searchsorted(uvals, prio_arr[idx])] if len(idx) else \
+        np.zeros(0, np.float32)
     canon_children = urls  # url_of emits canonical form already
     return pa.table(
         {
@@ -82,14 +96,14 @@ def extract_children(batch: pa.Table, corpus_size: int, n_hosts: int = config.N_
             "url_canon": pa.array(canon_children, pa.string()),
             "url_hash": pa.array(url_hash_batch(canon_children), pa.uint64()),
             "host": pa.array(host_batch(canon_children), pa.string()),
-            "depth": pa.array(depths, pa.int32()),
+            "depth": pa.array((depth_arr[idx] + 1).astype(np.int32), pa.int32()),
             "url_type": pa.array(
-                [url_type_of(u.rsplit("/", 1)[-1]) for u in canon_children], pa.string()
+                [url_type_of(i) for i in child_ids], pa.string()
             ),
-            "priority": pa.array(np.asarray(prios, np.float32), pa.float32()),
+            "priority": pa.array(prios, pa.float32()),
             "seq": pa.array(np.full(len(urls), -1, np.int64), pa.int64()),
-            "round": pa.array(np.asarray(rounds, np.int32), pa.int32()),
-            "parent_hash": pa.array(np.asarray(hashes_parent, np.uint64), pa.uint64()),
+            "round": pa.array((round_arr[idx] + 1).astype(np.int32), pa.int32()),
+            "parent_hash": pa.array(parent_hashes[idx].astype(np.uint64), pa.uint64()),
         },
         schema=FRONTIER_SCHEMA,
     )
