@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": textops.quality_filter_docs,
         "repetition_filter_docs": textops.repetition_filter_docs,
         "contamination_overlap_docs": textops.contamination_overlap_docs,
+        "unigram_logprob_docs": textops.unigram_logprob_docs,
         "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
@@ -1246,6 +1247,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, g FROM grams
                 WHERE doc_id % 53 <> 0 AND g IN (SELECT g FROM bench)
             ) GROUP BY doc_id
+        """,
+        # CCNet-style LM filter statistic: mean unigram log-probability per
+        # doc under the corpus's own unigram model; docs with zero tokens
+        # drop out on both sides (the join has nothing to score)
+        "unigram_logprob_docs": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '{TOK}')) AS token
+                FROM documents
+            ),
+            cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT sum(n)::DOUBLE AS n FROM cnt)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(c.n / tot.n)), 4) AS avg_logprob
+            FROM tok t JOIN cnt c USING (token), tot
+            GROUP BY t.doc_id
         """,
         # tf-idf: tf * ln(N/df) over lowercase \\w+ tokens; ties pinned
         # (tf_idf desc, token asc); df = docs containing the token

@@ -236,3 +236,24 @@ def test_contamination_overlap_counts_shared_grams(ray_session, tmp_path):
     # victor"; the benchmark's "xray whiskey victor uniform" does NOT occur
     # in doc 7 ("...victor suffix") -> exactly 2
     assert int(out.set_index("doc_id").loc[7, "n_overlap"]) == 2
+
+
+def test_unigram_logprob_hand_computed(ray_session, tmp_path):
+    """Unigram LM score on a hand-checkable corpus: counts aa=2 bb=2 cc=1
+    (total 5); doc 1 = 'aa aa bb' -> mean ln(0.4); doc 2 = 'bb cc' ->
+    (ln 0.4 + ln 0.2)/2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import unigram_logprob_docs
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["aa aa bb", "bb cc"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = unigram_logprob_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[2, "n_tokens"] == 2
+    assert out.loc[1, "avg_logprob"] == round(np.log(0.4), 4)
+    assert out.loc[2, "avg_logprob"] == -1.2629

@@ -512,6 +512,61 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 20, c: int = 200,
 REP_TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
+def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
+    """Model-based quality score (the CCNet/KenLM-filter shape with the
+    simplest possible LM): score each document by the mean log-probability
+    of its tokens under a UNIGRAM model learned from the corpus itself.
+    Low scores mark rare-token noise; training-data pipelines threshold
+    on exactly this statistic.
+
+    Scale shape — model small, corpus huge: token counts come from the
+    existing partial-agg wordcount (one shuffle of (token, batch) partial
+    rows), the resulting logprob TABLE (vocabulary-sized — MB even for
+    web-scale vocabularies after min-count pruning) is broadcast once via
+    ``ray.put``, and scoring is ONE map_batches with a vectorized
+    dict-map + grouped mean per batch.  Rounded to 4 dp on both sides so
+    FP summation order can't flip the value-hash."""
+    import ray
+
+    from .common import _cached_get
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.findall(TOKEN_RE).explode().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    cnt = partial_groupby(ds.map_batches(counts, batch_format="pandas"),
+                          ["token"], {"n": ("n", "sum")},
+                          many_groups=True).to_pandas()
+    if len(cnt) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "n_tokens": pd.Series([], dtype=np.int64),
+             "avg_logprob": pd.Series([], dtype=np.float64)}))
+    total = float(cnt["n"].sum())
+    logp_ref = ray.put(dict(zip(
+        cnt["token"], np.log(cnt["n"].to_numpy(np.float64) / total))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        logp = _cached_get(logp_ref)
+        toks = df["text"].str.findall(TOKEN_RE)
+        n_tok = toks.map(len).to_numpy(np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), n_tok)
+        flat = toks.explode().dropna()
+        lp = flat.map(logp).to_numpy(np.float64)
+        g = pd.DataFrame({"doc_id": doc, "lp": lp}).groupby(
+            "doc_id", sort=False)["lp"]
+        out = g.mean().reset_index(name="avg_logprob")
+        out["n_tokens"] = g.size().to_numpy(np.int64)
+        out["avg_logprob"] = sql_round(out["avg_logprob"], 4)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out[["doc_id", "n_tokens", "avg_logprob"]]
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def repetition_filter_docs(sf_dir: str, max_top2_frac: float = 0.10,
                            max_dup3_frac: float = 0.01) -> rd.Dataset:
     """Gopher-style repetition FILTER (Rae et al. 2021 §A1.1 heuristics,
