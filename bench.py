@@ -66,6 +66,9 @@ QUERY_NAMES = [
     "customer_value_ntiles",
     "customer_order_profile",
     "quality_filter_docs",
+    "repetition_filter_docs",
+    "contamination_overlap_docs",
+    "unigram_logprob_docs",
     "multimodal_joint_pairs",
     "image_decode_stats",
     "image_phash_clusters",
