@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter_docs": textops.repetition_filter_docs,
         "contamination_overlap_docs": textops.contamination_overlap_docs,
         "unigram_logprob_docs": textops.unigram_logprob_docs,
+        # composed curation flagship: quality ∩ repetition ∩ exact-keeper
+        # ∩ near-dup canonical, one flag shuffle on top of the four legs
+        "curated_docs": textops.curated_docs,
         "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # near-dup family
@@ -1247,6 +1250,81 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, g FROM grams
                 WHERE doc_id % 53 <> 0 AND g IN (SELECT g FROM bench)
             ) GROUP BY doc_id
+        """,
+        # composed curation pipeline: INTERSECT of the four stage oracles
+        # (quality gate, repetition gate, exact-dup keeper, near-dup
+        # canonical) — each restated with the SAME semantics as its
+        # standalone entry so the composition certifies the chain
+        "curated_docs": f"""
+            WITH RECURSIVE
+            qual AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                           regexp_matches(text, '{STOP}') AS has_stop
+                    FROM documents)
+                WHERE n_words >= 10 AND has_stop
+                  AND n_alpha::DOUBLE / greatest(n_words, 1) BETWEEN 2.0 AND 10.0
+            ),
+            rtoks AS (SELECT doc_id,
+                             regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+                      FROM documents),
+            rbase AS (SELECT doc_id, len(ts) AS n_tokens FROM rtoks),
+            rbig AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+                     FROM rtoks, UNNEST(range(1, len(ts))) r(i)
+                     WHERE len(ts) >= 2),
+            rbc AS (SELECT doc_id, max(c) AS max_bg FROM (
+                        SELECT doc_id, bg, count(*) AS c FROM rbig
+                        GROUP BY doc_id, bg) GROUP BY doc_id),
+            rtri AS (SELECT doc_id, array_to_string(ts[i:i + 2], ' ') AS tg
+                     FROM rtoks, UNNEST(range(1, len(ts) - 1)) r(i)
+                     WHERE len(ts) >= 3),
+            rtc AS (SELECT doc_id, count(*) AS n3, count(DISTINCT tg) AS d3
+                    FROM rtri GROUP BY doc_id),
+            rep AS (
+                SELECT doc_id FROM (
+                    SELECT b.doc_id,
+                           round(CASE WHEN coalesce(max_bg, 0) = 0 THEN 0.0
+                                 ELSE 2.0 * max_bg / greatest(b.n_tokens, 1)
+                                 END, 4) AS top2_frac,
+                           round(CASE WHEN coalesce(n3, 0) = 0 THEN 0.0
+                                 ELSE 1.0 - d3::DOUBLE / n3 END, 4) AS dup3_frac
+                    FROM rbase b
+                    LEFT JOIN rbc USING (doc_id) LEFT JOIN rtc USING (doc_id))
+                WHERE top2_frac <= 0.10 AND dup3_frac <= 0.01
+            ),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+                        GROUP BY md5(text)),
+            tsets AS (SELECT doc_id,
+                             list_distinct(regexp_extract_all(text, '{TOK}')) AS ts
+                      FROM documents),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM tsets a JOIN tsets b ON b.doc_id - a.doc_id BETWEEN 1 AND 50
+                WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2
+            ),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach AS (SELECT doc_id, doc_id AS r FROM documents
+                      UNION
+                      SELECT e.dst AS doc_id, reach.r
+                      FROM reach JOIN edges e ON e.src = reach.doc_id),
+            lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
+                    GROUP BY doc_id),
+            canon AS (
+                SELECT doc_id FROM (
+                    SELECT l.doc_id,
+                           row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY d.n_chars DESC, l.doc_id) AS rn
+                    FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+                WHERE rn = 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM qual
+            INTERSECT SELECT CAST(doc_id AS BIGINT) FROM rep
+            INTERSECT SELECT CAST(doc_id AS BIGINT) FROM keepers
+            INTERSECT SELECT CAST(doc_id AS BIGINT) FROM canon
         """,
         # CCNet-style LM filter statistic: mean unigram log-probability per
         # doc under the corpus's own unigram model; docs with zero tokens

@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "repetition_filter_docs",
     "contamination_overlap_docs",
     "unigram_logprob_docs",
+    "curated_docs",
     "multimodal_joint_pairs",
     "image_decode_stats",
     "image_phash_clusters",

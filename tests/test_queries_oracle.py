@@ -238,6 +238,22 @@ def test_contamination_overlap_counts_shared_grams(ray_session, tmp_path):
     assert int(out.set_index("doc_id").loc[7, "n_overlap"]) == 2
 
 
+def test_curated_docs_is_stage_intersection(ray_session):
+    """The composed curation pipeline equals the set intersection of its
+    four stage outputs (and is non-trivial at sf0.001)."""
+    from weaver_ray.pipelines import textops
+    from weaver_ray.pipelines.dedup import neardup_canonical_docs_ds
+
+    sf = "/root/testdata/sf0.001"
+    cur = set(textops.curated_docs(sf).to_pandas()["doc_id"])
+    q = set(textops.quality_filter_docs(sf).to_pandas()["doc_id"])
+    r = set(textops.repetition_filter_docs(sf).to_pandas()["doc_id"])
+    e = set(textops.exact_dedup_docs(sf).to_pandas()["keeper_doc_id"])
+    n = set(neardup_canonical_docs_ds(sf).to_pandas()["doc_id"])
+    assert cur == q & r & e & n
+    assert 0 < len(cur) < 500  # the gates actually drop documents
+
+
 def test_unigram_logprob_hand_computed(ray_session, tmp_path):
     """Unigram LM score on a hand-checkable corpus: counts aa=2 bb=2 cc=1
     (total 5); doc 1 = 'aa aa bb' -> mean ln(0.4); doc 2 = 'bb cc' ->

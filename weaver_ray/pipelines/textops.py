@@ -620,6 +620,48 @@ def repetition_filter_docs(sf_dir: str, max_top2_frac: float = 0.10,
     return ds.map_batches(feats, batch_format="pandas")
 
 
+def curated_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """END-TO-END curation pipeline — the composed flagship of the text
+    axis: a document survives iff it (1) passes the C4-style quality gate
+    (:func:`quality_filter_docs`), (2) passes the Gopher-style repetition
+    gate (:func:`repetition_filter_docs`), (3) is its exact-duplicate
+    group's keeper (:func:`exact_dedup_docs`), and (4) is its near-dup
+    cluster's canonical representative
+    (:func:`~weaver_ray.pipelines.dedup.neardup_canonical_docs_ds`).
+
+    The composition itself adds ONE hash shuffle of tiny (doc_id, stage)
+    flag rows: each stage's survivor set unions into a flag stream, and a
+    bucketed groupby keeps doc_ids carrying all four flags (each stage
+    emits a doc_id at most once, so count(distinct)==4 == intersection).
+    No stage materializes documents on the driver; at 100 TB each input
+    leg is the already-scale-audited operator."""
+    from .common import keyed_map_groups
+    from .dedup import neardup_canonical_docs_ds
+
+    def flag(ds: rd.Dataset, col: str, tag: int) -> rd.Dataset:
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df[col].to_numpy(np.int64),
+                "stage": np.full(len(df), tag, np.int8),
+            })
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    flags = (
+        flag(quality_filter_docs(sf_dir), "doc_id", 0)
+        .union(flag(repetition_filter_docs(sf_dir), "doc_id", 1))
+        .union(flag(exact_dedup_docs(sf_dir), "keeper_doc_id", 2))
+        .union(flag(neardup_canonical_docs_ds(sf_dir), "doc_id", 3))
+    )
+
+    def keep_all_four(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = bucket.groupby("doc_id", sort=False)["stage"].nunique()
+        out = n[n == 4].index.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": out})
+
+    return keyed_map_groups(flags, "doc_id", keep_all_four, num_buckets)
+
+
 def contamination_overlap_docs(sf_dir: str, n: int = 4,
                                modulus: int = 53) -> rd.Dataset:
     """Benchmark DECONTAMINATION check (the n-gram-overlap gate every
