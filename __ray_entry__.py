@@ -1303,7 +1303,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM tsets a JOIN tsets b ON b.doc_id - a.doc_id BETWEEN 1 AND 50
                 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2
+                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
             ),
             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                       UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -634,7 +634,13 @@ def curated_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     bucketed groupby keeps doc_ids carrying all four flags (each stage
     emits a doc_id at most once, so count(distinct)==4 == intersection).
     No stage materializes documents on the driver; at 100 TB each input
-    leg is the already-scale-audited operator."""
+    leg is the already-scale-audited operator.
+
+    The near-dup leg runs at Jaccard >= 0.8 (essentially-duplicate
+    retention, the conservative curation setting) rather than the
+    pair-emission default 0.2: the synthetic corpus is uniformly similar
+    enough that 0.2 chains ALL documents into one cluster (one canonical
+    survivor — a degenerate, if correct, composition)."""
     from .common import keyed_map_groups
     from .dedup import neardup_canonical_docs_ds
 
@@ -651,7 +657,8 @@ def curated_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         flag(quality_filter_docs(sf_dir), "doc_id", 0)
         .union(flag(repetition_filter_docs(sf_dir), "doc_id", 1))
         .union(flag(exact_dedup_docs(sf_dir), "keeper_doc_id", 2))
-        .union(flag(neardup_canonical_docs_ds(sf_dir), "doc_id", 3))
+        .union(flag(neardup_canonical_docs_ds(sf_dir, threshold=0.8),
+                    "doc_id", 3))
     )
 
     def keep_all_four(bucket: pd.DataFrame) -> pd.DataFrame:
