@@ -310,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": textops.curated_docs,
         "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
+        # mixture construction / data ordering / sequence packing
+        "weighted_source_mix": textops.weighted_source_mix,
+        "deterministic_shuffle_docs": textops.deterministic_shuffle_docs,
+        "token_budget_bins": textops.token_budget_bins,
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
@@ -325,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "embedding_norm_stats": similarity.embedding_norm_stats,
         "label_centroids": similarity.label_centroids,
+        # full exact kNN graph (every vector's top-k neighbor edge set)
+        "knn_graph": similarity.knn_graph,
         # crawl engine (stateful; rows-only by design, but parity is
         # self-evidenced by crawl_oracle_parity's verdict columns)
         "crawl_flagship_seen": _crawl_seen,
@@ -343,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_joint_pairs": images.multimodal_joint_pairs,
         "corpus_format_stats": images.corpus_format_stats,
         "caption_stats_by_fmt": images.caption_stats_by_fmt,
+        # per-image decoded-geometry certificate (engine decodes the
+        # binary payload; oracle reads the declared columns)
+        "image_decoded_dims": images.image_decoded_dims,
         # audio axis: REAL WAV/PCM16 corpus (pure-numpy RIFF codec).
         # audio_wav_stats has a full SQL oracle (canonical-header container
         # arithmetic); audio_wav_features is self-evidencing (per-row
@@ -670,6 +679,14 @@ def _image_sql() -> dict[str, str]:
             SELECT n.image_id, CAST(min(reach.r) AS BIGINT) AS cluster_id
             FROM reach JOIN nodes n ON n.nid = reach.nid
             GROUP BY n.image_id
+        """,
+        # engine DECODES every blob with the real codecs; the oracle reads
+        # the table's declared dims — equality certifies each decode's
+        # geometry (the video_avi_stats pattern on the image axis)
+        "image_decoded_dims": f"""
+            SELECT image_id, fmt, CAST(w AS BIGINT) AS dec_w,
+                   CAST(h AS BIGINT) AS dec_h
+            FROM read_parquet('{base}')
         """,
         "corpus_format_stats": f"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
@@ -1380,6 +1397,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) t
             WHERE rn <= 20
         """,
+        # weighted mixture: md5-threshold Bernoulli gate, rate from srcN
+        "weighted_source_mix": """
+            SELECT doc_id, source,
+                   (CAST(substr(source, 4) AS BIGINT) % 10 + 1) / 10.0 AS rate
+            FROM documents
+            WHERE ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000
+                  < (CAST(substr(source, 4) AS BIGINT) % 10 + 1) / 10.0 * 10000
+        """,
+        # deterministic global shuffle: rank by md5(doc_id)
+        "deterministic_shuffle_docs": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+                   AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
+        # sequence packing: bin = exclusive prefix token sum // budget
+        "token_budget_bins": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{TOK}')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 2048
+                   AS BIGINT) AS bin
+            FROM t
+        """,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash,
                    CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
@@ -1518,5 +1568,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
                 WHERE q.vec_id < 5) t
             WHERE rn <= 10
+        """,
+        # full kNN graph: EVERY vector is a query (the oracle pays the
+        # all-pairs join the engine's broadcast-matmul scan streams)
+        "knn_graph": """
+            SELECT vec_id, neighbor_id FROM (
+                SELECT q.vec_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id) t
+            WHERE rn <= 5
         """,
     }

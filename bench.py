@@ -70,6 +70,10 @@ QUERY_NAMES = [
     "contamination_overlap_docs",
     "unigram_logprob_docs",
     "curated_docs",
+    "knn_graph",
+    "token_budget_bins",
+    "weighted_source_mix",
+    "deterministic_shuffle_docs",
     "multimodal_joint_pairs",
     "image_decode_stats",
     "image_phash_clusters",

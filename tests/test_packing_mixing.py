@@ -1,0 +1,128 @@
+"""Edge tests for the mixture / ordering / packing operators and the
+global_prefix_sum scan primitive (the parametrized oracle battery in
+test_queries_oracle covers their DuckDB value-hash conformance; these pin
+the semantics that SQL equality alone can't distinguish)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_prefix_sum_exclusive_many_blocks(ray_session):
+    """Exclusive semantics must hold across MANY small blocks (the offset
+    exchange is the thing under test, not the per-block cumsum)."""
+    from weaver_ray.pipelines.common import global_prefix_sum
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=257).astype(np.int64)
+    keys = rng.permutation(257).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})).repartition(13)
+    out = global_prefix_sum(ds, ["k"], "v").to_pandas().sort_values("k")
+    order = np.argsort(keys)
+    expect = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    np.testing.assert_array_equal(out["cum_before"].to_numpy(), expect)
+
+
+def test_global_prefix_sum_single_row_and_empty_block(ray_session):
+    from weaver_ray.pipelines.common import global_prefix_sum
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "v": [42]})).repartition(4)
+    out = global_prefix_sum(ds, ["k"], "v").to_pandas()
+    assert out["cum_before"].tolist() == [0]
+
+
+def test_token_budget_bins_monotone_and_budget_exact(ray_session):
+    """Bin ids must be non-decreasing in doc order and equal the pandas
+    recompute of cum_before // budget."""
+    from weaver_ray.pipelines.textops import TOKEN_RE, token_budget_bins
+
+    out = (token_budget_bins(SF, budget=512).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    n = docs["text"].str.count(TOKEN_RE).to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(n)[:-1]))
+    np.testing.assert_array_equal(out["bin"].to_numpy(), cum // 512)
+    assert (np.diff(out["bin"].to_numpy()) >= 0).all()
+    assert out["bin"].nunique() > 1  # the budget actually splits the corpus
+
+
+def test_deterministic_shuffle_is_permutation(ray_session):
+    from weaver_ray.pipelines.textops import deterministic_shuffle_docs
+
+    out = deterministic_shuffle_docs(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    assert sorted(out["shuffle_rank"]) == list(range(len(docs)))
+    # rank order == md5 order (the declared contract)
+    md5 = out["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    assert (out.assign(__k=md5).sort_values("shuffle_rank")["__k"]
+            .is_monotonic_increasing)
+
+
+def test_weighted_source_mix_rates_and_determinism(ray_session):
+    from weaver_ray.pipelines.textops import weighted_source_mix
+
+    a = weighted_source_mix(SF).to_pandas().sort_values("doc_id")
+    b = weighted_source_mix(SF).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    # rate-1.0 sources (srcN with N % 10 == 9) are kept in full
+    full = {s for s in docs["source"].unique() if int(s[3:]) % 10 == 9}
+    kept = a.groupby("source").size()
+    total = docs.groupby("source").size()
+    for s in full:
+        assert kept.get(s, 0) == total[s], s
+    # low-rate sources are actually thinned (rate 0.1 keeps ~10%)
+    low = {s for s in docs["source"].unique() if int(s[3:]) % 10 == 0}
+    for s in low:
+        assert kept.get(s, 0) < total[s] * 0.5, s
+
+
+def test_knn_graph_excludes_self_under_exact_duplicates(ray_session, tmp_path):
+    """Planted exact-duplicate vectors tie with the self match at cos=1.0;
+    the top-(k+1) prefix logic must still emit exactly k non-self
+    neighbors per vector, with the duplicate ranked first."""
+    from weaver_ray.pipelines.similarity import knn_graph
+
+    rng = np.random.default_rng(3)
+    E = rng.normal(size=(40, 8))
+    E[17] = E[3]          # exact duplicate pair
+    E[25] = E[3]          # triple: two ids tie at cos == 1.0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(40, dtype=np.int32)),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = knn_graph(str(tmp_path), k=5).to_pandas()
+    assert (out["vec_id"] != out["neighbor_id"]).all()
+    counts = out.groupby("vec_id").size()
+    assert (counts == 5).all() and len(counts) == 40
+    # the duplicates are each other's first neighbors (cos exactly 1.0)
+    for a, bs in ((3, {17, 25}), (17, {3, 25}), (25, {3, 17})):
+        nb = set(out[out["vec_id"] == a]["neighbor_id"].head(2))
+        assert nb == bs, (a, nb)
+
+
+def test_knn_graph_scale_gate_raises(ray_session, tmp_path):
+    from weaver_ray.pipelines.similarity import knn_graph
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+        "embedding": pa.array([[1.0, 0.0]] * 10, pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(10, dtype=np.int32)),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    with pytest.raises(NotImplementedError):
+        knn_graph(str(tmp_path), k=3, max_broadcast_rows=5)

@@ -282,6 +282,12 @@ def global_row_number(ds: rd.Dataset, keys: list[str],
         return t.num_rows
 
     counts = ray.get([_nrows.remote(r) for r in refs])
+    # drop zero-row blocks: an empty post-sort block can be SCHEMA-LESS
+    # (no columns) and would poison from_arrow_refs with a mixed schema
+    refs = [r for r, n in zip(refs, counts) if n]
+    counts = [n for n in counts if n]
+    if not refs:
+        return ds.limit(0), 0
     offsets = np.zeros(len(counts), dtype=np.int64)
     if len(counts) > 1:
         offsets[1:] = np.cumsum(counts[:-1])
@@ -293,6 +299,55 @@ def global_row_number(ds: rd.Dataset, keys: list[str],
 
     out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out), int(sum(counts))
+
+
+def global_prefix_sum(ds: rd.Dataset, keys: list[str], val_col: str,
+                      out_col: str = "cum_before",
+                      descending: bool | list[bool] = False) -> rd.Dataset:
+    """EXCLUSIVE global prefix sum of an int column in total sort order —
+    each row gets the sum of ``val_col`` over all STRICTLY PRIOR rows.
+
+    Same metadata-only exchange as :func:`global_row_number`: after the
+    distributed sort, only the per-block SUMS (one int per block) reach the
+    driver; a zero-cpu task per block stamps ``offset + local exclusive
+    cumsum``.  This is the scan primitive behind sequence packing /
+    token-budget binning (assigning documents to fixed-token training
+    chunks) — at 100 TB the driver traffic stays one scalar per block."""
+
+    mat = ds.sort(keys, descending=descending).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _blocksum(t: pa.Table) -> tuple[int, int]:
+        if t.num_rows == 0:
+            return 0, 0
+        import pyarrow.compute as pc
+
+        return t.num_rows, int(pc.sum(t.column(val_col)).as_py() or 0)
+
+    metas = ray.get([_blocksum.remote(r) for r in refs])
+    # drop zero-row blocks: an empty post-sort block can be SCHEMA-LESS
+    # (no columns), which would crash the stamp and corrupt from_arrow_refs
+    refs = [r for r, (n, _) in zip(refs, metas) if n]
+    sums = np.asarray([s for n, s in metas if n], dtype=np.int64)
+    if not refs:          # fully-empty input: nothing to stamp
+        return mat
+    offsets = np.zeros(len(sums), dtype=np.int64)
+    if len(sums) > 1:
+        offsets[1:] = np.cumsum(sums[:-1])
+
+    @ray.remote(num_cpus=0)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.empty(len(v), dtype=np.int64)
+        if len(v):
+            cum[0] = off
+            np.cumsum(v[:-1], out=cum[1:])
+            cum[1:] += off
+        return t.append_column(out_col, pa.array(cum))
+
+    out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
 
 
 @ray.remote(num_cpus=0)

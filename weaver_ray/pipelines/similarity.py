@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray
+import ray.data as rd
 
 from .common import load
 
@@ -334,3 +335,75 @@ def label_centroids(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
         "centroid": sql_round(g["s"] / g["n"], 4),
         "n": g["n"].astype(np.int64),
     }).sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def knn_graph(sf_dir: str, k: int = 5,
+              max_broadcast_rows: int = 500_000) -> rd.Dataset:
+    """Full kNN GRAPH over the embedding column: for EVERY vector, its
+    exact top-k cosine neighbors — the building block of semantic dedup,
+    graph-based clustering and coreset selection.
+
+    Engine shape: the id-SORTED normalized corpus matrix is broadcast once
+    (``ray.put``; N x 64 float64), then one matmul per streamed Arrow
+    batch — each batch emits its rows' final neighbor lists, so the
+    output is a Dataset with no shuffle and no driver materialization.
+    Selection is one STABLE ``argsort(-cos)`` per batch (the broadcast
+    side is pre-sorted by vec_id, so stability IS the (cos desc, vec_id
+    asc) tiebreak — fully vectorized over the batch, no per-row Python
+    ranking).  Self-matches are dropped from the top-(k+1) prefix, which
+    is exact even when exact-duplicate vectors tie with the self match.
+
+    Scale gate: the broadcast matrix is the whole corpus, so this exact
+    baseline is gated at ``max_broadcast_rows`` (500k x 64 f64 = 256 MB —
+    one object-store copy per node).  Past the gate the right composition
+    is IVF: assign both sides to cells with ann_ivf's trained centroids
+    and run this same batch-matmul within each probed cell (the
+    bucket+ghost pattern of embedding_near_dup_pairs) — documented here,
+    not silently degraded (the gate raises).
+
+    Like ann_bruteforce_topk the contract is the (vec_id, neighbor_id)
+    edge SET — cosine values and ranks are FP-precision-sensitive between
+    engines, so they are resolved internally and not emitted."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata
+    if meta.num_rows > max_broadcast_rows:
+        raise NotImplementedError(
+            f"knn_graph exact baseline gated at {max_broadcast_rows} rows "
+            f"(got {meta.num_rows}): compose with IVF cells past the gate")
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    G = _matrix(t.column("embedding").to_pylist())[order]
+    Gn = G / np.linalg.norm(G, axis=1, keepdims=True)
+    ref = ray.put((ids, Gn))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        ids, Gn = _cached_get(ref)
+        vid = df["vec_id"].to_numpy(np.int64)
+        E = _matrix(df["embedding"].to_numpy())
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cos = En @ Gn.T                      # (batch, N)
+        # stable sort on -cos: equal cosines keep broadcast (= vec_id asc)
+        # order, giving the deterministic (cos desc, id asc) rank
+        top = np.argsort(-cos, axis=1, kind="stable")[:, : k + 1]
+        nbr = ids[top]                       # (batch, k+1)
+        keep = nbr != vid[:, None]           # drop the self match
+        # rows where self was NOT in the prefix have k+1 non-self
+        # candidates: keep only the first k per row
+        extra = keep.cumsum(axis=1) > k
+        keep &= ~extra
+        src = np.repeat(vid, keep.sum(axis=1))
+        return pd.DataFrame({"vec_id": src,
+                             "neighbor_id": nbr[keep].astype(np.int64)})
+
+    return ds.map_batches(edges, batch_format="pandas")

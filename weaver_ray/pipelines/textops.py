@@ -734,3 +734,86 @@ def contamination_overlap_docs(sf_dir: str, n: int = 4,
         return out
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+def weighted_source_mix(sf_dir: str) -> rd.Dataset:
+    """Deterministic WEIGHTED MIXTURE sampling per source — the
+    dataset-mixing step of a training-data pipeline (upsample curated
+    sources, downsample noisy ones).  The keep decision is a pure hash
+    threshold, not RNG state: keep iff
+    ``int(md5(source + ':' + doc_id)[:8], 16) % 10000 < rate * 10000``,
+    so the selected subset is identical on any engine, any partitioning,
+    any retry (the md5-rank idiom of stratified_sample_docs applied as a
+    Bernoulli gate).  Source rates derive from the source name
+    (``srcN -> (N % 10 + 1) / 10``) standing in for a configured mixture
+    dict.  One embarrassingly parallel map_batches — no shuffle; at
+    100 TB this runs at read bandwidth."""
+    ds = load(sf_dir, "documents", ["doc_id", "source"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].to_numpy()
+        doc = df["doc_id"].to_numpy(np.int64)
+        rate = np.array([(int(s[3:]) % 10 + 1) / 10.0 for s in src])
+        h = np.array([int(hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:8], 16)
+                      % 10000 for s, d in zip(src, doc)], dtype=np.int64)
+        keep = h < rate * 10000
+        return pd.DataFrame({"doc_id": doc, "source": src,
+                             "rate": rate})[keep]
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+def deterministic_shuffle_docs(sf_dir: str) -> rd.Dataset:
+    """Global DETERMINISTIC SHUFFLE — the pre-training data-order step, as
+    a reproducible total order instead of RNG state: rank every document
+    by ``md5(doc_id)``.  Rides :func:`common.global_row_number`
+    (distributed sort + metadata-only per-block count exchange: one int
+    per block reaches the driver), so unlike ``ds.random_shuffle()`` the
+    result is bit-stable across engines, partitionings and retries — and
+    SQL-checkable (``row_number() OVER (ORDER BY md5(..))``)."""
+    from .common import global_row_number
+
+    ds = load(sf_dir, "documents", ["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "__k": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                    for d in df["doc_id"]],
+        })
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+    ranked, _ = global_row_number(keyed, ["__k"], rank_col="shuffle_rank")
+    return ranked.select_columns(["doc_id", "shuffle_rank"])
+
+
+def token_budget_bins(sf_dir: str, budget: int = 2048) -> rd.Dataset:
+    """SEQUENCE PACKING bin assignment: documents in doc_id order are
+    packed into fixed token-budget training chunks — doc i lands in bin
+    ``(sum of n_tokens of all prior docs) // budget``.  The global
+    EXCLUSIVE prefix sum is :func:`common.global_prefix_sum` (distributed
+    sort + one per-block SUM to the driver — the scan never ships rows),
+    making this the packing planner of an LM data pipeline at 100 TB:
+    bin ids are stable under any partitioning because the order key
+    (doc_id) and the scan are both deterministic."""
+    from .common import global_prefix_sum
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["text"].str.count(TOKEN_RE).to_numpy(np.int64),
+        })
+
+    toks = ds.map_batches(counts, batch_format="pandas")
+    cum = global_prefix_sum(toks, ["doc_id"], "n_tokens")
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "bin": (df["cum_before"].to_numpy(np.int64) // budget),
+        })
+
+    return cum.map_batches(binify, batch_format="pandas")
