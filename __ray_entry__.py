@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed curation flagship: quality ∩ repetition ∩ exact-keeper
         # ∩ near-dup canonical, one flag shuffle on top of the four legs
         "curated_docs": textops.curated_docs,
+        # curation ∘ sequence packing: the survivor set laid out into
+        # fixed token-budget training shards, end to end
+        "curated_packed_shards": textops.curated_packed_shards,
         "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
         # mixture construction / data ordering / sequence packing
@@ -331,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         # full exact kNN graph (every vector's top-k neighbor edge set)
         "knn_graph": similarity.knn_graph,
+        # one-pass distributed moment sweep -> d x d covariance (SQL) and
+        # top principal direction (self-evidencing residual verdicts)
+        "embedding_covariance": similarity.embedding_covariance,
+        "embedding_top_eigvec": similarity.embedding_top_eigvec,
         # crawl engine (stateful; rows-only by design, but parity is
         # self-evidenced by crawl_oracle_parity's verdict columns)
         "crawl_flagship_seen": _crawl_seen,
@@ -755,7 +762,7 @@ def oracle_sql() -> dict[str, str]:
     TOK = r"\w+"
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
-    return {
+    d = {
         # simhash is fully reconstructable in SQL because the token hash is
         # md5-based and the signature reduces to per-bit majorities; the
         # banded engine output equals brute force exactly for hamming<=3
@@ -1580,4 +1587,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id) t
             WHERE rn <= 5
         """,
+        # full d x d covariance: the oracle pays the double unnest +
+        # d^2-pair covar_samp the engine's one-pass moment sweep avoids
+        "embedding_covariance": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS e
+                FROM embeddings
+            )
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   round(covar_samp(a.e, b.e), 6) AS cov
+            FROM u a JOIN u b USING (vec_id)
+            GROUP BY a.dim, b.dim
+        """,
     }
+    # composed: pack the CURATED survivor set into fixed token-budget
+    # training shards — the oracle reuses curated_docs's SQL verbatim as a
+    # nested subquery, then applies the same exclusive-prefix-sum window
+    # as token_budget_bins over the survivors only
+    d["curated_packed_shards"] = f"""
+        WITH cur AS ({d["curated_docs"]}),
+        t AS (
+            SELECT d.doc_id,
+                   CAST(len(regexp_extract_all(d.text, '{TOK}')) AS BIGINT)
+                       AS n_tokens
+            FROM documents d JOIN cur USING (doc_id)
+        )
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) // 512
+               AS BIGINT) AS bin
+        FROM t
+    """
+    return d

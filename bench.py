@@ -71,6 +71,7 @@ QUERY_NAMES = [
     "unigram_logprob_docs",
     "curated_docs",
     "knn_graph",
+    "embedding_covariance",
     "token_budget_bins",
     "weighted_source_mix",
     "deterministic_shuffle_docs",

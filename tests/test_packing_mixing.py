@@ -126,3 +126,43 @@ def test_knn_graph_scale_gate_raises(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "embeddings.parquet")
     with pytest.raises(NotImplementedError):
         knn_graph(str(tmp_path), k=3, max_broadcast_rows=5)
+
+
+def test_embedding_top_eigvec_matches_numpy(ray_session):
+    """The distributed one-pass moment sweep + 64x64 eigensolve must agree
+    with numpy's eigh over the full in-memory table (golden cross-check;
+    the query's own residual_ok column is the in-row verdict)."""
+    from weaver_ray.pipelines.similarity import embedding_top_eigvec
+
+    out = embedding_top_eigvec(SF)
+    assert out["residual_ok"].all()
+    E = np.stack(pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"]
+                 .map(np.asarray)).astype(np.float64)
+    C = np.cov(E, rowvar=False, ddof=1)
+    w, V = np.linalg.eigh(C)
+    v_ref = V[:, -1]
+    v = out.sort_values("dim")["component"].to_numpy()
+    assert abs(abs(v @ v_ref) - 1.0) < 1e-9          # same direction
+    assert abs(out["lambda1"].iloc[0] - w[-1]) < 1e-9 * max(1.0, w[-1])
+    # explained-variance ratio consistent with the spectrum
+    assert abs(out["explained_var_ratio"].iloc[0] - w[-1] / w.sum()) < 1e-9
+
+
+def test_curated_packed_shards_is_packing_of_curated(ray_session):
+    """The composition must equal: curated survivor set, doc_id order,
+    exclusive prefix sum // budget (recomputed in pandas)."""
+    from weaver_ray.pipelines.textops import (TOKEN_RE, curated_docs,
+                                              curated_packed_shards)
+
+    cur = set(curated_docs(SF).to_pandas()["doc_id"])
+    out = (curated_packed_shards(SF, budget=512).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert set(out["doc_id"]) == cur
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs[docs["doc_id"].isin(cur)].sort_values("doc_id")
+    n = docs["text"].str.count(TOKEN_RE).to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(n)[:-1]))
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), n)
+    np.testing.assert_array_equal(out["bin"].to_numpy(), cum // 512)
+    assert out["bin"].nunique() > 1

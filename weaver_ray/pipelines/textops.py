@@ -817,3 +817,45 @@ def token_budget_bins(sf_dir: str, budget: int = 2048) -> rd.Dataset:
         })
 
     return cum.map_batches(binify, batch_format="pandas")
+
+
+def curated_packed_shards(sf_dir: str, budget: int = 512,
+                          num_buckets: int = 16) -> rd.Dataset:
+    """END-TO-END LM data-prep composition: the curated survivor set
+    (quality ∩ repetition ∩ exact-keeper ∩ near-dup canonical) PACKED
+    into fixed token-budget training shards — curate, then plan the
+    sequence-packing layout, as one pipeline.
+
+    Composition shape: curated_docs emits tiny (doc_id) rows; a bucketed
+    hash join attaches per-doc token counts (both sides distributed —
+    curated output is O(corpus) at 100 TB, so no broadcast); the bin
+    assignment is the :func:`common.global_prefix_sum` scan over the
+    SURVIVORS ONLY in doc_id order.  Every stage is an already-audited
+    distributed operator; the composition adds one hash shuffle and one
+    metadata-only scan exchange."""
+    from .common import global_prefix_sum, hash_join
+
+    cur = curated_docs(sf_dir, num_buckets=num_buckets)
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["text"].str.count(TOKEN_RE).to_numpy(np.int64),
+        })
+
+    toks = ds.map_batches(counts, batch_format="pandas")
+    joined = hash_join(cur, toks, on="doc_id", lcols=["doc_id"],
+                       rcols=["doc_id", "n_tokens"], how="inner",
+                       num_buckets=num_buckets)
+    cum = global_prefix_sum(joined, ["doc_id"], "n_tokens")
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "bin": (df["cum_before"].to_numpy(np.int64) // budget),
+        })
+
+    return cum.map_batches(binify, batch_format="pandas")
