@@ -166,3 +166,47 @@ def test_curated_packed_shards_is_packing_of_curated(ray_session):
     np.testing.assert_array_equal(out["n_tokens"].to_numpy(), n)
     np.testing.assert_array_equal(out["bin"].to_numpy(), cum // 512)
     assert out["bin"].nunique() > 1
+
+
+def test_scan_primitives_keep_schema_on_empty_input(ray_session):
+    """Fully-empty input (every post-sort block zero-row) must still emit
+    the contract columns — downstream binify/select_columns depend on it."""
+    from weaver_ray.pipelines.common import global_prefix_sum, global_row_number
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([], dtype=np.int64),
+         "v": pd.Series([], dtype=np.int64)}))
+    out = global_prefix_sum(empty, ["k"], "v")
+    # NB: assert on the Dataset schema — Dataset.to_pandas() on an
+    # all-empty result returns a 0-column frame (known Ray behavior)
+    assert out.schema().names == ["k", "v", "cum_before"]
+    assert out.count() == 0
+    ranked, n = global_row_number(empty, ["k"], rank_col="r")
+    assert ranked.schema().names == ["k", "v", "r"] and n == 0
+
+
+def test_covariance_rejects_degenerate_n(ray_session, tmp_path):
+    from weaver_ray.pipelines.similarity import embedding_covariance
+
+    t = pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float32())),
+        "label": pa.array([0], pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        embedding_covariance(str(tmp_path))
+
+
+def test_knn_graph_rejects_zero_norm(ray_session, tmp_path):
+    from weaver_ray.pipelines.similarity import knn_graph
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    with pytest.raises(ValueError, match="zero-norm"):
+        knn_graph(str(tmp_path), k=1)

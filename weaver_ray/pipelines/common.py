@@ -257,6 +257,29 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         both, lambda df: df["__bucket"].to_numpy(), join_bucket, num_buckets)
 
 
+def _empty_like(ds: rd.Dataset, extra_int_col: str) -> pa.Table:
+    """Typed empty Arrow table with ``ds``'s columns plus one int64 column
+    — preserves the output schema contract of the scan primitives when
+    every post-sort block is empty (Arrow OR pandas block schemas; object
+    dtypes degrade to string, the pandas reverse mapping)."""
+    fields = []
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            t = typ
+        elif typ is object or typ == np.dtype(object):
+            t = pa.string()
+        else:
+            try:
+                t = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+        fields.append((name, t))
+    cols = {n: pa.array([], t) for n, t in fields}
+    cols[extra_int_col] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
 def global_row_number(ds: rd.Dataset, keys: list[str],
                       descending: bool | list[bool] = False,
                       rank_col: str = "rank") -> tuple[rd.Dataset, int]:
@@ -287,7 +310,8 @@ def global_row_number(ds: rd.Dataset, keys: list[str],
     refs = [r for r, n in zip(refs, counts) if n]
     counts = [n for n in counts if n]
     if not refs:
-        return ds.limit(0), 0
+        # keep the OUTPUT contract on empty input: schema + rank_col
+        return rd.from_arrow(_empty_like(ds, rank_col)), 0
     offsets = np.zeros(len(counts), dtype=np.int64)
     if len(counts) > 1:
         offsets[1:] = np.cumsum(counts[:-1])
@@ -330,8 +354,9 @@ def global_prefix_sum(ds: rd.Dataset, keys: list[str], val_col: str,
     # (no columns), which would crash the stamp and corrupt from_arrow_refs
     refs = [r for r, (n, _) in zip(refs, metas) if n]
     sums = np.asarray([s for n, s in metas if n], dtype=np.int64)
-    if not refs:          # fully-empty input: nothing to stamp
-        return mat
+    if not refs:
+        # keep the OUTPUT contract on empty input: schema + out_col
+        return rd.from_arrow(_empty_like(ds, out_col))
     offsets = np.zeros(len(sums), dtype=np.int64)
     if len(sums) > 1:
         offsets[1:] = np.cumsum(sums[:-1])

@@ -473,29 +473,29 @@ def caption_stats_by_fmt(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     return out.sort_values("fmt").reset_index(drop=True)
 
 
-class _DecodeDimsStage:
+def _decode_dims_batch(batch: pa.Table) -> pa.Table:
     """bytes -> DECODED pixel dimensions only (no features) — the minimal
     per-row certificate that the real codecs (pure-Python PNG + pure-numpy
-    baseline JPEG) recover each stored image's geometry.  Actor-pool
-    map_batches class (codec tables/state amortized per actor)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes").to_pylist()  # one to_pylist per batch
-        w = np.zeros(batch.num_rows, dtype=np.int64)
-        h = np.zeros(batch.num_rows, dtype=np.int64)
-        for i, blob in enumerate(blobs):
-            if blob is None or fmts[i] not in ("png", "jpeg"):
-                w[i] = h[i] = -1
-                continue
-            px = decode_image(blob, fmts[i])
-            h[i], w[i] = px.shape[0], px.shape[1]
-        return pa.table({
-            "image_id": batch.column("image_id"),
-            "fmt": batch.column("fmt"),
-            "dec_w": pa.array(w),
-            "dec_h": pa.array(h),
-        })
+    baseline JPEG) recover each stored image's geometry.  STATELESS, so a
+    plain task function (the codecs are module-level — amortized per
+    worker process; an actor pool's spin-up would buy nothing here, the
+    _token_features rationale)."""
+    fmts = batch.column("fmt").to_pylist()
+    blobs = batch.column("bytes").to_pylist()  # one to_pylist per batch
+    w = np.zeros(batch.num_rows, dtype=np.int64)
+    h = np.zeros(batch.num_rows, dtype=np.int64)
+    for i, blob in enumerate(blobs):
+        if blob is None or fmts[i] not in ("png", "jpeg"):
+            w[i] = h[i] = -1
+            continue
+        px = decode_image(blob, fmts[i])
+        h[i], w[i] = px.shape[0], px.shape[1]
+    return pa.table({
+        "image_id": batch.column("image_id"),
+        "fmt": batch.column("fmt"),
+        "dec_w": pa.array(w),
+        "dec_h": pa.array(h),
+    })
 
 
 def image_decoded_dims(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
@@ -504,8 +504,8 @@ def image_decoded_dims(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
     certifies every single decode's geometry through SQL (the
     video_avi_stats pattern applied to the image axis: engine parses the
     binary payload, oracle trusts the metadata, agreement proves the
-    payload encodes the declaration).  Actor-pool stage, small batches
+    payload encodes the declaration).  Task-pool stage, small batches
     (binary rows are wide); per-image codec work is inherent."""
     ds = read_corpus(generate_corpus(n_base), ["image_id", "bytes", "fmt"])
-    return ds.map_batches(_DecodeDimsStage, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 8))
+    return ds.map_batches(_decode_dims_batch, batch_format="pyarrow",
+                          batch_size=64)

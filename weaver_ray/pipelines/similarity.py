@@ -380,7 +380,13 @@ def knn_graph(sf_dir: str, k: int = 5,
     order = np.argsort(ids)
     ids = ids[order]
     G = _matrix(t.column("embedding").to_pylist())[order]
-    Gn = G / np.linalg.norm(G, axis=1, keepdims=True)
+    nrm = np.linalg.norm(G, axis=1, keepdims=True)
+    if (nrm == 0).any():
+        # a zero vector has no cosine direction: NaN rows would silently
+        # turn stable argsort into "first k ids" — reject loudly instead
+        raise ValueError("knn_graph: zero-norm embedding(s) "
+                         f"{ids[np.flatnonzero(nrm.ravel() == 0)][:5]}")
+    Gn = G / nrm
     ref = ray.put((ids, Gn))
 
     ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -442,7 +448,12 @@ def _covariance_pass(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
     parts = ds.map_batches(partials, batch_format="pandas")
     agg = partial_groupby(parts, ["dim_i", "dim_j"], {"val": ("val", "sum")},
                           many_groups=True).to_pandas()
-    n = int(agg.loc[(agg["dim_i"] == -1) & (agg["dim_j"] == -1), "val"].iloc[0])
+    nrow = agg.loc[(agg["dim_i"] == -1) & (agg["dim_j"] == -1), "val"]
+    n = int(nrow.iloc[0]) if len(nrow) else 0
+    if n < 2:
+        # covar_samp is undefined below 2 rows (DuckDB returns NULL);
+        # reject loudly instead of emitting inf/NaN moments
+        raise ValueError(f"sample covariance needs >= 2 vectors, got {n}")
     sums = (agg[(agg["dim_j"] == -1) & (agg["dim_i"] > 0)]
             .sort_values("dim_i")["val"].to_numpy())
     d = len(sums)

@@ -787,6 +787,29 @@ def deterministic_shuffle_docs(sf_dir: str) -> rd.Dataset:
     return ranked.select_columns(["doc_id", "shuffle_rank"])
 
 
+def _doc_token_count_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared (doc_id, n_tokens) batch stage for the packing operators —
+    ONE definition so the token rule can never desynchronize between
+    token_budget_bins, curated_packed_shards and their nested oracles."""
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(np.int64),
+        "n_tokens": df["text"].str.count(TOKEN_RE).to_numpy(np.int64),
+    })
+
+
+def _pack_bins(cum: rd.Dataset, budget: int) -> rd.Dataset:
+    """Shared bin-assignment tail over a global_prefix_sum output."""
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "bin": (df["cum_before"].to_numpy(np.int64) // budget),
+        })
+
+    return cum.map_batches(binify, batch_format="pandas")
+
+
 def token_budget_bins(sf_dir: str, budget: int = 2048) -> rd.Dataset:
     """SEQUENCE PACKING bin assignment: documents in doc_id order are
     packed into fixed token-budget training chunks — doc i lands in bin
@@ -799,24 +822,9 @@ def token_budget_bins(sf_dir: str, budget: int = 2048) -> rd.Dataset:
     from .common import global_prefix_sum
 
     ds = load(sf_dir, "documents", ["doc_id", "text"])
-
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_tokens": df["text"].str.count(TOKEN_RE).to_numpy(np.int64),
-        })
-
-    toks = ds.map_batches(counts, batch_format="pandas")
+    toks = ds.map_batches(_doc_token_count_frame, batch_format="pandas")
     cum = global_prefix_sum(toks, ["doc_id"], "n_tokens")
-
-    def binify(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_tokens": df["n_tokens"].to_numpy(np.int64),
-            "bin": (df["cum_before"].to_numpy(np.int64) // budget),
-        })
-
-    return cum.map_batches(binify, batch_format="pandas")
+    return _pack_bins(cum, budget)
 
 
 def curated_packed_shards(sf_dir: str, budget: int = 512,
@@ -838,24 +846,9 @@ def curated_packed_shards(sf_dir: str, budget: int = 512,
     cur = curated_docs(sf_dir, num_buckets=num_buckets)
 
     ds = load(sf_dir, "documents", ["doc_id", "text"])
-
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_tokens": df["text"].str.count(TOKEN_RE).to_numpy(np.int64),
-        })
-
-    toks = ds.map_batches(counts, batch_format="pandas")
+    toks = ds.map_batches(_doc_token_count_frame, batch_format="pandas")
     joined = hash_join(cur, toks, on="doc_id", lcols=["doc_id"],
                        rcols=["doc_id", "n_tokens"], how="inner",
                        num_buckets=num_buckets)
     cum = global_prefix_sum(joined, ["doc_id"], "n_tokens")
-
-    def binify(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "n_tokens": df["n_tokens"].to_numpy(np.int64),
-            "bin": (df["cum_before"].to_numpy(np.int64) // budget),
-        })
-
-    return cum.map_batches(binify, batch_format="pandas")
+    return _pack_bins(cum, budget)
