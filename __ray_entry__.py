@@ -233,10 +233,12 @@ def _media_stub_plumbing(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from weaver_ray.pipelines import (analytics, audio, dedup, images,
-                                      relational, similarity, temporal,
-                                      textops, video)
+                                      pagerank, relational, similarity,
+                                      temporal, textops, video)
 
     return {
+        # iterative graph ranking over the crawl's host link graph
+        "host_pagerank": pagerank.host_pagerank,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -1601,6 +1603,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.dim, b.dim
         """,
     }
+    # iterative PageRank: the oracle unrolls the power iteration as one
+    # CTE per step over the same memoized edge parquet the engine reads
+    from weaver_ray.pipelines.pagerank import pagerank_sql
+
+    d["host_pagerank"] = pagerank_sql()
     # composed: pack the CURATED survivor set into fixed token-budget
     # training shards — the oracle reuses curated_docs's SQL verbatim as a
     # nested subquery, then applies the same exclusive-prefix-sum window

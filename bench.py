@@ -72,6 +72,7 @@ QUERY_NAMES = [
     "curated_docs",
     "knn_graph",
     "embedding_covariance",
+    "host_pagerank",
     "token_budget_bins",
     "weighted_source_mix",
     "deterministic_shuffle_docs",
