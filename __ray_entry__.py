@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": textops.quality_filter_docs,
         "repetition_filter_docs": textops.repetition_filter_docs,
         "contamination_overlap_docs": textops.contamination_overlap_docs,
+        # pairwise cross-source shared-ngram counts (data governance)
+        "source_overlap_matrix": textops.source_overlap_matrix,
         "unigram_logprob_docs": textops.unigram_logprob_docs,
         # composed curation flagship: quality ∩ repetition ∩ exact-keeper
         # ∩ near-dup canonical, one flag shuffle on top of the four legs
@@ -1405,6 +1407,23 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
                 FROM documents) t
             WHERE rn <= 20
+        """,
+        # cross-source contamination matrix: distinct shared word 4-grams
+        # per source pair (DuckDB list slices are 1-based INCLUSIVE)
+        "source_overlap_matrix": """
+            WITH toks AS (
+                SELECT source, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT source, array_to_string(ts[i:i + 3], ' ') AS g
+                FROM toks, UNNEST(range(1, len(ts) - 2)) r(i)
+                WHERE len(ts) >= 4
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         # weighted mixture: md5-threshold Bernoulli gate, rate from srcN
         "weighted_source_mix": """

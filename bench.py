@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "knn_graph",
     "embedding_covariance",
     "host_pagerank",
+    "source_overlap_matrix",
     "token_budget_bins",
     "weighted_source_mix",
     "deterministic_shuffle_docs",

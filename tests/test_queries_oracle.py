@@ -238,6 +238,32 @@ def test_contamination_overlap_counts_shared_grams(ray_session, tmp_path):
     assert int(out.set_index("doc_id").loc[7, "n_overlap"]) == 2
 
 
+def test_source_overlap_matrix_hand_computed(ray_session, tmp_path):
+    """Cross-source gram matrix on a planted corpus: a gram shared by all
+    three sources contributes to every pair; within-source duplication
+    (same gram in two docs of one source) counts once; disjoint pairs are
+    absent entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import source_overlap_matrix
+
+    shared = "one two three four"          # in A, B and C -> all 3 pairs
+    ab_only = "alpha bravo charlie delta"  # in A and B only
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["A", "A", "B", "C"]),
+        "text": [f"{shared} filler", f"{shared} {ab_only}",  # A twice: dedup
+                 f"{ab_only} and {shared}", f"{shared} unrelated tail here"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = source_overlap_matrix(str(tmp_path)).to_pandas()
+    got = {(r.src_a, r.src_b): int(r.n_shared) for r in out.itertuples()}
+    # A-B share "one two three four" + "alpha bravo charlie delta";
+    # A-C and B-C share only the one common gram
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
 def test_curated_docs_is_stage_intersection(ray_session):
     """The composed curation pipeline equals the set intersection of its
     four stage outputs (and is non-trivial at sf0.001)."""

@@ -669,6 +669,34 @@ def curated_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return keyed_map_groups(flags, "doc_id", keep_all_four, num_buckets)
 
 
+def _word_ngrams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word n-gram extraction over a batch of texts: returns
+    ``(counts, grams)`` where ``counts[i]`` is row i's n-gram count (so
+    ``np.repeat(ids, counts)`` aligns each gram with its source row) and
+    ``grams`` is the flat space-joined n-gram array.  Tokens are
+    REP_TOKEN_RE words; the n-way ``shift`` + ``str.cat`` builds all grams
+    in one pandas pass, with within-row start offsets masking the
+    cross-row seams.  Shared by the decontamination probe and the
+    source-overlap matrix so the gram definition can't drift."""
+    from itertools import chain
+
+    toks = texts.str.findall(REP_TOKEN_RE)
+    cnt = (toks.map(len) - (n - 1)).clip(lower=0).to_numpy(np.int64) \
+        if len(texts) else np.zeros(0, np.int64)
+    if not cnt.sum():
+        return cnt, np.array([], dtype=object)
+    tok = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+    parts = [tok.shift(-i) for i in range(n)]
+    gram_all = parts[0].str.cat(parts[1:], sep=" ")
+    # valid gram start positions: within-row offsets 0..len-n
+    starts = np.concatenate([np.arange(c) for c in cnt])
+    offs = np.concatenate(
+        [np.full(c, o) for c, o in zip(
+            cnt, np.concatenate(([0], np.cumsum(
+                toks.map(len).to_numpy(np.int64))[:-1])))])
+    return cnt, gram_all.to_numpy()[offs + starts]
+
+
 def contamination_overlap_docs(sf_dir: str, n: int = 4,
                                modulus: int = 53) -> rd.Dataset:
     """Benchmark DECONTAMINATION check (the n-gram-overlap gate every
@@ -684,8 +712,6 @@ def contamination_overlap_docs(sf_dir: str, n: int = 4,
     with a vectorized hash-set membership probe per batch.  Zero shuffles
     end to end.  At 100 TB the broadcast payload would be u64 n-gram
     hashes; literal strings here keep the DuckDB oracle exact."""
-    from itertools import chain
-
     import ray
 
     from .common import _cached_get
@@ -695,26 +721,13 @@ def contamination_overlap_docs(sf_dir: str, n: int = 4,
     def _grams(df: pd.DataFrame, bench_side: bool) -> pd.DataFrame:
         sel = (df["doc_id"] % modulus == 0) == bench_side
         sub = df[sel.to_numpy()]
-        toks = sub["text"].str.findall(REP_TOKEN_RE)
-        cnt = (toks.map(len) - (n - 1)).clip(lower=0).to_numpy(np.int64)
+        cnt, grams = _word_ngrams(sub["text"], n)
         doc = np.repeat(sub["doc_id"].to_numpy(np.int64), cnt)
-        tok = pd.Series(list(chain.from_iterable(toks)), dtype=object)
-        parts = [tok.shift(-i) for i in range(n)]
-        gram_all = parts[0].str.cat(parts[1:], sep=" ")
-        # valid gram start positions: within-doc offsets 0..len-n
-        starts = np.concatenate(
-            [np.arange(c) for c in cnt]) if len(cnt) else np.zeros(0, np.int64)
-        offs = np.concatenate(
-            [np.full(c, o) for c, o in zip(
-                cnt, np.concatenate(([0], np.cumsum(
-                    toks.map(len).to_numpy(np.int64))[:-1])))]
-        ) if len(cnt) else np.zeros(0, np.int64)
         if not len(doc):
             # typed empty (string, not object): Ray's block size estimator
             # chokes (noisily, non-fatally) on empty object columns
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                                  "g": pd.Series([], dtype="string")})
-        grams = gram_all.to_numpy()[offs + starts]
         return pd.DataFrame({"doc_id": doc, "g": grams}).drop_duplicates()
 
     bench_pdf = (ds.map_batches(lambda df: _grams(df, True)[["g"]],
@@ -852,3 +865,61 @@ def curated_packed_shards(sf_dir: str, budget: int = 512,
                        num_buckets=num_buckets)
     cum = global_prefix_sum(joined, ["doc_id"], "n_tokens")
     return _pack_bins(cum, budget)
+
+
+def source_overlap_matrix(sf_dir: str, n: int = 4,
+                          num_buckets: int = 16) -> rd.Dataset:
+    """Cross-source CONTAMINATION MATRIX: for every pair of sources, the
+    number of distinct word ``n``-grams they share — the data-governance
+    view ("which feeds duplicate each other") that decides dedup order and
+    mixture weights before training.
+
+    Scale shape: distinct (source, gram) rows are built per batch with the
+    shared vectorized extractor, then ONE hash shuffle keyed by gram
+    (keyed_map_groups — complete gram groups per bucket make the per-batch
+    dedup global and keep the pair expansion LOCAL to each bucket: a gram
+    shared by s sources expands to s(s-1)/2 tiny pair rows inside its
+    bucket, never a cross-bucket join); per-bucket pair counts are partial
+    rows reduced by one more tiny shuffle.  No stage ever holds a source's
+    full gram set in one task."""
+    from .common import keyed_map_groups, partial_groupby
+
+    ds = load(sf_dir, "documents", ["source", "text"])
+
+    def gram_src(df: pd.DataFrame) -> pd.DataFrame:
+        cnt, grams = _word_ngrams(df["text"], n)
+        src = np.repeat(df["source"].to_numpy(), cnt)
+        if not len(src):
+            return pd.DataFrame({"source": pd.Series([], dtype="string"),
+                                 "g": pd.Series([], dtype="string")})
+        return pd.DataFrame({"source": src, "g": grams}).drop_duplicates()
+
+    pairs = ds.map_batches(gram_src, batch_format="pandas")
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src_a": pd.Series([], dtype="string"),
+                              "src_b": pd.Series([], dtype="string"),
+                              "n_shared": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        b = bucket.drop_duplicates()          # global: a gram lives in ONE bucket
+        m = b.merge(b, on="g")
+        m = m[m["source_x"] < m["source_y"]]
+        if not len(m):
+            return empty
+        out = (m.groupby(["source_x", "source_y"], sort=False)
+               .size().reset_index(name="n_shared"))
+        out.columns = ["src_a", "src_b", "n_shared"]
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    counts = keyed_map_groups(pairs, "g", bucket_pairs, num_buckets)
+    agg = partial_groupby(counts, ["src_a", "src_b"],
+                          {"n_shared": ("n_shared", "sum")}, many_groups=True)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_shared"] = df["n_shared"].astype(np.int64)
+        return df
+
+    return agg.map_batches(cast, batch_format="pandas")
