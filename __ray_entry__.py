@@ -363,6 +363,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-image decoded-geometry certificate (engine decodes the
         # binary payload; oracle reads the declared columns)
         "image_decoded_dims": images.image_decoded_dims,
+        # exact image dedup over base ∪ variants ∪ planted byte-identical
+        # copies (content hash = md5(hex(bytes)), SQL-reproducible)
+        "image_exact_dedup": images.image_exact_dedup,
+        # composed image-axis curation flagship (LAION/CLIP-pair shape):
+        # size gate ∩ caption gate ∩ exact-dup keeper ∩ phash canonical
+        "curated_image_pairs": images.curated_image_pairs,
         # audio axis: REAL WAV/PCM16 corpus (pure-numpy RIFF codec).
         # audio_wav_stats has a full SQL oracle (canonical-header container
         # arithmetic); audio_wav_features is self-evidencing (per-row
@@ -623,17 +629,29 @@ def _image_sql() -> dict[str, str]:
     recursive transitive closure for the components — the simhash /
     neardup_clusters oracle pattern applied to the image table."""
     from weaver_ray.pipelines.audio import generate_audio_corpus
-    from weaver_ray.pipelines.images import generate_variants
+    from weaver_ray.pipelines.images import generate_dups, generate_variants
     from weaver_ray.pipelines.video import generate_video_corpus
     from weaver_ray.sources.corpus import generate_corpus
 
     base = generate_corpus(1000) + "/part-*.parquet"
     var = generate_variants(1000) + "/part-*.parquet"
+    dup = generate_dups(1000) + "/part-*.parquet"
     aud = generate_audio_corpus(200) + "/part-*.parquet"
     vid = generate_video_corpus(40) + "/part-*.parquet"
     u = f"""SELECT image_id, phash FROM read_parquet('{base}')
                  UNION ALL
                  SELECT image_id, phash FROM read_parquet('{var}')"""
+    # full universe incl. planted byte-identical copies (exact-dedup +
+    # curation operators); DuckDB's md5() is VARCHAR-only, so the content
+    # hash is md5(hex(bytes)) on both sides
+    u3 = f"""SELECT image_id, bytes, w, h, caption, phash
+                 FROM read_parquet('{base}')
+                 UNION ALL
+                 SELECT image_id, bytes, w, h, caption, phash
+                 FROM read_parquet('{var}')
+                 UNION ALL
+                 SELECT image_id, bytes, w, h, caption, phash
+                 FROM read_parquet('{dup}')"""
     # invertible node-id scheme shared with pipelines/images.py:
     # base img%08d -> 8*i, variant img%08dvJ -> 8*i + 1 + J
     node = ("CAST(substr(image_id, 4, 8) AS BIGINT) * 8"
@@ -690,6 +708,55 @@ def _image_sql() -> dict[str, str]:
             SELECT n.image_id, CAST(min(reach.r) AS BIGINT) AS cluster_id
             FROM reach JOIN nodes n ON n.nid = reach.nid
             GROUP BY n.image_id
+        """,
+        # exact image dedup: keeper = min image_id per content hash
+        "image_exact_dedup": f"""
+            WITH u AS ({u3})
+            SELECT image_id,
+                   min(image_id) OVER (PARTITION BY md5(hex(bytes)))
+                       AS keeper_image_id
+            FROM u
+        """,
+        # composed image-axis curation: size gate ∩ caption gate ∩
+        # exact-dup keeper ∩ phash-cluster canonical (recursive closure
+        # over the EXTENDED universe so byte copies collapse at hamming 0)
+        "curated_image_pairs": f"""
+            WITH RECURSIVE u AS ({u3}),
+            gates AS (
+                SELECT image_id FROM u
+                WHERE least(w, h) >= 48 AND greatest(w, h) <= 2 * least(w, h)
+                  AND len(regexp_extract_all(caption, '[A-Za-z0-9_]+')) >= 6
+            ),
+            keepers AS (
+                SELECT image_id FROM (
+                    SELECT image_id,
+                           min(image_id) OVER (PARTITION BY md5(hex(bytes)))
+                               AS k
+                    FROM u) t
+                WHERE image_id = k
+            ),
+            nodes AS (SELECT image_id, {node} AS nid, phash FROM u),
+            pairs AS (
+                SELECT a.nid AS na, b.nid AS nb
+                FROM nodes a JOIN nodes b ON a.nid < b.nid
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ), edges AS (
+                SELECT na AS src, nb AS dst FROM pairs
+                UNION ALL SELECT nb, na FROM pairs
+            ), reach AS (
+                SELECT nid, nid AS r FROM nodes
+                UNION
+                SELECT e.dst AS nid, reach.r
+                FROM reach JOIN edges e ON e.src = reach.nid
+            ), canon AS (
+                SELECT n.image_id
+                FROM reach JOIN nodes n ON n.nid = reach.nid
+                GROUP BY n.image_id, n.nid
+                HAVING min(reach.r) = n.nid
+            )
+            SELECT image_id FROM gates
+            INTERSECT SELECT image_id FROM keepers
+            INTERSECT SELECT image_id FROM canon
         """,
         # engine DECODES every blob with the real codecs; the oracle reads
         # the table's declared dims — equality certifies each decode's

@@ -80,6 +80,8 @@ QUERY_NAMES = [
     "multimodal_joint_pairs",
     "image_decode_stats",
     "image_phash_clusters",
+    "image_exact_dedup",
+    "curated_image_pairs",
     "image_phash_topk",
     "audio_wav_features",
     "video_frame_features",

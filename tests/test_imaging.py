@@ -239,3 +239,55 @@ def test_multimodal_joint_pairs_cross_modal(ray_session):
         assert byk.loc[k, "caption_jaccard"] == 1.0
     assert (mm["caption_jaccard"] >= 0.5).all()
     assert (mm["hamming"] <= 3).all()
+
+
+def test_image_exact_dedup_recovers_planted_copies(ray_session):
+    """Every planted byte-identical copy (imgNNNNNNNNv6) resolves to its
+    base image; noisy variants and bases are their own keepers (exact
+    dedup must NOT touch near-dups — that's the phash pass's job)."""
+    from weaver_ray.pipelines import images
+
+    out = images.image_exact_dedup("unused", n_base=1000)
+    assert len(out) == 1475  # 1000 base + 375 variants + 100 copies
+    nontrivial = out[out["image_id"] != out["keeper_image_id"]]
+    assert len(nontrivial) == 100
+    assert all(i.endswith("v6") for i in nontrivial["image_id"])
+    assert all(k == i[:-2] for i, k in zip(nontrivial["image_id"],
+                                           nontrivial["keeper_image_id"]))
+
+
+def test_curated_image_pairs_is_leg_intersection(ray_session):
+    """The composed image curation equals the set intersection of its
+    three legs, drops every planted copy AND every noisy variant, and is
+    non-degenerate (gates cut some bases, most bases survive)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines import images
+    from weaver_ray.sources.corpus import generate_corpus
+
+    cur = set(images.curated_image_pairs("unused", n_base=1000)["image_id"])
+    # no copy or variant can be its cluster's canonical (base node id is
+    # always smaller), so every survivor is a base image
+    assert all("v" not in i[3:] for i in cur)
+    # independent gate recount over the base table
+    t = pq.read_table(
+        sorted(glob.glob(generate_corpus(1000) + "/part-*.parquet")),
+        columns=["image_id", "w", "h", "caption"]).to_pandas()
+    lo = t[["w", "h"]].min(axis=1)
+    hi = t[["w", "h"]].max(axis=1)
+    ntok = t["caption"].str.count(r"[A-Za-z0-9_]+")
+    gate_ok = set(t["image_id"][(lo >= 48) & (hi <= 2 * lo) & (ntok >= 6)])
+    exact = images.image_exact_dedup("unused", n_base=1000)
+    keepers = set(exact["image_id"][exact["image_id"]
+                                    == exact["keeper_image_id"]])
+    clusters = images.image_phash_clusters("unused", n_base=1000)
+    # canonical wrt base∪variants is necessary (the extended universe only
+    # ADDS hamming-0 copies, which never displace a base canonical)
+    canon = set(
+        clusters["image_id"][[images._node_ids(clusters["image_id"])[i]
+                              == clusters["cluster_id"][i]
+                              for i in range(len(clusters))]])
+    assert cur == gate_ok & keepers & canon
+    assert 100 < len(cur) < 1000

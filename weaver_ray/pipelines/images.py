@@ -139,6 +139,67 @@ def read_variants(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(files, columns=columns)
 
 
+# ------------------------------------------------------------------ exact-dup plant
+
+_DUPS_VERSION = 1
+
+
+def dups_dir(n_base: int, seed: int = config.CORPUS_SEED,
+             root: str = "/tmp/weaver_corpus") -> str:
+    return os.path.join(root, f"seed{seed}_n{n_base}_dups_v{_DUPS_VERSION}")
+
+
+def _chosen_dup(i: int) -> bool:
+    """Deterministic exact-dup plant plan: every 10th base image gets one
+    byte-identical copy (a different crawl URL serving the same asset —
+    the case exact dedup exists for)."""
+    return i % 10 == 3
+
+
+def generate_dups(n_base: int = 1000, seed: int = config.CORPUS_SEED,
+                  root: str = "/tmp/weaver_corpus") -> str:
+    """Write (and cache) the EXACT-duplicate table: byte-identical copies
+    of the chosen base rows under image_id ``f"{bid}v6"`` — the last slot
+    of the invertible node-id scheme (real noisy variants only ever use
+    v0/v1, so v6 is reserved and both ``_node_ids`` and the SQL node
+    expression handle the copies with no new machinery)."""
+    base_path = generate_corpus(n_base, seed, root)
+    d = Path(dups_dir(n_base, seed, root))
+    done = d / "_DONE"
+    if done.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for old in d.glob("*"):
+        old.unlink()
+
+    import pyarrow.feather as feather
+
+    base = feather.read_table(os.path.join(base_path, "corpus.feather"))
+    keep = np.array([k for k in range(base.num_rows)
+                     if _chosen_dup(int(base.column("image_id")[k].as_py()[3:]))])
+    sub = base.take(keep)
+    ids = pa.array([f"{i}v6" for i in sub.column("image_id").to_pylist()],
+                   pa.string())
+    cols = {name: sub.column(name) for name in sub.schema.names}
+    cols["image_id"] = ids
+    pq.write_table(pa.table(cols), d / "part-00000.parquet")
+    done.write_text(f"n_base={n_base} seed={seed} plan=i%10==3\n")
+    return str(d)
+
+
+def read_dups(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    files = sorted(str(p) for p in Path(path).glob("part-*.parquet"))
+    return rd.read_parquet(files, columns=columns)
+
+
+def _full_universe(n_base: int, columns: list[str]) -> rd.Dataset:
+    """base ∪ variants ∪ exact-dup copies, column-pruned at the read —
+    the input table of the exact-dedup and curation operators."""
+    return (read_corpus(generate_corpus(n_base), columns)
+            .union(read_variants(generate_variants(n_base), columns))
+            .union(read_dups(generate_dups(n_base), columns)))
+
+
 # ------------------------------------------------------------------ phash near-dup
 
 def _phash_universe(n_base: int) -> rd.Dataset:
@@ -149,14 +210,13 @@ def _phash_universe(n_base: int) -> rd.Dataset:
     return base.union(var)
 
 
-def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
-                         n_base: int = 1000) -> rd.Dataset:
-    """Perceptual-hash near-dup pairs: 4x16-bit band blocking (pigeonhole:
-    hamming<=3 of 64 bits implies >=1 exact band match — banding is
-    lossless vs brute force), hamming verified inside each band bucket,
-    cross-band dedup as a partial-aggregation groupby.  Shares
-    dedup.banded_hamming_pairs_ds with simhash; at 100 TB nothing here
-    touches the driver."""
+def _phash_band_pairs(universe: rd.Dataset, max_hamming: int) -> rd.Dataset:
+    """Banded phash near-dup pairs over any (image_id, phash) Dataset:
+    4x16-bit band blocking (pigeonhole: hamming<=3 of 64 bits implies >=1
+    exact band match — banding is lossless vs brute force), hamming
+    verified inside each band bucket, cross-band dedup distributed.
+    Shares dedup.banded_hamming_pairs_ds with simhash; at 100 TB nothing
+    here touches the driver."""
     from .dedup import banded_hamming_pairs_ds
 
     def band_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -174,9 +234,16 @@ def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
             }
         )
 
-    bands = _phash_universe(n_base).map_batches(band_batch, batch_format="pandas")
+    bands = universe.map_batches(band_batch, batch_format="pandas")
     return banded_hamming_pairs_ds(bands, "image_id", "image_a", "image_b",
                                    max_hamming)
+
+
+def image_phash_pairs_ds(sf_dir: str, max_hamming: int = 3,
+                         n_base: int = 1000) -> rd.Dataset:
+    """Perceptual-hash near-dup pairs over base ∪ variants (see
+    :func:`_phash_band_pairs` for the scale shape)."""
+    return _phash_band_pairs(_phash_universe(n_base), max_hamming)
 
 
 def image_phash_pairs(sf_dir: str, max_hamming: int = 3,
@@ -496,6 +563,149 @@ def _decode_dims_batch(batch: pa.Table) -> pa.Table:
         "dec_w": pa.array(w),
         "dec_h": pa.array(h),
     })
+
+
+# ------------------------------------------------------------------ exact dedup + curation
+
+def _content_hash(blobs: list) -> list[str]:
+    """md5 over the UPPERCASE hex of the stored bytes — hex because
+    DuckDB's md5() is VARCHAR-only (hex(BLOB) is its canonical
+    SQL-reproducible byte spelling), so the oracle can recompute the
+    exact same group key."""
+    import hashlib
+
+    return [hashlib.md5(b.hex().upper().encode()).hexdigest() for b in blobs]
+
+
+def image_exact_dedup_ds(sf_dir: str, n_base: int = 1000,
+                         num_buckets: int = 16) -> rd.Dataset:
+    """EXACT image dedup over base ∪ variants ∪ planted byte-identical
+    copies: content-hash each blob per batch (the bytes never shuffle —
+    only 32-char hashes move), hash-partition by content hash, keeper =
+    min image_id per group (first-wins, the reference's D2 rule on the
+    image axis).  Output: (image_id, keeper_image_id), one row per image;
+    planted copies resolve to their base row, noisy variants are
+    singletons (near-dup's job, not exact dedup's)."""
+    from .common import keyed_map_groups
+
+    ds = _full_universe(n_base, ["image_id", "bytes"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "content_hash": pa.array(
+                _content_hash(batch.column("bytes").to_pylist()), pa.string()),
+        })
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", batch_size=256)
+
+    def keeper(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "keeper_image_id": pd.Series([], dtype=object)})
+        k = bucket.groupby("content_hash")["image_id"].transform("min")
+        return pd.DataFrame({"image_id": bucket["image_id"].to_numpy(),
+                             "keeper_image_id": k.to_numpy()})
+
+    return keyed_map_groups(hashed, "content_hash", keeper, num_buckets)
+
+
+def image_exact_dedup(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`image_exact_dedup_ds`."""
+    return _pairs_to_pandas(
+        image_exact_dedup_ds(sf_dir, n_base), ["image_id"],
+        {"image_id": object, "keeper_image_id": object})
+
+
+def curated_image_pairs_ds(sf_dir: str, n_base: int = 1000,
+                           min_dim: int = 48, min_cap_tokens: int = 6,
+                           max_hamming: int = 3,
+                           num_buckets: int = 16) -> rd.Dataset:
+    """END-TO-END image+caption CURATION — the composed flagship of the
+    image axis (the LAION/CLIP-style pair-filtering chain): an image
+    survives iff it
+
+    1. passes the SIZE gate: ``min(w, h) >= min_dim`` and aspect ratio
+       ``max(w, h) <= 2 * min(w, h)`` (integer arithmetic — exactly
+       SQL-reproducible, no float aspect),
+    2. passes the CAPTION gate: ``>= min_cap_tokens`` word tokens,
+    3. is its exact-duplicate group's KEEPER (byte-identical re-crawls
+       collapse to one row — :func:`image_exact_dedup_ds`), and
+    4. is its phash near-dup CLUSTER's canonical representative (smallest
+       node id in its connected component — the noisy re-encodes collapse
+       too).
+
+    Composition shape = curated_docs on the image axis: each leg emits
+    tiny (image_id, stage) flag rows, one hash shuffle keeps ids carrying
+    all three flags (gates fuse into one scan stage).  The near-dup leg
+    runs over the SAME extended universe (base ∪ variants ∪ exact copies)
+    so byte-identical copies also collapse at hamming 0.  No leg
+    materializes blobs on the driver; at 100 TB each leg is the
+    already-scale-audited operator."""
+    from .common import keyed_map_groups
+    from .dedup import connected_components_ds
+
+    # leg 1+2 (fused single scan): size + caption gates
+    gated = _full_universe(n_base, ["image_id", "w", "h", "caption"])
+
+    def gates(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        lo, hi = np.minimum(w, h), np.maximum(w, h)
+        n_tok = df["caption"].str.count(r"[A-Za-z0-9_]+").to_numpy(np.int64)
+        keep = (lo >= min_dim) & (hi <= 2 * lo) & (n_tok >= min_cap_tokens)
+        return pd.DataFrame({"image_id": df["image_id"].to_numpy()[keep]})
+
+    gate_ids = gated.map_batches(gates, batch_format="pandas")
+
+    # leg 3: exact keeper
+    exact = image_exact_dedup_ds(sf_dir, n_base, num_buckets)
+    exact_ids = exact.map_batches(
+        lambda df: pd.DataFrame(
+            {"image_id": df["image_id"].to_numpy()[
+                (df["image_id"] == df["keeper_image_id"]).to_numpy()]}),
+        batch_format="pandas")
+
+    # leg 4: phash-cluster canonical over the extended universe
+    uni = _full_universe(n_base, ["image_id", "phash"])
+    pairs = _phash_band_pairs(uni, max_hamming)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"src": _node_ids(df["image_a"]),
+                                 "dst": _node_ids(df["image_b"])}),
+        batch_format="pandas")
+    nodes = uni.map_batches(
+        lambda df: pd.DataFrame({"doc_id": _node_ids(df["image_id"])}),
+        batch_format="pandas")
+    labels = connected_components_ds(nodes, edges)
+    canon_ids = labels.map_batches(
+        lambda df: pd.DataFrame({"image_id": _image_id_of_node(
+            df["doc_id"].to_numpy(np.int64)[
+                (df["doc_id"] == df["cluster_id"]).to_numpy()])}),
+        batch_format="pandas")
+
+    def flag(ds: rd.Dataset, tag: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda df, t=tag: pd.DataFrame(
+                {"image_id": df["image_id"].to_numpy(),
+                 "stage": np.full(len(df), t, np.int8)}),
+            batch_format="pandas")
+
+    flags = flag(gate_ids, 0).union(flag(exact_ids, 1)).union(flag(canon_ids, 2))
+
+    def keep_all(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({"image_id": pd.Series([], dtype=object)})
+        n = bucket.groupby("image_id", sort=False)["stage"].nunique()
+        return pd.DataFrame({"image_id": n[n == 3].index.to_numpy()})
+
+    return keyed_map_groups(flags, "image_id", keep_all, num_buckets)
+
+
+def curated_image_pairs(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`curated_image_pairs_ds`."""
+    return _pairs_to_pandas(curated_image_pairs_ds(sf_dir, n_base),
+                            ["image_id"], {"image_id": object})
 
 
 def image_decoded_dims(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
