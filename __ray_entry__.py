@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch, not the exact degenerate case
         "heavy_hitter_tokens": lambda sf: textops.heavy_hitter_tokens(sf, c=20),
         "tfidf_top_terms": textops.tfidf_top_terms,
+        # Okapi BM25 top-k for a fixed multi-term query (search scoring)
+        "bm25_topk": textops.bm25_topk,
         "quality_filter_docs": textops.quality_filter_docs,
         "repetition_filter_docs": textops.repetition_filter_docs,
         "contamination_overlap_docs": textops.contamination_overlap_docs,
@@ -388,6 +390,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_avi_stats": video.video_avi_stats,
         "video_frame_features": video.video_frame_features,
     }
+
+
+def _bm25_sql() -> str:
+    """DuckDB reconstruction of Okapi BM25: the per-term contributions are
+    written as one left-to-right sum in the SAME sorted-term order the
+    engine accumulates, avgdl/df come from the same int-sum/count doubles,
+    and ranking orders by the 4-dp half-away-rounded score (both sides
+    round before ranking, so a libm ulp can't flip the order)."""
+    from weaver_ray.pipelines.textops import BM25_TERMS
+
+    terms = sorted(BM25_TERMS)
+    k1, b, k = 1.2, 0.75, 50
+    df_cols = ",\n                   ".join(
+        f"sum((len(regexp_extract_all(text, '\\b{t}\\b')) > 0)::INT)::DOUBLE"
+        f" AS df_{t}" for t in terms)
+    tf_cols = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '\\b{t}\\b'))::DOUBLE AS tf_{t}"
+        for t in terms)
+    contrib = "\n                 + ".join(
+        f"ln(1.0 + (s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * (d.tf_{t} * {k1 + 1.0}) / (d.tf_{t}"
+        f" + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))"
+        for t in terms)
+    return f"""
+        WITH stats AS (
+            SELECT count(*)::DOUBLE AS n,
+                   sum(len(regexp_extract_all(text, '\\w+')))::DOUBLE
+                       / count(*) AS avgdl,
+                   {df_cols}
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\w+'))::DOUBLE AS dl,
+                   {tf_cols}
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, round({contrib}, 4) AS score
+            FROM feats d, stats s
+        )
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
 
 
 def _langid_sql() -> str:
@@ -843,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         # overflow), md5 token hashes, seeds inlined — exact engine parity
         "minhash_lsh_pairs": _minhash_sql(),
         "langid_counts": _langid_sql(),
+        "bm25_topk": _bm25_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         **_image_sql(),
         "q1_pricing_summary": f"""

@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "embedding_covariance",
     "host_pagerank",
     "source_overlap_matrix",
+    "bm25_topk",
     "token_budget_bins",
     "weighted_source_mix",
     "deterministic_shuffle_docs",

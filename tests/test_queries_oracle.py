@@ -300,3 +300,36 @@ def test_unigram_logprob_hand_computed(ray_session, tmp_path):
     assert out.loc[1, "n_tokens"] == 3 and out.loc[2, "n_tokens"] == 2
     assert out.loc[1, "avg_logprob"] == round(np.log(0.4), 4)
     assert out.loc[2, "avg_logprob"] == -1.2629
+
+
+def test_bm25_topk_hand_computed(ray_session, tmp_path):
+    """BM25 on a 3-doc corpus vs an independent textbook computation; a
+    doc with no query term is absent; higher-tf doc ranks first."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import bm25_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["data data merge other words here",
+                 "data only once in this one",
+                 "nothing relevant at all"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = bm25_topk(str(tmp_path), terms=("data", "merge"))
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["rank"]) == [1, 2]
+
+    # independent recompute (k1=1.2, b=0.75, dl in \w+ tokens)
+    k1, b = 1.2, 0.75
+    N, avgdl = 3.0, (6 + 6 + 4) / 3.0
+    def idf(df): return math.log(1 + (N - df + 0.5) / (df + 0.5))
+    def term(tf, dl, df):
+        return idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    want1 = round(term(2, 6, 2) + term(1, 6, 1), 4)
+    want2 = round(term(1, 6, 2) + term(0, 6, 1), 4)
+    assert abs(float(out["score"][0]) - want1) < 1e-9
+    assert abs(float(out["score"][1]) - want2) < 1e-9

@@ -867,6 +867,67 @@ def curated_packed_shards(sf_dir: str, budget: int = 512,
     return _pack_bins(cum, budget)
 
 
+BM25_TERMS = ("data", "merge", "spark", "window")  # fixed sorted query
+
+
+def bm25_topk(sf_dir: str, terms: tuple = BM25_TERMS, k: int = 50,
+              k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Okapi BM25 relevance ranking: the k documents most relevant to a
+    fixed multi-term query — the search-scoring operator a curation
+    pipeline uses to mine topical subsets.
+
+    Scale shape: ONE tiny stats pass (per-batch partial rows carrying
+    (n_docs, sum_dl, df per query term) — O(T) floats per batch, folded
+    on the driver), then one scoring pass with the T idf constants closed
+    over (a dozen floats — no broadcast machinery needed), per-block
+    top-k and a k*n_blocks driver merge (never a global sort).
+
+    FP determinism vs the SQL oracle: term contributions accumulate in
+    FIXED sorted-term order (the oracle writes the same left-to-right
+    sum), avgdl is the same int-sum/count double on both sides, and the
+    final score is half-away-rounded to 4 dp BEFORE ranking so the
+    (score desc, doc_id asc) order is identical under both engines'
+    libm."""
+    import math
+
+    terms = tuple(sorted(terms))
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        row = {"n_docs": np.int64(len(df)),
+               "sum_dl": np.int64(text.str.count(TOKEN_RE).sum())}
+        for t in terms:
+            row[f"df_{t}"] = np.int64(
+                (text.str.count(rf"\b{t}\b") > 0).sum())
+        return pd.DataFrame([row])
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = float(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / n_docs
+    idf = {t: math.log(1.0 + (n_docs - float(st[f"df_{t}"]) + 0.5)
+                       / (float(st[f"df_{t}"]) + 0.5)) for t in terms}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["text"].str.count(TOKEN_RE).to_numpy(np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(df))
+        for t in terms:  # fixed order == the oracle's left-to-right sum
+            tf = df["text"].str.count(rf"\b{t}\b").to_numpy(np.float64)
+            s = s + idf[t] * (tf * (k1 + 1.0)) / (tf + denom_norm)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "score": sql_round(pd.Series(s), 4)})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
 def source_overlap_matrix(sf_dir: str, n: int = 4,
                           num_buckets: int = 16) -> rd.Dataset:
     """Cross-source CONTAMINATION MATRIX: for every pair of sources, the
