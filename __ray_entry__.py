@@ -319,6 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_packed_shards": textops.curated_packed_shards,
         "token_postings": textops.token_postings,
         "stratified_sample_docs": textops.stratified_sample_docs,
+        # PII redaction transform (planted deterministically, md5-certified)
+        "pii_redact_docs": textops.pii_redact_docs,
+        # per-source retention cap via mergeable hash-rank top-k
+        "source_cap_docs": textops.source_cap_docs,
         # mixture construction / data ordering / sequence packing
         "weighted_source_mix": textops.weighted_source_mix,
         "deterministic_shuffle_docs": textops.deterministic_shuffle_docs,
@@ -340,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         # full exact kNN graph (every vector's top-k neighbor edge set)
         "knn_graph": similarity.knn_graph,
+        # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
+        "kmeans_clusters": similarity.kmeans_clusters,
         # one-pass distributed moment sweep -> d x d covariance (SQL) and
         # top principal direction (self-evidencing residual verdicts)
         "embedding_covariance": similarity.embedding_covariance,
@@ -878,6 +884,7 @@ def _image_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from weaver_ray.pipelines import textops
     TOK = r"\w+"
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
@@ -1550,6 +1557,42 @@ def oracle_sql() -> dict[str, str]:
                                   1, 8))::BIGINT % 10000
                   < (CAST(substr(source, 4) AS BIGINT) % 10 + 1) / 10.0 * 10000
         """,
+        # PII redaction: the planted augmentation is reproduced verbatim,
+        # the redacted text itself is certified through per-row md5, and
+        # emails redact before IPs exactly like the engine
+        "pii_redact_docs": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                          ELSE '' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{textops.EMAIL_RE}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '{textops.IPV4_RE}'))
+                        AS BIGINT) AS n_ips,
+                   md5(regexp_replace(
+                           regexp_replace(t, '{textops.EMAIL_RE}',
+                                          '<EMAIL>', 'g'),
+                           '{textops.IPV4_RE}', '<IP>', 'g')) AS red_md5
+            FROM aug
+        """,
+        # per-source cap: smallest 25 md5(doc_id) ranks per source
+        "source_cap_docs": """
+            SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents) WHERE rn <= 25
+        """,
         # deterministic global shuffle: rank by md5(doc_id)
         "deterministic_shuffle_docs": """
             SELECT doc_id,
@@ -1743,6 +1786,11 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import pagerank_sql
 
     d["host_pagerank"] = pagerank_sql()
+    # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
+    # per unrolled step over the same embeddings view
+    from weaver_ray.pipelines.similarity import kmeans_sql
+
+    d["kmeans_clusters"] = kmeans_sql()
     # composed: pack the CURATED survivor set into fixed token-budget
     # training shards — the oracle reuses curated_docs's SQL verbatim as a
     # nested subquery, then applies the same exclusive-prefix-sum window

@@ -75,6 +75,9 @@ QUERY_NAMES = [
     "host_pagerank",
     "source_overlap_matrix",
     "bm25_topk",
+    "pii_redact_docs",
+    "source_cap_docs",
+    "kmeans_clusters",
     "token_budget_bins",
     "weighted_source_mix",
     "deterministic_shuffle_docs",

@@ -333,3 +333,86 @@ def test_bm25_topk_hand_computed(ray_session, tmp_path):
     want2 = round(term(1, 6, 2) + term(0, 6, 1), 4)
     assert abs(float(out["score"][0]) - want1) < 1e-9
     assert abs(float(out["score"][1]) - want2) < 1e-9
+
+
+def test_pii_redact_hand_computed(ray_session, tmp_path):
+    """doc 77 gains both planted PII shapes (77%7==0 and 77%11==0) and is
+    redacted in email-then-IP order; doc 3 is untouched."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import pii_redact_docs
+
+    docs = pa.table({
+        "doc_id": pa.array([77, 3], pa.int64()),
+        "text": ["hello world", "plain words"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (pii_redact_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[77, "n_emails"] == 1 and out.loc[77, "n_ips"] == 1
+    want = "hello world contact <EMAIL> now from <IP>"
+    assert out.loc[77, "red_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert out.loc[3, "n_emails"] == 0 and out.loc[3, "n_ips"] == 0
+    assert out.loc[3, "red_md5"] == hashlib.md5(b"plain words").hexdigest()
+
+
+def test_source_cap_docs_matches_independent_rank(ray_session, tmp_path):
+    """Cap=5 over 3 sources x 40 docs: exactly the 5 smallest-md5 docs
+    per source survive, ranks are 1..5, independent recompute agrees."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import source_cap_docs
+
+    ids = list(range(120))
+    src = [f"src{i % 3}" for i in ids]
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "source": src,
+                     "text": ["x"] * len(ids)})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = source_cap_docs(str(tmp_path), cap=5).to_pandas()
+    assert len(out) == 15
+    assert set(out.groupby("source")["cap_rank"].apply(tuple)) == {
+        (1, 2, 3, 4, 5)} or all(
+        sorted(g) == [1, 2, 3, 4, 5]
+        for _, g in out.groupby("source")["cap_rank"])
+    for s in ["src0", "src1", "src2"]:
+        want = sorted((d for d in ids if f"src{d % 3}" == s),
+                      key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:5]
+        got = out[out["source"] == s].sort_values("cap_rank")["doc_id"].tolist()
+        assert got == want, s
+
+
+def test_kmeans_matches_independent_lloyd(ray_session):
+    """Engine k-means == a from-scratch single-process numpy Lloyd run on
+    the same init (k lowest vec_ids), same fixed iteration count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import kmeans_clusters
+
+    sf = "/root/testdata/sf0.001"
+    k, iters = 4, 2
+    out = kmeans_clusters(sf, k=k, n_iters=iters)
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    X = X[np.argsort(ids)]
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        cnt = np.bincount(a, minlength=k)
+        for c in range(k):
+            if cnt[c]:
+                C[c] = X[a == c].mean(axis=0)
+    got = out.pivot(index="cluster", columns="dim", values="centroid").to_numpy()
+    assert np.allclose(got, C.round(4), atol=1e-9)
+    n = out[out["dim"] == 1].set_index("cluster")["n"].to_numpy()
+    assert (n == cnt).all() and n.sum() == len(X)

@@ -508,3 +508,150 @@ def embedding_top_eigvec(sf_dir: str) -> pd.DataFrame:
         "residual": np.full(d, resid),
         "residual_ok": np.full(d, resid <= 1e-9),
     })
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, n_iters: int = 3,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """Distributed LLOYD K-MEANS over the embedding column — the
+    clustering step behind SemDeDup-style semantic dedup, IVF coarse
+    quantizers and balanced training-mix bucketing; run for a FIXED
+    ``n_iters`` so the DuckDB oracle can replay the identical fixed point
+    as an unrolled CTE chain (the host_pagerank precedent applied to a
+    vector-state iterative algorithm).
+
+    Engine shape per iteration: the k x dim centroid matrix (a few KB) is
+    broadcast with ``ray.put``; ONE map_batches pass over the distributed
+    corpus assigns each batch row to its nearest centroid (one vectorized
+    (rows, k, dim) squared-distance reduction + argmin — ties break to
+    the LOWEST cluster id, matching the oracle's ORDER BY dist, c) and
+    scatter-adds per-cluster partial sums via ``np.add.at`` — k x dim
+    long-form partial rows per batch move through the many_groups reduce,
+    never rows x dim (the label_centroids budget).  Driver state is
+    O(k x dim); an empty cluster keeps its previous centroid on both
+    engines (the oracle's coalesce).
+
+    Init is the k lowest-vec_id vectors via a column-pruned id read +
+    filtered row fetch — deterministic and SQL-reproducible; at corpus
+    scale init switches to the seeded ``random_sample`` of ann_ivf (the
+    id scan is the only driver-side O(n) step and it is int64-only).
+
+    Output contract: (cluster, dim, centroid, n) long-form like
+    label_centroids, centroid half-away-rounded to 4 dp; n is the member
+    count of the FINAL assignment (the one that produced the returned
+    centroids)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .common import _cached_get, partial_groupby, sql_round
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_numpy()
+    if len(ids) < k:
+        raise ValueError(f"kmeans_clusters: need >= {k} vectors, got {len(ids)}")
+    kth = np.partition(ids, k - 1)[k - 1]
+    init = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=pads.field("vec_id") <= kth)
+    order = np.argsort(init.column("vec_id").to_numpy())[:k]
+    C = _matrix(init.column("embedding").to_pylist())[order]  # k x dim
+    dim = C.shape[1]
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iters):
+        ref = ray.put(C)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            C_ = _cached_get(ref)
+            kk, dd = C_.shape
+            if not len(df):
+                return pd.DataFrame({"c": pd.Series([], dtype=np.int64),
+                                     "dim": pd.Series([], dtype=np.int64),
+                                     "s": pd.Series([], dtype=np.float64),
+                                     "n": pd.Series([], dtype=np.int64)})
+            m = _matrix(df["embedding"].to_numpy())
+            # (rows, k) squared distances; np.argmin ties -> lowest c,
+            # matching the oracle's ORDER BY dist, c tiebreak
+            d2 = ((m[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pd.DataFrame({
+                "c": np.repeat(np.arange(kk, dtype=np.int64), dd),
+                "dim": np.tile(np.arange(1, dd + 1, dtype=np.int64), kk),
+                "s": sums.ravel(),
+                "n": np.repeat(cnt, dd),
+            })
+
+        g = partial_groupby(ds.map_batches(partials, batch_format="pandas"),
+                            ["c", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+                            many_groups=True, num_buckets=num_buckets
+                            ).to_pandas()
+        sums = np.zeros((k, dim))
+        nvec = np.zeros(k, dtype=np.int64)
+        ci = g["c"].to_numpy(np.int64)
+        di = g["dim"].to_numpy(np.int64) - 1
+        sums[ci, di] = g["s"].to_numpy(np.float64)
+        nvec[ci[di == 0]] = g["n"].to_numpy(np.int64)[di == 0]
+        nonempty = nvec > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(nvec, 1)[:, None], C)
+        counts = nvec
+
+    return pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), dim),
+        "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), k),
+        "centroid": sql_round(pd.Series(C.ravel()), 4),
+        "n": np.repeat(counts, dim),
+    })
+
+
+def kmeans_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """The DuckDB oracle: Lloyd's fixed iteration count unrolled as one
+    (assign, means, coalesce) CTE triple per step over the same parquet —
+    centroids live as long-form (c, d, v) rows, assignment is a
+    row_number-over-(dist, c) argmin, and an empty cluster coalesces to
+    its previous centroid exactly like the engine."""
+    parts = [f"""
+        WITH dims AS (SELECT range AS d FROM range(1, {dim + 1})),
+        init AS (
+            SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS c
+            FROM embeddings ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS (SELECT i.c, dims.d, i.embedding[dims.d]::DOUBLE AS v
+               FROM init i, dims)"""]
+    for t in range(n_iters):
+        parts.append(f""",
+        d{t} AS (
+            SELECT e.vec_id, cc.c,
+                   sum((e.embedding[cc.d]::DOUBLE - cc.v)
+                       * (e.embedding[cc.d]::DOUBLE - cc.v)) AS dist
+            FROM embeddings e, c{t} cc
+            GROUP BY e.vec_id, cc.c
+        ),
+        a{t} AS (
+            SELECT vec_id, c FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, c) AS rn
+                FROM d{t}) WHERE rn = 1
+        ),
+        m{t} AS (
+            SELECT a.c, dims.d, avg(e.embedding[dims.d]::DOUBLE) AS v,
+                   count(*) / {dim} AS n
+            FROM a{t} a JOIN embeddings e USING (vec_id), dims
+            GROUP BY a.c, dims.d
+        ),
+        c{t + 1} AS (
+            SELECT p.c, p.d, coalesce(m.v, p.v) AS v
+            FROM c{t} p LEFT JOIN m{t} m ON m.c = p.c AND m.d = p.d
+        )""")
+    last = n_iters - 1
+    parts.append(f"""
+        SELECT p.c AS cluster, p.d AS dim, round(p.v, 4) AS centroid,
+               CAST(coalesce(n.n, 0) AS BIGINT) AS n
+        FROM c{n_iters} p
+        LEFT JOIN (SELECT c, count(*) AS n FROM a{last} GROUP BY c) n
+               ON n.c = p.c
+        ORDER BY cluster, dim""")
+    return "".join(parts)

@@ -984,3 +984,89 @@ def source_overlap_matrix(sf_dir: str, n: int = 4,
         return df
 
     return agg.map_batches(cast, batch_format="pandas")
+
+
+# PII-shape patterns chosen to mean the same thing under Python re and
+# DuckDB's RE2 (plain char classes + bounded repeats, no lookaround)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact_docs(sf_dir: str) -> rd.Dataset:
+    """PII REDACTION — the scrub-before-training transform: find
+    email-shaped and IPv4-shaped substrings, count them per document, and
+    replace them with typed placeholder tokens.
+
+    The synthetic corpus contains no PII, so the operator PLANTS it
+    deterministically from doc_id (every 7th doc gains an email, every
+    11th an IPv4 — pure integer->string arithmetic the SQL oracle
+    reproduces verbatim with the same concatenation), and the redacted
+    TEXT itself is certified row-by-row through md5 (the
+    clean_text_hashes pattern: the oracle checks the transform's output
+    string, not just an aggregate).  Emails redact BEFORE IPs on both
+    sides so the composition order is part of the contract.
+
+    Scale shape: one embarrassingly parallel map_batches over a
+    two-column read — zero shuffles; at 100 TB this runs at read
+    bandwidth like the other pure text transforms."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["doc_id"].to_numpy(np.int64)
+        aug = pd.Series(
+            [t + (f" contact user{d}@mail.example now" if d % 7 == 0 else "")
+               + (f" from 10.{d % 256}.0.{d % 100}" if d % 11 == 0 else "")
+             for t, d in zip(df["text"], doc)])
+        red = (aug.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+               .str.replace(IPV4_RE, "<IP>", regex=True))
+        return pd.DataFrame({
+            "doc_id": doc,
+            "n_emails": aug.str.count(EMAIL_RE).to_numpy(np.int64),
+            "n_ips": aug.str.count(IPV4_RE).to_numpy(np.int64),
+            "red_md5": [hashlib.md5(t.encode()).hexdigest() for t in red],
+        })
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+def source_cap_docs(sf_dir: str, cap: int = 25) -> rd.Dataset:
+    """Per-source retention CAP (the 'domain cap' curation step: no single
+    feed may dominate the training mix): keep at most ``cap`` documents
+    per source, selected by md5(doc_id) hash rank — deterministic across
+    engines, partitionings and retries, never RNG state.
+
+    Scale shape: a capped top-k is MERGEABLE, so every batch first
+    reduces itself to its own ``cap`` smallest ranks per source
+    (map_batches partial); the one shuffle then moves at most
+    n_sources x cap rows PER BLOCK — never a source's full row set
+    (contrast stratified_sample_docs, which ships whole strata; a domain
+    cap over a 100-TB feed cannot).  Final selection + rank stamping is
+    one keyed_map_groups over the tiny partials."""
+    from .common import keyed_map_groups
+
+    ds = load(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial_cap(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].to_numpy(),
+            "__k": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                    for d in df["doc_id"]],
+        }).sort_values(["__k", "doc_id"])
+        return g[g.groupby("source", sort=False).cumcount() < cap]
+
+    parts = ds.map_batches(partial_cap, batch_format="pandas")
+
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype="string"),
+                "cap_rank": pd.Series([], dtype=np.int64)})
+        b = bucket.sort_values(["__k", "doc_id"])
+        b = b[b.groupby("source", sort=False).cumcount() < cap].copy()
+        b["cap_rank"] = (b.groupby("source", sort=False).cumcount()
+                         + 1).astype(np.int64)
+        return b[["doc_id", "source", "cap_rank"]]
+
+    return keyed_map_groups(parts, "source", pick)
