@@ -291,3 +291,15 @@ def test_curated_image_pairs_is_leg_intersection(ray_session):
                               for i in range(len(clusters))]])
     assert cur == gate_ok & keepers & canon
     assert 100 < len(cur) < 1000
+
+
+def test_generate_dups_empty_plan_writes_typed_empty():
+    """n_base < 4 selects no copy rows (_chosen_dup first fires at i%10==3):
+    the empty keep index must stay int64 so take() yields an empty table."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.images import generate_dups
+
+    d = generate_dups(n_base=3)
+    t = pq.read_table(d + "/part-00000.parquet")
+    assert t.num_rows == 0 and "image_id" in t.schema.names

@@ -377,10 +377,8 @@ def test_source_cap_docs_matches_independent_rank(ray_session, tmp_path):
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
     out = source_cap_docs(str(tmp_path), cap=5).to_pandas()
     assert len(out) == 15
-    assert set(out.groupby("source")["cap_rank"].apply(tuple)) == {
-        (1, 2, 3, 4, 5)} or all(
-        sorted(g) == [1, 2, 3, 4, 5]
-        for _, g in out.groupby("source")["cap_rank"])
+    assert all(sorted(g) == [1, 2, 3, 4, 5]
+               for _, g in out.groupby("source")["cap_rank"])
     for s in ["src0", "src1", "src2"]:
         want = sorted((d for d in ids if f"src{d % 3}" == s),
                       key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:5]

@@ -176,7 +176,8 @@ def generate_dups(n_base: int = 1000, seed: int = config.CORPUS_SEED,
 
     base = feather.read_table(os.path.join(base_path, "corpus.feather"))
     keep = np.array([k for k in range(base.num_rows)
-                     if _chosen_dup(int(base.column("image_id")[k].as_py()[3:]))])
+                     if _chosen_dup(int(base.column("image_id")[k].as_py()[3:]))],
+                    dtype=np.int64)  # empty plan must stay an int index
     sub = base.take(keep)
     ids = pa.array([f"{i}v6" for i in sub.column("image_id").to_pylist()],
                    pa.string())

@@ -115,25 +115,29 @@ def host_pagerank(sf_dir: str, n_base: int = 1000, n_iters: int = 5,
     nodes = np.union1d(od["src_host"].to_numpy(np.int64),
                        dst_hosts["dst_host"].to_numpy(np.int64))
     n_nodes = len(nodes)
-    H = int(nodes.max()) + 1 if n_nodes else 0
+    if n_nodes == 0:  # empty graph: typed-empty, matching the oracle
+        return pd.DataFrame({"host": pd.Series([], dtype=np.int64),
+                             "pr": pd.Series([], dtype=np.float64)})
+    H = int(nodes.max()) + 1
     is_node = np.zeros(H, dtype=bool)
     is_node[nodes] = True
-    outinv = np.zeros(H)
-    outinv[od["src_host"].to_numpy(np.int64)] = \
-        1.0 / od["out"].to_numpy(np.float64)
-    dangling = is_node & (outinv == 0)
+    # store out-degrees, not reciprocals: the contribution below divides
+    # (w / out * r) in the oracle's exact left-to-right FP order
+    outv = np.zeros(H)
+    outv[od["src_host"].to_numpy(np.int64)] = od["out"].to_numpy(np.float64)
+    dangling = is_node & (outv == 0)
 
     r = np.zeros(H)
     r[nodes] = 1.0 / n_nodes
     for _ in range(n_iters):
-        ref = ray.put((r, outinv))
+        ref = ray.put((r, outv))
 
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
             from .common import _cached_get
 
-            r_, oi = _cached_get(ref)
+            r_, ov = _cached_get(ref)
             s = df["src_host"].to_numpy(np.int64)
-            c = df["w"].to_numpy(np.float64) * oi[s] * r_[s]
+            c = df["w"].to_numpy(np.float64) / ov[s] * r_[s]
             g = (pd.DataFrame({"dst_host": df["dst_host"].to_numpy(np.int64),
                                "c": c})
                  .groupby("dst_host", sort=False)["c"].sum().reset_index())

@@ -522,8 +522,10 @@ def kmeans_clusters(sf_dir: str, k: int = 8, n_iters: int = 3,
     Engine shape per iteration: the k x dim centroid matrix (a few KB) is
     broadcast with ``ray.put``; ONE map_batches pass over the distributed
     corpus assigns each batch row to its nearest centroid (one vectorized
-    (rows, k, dim) squared-distance reduction + argmin — ties break to
-    the LOWEST cluster id, matching the oracle's ORDER BY dist, c) and
+    (rows, k, dim) squared-distance reduction + argmin over the distances
+    QUANTIZED to a 1e-9 grid — FP summation-order noise between numpy and
+    DuckDB can't flip a near-tie, and exact grid ties break to the LOWEST
+    cluster id on both sides, matching ORDER BY round(dist, 9), c) and
     scatter-adds per-cluster partial sums via ``np.add.at`` — k x dim
     long-form partial rows per batch move through the many_groups reduce,
     never rows x dim (the label_centroids budget).  Driver state is
@@ -571,10 +573,14 @@ def kmeans_clusters(sf_dir: str, k: int = 8, n_iters: int = 3,
                                      "s": pd.Series([], dtype=np.float64),
                                      "n": pd.Series([], dtype=np.int64)})
             m = _matrix(df["embedding"].to_numpy())
-            # (rows, k) squared distances; np.argmin ties -> lowest c,
-            # matching the oracle's ORDER BY dist, c tiebreak
+            # (rows, k) squared distances, QUANTIZED to 9 dp (half-away,
+            # distances are >= 0) before the argmin: numpy's in-order sum
+            # and DuckDB's unordered SUM differ by ulps, so both sides
+            # compare the same 1e-9 grid and near-ties break identically
+            # -- np.argmin picks the FIRST (lowest c) minimum, matching
+            # the oracle's ORDER BY round(dist, 9), c
             d2 = ((m[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
+            a = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
             sums = np.zeros((kk, dd))
             np.add.at(sums, a, m)
             cnt = np.bincount(a, minlength=kk).astype(np.int64)
@@ -633,12 +639,11 @@ def kmeans_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
         a{t} AS (
             SELECT vec_id, c FROM (
                 SELECT vec_id, c, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, c) AS rn
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
                 FROM d{t}) WHERE rn = 1
         ),
         m{t} AS (
-            SELECT a.c, dims.d, avg(e.embedding[dims.d]::DOUBLE) AS v,
-                   count(*) / {dim} AS n
+            SELECT a.c, dims.d, avg(e.embedding[dims.d]::DOUBLE) AS v
             FROM a{t} a JOIN embeddings e USING (vec_id), dims
             GROUP BY a.c, dims.d
         ),

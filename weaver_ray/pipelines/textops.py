@@ -200,6 +200,14 @@ def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _md5_doc_key(doc_ids) -> list[str]:
+    """The shared md5(doc_id) hash-rank key — the engine spelling of the
+    oracle's ``md5(CAST(doc_id AS VARCHAR))``.  ONE definition so
+    stratified sampling, the deterministic shuffle and the domain cap can
+    never desynchronize from each other or their three SQL oracles."""
+    return [hashlib.md5(str(int(d)).encode()).hexdigest() for d in doc_ids]
+
+
 def stratified_sample_docs(sf_dir: str, per_group: int = 20) -> rd.Dataset:
     """Deterministic stratified sampling: the ``per_group`` docs with the
     smallest md5(doc_id) rank per language — balanced per-stratum subsets
@@ -210,9 +218,7 @@ def stratified_sample_docs(sf_dir: str, per_group: int = 20) -> rd.Dataset:
     def pick(bucket: pd.DataFrame) -> pd.DataFrame:
         # complete lang groups per bucket: rank by md5 within each lang
         # (one groupby-rank over the bucket), keep the per_group smallest
-        key = [hashlib.md5(str(int(d)).encode()).hexdigest()
-               for d in bucket["doc_id"]]
-        g = bucket.assign(__k=key)
+        g = bucket.assign(__k=_md5_doc_key(bucket["doc_id"]))
         g = g[g.groupby("lang", sort=False)["__k"].rank(method="first")
               <= per_group]
         return pd.DataFrame({"lang": g["lang"].to_numpy(),
@@ -791,8 +797,7 @@ def deterministic_shuffle_docs(sf_dir: str) -> rd.Dataset:
     def key(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
-            "__k": [hashlib.md5(str(int(d)).encode()).hexdigest()
-                    for d in df["doc_id"]],
+            "__k": _md5_doc_key(df["doc_id"]),
         })
 
     keyed = ds.map_batches(key, batch_format="pandas")
@@ -1050,8 +1055,7 @@ def source_cap_docs(sf_dir: str, cap: int = 25) -> rd.Dataset:
         g = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
             "source": df["source"].to_numpy(),
-            "__k": [hashlib.md5(str(int(d)).encode()).hexdigest()
-                    for d in df["doc_id"]],
+            "__k": _md5_doc_key(df["doc_id"]),
         }).sort_values(["__k", "doc_id"])
         return g[g.groupby("source", sort=False).cumcount() < cap]
 
