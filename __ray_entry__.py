@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
+        # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
+        "semantic_dedup_keepers": similarity.semantic_dedup_keepers,
         # one-pass distributed moment sweep -> d x d covariance (SQL) and
         # top principal direction (self-evidencing residual verdicts)
         "embedding_covariance": similarity.embedding_covariance,
@@ -1788,9 +1790,12 @@ def oracle_sql() -> dict[str, str]:
     d["host_pagerank"] = pagerank_sql()
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
-    from weaver_ray.pipelines.similarity import kmeans_sql
+    from weaver_ray.pipelines.similarity import kmeans_sql, semantic_dedup_sql
 
     d["kmeans_clusters"] = kmeans_sql()
+    # SemDeDup: kmeans_sql nested verbatim, then a lower-id within-cluster
+    # anti-join on the 1e-9-grid cosine
+    d["semantic_dedup_keepers"] = semantic_dedup_sql()
     # composed: pack the CURATED survivor set into fixed token-budget
     # training shards — the oracle reuses curated_docs's SQL verbatim as a
     # nested subquery, then applies the same exclusive-prefix-sum window

@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "pii_redact_docs",
     "source_cap_docs",
     "kmeans_clusters",
+    "semantic_dedup_keepers",
     "token_budget_bins",
     "weighted_source_mix",
     "deterministic_shuffle_docs",

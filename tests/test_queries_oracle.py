@@ -414,3 +414,48 @@ def test_kmeans_matches_independent_lloyd(ray_session):
     assert np.allclose(got, C.round(4), atol=1e-9)
     n = out[out["dim"] == 1].set_index("cluster")["n"].to_numpy()
     assert (n == cnt).all() and n.sum() == len(X)
+
+
+def test_semantic_dedup_matches_independent_recompute(ray_session, tmp_path):
+    """Planted exact-duplicate directions collapse to the lowest vec_id;
+    the full keeper set equals a from-scratch single-process recompute
+    (same init, same quantized grids)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import semantic_dedup_keepers
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 64)).astype(np.float32)
+    X[13] = X[2] * 2.0   # same direction as vec 2 -> cos == 1, must prune
+    X[44] = X[2] * 0.5
+    t = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = semantic_dedup_keepers(str(tmp_path), k=4, n_iters=2,
+                                 threshold=0.9).to_pandas()
+    kept = set(out["vec_id"])
+    assert 2 in kept and 13 not in kept and 44 not in kept
+
+    # independent recompute: Lloyd + within-cluster lower-id prune
+    Xd = X.astype(np.float64)
+    C = Xd[:4].copy()
+    for _ in range(2):
+        d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+        for c in range(4):
+            if (a == c).any():
+                C[c] = Xd[a == c].mean(axis=0)
+    Cr = C.round(4)
+    d2 = ((Xd[:, None, :] - Cr[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+    nrm = np.linalg.norm(Xd, axis=1)
+    cos = (Xd @ Xd.T) / np.outer(nrm, nrm)
+    cos_q = np.floor(cos * 1e9 + 0.5) / 1e9
+    want = {i for i in range(60)
+            if not any(cos_q[i, j] >= 0.9 and a[j] == a[i]
+                       for j in range(i))}
+    assert kept == want

@@ -510,6 +510,18 @@ def embedding_top_eigvec(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def _nearest_centroid(m: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment over squared distances QUANTIZED to a
+    1e-9 grid (half-away; distances are >= 0): numpy's in-order sum and
+    DuckDB's unordered SUM differ by ulps, so both sides compare the same
+    grid and near-ties break identically — ``np.argmin`` picks the FIRST
+    (lowest c) minimum, matching the oracle's ORDER BY round(dist, 9), c.
+    ONE definition shared by kmeans_clusters and semantic_dedup_keepers
+    so the assignment rule cannot drift from the two oracles."""
+    d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+
+
 def kmeans_clusters(sf_dir: str, k: int = 8, n_iters: int = 3,
                     num_buckets: int = 16) -> pd.DataFrame:
     """Distributed LLOYD K-MEANS over the embedding column — the
@@ -573,14 +585,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, n_iters: int = 3,
                                      "s": pd.Series([], dtype=np.float64),
                                      "n": pd.Series([], dtype=np.int64)})
             m = _matrix(df["embedding"].to_numpy())
-            # (rows, k) squared distances, QUANTIZED to 9 dp (half-away,
-            # distances are >= 0) before the argmin: numpy's in-order sum
-            # and DuckDB's unordered SUM differ by ulps, so both sides
-            # compare the same 1e-9 grid and near-ties break identically
-            # -- np.argmin picks the FIRST (lowest c) minimum, matching
-            # the oracle's ORDER BY round(dist, 9), c
-            d2 = ((m[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+            a = _nearest_centroid(m, C_)
             sums = np.zeros((kk, dd))
             np.add.at(sums, a, m)
             cnt = np.bincount(a, minlength=kk).astype(np.int64)
@@ -660,3 +665,132 @@ def kmeans_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
                ON n.c = p.c
         ORDER BY cluster, dim""")
     return "".join(parts)
+
+
+def semantic_dedup_keepers(sf_dir: str, k: int = 8, n_iters: int = 3,
+                           threshold: float = 0.3,
+                           num_buckets: int = 16) -> rd.Dataset:
+    """SemDeDup-shape SEMANTIC deduplication (the published
+    cluster-then-prune method: k-means the embedding space, then drop
+    near-duplicates WITHIN each cluster — public algorithm, Abbas et al.
+    2023): a vector survives iff NO lower-vec_id vector in its cluster
+    has cosine similarity >= ``threshold`` with it.
+
+    Composition: the final centroids come from the SAME fixed-iteration
+    Lloyd run as kmeans_clusters (4-dp ROUNDED, so both engines assign
+    against identical constants); assignment reuses the shared
+    :func:`_nearest_centroid` quantized-grid rule; pruning compares
+    cosines on the same 1e-9 grid (``round(cos, 9) >= threshold`` on
+    both sides).
+
+    Scale shape: one map_batches assignment pass (centroids broadcast,
+    k x dim floats), then ONE hash shuffle keyed by cluster
+    (keyed_map_groups — complete clusters per bucket) with a vectorized
+    within-cluster cosine matrix + lower-id mask per cluster.  The
+    within-cluster all-pairs is SemDeDup's own design point: k is chosen
+    so clusters fit a worker (at 10^8+ vectors k grows with the corpus
+    and this stage's cost stays (n/k)^2 per cluster, embarrassingly
+    parallel across clusters)."""
+    from .common import keyed_map_groups
+
+    cent = kmeans_clusters(sf_dir, k=k, n_iters=n_iters,
+                           num_buckets=num_buckets)
+    C = (cent.pivot(index="cluster", columns="dim", values="centroid")
+         .to_numpy())
+    ref = ray.put(C)
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cluster": pd.Series([], dtype=np.int64),
+                                 "emb": pd.Series([], dtype=object)})
+        m = _matrix(df["embedding"].to_numpy())
+        # ship vectors as fixed-dtype BYTES through the exchange (tensor
+        # extension arrays don't survive its plain Arrow round trip — the
+        # shingles-as-bytes precedent of the minhash verify join)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "cluster": _nearest_centroid(m, _cached_get(ref)),
+            "emb": [v.tobytes() for v in
+                    np.ascontiguousarray(m, dtype=np.float64)],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def prune(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "cluster": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        outs = []
+        for c, g in bucket.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            X = np.frombuffer(b"".join(g["emb"]),
+                              dtype=np.float64).reshape(len(g), -1)
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = 1.0  # zero vectors: cos defined as 0 both sides
+            cos = (X @ X.T) / np.outer(nrm, nrm)
+            cos_q = np.floor(cos * 1e9 + 0.5) / 1e9
+            dup = np.tril(cos_q >= threshold, k=-1).any(axis=1)
+            keep = g[~dup]
+            outs.append(pd.DataFrame({
+                "vec_id": keep["vec_id"].to_numpy(np.int64),
+                "cluster": np.full(len(keep), int(c), dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return keyed_map_groups(assigned, "cluster", prune, num_buckets)
+
+
+def semantic_dedup_sql(k: int = 8, n_iters: int = 3,
+                       threshold: float = 0.3, dim: int = 64) -> str:
+    """The DuckDB oracle: kmeans_sql's final (ROUNDED) centroids as a
+    nested CTE, the same quantized-grid assignment, then a lower-id
+    within-cluster anti-join on round(cos, 9) >= threshold.  Cosines use
+    DOUBLE-cast list_inner_product so pair expansion stays one row per
+    pair (never pairs x dims)."""
+    return f"""
+        WITH km AS ({kmeans_sql(k, n_iters, dim)}),
+        cent AS (SELECT cluster AS c, dim AS d, centroid AS v FROM km),
+        dst AS (
+            SELECT e.vec_id, cc.c,
+                   sum((e.embedding[cc.d]::DOUBLE - cc.v)
+                       * (e.embedding[cc.d]::DOUBLE - cc.v)) AS dist
+            FROM embeddings e, cent cc
+            GROUP BY e.vec_id, cc.c
+        ),
+        asg AS (
+            SELECT vec_id, c AS cluster FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM dst) WHERE rn = 1
+        ),
+        vecs AS (
+            SELECT a.vec_id, a.cluster,
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   CASE WHEN sqrt(list_inner_product(
+                            list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE)),
+                            list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE)))) = 0
+                        THEN 1.0
+                        ELSE sqrt(list_inner_product(
+                            list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE)),
+                            list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE))))
+                   END AS nrm
+            FROM asg a JOIN embeddings e USING (vec_id)
+        )
+        SELECT a.vec_id, a.cluster
+        FROM vecs a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM vecs b
+            WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+              AND round(list_inner_product(a.emb, b.emb)
+                        / (a.nrm * b.nrm), 9) >= {threshold}
+        )
+    """
