@@ -459,3 +459,41 @@ def test_semantic_dedup_matches_independent_recompute(ray_session, tmp_path):
             if not any(cos_q[i, j] >= 0.9 and a[j] == a[i]
                        for j in range(i))}
     assert kept == want
+
+
+def test_pq_codebooks_match_independent_subspace_lloyd(ray_session):
+    """Engine PQ == m from-scratch numpy Lloyd runs, one per contiguous
+    dim slice, on the same init (k lowest vec_ids' slices) and the same
+    fixed iteration count — proves the single-pass multi-subspace
+    scatter-add reduce is exactly m independent sub-quantizers."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import pq_codebooks
+
+    sf = "/root/testdata/sf0.001"
+    m, k, iters = 4, 8, 2
+    out = pq_codebooks(sf, m=m, k=k, n_iters=iters)
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    X = X[np.argsort(ids)]
+    dim = X.shape[1]
+    sub = dim // m
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+            cnt = np.bincount(a, minlength=k)
+            for c in range(k):
+                if cnt[c]:
+                    C[c] = Xs[a == c].mean(axis=0)
+        part = out[out["subspace"] == s]
+        got = part.pivot(index="code", columns="dim",
+                         values="centroid").to_numpy()
+        assert np.allclose(got, C.round(4), atol=1e-9), s
+        n = part[part["dim"] == s * sub + 1].set_index("code")["n"].to_numpy()
+        assert (n == cnt).all() and n.sum() == len(X), s

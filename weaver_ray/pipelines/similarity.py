@@ -794,3 +794,163 @@ def semantic_dedup_sql(k: int = 8, n_iters: int = 3,
                         / (a.nrm * b.nrm), 9) >= {threshold}
         )
     """
+
+
+def pq_codebooks(sf_dir: str, m: int = 4, k: int = 16, n_iters: int = 2,
+                 num_buckets: int = 16) -> pd.DataFrame:
+    """PRODUCT-QUANTIZATION codebooks (the compression half of IVF-PQ
+    similarity search, public method — Jegou et al. 2011): the embedding
+    space splits into ``m`` contiguous subspaces and each subspace gets
+    its own ``k``-centroid Lloyd codebook, so a vector compresses to m
+    small codes (here 4 x 4 bits replaces 64 floats).
+
+    Engine shape: ALL m sub-quantizers train in the SAME pass — one
+    map_batches per iteration computes, per subspace, the quantized-grid
+    nearest-centroid assignment (:func:`_nearest_centroid` on the dim
+    slice) and scatter-adds per-code partial sums; m x k x (dim/m)
+    long-form rows per batch ride the many_groups reduce, exactly the
+    kmeans_clusters budget repeated m times.  Driver state is the m
+    codebooks (m x k x dim/m floats).  Init = the k lowest-vec_id
+    vectors' slices; empty codes coalesce to their previous centroid.
+
+    Output contract: (subspace, code, dim, centroid, n) long-form with
+    GLOBAL 1-based dim indices (so the oracle slices embedding[dim]
+    directly); n is the final assignment's member count per code."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .common import _cached_get, partial_groupby, sql_round
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_numpy()
+    if len(ids) < k:
+        raise ValueError(f"pq_codebooks: need >= {k} vectors, got {len(ids)}")
+    kth = np.partition(ids, k - 1)[k - 1]
+    init = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=pads.field("vec_id") <= kth)
+    order = np.argsort(init.column("vec_id").to_numpy())[:k]
+    full = _matrix(init.column("embedding").to_pylist())[order]  # k x dim
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    C = np.stack([full[:, s * sub:(s + 1) * sub] for s in range(m)])  # m,k,sub
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    counts = np.zeros((m, k), dtype=np.int64)
+    for _ in range(n_iters):
+        ref = ray.put(C)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            C_ = _cached_get(ref)
+            mm, kk, ss = C_.shape
+            if not len(df):
+                return pd.DataFrame({"s_id": pd.Series([], dtype=np.int64),
+                                     "c": pd.Series([], dtype=np.int64),
+                                     "dim": pd.Series([], dtype=np.int64),
+                                     "s": pd.Series([], dtype=np.float64),
+                                     "n": pd.Series([], dtype=np.int64)})
+            X = _matrix(df["embedding"].to_numpy())
+            frames = []
+            for si in range(mm):
+                Xs = X[:, si * ss:(si + 1) * ss]
+                a = _nearest_centroid(Xs, C_[si])
+                sums = np.zeros((kk, ss))
+                np.add.at(sums, a, Xs)
+                cnt = np.bincount(a, minlength=kk).astype(np.int64)
+                frames.append(pd.DataFrame({
+                    "s_id": np.full(kk * ss, si, dtype=np.int64),
+                    "c": np.repeat(np.arange(kk, dtype=np.int64), ss),
+                    "dim": np.tile(np.arange(si * ss + 1, (si + 1) * ss + 1,
+                                             dtype=np.int64), kk),
+                    "s": sums.ravel(),
+                    "n": np.repeat(cnt, ss),
+                }))
+            return pd.concat(frames, ignore_index=True)
+
+        g = partial_groupby(ds.map_batches(partials, batch_format="pandas"),
+                            ["s_id", "c", "dim"],
+                            {"s": ("s", "sum"), "n": ("n", "sum")},
+                            many_groups=True, num_buckets=num_buckets
+                            ).to_pandas()
+        si = g["s_id"].to_numpy(np.int64)
+        ci = g["c"].to_numpy(np.int64)
+        di = (g["dim"].to_numpy(np.int64) - 1) - si * sub
+        sums = np.zeros((m, k, sub))
+        sums[si, ci, di] = g["s"].to_numpy(np.float64)
+        nvec = np.zeros((m, k), dtype=np.int64)
+        first = di == 0
+        nvec[si[first], ci[first]] = g["n"].to_numpy(np.int64)[first]
+        nonempty = (nvec > 0)[:, :, None]
+        C = np.where(nonempty, sums / np.maximum(nvec, 1)[:, :, None], C)
+        counts = nvec
+
+    return pd.DataFrame({
+        "subspace": np.repeat(np.arange(m, dtype=np.int64), k * sub),
+        "code": np.tile(np.repeat(np.arange(k, dtype=np.int64), sub), m),
+        "dim": np.concatenate([np.tile(np.arange(s * sub + 1,
+                                                 (s + 1) * sub + 1,
+                                                 dtype=np.int64), k)
+                               for s in range(m)]),
+        "centroid": sql_round(pd.Series(C.reshape(-1)), 4),
+        "n": np.repeat(counts.reshape(-1), sub),
+    })
+
+
+def pq_sql(m: int = 4, k: int = 16, n_iters: int = 2, dim: int = 64) -> str:
+    """The DuckDB oracle: m INDEPENDENT unrolled Lloyd chains (one per
+    subspace, the kmeans_sql pattern on a dim slice), UNION ALL'd with
+    their final member counts."""
+    sub = dim // m
+    parts = ["        WITH "]
+    outs = []
+    first = True
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        pre = "" if first else ","
+        first = False
+        parts.append(f"""{pre}
+        dims_{s} AS (SELECT range AS d FROM range({lo}, {hi + 1})),
+        init_{s} AS (
+            SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS c
+            FROM embeddings ORDER BY vec_id LIMIT {k}
+        ),
+        c{s}_0 AS (SELECT i.c, dims_{s}.d, i.embedding[dims_{s}.d]::DOUBLE AS v
+                   FROM init_{s} i, dims_{s})""")
+        for t in range(n_iters):
+            parts.append(f""",
+        d{s}_{t} AS (
+            SELECT e.vec_id, cc.c,
+                   sum((e.embedding[cc.d]::DOUBLE - cc.v)
+                       * (e.embedding[cc.d]::DOUBLE - cc.v)) AS dist
+            FROM embeddings e, c{s}_{t} cc
+            GROUP BY e.vec_id, cc.c
+        ),
+        a{s}_{t} AS (
+            SELECT vec_id, c FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM d{s}_{t}) WHERE rn = 1
+        ),
+        m{s}_{t} AS (
+            SELECT a.c, dims_{s}.d, avg(e.embedding[dims_{s}.d]::DOUBLE) AS v
+            FROM a{s}_{t} a JOIN embeddings e USING (vec_id), dims_{s}
+            GROUP BY a.c, dims_{s}.d
+        ),
+        c{s}_{t + 1} AS (
+            SELECT p.c, p.d, coalesce(mm.v, p.v) AS v
+            FROM c{s}_{t} p LEFT JOIN m{s}_{t} mm
+                 ON mm.c = p.c AND mm.d = p.d
+        )""")
+        outs.append(f"""
+        SELECT {s} AS subspace, p.c AS code, p.d AS dim,
+               round(p.v, 4) AS centroid,
+               CAST(coalesce(n.n, 0) AS BIGINT) AS n
+        FROM c{s}_{n_iters} p
+        LEFT JOIN (SELECT c, count(*) AS n FROM a{s}_{n_iters - 1}
+                   GROUP BY c) n ON n.c = p.c""")
+    parts.append(" UNION ALL ".join(outs))
+    parts.append("\n        ORDER BY subspace, code, dim")
+    return "".join(parts)
