@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization codebooks: m sub-space Lloyd chains in ONE
         # pass per iteration (the IVF-PQ compression half)
         "pq_codebooks": similarity.pq_codebooks,
+        # PQ asymmetric-distance top-k scan over the same codebooks
+        "pq_adc_topk": similarity.pq_adc_topk,
         # one-pass distributed moment sweep -> d x d covariance (SQL) and
         # top principal direction (self-evidencing residual verdicts)
         "embedding_covariance": similarity.embedding_covariance,
@@ -1793,13 +1795,16 @@ def oracle_sql() -> dict[str, str]:
     d["host_pagerank"] = pagerank_sql()
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
-    from weaver_ray.pipelines.similarity import (kmeans_sql, pq_sql,
-                                                  semantic_dedup_sql)
+    from weaver_ray.pipelines.similarity import (kmeans_sql, pq_adc_sql,
+                                                  pq_sql, semantic_dedup_sql)
 
     d["kmeans_clusters"] = kmeans_sql()
     # product quantization: m independent unrolled Lloyd chains, one per
     # contiguous dim slice, UNION ALL'd with final member counts
     d["pq_codebooks"] = pq_sql()
+    # PQ ADC search: re-encode against the rounded codebooks, rank
+    # sum-over-subspace distances on the 1e-9 grid
+    d["pq_adc_topk"] = pq_adc_sql()
     # SemDeDup: kmeans_sql nested verbatim, then a lower-id within-cluster
     # anti-join on the 1e-9-grid cosine
     d["semantic_dedup_keepers"] = semantic_dedup_sql()

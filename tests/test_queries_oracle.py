@@ -497,3 +497,52 @@ def test_pq_codebooks_match_independent_subspace_lloyd(ray_session):
         assert np.allclose(got, C.round(4), atol=1e-9), s
         n = part[part["dim"] == s * sub + 1].set_index("code")["n"].to_numpy()
         assert (n == cnt).all() and n.sum() == len(X), s
+
+
+def test_pq_adc_topk_matches_independent_recompute(ray_session):
+    """Engine PQ-ADC search == a from-scratch numpy recompute: train m
+    sub-Lloyd codebooks independently, round to 4 dp, encode the corpus,
+    rank each query's sum-over-subspace distances on the 1e-9 grid."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import pq_adc_topk
+
+    sf = "/root/testdata/sf0.001"
+    m, k, iters, nq, topk = 4, 16, 2, 5, 10
+    out = pq_adc_topk(sf, m=m, k=k, n_iters=iters, n_queries=nq, topk=topk)
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    o = np.argsort(ids)
+    ids, X = ids[o], X[o]
+    dim = X.shape[1]
+    sub = dim // m
+    Cq = np.zeros((m, k, sub))
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    C[c] = Xs[a == c].mean(axis=0)
+        Cq[s] = np.sign(C) * np.floor(np.abs(C) * 1e4 + 0.5) / 1e4
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        d2 = ((X[:, None, s * sub:(s + 1) * sub]
+               - Cq[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(np.floor(d2 * 1e9 + 0.5), axis=1)
+    for qi in range(nq):
+        q = X[ids == qi][0]
+        T = ((q.reshape(m, 1, sub) - Cq) ** 2).sum(axis=2)  # m x k
+        dist = T[np.arange(m)[None, :], codes].sum(axis=1)
+        grid = np.floor(dist * 1e9 + 0.5)
+        mask = ids != qi
+        order = np.lexsort((ids[mask], grid[mask]))[:topk]
+        want = ids[mask][order].tolist()
+        got = out[out["query_id"] == qi].sort_values("adc_rank")[
+            "neighbor_id"].tolist()
+        assert got == want, qi

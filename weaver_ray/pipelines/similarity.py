@@ -816,12 +816,35 @@ def pq_codebooks(sf_dir: str, m: int = 4, k: int = 16, n_iters: int = 2,
     Output contract: (subspace, code, dim, centroid, n) long-form with
     GLOBAL 1-based dim indices (so the oracle slices embedding[dim]
     directly); n is the final assignment's member count per code."""
+    from .common import sql_round
+
+    C, counts = _pq_train(sf_dir, m, k, n_iters, num_buckets)
+    m, k, sub = C.shape
+    return pd.DataFrame({
+        "subspace": np.repeat(np.arange(m, dtype=np.int64), k * sub),
+        "code": np.tile(np.repeat(np.arange(k, dtype=np.int64), sub), m),
+        "dim": np.concatenate([np.tile(np.arange(s * sub + 1,
+                                                 (s + 1) * sub + 1,
+                                                 dtype=np.int64), k)
+                               for s in range(m)]),
+        "centroid": sql_round(pd.Series(C.reshape(-1)), 4),
+        "n": np.repeat(counts.reshape(-1), sub),
+    })
+
+
+def _pq_train(sf_dir: str, m: int, k: int, n_iters: int,
+              num_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """The distributed sub-space Lloyd loop behind :func:`pq_codebooks`
+    and :func:`pq_adc_topk`: returns (codebooks m x k x dim/m unrounded,
+    final member counts m x k).  ONE training implementation so the
+    codebook the scan encodes against cannot drift from the one the
+    codebook query publishes."""
     import os
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    from .common import _cached_get, partial_groupby, sql_round
+    from .common import _cached_get, partial_groupby
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_numpy()
@@ -887,16 +910,7 @@ def pq_codebooks(sf_dir: str, m: int = 4, k: int = 16, n_iters: int = 2,
         C = np.where(nonempty, sums / np.maximum(nvec, 1)[:, :, None], C)
         counts = nvec
 
-    return pd.DataFrame({
-        "subspace": np.repeat(np.arange(m, dtype=np.int64), k * sub),
-        "code": np.tile(np.repeat(np.arange(k, dtype=np.int64), sub), m),
-        "dim": np.concatenate([np.tile(np.arange(s * sub + 1,
-                                                 (s + 1) * sub + 1,
-                                                 dtype=np.int64), k)
-                               for s in range(m)]),
-        "centroid": sql_round(pd.Series(C.reshape(-1)), 4),
-        "n": np.repeat(counts.reshape(-1), sub),
-    })
+    return C, counts
 
 
 def pq_sql(m: int = 4, k: int = 16, n_iters: int = 2, dim: int = 64) -> str:
@@ -953,4 +967,139 @@ def pq_sql(m: int = 4, k: int = 16, n_iters: int = 2, dim: int = 64) -> str:
                    GROUP BY c) n ON n.c = p.c""")
     parts.append(" UNION ALL ".join(outs))
     parts.append("\n        ORDER BY subspace, code, dim")
+    return "".join(parts)
+
+
+def pq_adc_topk(sf_dir: str, m: int = 4, k: int = 16, n_iters: int = 2,
+                n_queries: int = 5, topk: int = 10,
+                num_buckets: int = 16) -> pd.DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k search (the scan half of IVF-PQ,
+    Jegou et al. 2011): every corpus vector is compressed to m sub-space
+    codes against the :func:`_pq_train` codebooks, and each query ranks
+    neighbors by the ADC estimate — the sum over subspaces of the
+    squared distance from the query's dim slice to the ASSIGNED centroid
+    (the query side stays exact; only the corpus side is quantized).
+
+    Parity contract: codebooks are ROUNDED to 4 dp before anything is
+    encoded (both engines then hold bit-identical centroids — PQ
+    codebooks are stored quantized in practice anyway), encoding uses
+    the shared :func:`_nearest_centroid` 1e-9 quantized-grid rule per
+    subspace, and the final ranking compares distances on the same grid
+    with a neighbor_id tiebreak, so numpy-vs-DuckDB summation-order ulps
+    cannot flip a rank.  Output is the (query_id, neighbor_id, adc_rank)
+    set — the distance value itself is not part of the contract.
+
+    Engine shape: the m x k x (dim/m) rounded codebooks and the
+    n_queries x m x k ADC lookup tables broadcast once via ``ray.put``;
+    per Arrow batch ONE vectorized pass encodes the batch (m small
+    nearest-centroid argmins) and gathers per-query distances from the
+    tables (pure fancy indexing + sum over subspaces — no per-row
+    Python), keeping a local top-k per query; the driver merges the
+    tiny per-batch candidate sets.  The corpus never shuffles."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .common import _cached_get, sql_round
+
+    C, _ = _pq_train(sf_dir, m, k, n_iters, num_buckets)
+    Cq = sql_round(C.reshape(-1), 4).reshape(C.shape)
+    mm, kk, sub = Cq.shape
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=pads.field("vec_id") < n_queries)
+    qids = qt.column("vec_id").to_numpy()
+    Q = _matrix(qt.column("embedding").to_pylist())  # nq x dim
+    # ADC tables: T[q, s, c] = ||Q[q, slice_s] - Cq[s, c]||^2
+    T = ((Q.reshape(len(qids), mm, 1, sub)
+          - Cq[None, :, :, :]) ** 2).sum(axis=3)
+    ref = ray.put((qids, T, Cq))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids, T, Cq = _cached_get(ref)
+        mm, kk, ss = Cq.shape
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.float64)})
+        vid = df["vec_id"].to_numpy()
+        X = _matrix(df["embedding"].to_numpy())
+        codes = np.stack([_nearest_centroid(X[:, s * ss:(s + 1) * ss], Cq[s])
+                          for s in range(mm)], axis=1)  # batch x m
+        # dist[q, v] = sum_s T[q, s, codes[v, s]]
+        dist = T[:, np.arange(mm)[None, :], codes].sum(axis=2)  # nq x batch
+        out = []
+        for qi, qid in enumerate(qids):
+            row = np.floor(dist[qi] * 1e9 + 0.5)
+            idx = np.flatnonzero(vid != qid)
+            order = idx[np.lexsort((vid[idx], row[idx]))][: topk]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": vid[order].astype(np.int64),
+                "dist": dist[qi][order]}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand["grid"] = np.floor(cand["dist"].to_numpy() * 1e9 + 0.5)
+    out = (cand.sort_values(["query_id", "grid", "neighbor_id"])
+               .groupby("query_id", sort=True).head(topk))
+    out["adc_rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out[["query_id", "neighbor_id", "adc_rank"]].reset_index(drop=True)
+
+
+def pq_adc_sql(m: int = 4, k: int = 16, n_iters: int = 2,
+               n_queries: int = 5, topk: int = 10, dim: int = 64) -> str:
+    """The DuckDB oracle for :func:`pq_adc_topk`: the :func:`pq_sql`
+    Lloyd chains produce the 4-dp-rounded codebooks, every corpus vector
+    re-encodes against them (round(dist,9) grid, lowest-code tiebreak),
+    and each query ranks sum-over-subspace ADC distances on the same
+    grid with the neighbor_id tiebreak."""
+    sub = dim // m
+    parts = [f"""
+        WITH cb AS ({pq_sql(m=m, k=k, n_iters=n_iters, dim=dim)}
+        ),
+        cbq AS (
+            SELECT CAST(subspace AS BIGINT) AS s, code AS c, dim AS d,
+                   centroid AS v
+            FROM cb
+        ),
+        enc AS (
+            SELECT vec_id, s, c FROM (
+                SELECT e.vec_id, cq.s, cq.c,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, cq.s
+                           ORDER BY round(sum(
+                               (e.embedding[cq.d]::DOUBLE - cq.v)
+                               * (e.embedding[cq.d]::DOUBLE - cq.v)), 9),
+                               cq.c) AS rn
+                FROM embeddings e, cbq cq
+                GROUP BY e.vec_id, cq.s, cq.c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {n_queries}
+        ),
+        dist AS (
+            SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+                   sum((q.embedding[cq.d]::DOUBLE - cq.v)
+                       * (q.embedding[cq.d]::DOUBLE - cq.v)) AS dist
+            FROM q, enc en
+            JOIN cbq cq ON cq.s = en.s AND cq.c = en.c
+            WHERE en.vec_id <> q.vec_id
+            GROUP BY q.vec_id, en.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS adc_rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(dist, 9), neighbor_id) AS rn
+            FROM dist
+        ) WHERE rn <= {topk}
+        ORDER BY query_id, adc_rank"""]
     return "".join(parts)
