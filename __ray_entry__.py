@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_overlap_docs": textops.contamination_overlap_docs,
         # pairwise cross-source shared-ngram counts (data governance)
         "source_overlap_matrix": textops.source_overlap_matrix,
+        # per-doc duplicated-span (copy-fraction) statistics
+        "duplicated_span_docs": textops.duplicated_span_docs,
         "unigram_logprob_docs": textops.unigram_logprob_docs,
         # composed curation flagship: quality ∩ repetition ∩ exact-keeper
         # ∩ near-dup canonical, one flag shuffle on top of the four legs
@@ -1554,6 +1556,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
             GROUP BY a.source, b.source
+        """,
+        # duplicated-span statistics: per-gram distinct-doc counts over
+        # globally-distinct (doc, gram) pairs, joined back per doc
+        "duplicated_span_docs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i + 3], ' ') AS g
+                FROM toks, UNNEST(range(1, len(ts) - 2)) r(i)
+                WHERE len(ts) >= 4
+            ),
+            gc AS (SELECT g, count(*) AS ndocs FROM grams GROUP BY g)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN gc.ndocs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams,
+                   round(sum(CASE WHEN gc.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS dup_frac
+            FROM grams JOIN gc USING (g)
+            GROUP BY doc_id
         """,
         # weighted mixture: md5-threshold Bernoulli gate, rate from srcN
         "weighted_source_mix": """

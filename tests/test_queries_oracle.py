@@ -546,3 +546,31 @@ def test_pq_adc_topk_matches_independent_recompute(ray_session):
         got = out[out["query_id"] == qi].sort_values("adc_rank")[
             "neighbor_id"].tolist()
         assert got == want, qi
+
+
+def test_duplicated_span_docs_planted(ray_session, tmp_path):
+    """Planted shared spans are found exactly: docs 0 and 1 share one
+    4-gram span, doc 2 is unique, doc 3 is too short for any gram."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import duplicated_span_docs
+
+    texts = [
+        "alpha beta gamma delta unique0 tail0",   # grams: 3; 1 shared
+        "head1 alpha beta gamma delta unique1",   # grams: 3; 1 shared
+        "wholly distinct words nothing common here",  # 3 grams; 0 shared
+        "too short",                               # no 4-gram
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = duplicated_span_docs(str(tmp_path)).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 1, 2]  # doc 3 has no grams
+    assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_dup_grams"] == 1
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup_grams"] == 0
+    assert np.isclose(out.loc[0, "dup_frac"], 0.3333)

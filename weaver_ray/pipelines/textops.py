@@ -1074,3 +1074,73 @@ def source_cap_docs(sf_dir: str, cap: int = 25) -> rd.Dataset:
         return b[["doc_id", "source", "cap_rank"]]
 
     return keyed_map_groups(parts, "source", pick)
+
+
+def duplicated_span_docs(sf_dir: str, n: int = 4,
+                         num_buckets: int = 16) -> rd.Dataset:
+    """Corpus-wide DUPLICATED-SPAN statistics (the exact-substring dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at word-n-gram granularity): for every
+    document, how many of its distinct word ``n``-grams also appear in
+    at least one OTHER document, and what fraction of the document that
+    is — the per-doc "copy fraction" used to drop boilerplate and
+    templated text before training.
+
+    Scale shape: distinct (gram, doc_id) rows per batch via the shared
+    :func:`_word_ngrams` extractor (a doc lives in one row, so per-batch
+    distinct is globally distinct), then ONE hash shuffle keyed by gram
+    (keyed_map_groups — a gram's full posting list lands in one bucket,
+    so its distinct-doc count is exact there) emitting per-doc PARTIAL
+    (n_grams, n_dup) counts, reduced by one tiny doc-keyed shuffle.  No
+    task ever holds a document's full gram set beyond its own bucket
+    slice; a pathologically hot gram costs its posting-list length in
+    one bucket, never a cross-bucket join."""
+    from .common import keyed_map_groups, partial_groupby, sql_round
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_doc(df: pd.DataFrame) -> pd.DataFrame:
+        cnt, grams = _word_ngrams(df["text"], n)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), cnt)
+        if not len(doc):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "g": pd.Series([], dtype="string")})
+        return pd.DataFrame({"doc_id": doc, "g": grams}).drop_duplicates()
+
+    pairs = ds.map_batches(gram_doc, batch_format="pandas")
+
+    def bucket_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "n_grams": pd.Series([], dtype=np.int64),
+                              "n_dup_grams": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        # rows are globally distinct (doc, gram) pairs and a gram's whole
+        # posting list is in THIS bucket: per-gram row count == distinct
+        # doc count, so ndocs >= 2 marks the gram as duplicated
+        dup = bucket.groupby("g", sort=False)["doc_id"].transform("size") >= 2
+        out = (pd.DataFrame({"doc_id": bucket["doc_id"].to_numpy(np.int64),
+                             "dup": dup.to_numpy()})
+               .groupby("doc_id", sort=False)
+               .agg(n_grams=("dup", "size"), n_dup_grams=("dup", "sum"))
+               .reset_index())
+        out["n_grams"] = out["n_grams"].astype(np.int64)
+        out["n_dup_grams"] = out["n_dup_grams"].astype(np.int64)
+        return out
+
+    partials = keyed_map_groups(pairs, "g", bucket_counts, num_buckets)
+    agg = partial_groupby(partials, ["doc_id"],
+                          {"n_grams": ("n_grams", "sum"),
+                           "n_dup_grams": ("n_dup_grams", "sum")},
+                          many_groups=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_grams"] = df["n_grams"].astype(np.int64)
+        df["n_dup_grams"] = df["n_dup_grams"].astype(np.int64)
+        df["dup_frac"] = sql_round(
+            df["n_dup_grams"].to_numpy(np.float64)
+            / np.maximum(df["n_grams"].to_numpy(np.float64), 1.0), 4)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
