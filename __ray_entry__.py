@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": relational.event_type_stats,
         "distinct_event_types": relational.distinct_event_types,
         "first_event_per_user": relational.first_event_per_user,
+        # sequential funnel (view -> click -> purchase), earliest-completion
+        "event_funnel": relational.event_funnel,
+        # correlated subquery decorrelated: orders above their customer's avg
+        "orders_above_customer_avg": relational.orders_above_customer_avg,
         "user_hourly_windows": relational.user_hourly_windows,
         "customers_without_orders": relational.customers_without_orders,
         "suppliers_with_orders": relational.suppliers_with_orders,
@@ -1002,6 +1006,36 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY ts, event_id) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        # correlated subquery: strict-greater on the same 1e-6 half-away
+        # grid of (price - avg) the engine compares on
+        "orders_above_customer_avg": """
+            WITH a AS (SELECT o_custkey, sum(o_totalprice) AS s,
+                              count(*) AS n
+                       FROM orders GROUP BY o_custkey)
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o JOIN a USING (o_custkey)
+            WHERE round(o.o_totalprice - a.s / a.n, 6) > 0
+        """,
+        # sequential funnel: each step's earliest completion must be
+        # strictly after the previous step's earliest completion
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY e.user_id)
+            SELECT s1.user_id,
+                   CAST(1 + (s2.user_id IS NOT NULL)::INT
+                          + (s3.user_id IS NOT NULL)::INT AS BIGINT)
+                       AS steps_completed
+            FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                    LEFT JOIN s3 ON s3.user_id = s1.user_id
         """,
         "user_hourly_windows": """
             SELECT user_id,

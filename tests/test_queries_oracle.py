@@ -574,3 +574,62 @@ def test_duplicated_span_docs_planted(ray_session, tmp_path):
     assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup_grams"] == 1
     assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup_grams"] == 0
     assert np.isclose(out.loc[0, "dup_frac"], 0.3333)
+
+
+def test_event_funnel_strictly_after_semantics(ray_session, tmp_path):
+    """A later-step event at or before the previous step's earliest
+    completion does not count; earliest completions chain correctly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import event_funnel
+
+    base = pd.Timestamp("2026-01-01")
+
+    def ev(uid, typ, secs):
+        return {"user_id": uid, "event_type": typ,
+                "ts": base + pd.Timedelta(seconds=secs)}
+
+    rows = [
+        # user 1: full funnel in order -> 3
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # user 2: click BEFORE the view -> stuck at 1
+        ev(2, "click", 0), ev(2, "view", 10),
+        # user 3: click at the SAME ts as view (not strictly after) -> 1
+        ev(3, "view", 0), ev(3, "click", 0),
+        # user 4: purchase without click -> 1 (steps are ordered)
+        ev(4, "view", 0), ev(4, "purchase", 5),
+        # user 5: no view at all -> absent
+        ev(5, "click", 0), ev(5, "purchase", 1),
+        # user 6: second view earlier than first click; earliest view is
+        # what chains -> click counts -> 2
+        ev(6, "view", 100), ev(6, "view", 0), ev(6, "click", 50),
+    ]
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = event_funnel(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out["steps_completed"].to_dict() == {1: 3, 2: 1, 3: 1, 4: 1, 6: 2}
+
+
+def test_orders_above_customer_avg_boundaries(ray_session, tmp_path):
+    """Single-order customers sit exactly on their own average and are
+    excluded; only strictly-above orders survive."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import orders_above_customer_avg
+
+    df = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_custkey": [10, 20, 20, 30, 30],
+        # cust 20: avg 150 -> only order 3 (200) above
+        # cust 30: both exactly 99.99 -> avg == price -> none above
+        "o_totalprice": [500.0, 100.0, 200.0, 99.99, 99.99],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+    out = orders_above_customer_avg(str(tmp_path)).to_pandas()
+    assert sorted(out["o_orderkey"].tolist()) == [3]

@@ -520,3 +520,90 @@ def price_quantiles_cont(sf_dir: str,
     rank selection applied to the two order statistics around q*(n-1), then
     linear interpolation — still O(histogram partials), never a sort."""
     return price_quantiles(sf_dir, qs, method="cont")
+
+
+def event_funnel(sf_dir: str, steps: tuple[str, ...] = ("view", "click",
+                                                        "purchase"),
+                 num_buckets: int = 16) -> rd.Dataset:
+    """Sequential FUNNEL analysis — for each user, how far through the
+    ordered step list (view -> click -> purchase by default) they got,
+    with earliest-completion semantics: step i+1 counts only if it
+    happens STRICTLY AFTER the earliest completion of step i (the
+    standard product-analytics funnel, an operator Ray Data has no
+    native form for).
+
+    Scale shape: one hash shuffle keyed by user_id (keyed_map_groups —
+    a user's events land whole in one bucket), then the chain of
+    earliest-step timestamps is computed VECTORIZED per bucket: step
+    1 is a groupby-min over that step's events; each later step is a
+    merge against the previous step's times, a strict-greater mask,
+    and another groupby-min — never a per-user Python loop.  Output is
+    (user_id, steps_completed) for every user who completed step 1."""
+    from .common import keyed_map_groups
+
+    ds = load(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def funnel(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                              "steps_completed": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        prev = None  # Series: user_id -> earliest completion of prior step
+        counts = None
+        for step in steps:
+            ev = bucket[bucket["event_type"] == step]
+            if prev is not None:
+                t_prev = ev["user_id"].map(prev)
+                ev = ev[ev["ts"] > t_prev]
+            cur = ev.groupby("user_id", sort=False)["ts"].min()
+            if prev is None:
+                counts = pd.Series(1, index=cur.index, dtype=np.int64)
+            else:
+                counts.loc[counts.index.intersection(cur.index)] += 1
+            prev = cur
+            if not len(cur):
+                break
+        if counts is None or not len(counts):
+            return empty
+        out = counts.reset_index()
+        out.columns = ["user_id", "steps_completed"]
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    return keyed_map_groups(ds, "user_id", funnel, num_buckets)
+
+
+def orders_above_customer_avg(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Correlated-subquery shape — ``WHERE o_totalprice > (SELECT
+    avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)``
+    — decorrelated the way a distributed planner would: ONE partial-agg
+    pass builds per-customer (sum, count), the avg side joins back to
+    orders through the bucketed hash join, and the predicate evaluates
+    vectorized inside each bucket.  The boundary compares on a 1e-6
+    half-away grid of (price - avg) on BOTH engines, so an order landing
+    exactly on its customer's average (every single-order customer!) is
+    excluded identically regardless of FP summation order."""
+    from .common import hash_join, partial_groupby, sql_round
+
+    orders = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    avgs = partial_groupby(orders, ["o_custkey"],
+                           {"s": ("o_totalprice", "sum"),
+                            "n": ("o_orderkey", "count")}, many_groups=True)
+
+    def keep(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "o_custkey": pd.Series([], dtype=np.int64),
+                                 "o_totalprice": pd.Series([], dtype=np.float64)})
+        diff = sql_round(j["o_totalprice"].to_numpy(np.float64)
+                         - j["s"].to_numpy(np.float64)
+                         / j["n"].to_numpy(np.float64), 6)
+        out = j.loc[diff > 0, ["o_orderkey", "o_custkey", "o_totalprice"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+        out["o_custkey"] = out["o_custkey"].astype(np.int64)
+        return out
+
+    return hash_join(orders, avgs, on="o_custkey",
+                     lcols=["o_orderkey", "o_custkey", "o_totalprice"],
+                     rcols=["o_custkey", "s", "n"],
+                     num_buckets=num_buckets, post=keep)
