@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # iterative graph ranking over the crawl's host link graph
         "host_pagerank": pagerank.host_pagerank,
+        # per-host triangle counts (compact-forward wedge join)
+        "host_triangles": pagerank.host_triangles,
+        # directed BFS depth from the crawl's seed pages (frontier geometry:
+        # a page's depth IS the crawl round it first becomes fetchable)
+        "page_bfs_depth": pagerank.page_bfs_depth,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -276,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": temporal.user_cumulative_value,
         "event_gap_stats": temporal.event_gap_stats,
         "value_histogram": temporal.value_histogram,
+        # weekly cohort retention triangle (first-event cohort x offset)
+        "cohort_retention": temporal.cohort_retention,
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
@@ -296,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_by_lang": textops.token_stats_by_lang,
         "quality_by_source": textops.quality_by_source,
         "doc_token_counts": textops.doc_token_counts,
+        # per-doc unigram Shannon entropy (lexical-diversity quality signal)
+        "doc_token_entropy": textops.doc_token_entropy,
         "exact_dedup_docs": textops.exact_dedup_docs,
         "langid_counts": textops.langid_counts,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -359,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codebooks": similarity.pq_codebooks,
         # PQ asymmetric-distance top-k scan over the same codebooks
         "pq_adc_topk": similarity.pq_adc_topk,
+        # the full IVF-PQ composition: coarse-probe n_probe cells, ADC rank
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         # one-pass distributed moment sweep -> d x d covariance (SQL) and
         # top principal direction (self-evidencing residual verdicts)
         "embedding_covariance": similarity.embedding_covariance,
@@ -1170,6 +1181,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1
         """,
+        # weekly cohort retention: first-event cohort week x week offset ->
+        # distinct active users (engine: user-keyed shuffle, bucket-local
+        # distinct counts are additive because buckets partition users)
+        "cohort_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+                FROM events
+            ),
+            f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+            SELECT f.cw AS cohort_week, w.wk - f.cw AS week_offset,
+                   CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
         # large-large join: agg pushed into the join buckets engine-side
         "brand_revenue": """
             SELECT p.p_brand,
@@ -1353,6 +1379,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{TOK}')) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(regexp_extract_all(text, '{TOK}'))) AS BIGINT) AS n_uniq_tokens
             FROM documents
+        """,
+        # per-doc unigram entropy: H = log2(n) - sum(c*log2 c)/n over the
+        # lowercased token counts (same formula engine-side so only the 4-dp
+        # rounding grid needs to agree); zero-token docs excluded by both
+        "doc_token_entropy": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{TOK}')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT doc_id, tok, count(*)::DOUBLE AS c
+                  FROM t GROUP BY doc_id, tok),
+            d AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clogc
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round(log2(n) - clogc / n, 4) AS token_entropy
+            FROM d
         """,
         # inverted index: ascending comma-joined postings per token (flat
         # string column so the value-hash compare applies)
@@ -1848,13 +1891,20 @@ def oracle_sql() -> dict[str, str]:
     }
     # iterative PageRank: the oracle unrolls the power iteration as one
     # CTE per step over the same memoized edge parquet the engine reads
-    from weaver_ray.pipelines.pagerank import pagerank_sql
+    from weaver_ray.pipelines.pagerank import (host_triangles_sql,
+                                               page_bfs_depth_sql,
+                                               pagerank_sql)
 
     d["host_pagerank"] = pagerank_sql()
+    # triangle counting: 3-way self-join over the same edge parquet
+    d["host_triangles"] = host_triangles_sql()
+    # BFS depth: recursive CTE from the same seed-page VALUES list
+    d["page_bfs_depth"] = page_bfs_depth_sql()
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
-    from weaver_ray.pipelines.similarity import (kmeans_sql, pq_adc_sql,
-                                                  pq_sql, semantic_dedup_sql)
+    from weaver_ray.pipelines.similarity import (ann_ivfpq_sql, kmeans_sql,
+                                                  pq_adc_sql, pq_sql,
+                                                  semantic_dedup_sql)
 
     d["kmeans_clusters"] = kmeans_sql()
     # product quantization: m independent unrolled Lloyd chains, one per
@@ -1863,6 +1913,9 @@ def oracle_sql() -> dict[str, str]:
     # PQ ADC search: re-encode against the rounded codebooks, rank
     # sum-over-subspace distances on the 1e-9 grid
     d["pq_adc_topk"] = pq_adc_sql()
+    # IVF-PQ composed: kmeans_sql coarse cells + pq_sql codebooks, probe
+    # top-n_probe cells per query, ADC rank within
+    d["ann_ivfpq_topk"] = ann_ivfpq_sql()
     # SemDeDup: kmeans_sql nested verbatim, then a lower-id within-cluster
     # anti-join on the 1e-9-grid cosine
     d["semantic_dedup_keepers"] = semantic_dedup_sql()

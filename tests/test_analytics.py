@@ -363,3 +363,27 @@ def test_bucket_of_is_batch_independent(ray_session):
     out = to_table(hash_join(left, right, on="token",
                              lcols=["token", "l"], rcols=["token", "r"]))
     assert out.num_rows == 1 and out.to_pandas()["r"].iloc[0] == 7
+
+
+def test_doc_token_entropy_hand_computed(tmp_path):
+    from weaver_ray.pipelines import textops
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # 1: uniform over 4 distinct tokens -> H = 2 bits
+        # 2: one token repeated -> H = 0
+        # 3: counts (2,1,1): H = 2 - 2*log2(2)/4 ... = log2(4) - (2*1)/4 = 1.5
+        # 4: no tokens at all -> excluded
+        "text": pa.array(["a b c d", "x x x", "A a b c", "  .,!  "], pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([7, 5, 7, 7], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (to_table(textops.doc_token_entropy(str(tmp_path))).to_pandas()
+           .set_index("doc_id"))
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "token_entropy"] == 2.0 and out.loc[1, "n_tokens"] == 4
+    assert out.loc[2, "token_entropy"] == 0.0
+    # lowercasing folds 'A' and 'a' -> counts (2,1,1) over 4 tokens
+    assert out.loc[3, "token_entropy"] == 1.5

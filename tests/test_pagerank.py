@@ -51,3 +51,55 @@ def test_host_edges_fixture_deterministic(ray_session):
     n_root = len([i for i in range(1000) if i % 13 == 0])
     expect_links = n_root * 6 + (1000 - n_root) * 3
     assert expect_links * 0.95 <= a.num_rows <= expect_links
+
+
+def test_host_triangles_matches_bruteforce(ray_session):
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.pagerank import (generate_host_edges,
+                                               host_triangles)
+
+    edges = pq.read_table(
+        generate_host_edges(1000) + "/part-00000.parquet").to_pandas()
+    s = edges["src_host"].to_numpy()
+    t = edges["dst_host"].to_numpy()
+    und = {(min(a, b), max(a, b)) for a, b in zip(s, t) if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:   # each triangle found via all 3 edges
+            for h in (a, b, c):
+                ref[h] = ref.get(h, 0) + 1
+    ref = {h: n // 3 for h, n in ref.items()}  # ... so counts triple
+
+    eng = to_table(host_triangles("unused")).to_pandas()
+    got = dict(zip(eng["host"], eng["n_triangles"]))
+    assert got == ref and sum(ref.values()) > 0
+
+
+def test_page_bfs_depth_matches_sequential_bfs(ray_session):
+    from collections import deque
+
+    from weaver_ray import config
+    from weaver_ray.pipelines.pagerank import (generate_page_edges,
+                                               page_bfs_depth)
+
+    edges = pq.read_table(
+        generate_page_edges(1000) + "/part-00000.parquet").to_pandas()
+    adj = edges.groupby("src_id")["dst_id"].agg(set).to_dict()
+    depth = {i: 0 for i in range(config.N_SEEDS)}
+    q = deque(depth)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+
+    eng = page_bfs_depth("unused")
+    got = dict(zip(eng["page_id"], eng["depth"]))
+    assert got == depth
+    # non-degenerate: the crawl graph has real multi-round depth
+    assert max(depth.values()) >= 3

@@ -156,3 +156,24 @@ def test_keyed_map_groups_key_completeness(tmp_path):
     # one output row per key with the full count proves no key was split
     assert len(out) == 37
     assert (out["n"].to_numpy() >= 27).all() and out["n"].sum() == 1000
+
+
+def test_cohort_retention_cells(tmp_path):
+    week = 7 * 86400
+    sf = _write_events(tmp_path, [
+        # user 1: first event week 0, active weeks 0 and 2 (two events in
+        # week 2 must still count once)
+        (1, 10, 1, "view", 0.0),
+        (2, 2 * week + 5, 1, "click", 0.0),
+        (3, 2 * week + 9, 1, "view", 0.0),
+        # user 2: first event week 0, active week 0 only
+        (4, 20, 2, "view", 0.0),
+        # user 3: first event week 1 (its own cohort), active weeks 1, 2
+        (5, week + 3, 3, "view", 0.0),
+        (6, 2 * week + 1, 3, "view", 0.0),
+    ])
+    out = to_table(temporal.cohort_retention(sf, num_buckets=3)).to_pandas()
+    cells = {(r.cohort_week - out["cohort_week"].min(), r.week_offset):
+             r.n_users for r in out.itertuples()}
+    assert cells == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+    assert out["n_users"].dtype == np.int64

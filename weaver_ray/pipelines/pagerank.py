@@ -197,3 +197,262 @@ def pagerank_sql(n_base: int = 1000, n_iters: int = 5, d: float = 0.85) -> str:
     parts.append(f"""
         SELECT host, round(r, 6) AS pr FROM r{n_iters}""")
     return "".join(parts)
+
+
+# ------------------------------------------------------- triangle counting
+
+
+def host_triangles(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
+    """Per-host triangle counts over the UNDIRECTED simple host graph —
+    the clustering/community signal for crawl prioritization (hosts
+    embedded in dense link neighborhoods are hubs, not leaf content).
+
+    Scale shape — the compact-forward algorithm: edges orient from the
+    lower-(degree, id) endpoint to the higher one, so every vertex's
+    OUT-degree is O(sqrt(m)) and the wedge fan-out is bounded by
+    O(m^1.5) overall instead of sum(deg^2) (hot hosts are exactly the
+    high-degree ones).  Wedges are generated vectorized inside apex
+    buckets (one self-merge per bucket, never per-vertex Python), and
+    triangle closure is ONE bucketed hash join of the wedge set against
+    the oriented edge set on the (u, v) composite key.  The degree map
+    is O(nodes) broadcast state — the pagerank budget; edge rows never
+    reach the driver."""
+    from .common import hash_join, keyed_map_groups
+
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    raw = rd.read_parquet(files)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src_host"].to_numpy(np.int64)
+        d_ = df["dst_host"].to_numpy(np.int64)
+        keep = s != d_  # self-loops close no triangle
+        a = np.minimum(s, d_)[keep]
+        b = np.maximum(s, d_)[keep]
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    # distinct undirected edges, distributed (count partials -> keys only)
+    und = partial_groupby(raw, ["a", "b"], {"n": ("a", "count")},
+                          prep=norm, many_groups=True).materialize()
+
+    # degree map: O(nodes) on the driver (the pagerank state budget)
+    da = partial_groupby(und, ["a"], {"d": ("a", "count")},
+                         many_groups=True).to_pandas()
+    db = partial_groupby(und, ["b"], {"d": ("b", "count")},
+                         many_groups=True).to_pandas()
+    deg = (pd.concat([da.rename(columns={"a": "h"}),
+                      db.rename(columns={"b": "h"})])
+           .groupby("h")["d"].sum())
+    if not len(deg):
+        return rd.from_arrow(pa.table({
+            "host": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64())}))
+    H = int(deg.index.max()) + 1
+    degv = np.zeros(H, dtype=np.int64)
+    degv[deg.index.to_numpy(np.int64)] = deg.to_numpy(np.int64)
+    deg_ref = ray.put(degv)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        """(a, b) -> (u, v) with (deg, id)-order u < v; key = u*2^31 + v."""
+        from .common import _cached_get
+
+        dv = _cached_get(deg_ref)
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        swap = (dv[a] > dv[b]) | ((dv[a] == dv[b]) & (a > b))
+        u = np.where(swap, b, a)
+        v = np.where(swap, a, b)
+        return pd.DataFrame({"u": u, "v": v, "uv": u * (1 << 31) + v})
+
+    oriented = und.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"apex": pd.Series([], dtype=np.int64),
+                              "uv": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        from .common import _cached_get
+
+        dv = _cached_get(deg_ref)
+        j = g[["u", "v"]].merge(g[["u", "v"]], on="u",
+                                suffixes=("_x", "_y"))
+        x = j["v_x"].to_numpy(np.int64)
+        y = j["v_y"].to_numpy(np.int64)
+        # keep each out-neighbor pair once, in (deg, id) order
+        keep = (dv[x] < dv[y]) | ((dv[x] == dv[y]) & (x < y))
+        return pd.DataFrame({"apex": j["u"].to_numpy(np.int64)[keep],
+                             "uv": x[keep] * (1 << 31) + y[keep]})
+
+    wedge_ds = keyed_map_groups(oriented, "u", wedges)
+
+    def per_host(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({"host": pd.Series([], dtype=np.int64),
+                                 "one": pd.Series([], dtype=np.int64)})
+        uv = j["uv"].to_numpy(np.int64)
+        hosts = np.concatenate([j["apex"].to_numpy(np.int64),
+                                uv >> 31, uv & ((1 << 31) - 1)])
+        return pd.DataFrame({"host": hosts,
+                             "one": np.ones(len(hosts), dtype=np.int64)})
+
+    tri = hash_join(wedge_ds, oriented, "uv", ["apex", "uv"], ["uv"],
+                    post=per_host)
+    out = partial_groupby(tri, ["host"], {"n_triangles": ("one", "sum")},
+                          many_groups=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_triangles"] = df["n_triangles"].astype(np.int64)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def host_triangles_sql(n_base: int = 1000) -> str:
+    """DuckDB oracle: distinct least/greatest-normalized edges, one 3-way
+    self-join enumerating each triangle exactly once (x < y < z), then the
+    3-row-per-triangle host explode the engine performs."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}')
+            WHERE src_host <> dst_host
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS host FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        GROUP BY host
+    """
+
+
+# ----------------------------------------------------------- BFS from seeds
+
+_PAGE_EDGES_VERSION = 1
+
+
+def page_edges_dir(n_base: int, seed: int = config.CORPUS_SEED,
+                   root: str = "/tmp/weaver_corpus") -> str:
+    return os.path.join(
+        root, f"seed{seed}_n{n_base}_pageedges_v{_PAGE_EDGES_VERSION}")
+
+
+def generate_page_edges(n_base: int = 1000, seed: int = config.CORPUS_SEED,
+                        root: str = "/tmp/weaver_corpus") -> str:
+    """Memoize the PAGE-level link graph: one row per live parent->child
+    link between corpus pages (dead links skipped) — the exact graph the
+    crawler's frontier expands over, at page (not host) granularity."""
+    d = Path(page_edges_dir(n_base, seed, root))
+    done = d / "_DONE"
+    if done.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for old in d.glob("*"):
+        old.unlink()
+    src_l, dst_l = [], []
+    for i in range(n_base):
+        pid = image_id_of(i)
+        for c in children_of(url_of(pid), url_type_of(pid), n_base):
+            if c.startswith("imgdead"):
+                continue
+            src_l.append(i)
+            dst_l.append(int(c[3:]))
+    pq.write_table(
+        pa.table({"src_id": pa.array(src_l, pa.int64()),
+                  "dst_id": pa.array(dst_l, pa.int64())}),
+        d / "part-00000.parquet")
+    done.write_text(f"n_base={n_base} seed={seed}\n")
+    return str(d)
+
+
+def page_bfs_depth(sf_dir: str, n_base: int = 1000,
+                   n_seeds: int = config.N_SEEDS,
+                   max_depth: int = 64) -> pd.DataFrame:
+    """Directed BFS depth of every corpus page reachable from the crawl's
+    seed pages — the frontier-expansion geometry itself: because the crawl
+    fetches its whole frontier every round (pipelines/crawl.py round
+    loop), a page's BFS depth IS the round in which it first becomes
+    fetchable.  (The HOST graph is near-complete at fixture scale — every
+    host reachable in one hop — so depth is only meaningful at page
+    granularity.)
+
+    Engine shape per round (the pagerank budget): the frontier membership
+    bitmap (O(nodes)) is broadcast; ONE map_batches pass over the
+    distributed edge Dataset emits the next frontier's candidate dsts as
+    per-batch DISTINCT partials; the driver folds candidates into the
+    depth vector.  Edges never reach the driver; rounds = graph depth."""
+    seeds = list(range(min(n_seeds, n_base)))
+    files = sorted(str(p) for p in
+                   Path(generate_page_edges(n_base)).glob("part-*.parquet"))
+    edges = partial_groupby(rd.read_parquet(files),
+                            ["src_id", "dst_id"],
+                            {"n": ("src_id", "count")},
+                            many_groups=True).materialize()
+
+    depth = np.full(n_base, -1, dtype=np.int64)
+    depth[seeds] = 0
+    d = 0
+    while d < max_depth:
+        frontier = np.zeros(n_base, dtype=bool)
+        frontier[depth == d] = True
+        if not frontier.any():
+            break
+        ref = ray.put(frontier)
+
+        def next_pages(df: pd.DataFrame) -> pd.DataFrame:
+            from .common import _cached_get
+
+            f = _cached_get(ref)
+            m = f[df["src_id"].to_numpy(np.int64)]
+            return pd.DataFrame({
+                "h": np.unique(df["dst_id"].to_numpy(np.int64)[m])})
+
+        cand = partial_groupby(edges.map_batches(next_pages,
+                                                 batch_format="pandas"),
+                               ["h"], {"n": ("h", "count")},
+                               many_groups=True).to_pandas()
+        new = cand["h"].to_numpy(np.int64)
+        new = new[depth[new] == -1]
+        if not len(new):
+            break
+        depth[new] = d + 1
+        d += 1
+    else:
+        raise RuntimeError(f"BFS exceeded max_depth={max_depth}; "
+                           "raise the cap (oracle unrolls to the same cap)")
+
+    reached = np.flatnonzero(depth >= 0)
+    return pd.DataFrame({"page_id": reached.astype(np.int64),
+                         "depth": depth[reached]})
+
+
+def page_bfs_depth_sql(n_base: int = 1000, n_seeds: int = config.N_SEEDS,
+                       max_depth: int = 64) -> str:
+    """DuckDB oracle: recursive CTE over the identical edge parquet; UNION
+    (distinct) bounds the recursion at V*max_depth rows even with cycles,
+    and min(d) per page is the BFS depth as long as max_depth >= the true
+    eccentricity (the engine raises if its BFS exceeds the same cap)."""
+    seeds = list(range(min(n_seeds, n_base)))
+    glob = generate_page_edges(n_base) + "/part-*.parquet"
+    vals = ", ".join(f"({h}::BIGINT, 0::BIGINT)" for h in seeds)
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT src_id, dst_id FROM read_parquet('{glob}')
+        ),
+        bfs(page_id, d) AS (
+            SELECT * FROM (VALUES {vals}) t(page_id, d)
+            UNION
+            SELECT e.dst_id, bfs.d + 1
+            FROM bfs JOIN e ON e.src_id = bfs.page_id
+            WHERE bfs.d < {max_depth}
+        )
+        SELECT page_id, CAST(min(d) AS BIGINT) AS depth
+        FROM bfs GROUP BY page_id
+    """

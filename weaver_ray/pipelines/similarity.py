@@ -1103,3 +1103,183 @@ def pq_adc_sql(m: int = 4, k: int = 16, n_iters: int = 2,
         ) WHERE rn <= {topk}
         ORDER BY query_id, adc_rank"""]
     return "".join(parts)
+
+
+def ann_ivfpq_topk(sf_dir: str, n_cells: int = 8, cell_iters: int = 3,
+                   m: int = 4, k: int = 16, pq_iters: int = 2,
+                   n_probe: int = 2, n_queries: int = 5, topk: int = 10,
+                   num_buckets: int = 16) -> pd.DataFrame:
+    """IVF-PQ — the full published composition (Jegou et al. 2011 /
+    FAISS ``IndexIVFPQ``): an IVF coarse quantizer restricts each query
+    to its ``n_probe`` nearest cells, and PQ asymmetric distances rank
+    the candidates inside them.  This variant encodes RAW vectors (the
+    FAISS ``by_residual=False`` mode); the residual variant would need
+    one codebook chain per cell in the SQL oracle — documented, not
+    hidden.
+
+    Parity contract (the pq_adc_topk + kmeans_clusters rules composed):
+    the coarse centroids are kmeans_clusters' 4-dp-ROUNDED output and
+    the PQ codebooks are rounded pre-encode, so both engines assign and
+    encode against bit-identical constants; cell assignment, probe
+    ranking (``row_number OVER (ORDER BY round(dist,9), c) <= n_probe``)
+    and the final ADC ranking all compare on the 1e-9 grid with id
+    tiebreaks.  Output: (query_id, neighbor_id, ivfpq_rank).
+
+    Engine shape: coarse centroids, codebooks, per-query probe masks and
+    ADC tables broadcast once; ONE map_batches pass over the corpus
+    encodes the batch, assigns cells, masks each query to its probed
+    cells and keeps a local top-k — zero shuffles, the corpus never
+    reaches the driver (the candidate sets are topk rows per query per
+    batch)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .common import _cached_get, sql_round
+
+    cent = kmeans_clusters(sf_dir, k=n_cells, n_iters=cell_iters,
+                           num_buckets=num_buckets)
+    CC = (cent.pivot(index="cluster", columns="dim", values="centroid")
+          .to_numpy())                                        # n_cells x dim
+    C, _ = _pq_train(sf_dir, m, k, pq_iters, num_buckets)
+    Cq = sql_round(C.reshape(-1), 4).reshape(C.shape)         # m x k x sub
+    mm, kk, sub = Cq.shape
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=pads.field("vec_id") < n_queries)
+    qids = qt.column("vec_id").to_numpy()
+    Q = _matrix(qt.column("embedding").to_pylist())
+    # probe sets: per query the n_probe nearest cells on the 1e-9 grid,
+    # exact grid ties to the LOWEST cell id (ORDER BY round(dist,9), c)
+    dq = ((Q[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2)
+    gq = np.floor(dq * 1e9 + 0.5)
+    probe_mask = np.zeros((len(qids), CC.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
+        cells = np.lexsort((np.arange(CC.shape[0]), gq[qi]))[:n_probe]
+        probe_mask[qi, cells] = True
+    T = ((Q.reshape(len(qids), mm, 1, sub) - Cq[None, :, :, :]) ** 2
+         ).sum(axis=3)                                        # nq x m x k
+    ref = ray.put((qids, T, Cq, CC, probe_mask))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids, T, Cq, CC, probe_mask = _cached_get(ref)
+        mm, kk, ss = Cq.shape
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.float64)})
+        vid = df["vec_id"].to_numpy()
+        X = _matrix(df["embedding"].to_numpy())
+        cell = _nearest_centroid(X, CC)
+        codes = np.stack([_nearest_centroid(X[:, s * ss:(s + 1) * ss], Cq[s])
+                          for s in range(mm)], axis=1)
+        dist = T[:, np.arange(mm)[None, :], codes].sum(axis=2)  # nq x batch
+        out = []
+        for qi, qid in enumerate(qids):
+            idx = np.flatnonzero(probe_mask[qi, cell] & (vid != qid))
+            if not len(idx):
+                continue
+            row = np.floor(dist[qi] * 1e9 + 0.5)
+            order = idx[np.lexsort((vid[idx], row[idx]))][: topk]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": vid[order].astype(np.int64),
+                "dist": dist[qi][order]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "ivfpq_rank": pd.Series([], dtype=np.int64)})
+    cand["grid"] = np.floor(cand["dist"].to_numpy() * 1e9 + 0.5)
+    out = (cand.sort_values(["query_id", "grid", "neighbor_id"])
+               .groupby("query_id", sort=True).head(topk))
+    out["ivfpq_rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out[["query_id", "neighbor_id", "ivfpq_rank"]].reset_index(drop=True)
+
+
+def ann_ivfpq_sql(n_cells: int = 8, cell_iters: int = 3, m: int = 4,
+                  k: int = 16, pq_iters: int = 2, n_probe: int = 2,
+                  n_queries: int = 5, topk: int = 10, dim: int = 64) -> str:
+    """The DuckDB oracle for :func:`ann_ivfpq_topk`: kmeans_sql's unrolled
+    Lloyd chain supplies the coarse centroids, pq_sql's chains the
+    codebooks; every vector coarse-assigns and PQ-encodes in SQL, each
+    query probes its top-``n_probe`` cells, and the ADC ranking is
+    restricted to candidates whose assigned cell is probed."""
+    return f"""
+        WITH km AS ({kmeans_sql(k=n_cells, n_iters=cell_iters, dim=dim)}
+        ),
+        cc AS (SELECT cluster AS c, dim AS d, centroid AS v FROM km),
+        ad AS (
+            SELECT e.vec_id, cc.c,
+                   sum((e.embedding[cc.d]::DOUBLE - cc.v)
+                       * (e.embedding[cc.d]::DOUBLE - cc.v)) AS dist
+            FROM embeddings e, cc
+            GROUP BY e.vec_id, cc.c
+        ),
+        asg AS (
+            SELECT vec_id, c AS cell FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM ad) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, c AS cell FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM ad WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+        ),
+        cb AS ({pq_sql(m=m, k=k, n_iters=pq_iters, dim=dim)}
+        ),
+        cbq AS (
+            SELECT CAST(subspace AS BIGINT) AS s, code AS c, dim AS d,
+                   centroid AS v
+            FROM cb
+        ),
+        enc AS (
+            SELECT vec_id, s, c FROM (
+                SELECT e.vec_id, cq.s, cq.c,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, cq.s
+                           ORDER BY round(sum(
+                               (e.embedding[cq.d]::DOUBLE - cq.v)
+                               * (e.embedding[cq.d]::DOUBLE - cq.v)), 9),
+                               cq.c) AS rn
+                FROM embeddings e, cbq cq
+                GROUP BY e.vec_id, cq.s, cq.c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {n_queries}
+        ),
+        dist AS (
+            SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+                   sum((q.embedding[cq.d]::DOUBLE - cq.v)
+                       * (q.embedding[cq.d]::DOUBLE - cq.v)) AS dist
+            FROM q, enc en
+            JOIN cbq cq ON cq.s = en.s AND cq.c = en.c
+            JOIN asg ON asg.vec_id = en.vec_id
+            JOIN probe p ON p.query_id = q.vec_id AND p.cell = asg.cell
+            WHERE en.vec_id <> q.vec_id
+            GROUP BY q.vec_id, en.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS ivfpq_rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(dist, 9), neighbor_id) AS rn
+            FROM dist
+        ) WHERE rn <= {topk}
+        ORDER BY query_id, ivfpq_rank
+    """

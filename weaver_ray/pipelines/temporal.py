@@ -477,3 +477,58 @@ def pivot_event_counts(sf_dir: str) -> rd.Dataset:
         return batch
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------- cohort retention
+
+
+def cohort_retention(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Cohort retention matrix: users are grouped into weekly cohorts by
+    their FIRST event's epoch week, and each (cohort_week, week_offset)
+    cell counts the distinct users of that cohort active in that week —
+    the standard product-analytics retention triangle, an operator Ray
+    Data has no native form for.
+
+    Scale shape: ONE hash shuffle keyed by user_id (keyed_map_groups — a
+    user's events land whole in one bucket), so the cohort week, the
+    active-week set, and the per-cell distinct-user counts are all
+    computed vectorized inside the bucket; because buckets partition
+    USERS, per-bucket distinct counts are additive and the final reduce
+    is a tiny sum over (cohort_week, week_offset) partial rows — distinct
+    state never leaves the bucket.  Reference analog: none (the reference
+    has no analytics); this is the training-data-ops extension of the
+    gather/aggregate family (SURVEY.md §2 A1/A2)."""
+    week_us = 7 * 86_400_000_000
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_week": pd.Series([], dtype=np.int64),
+            "week_offset": pd.Series([], dtype=np.int64),
+            "n_users": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        g = g.assign(wk=_ts_us(g["ts"]) // week_us)
+        first = g.groupby("user_id", sort=False)["wk"].min()
+        cells = g[["user_id", "wk"]].drop_duplicates()
+        cohort = cells["user_id"].map(first).to_numpy(np.int64)
+        out = pd.DataFrame({
+            "cohort_week": cohort,
+            "week_offset": cells["wk"].to_numpy(np.int64) - cohort,
+            # bucket-local distinct: (user, wk) rows are unique here and
+            # user sets are disjoint across buckets, so counts add up
+            "n_users": np.ones(len(cells), dtype=np.int64)})
+        out = out.groupby(["cohort_week", "week_offset"], sort=False,
+                          as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    ds = load(sf_dir, "events", ["user_id", "ts"])
+    cells = keyed_map_groups(ds, "user_id", retention, num_buckets)
+    out = partial_groupby(cells, ["cohort_week", "week_offset"],
+                          {"n_users": ("n_users", "sum")}, many_groups=True)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_users"] = batch["n_users"].astype(np.int64)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")

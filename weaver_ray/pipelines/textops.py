@@ -1144,3 +1144,48 @@ def duplicated_span_docs(sf_dir: str, n: int = 4,
         return df
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def doc_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document unigram Shannon entropy (bits) of the lowercased
+    token distribution — the lexical-diversity quality signal (a doc
+    repeating one token has H=0; templated/boilerplate pages score low).
+    Complements the CORPUS-level unigram_logprob_docs statistic with a
+    purely LOCAL one: zero shuffles, one vectorized map_batches pass
+    (explode + two pandas groupbys per batch; H = log2(n) - sum(c*log2 c)/n
+    so only integer counts enter the transcendental path).  Shares
+    TOKEN_RE with every other text operator so the token rule can't
+    drift.  Docs with no tokens are excluded (entropy undefined) —
+    mirrored by the oracle's inner groupby.  Rounded 4 dp half-away on
+    both engines so FP summation order can't flip the value hash."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "token_entropy": pd.Series([], dtype=np.float64)})
+        if not len(df):
+            return empty
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.map(len).to_numpy()),
+            "tok": np.concatenate([np.asarray(t, dtype=object)
+                                   for t in toks] or [[]])})
+        if not len(ex):
+            return empty
+        c = ex.groupby(["doc_id", "tok"], sort=False).size()
+        cf = c.to_numpy(np.float64)
+        per_doc = pd.DataFrame({
+            "doc_id": c.index.get_level_values(0),
+            "clogc": cf * np.log2(cf),
+            "n": cf}).groupby("doc_id", sort=False).sum()
+        n = per_doc["n"].to_numpy(np.float64)
+        h = np.log2(n) - per_doc["clogc"].to_numpy() / n
+        return pd.DataFrame({
+            "doc_id": per_doc.index.to_numpy(np.int64),
+            "n_tokens": n.astype(np.int64),
+            "token_entropy": sql_round(h, 4)})
+
+    return ds.map_batches(entropy, batch_format="pandas")
