@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_and_purchase": analytics.users_click_and_purchase,
         "props_key_stats": analytics.props_key_stats,
         "price_quantity_corr": analytics.price_quantity_corr,
+        # per-segment OLS trend (regr_slope/intercept/r2 from one moment pass)
+        "segment_order_trend": analytics.segment_order_trend,
         "customer_value_ntiles": analytics.customer_value_ntiles,
         "lineitem_rollup": analytics.lineitem_rollup,
         "lineitem_cube": analytics.lineitem_cube,
@@ -321,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": textops.quality_filter_docs,
         "repetition_filter_docs": textops.repetition_filter_docs,
         "contamination_overlap_docs": textops.contamination_overlap_docs,
+        # fuzzy decontamination: token-set Jaccard vs the eval subset
+        "contamination_neardup_pairs": textops.contamination_neardup_pairs,
         # pairwise cross-source shared-ngram counts (data governance)
         "source_overlap_matrix": textops.source_overlap_matrix,
         # per-doc duplicated-span (copy-fraction) statistics
@@ -1284,6 +1288,33 @@ def oracle_sql() -> dict[str, str]:
                    round(max(k), 4) AS max_k
             FROM k WHERE k IS NOT NULL GROUP BY event_type
         """,
+        # per-segment OLS trend: the SAME closed-form slope/intercept/r2 as
+        # the engine, computed from sum() aggregates over the centered
+        # epoch-day x (x0 = 9500), so only summation order differs
+        "segment_order_trend": """
+            WITH j AS (
+                SELECT c.c_mktsegment,
+                       (epoch_us(o.o_orderdate) // 86400000000)::DOUBLE
+                           - 9500 AS x,
+                       o.o_totalprice::DOUBLE AS y
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ),
+            s AS (
+                SELECT c_mktsegment, count(*)::DOUBLE AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                       sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM j GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                               * sx) / n, 4) AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                       AS r2
+            FROM s
+        """,
         # moment-partial correlation/covariance (sample flavor, like DuckDB)
         "price_quantity_corr": """
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -1487,6 +1518,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, g FROM grams
                 WHERE doc_id % 53 <> 0 AND g IN (SELECT g FROM bench)
             ) GROUP BY doc_id
+        """,
+        # fuzzy decontamination: brute-force cross-side token-set Jaccard
+        # (the engine's broadcast-index probe must equal the all-pairs join)
+        "contamination_neardup_pairs": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_distinct(regexp_extract_all(text, '{TOK}')))
+                           AS t
+                FROM documents
+            ),
+            n AS (SELECT doc_id, count(*)::DOUBLE AS nt FROM tok
+                  GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS doc_id, b.doc_id AS eval_doc,
+                       count(*)::DOUBLE AS s
+                FROM tok a JOIN tok b USING (t)
+                WHERE a.doc_id % 53 <> 0 AND b.doc_id % 53 = 0
+                GROUP BY 1, 2
+            )
+            SELECT s.doc_id, s.eval_doc,
+                   round(s.s / (na.nt + nb.nt - s.s), 4) AS jaccard
+            FROM shared s
+            JOIN n na ON na.doc_id = s.doc_id
+            JOIN n nb ON nb.doc_id = s.eval_doc
+            WHERE round(s.s / (na.nt + nb.nt - s.s), 9) >= 0.2
         """,
         # composed curation pipeline: INTERSECT of the four stage oracles
         # (quality gate, repetition gate, exact-dup keeper, near-dup

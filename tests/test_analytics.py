@@ -387,3 +387,49 @@ def test_doc_token_entropy_hand_computed(tmp_path):
     assert out.loc[2, "token_entropy"] == 0.0
     # lowercasing folds 'A' and 'a' -> counts (2,1,1) over 4 tokens
     assert out.loc[3, "token_entropy"] == 1.5
+
+
+def test_segment_order_trend_matches_numpy_lstsq(ray_session):
+    from weaver_ray.pipelines import analytics
+
+    sf = "/root/testdata/sf0.001"
+    eng = analytics.segment_order_trend(sf).set_index("c_mktsegment")
+    orders = pd.read_parquet(sf + "/orders.parquet",
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+    cust = pd.read_parquet(sf + "/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = (j["o_orderdate"].to_numpy().astype("datetime64[D]")
+              .astype(np.float64)) - 9500
+    for seg, g in j.groupby("c_mktsegment"):
+        slope, intercept = np.polyfit(g["x"], g["o_totalprice"], 1)
+        assert abs(eng.loc[seg, "slope"] - slope) < 1e-4
+        assert abs(eng.loc[seg, "intercept"] - intercept) < 1e-2
+        r = np.corrcoef(g["x"], g["o_totalprice"])[0, 1]
+        assert abs(eng.loc[seg, "r2"] - r * r) < 1e-4
+        assert eng.loc[seg, "n"] == len(g)
+
+
+def test_contamination_neardup_flags_planted_leak(tmp_path):
+    from weaver_ray.pipelines import textops
+
+    t = pa.table({
+        "doc_id": pa.array([53, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon",      # eval doc (53 % 53 == 0)
+            "alpha beta gamma delta zeta",         # leak: 4 of 6 tokens shared
+            "one two three four five",             # clean
+        ], pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([30, 28, 23], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (to_table(textops.contamination_neardup_pairs(str(tmp_path)))
+           .to_pandas())
+    assert len(out) == 1
+    r = out.iloc[0]
+    # |A ∩ B| = 4, |A ∪ B| = 6 -> jaccard 4/6
+    assert (r["doc_id"], r["eval_doc"]) == (1, 53)
+    assert abs(r["jaccard"] - round(4 / 6, 4)) < 1e-9

@@ -18,7 +18,8 @@ import ray
 import ray.data as rd
 
 from .common import (_cached_get, broadcast_join, global_row_number, hash_join,
-                     keyed_map_groups, load, load_arrow, partial_groupby)
+                     keyed_map_groups, load, load_arrow, partial_groupby,
+                     sql_round)
 
 
 def brand_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
@@ -432,3 +433,48 @@ def monthly_revenue(sf_dir: str) -> pd.DataFrame:
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return (out[["year", "month", "revenue", "n_orders"]]
             .sort_values(["year", "month"]).reset_index(drop=True))
+
+
+def segment_order_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-market-segment OLS regression of order value on order DATE —
+    the "is spend trending up" analytics shape (SQL's regr_slope /
+    regr_intercept / regr_r2 family) computed, like price_quantity_corr,
+    from ONE pass of mergeable moment partials: the broadcast customer
+    join tags each order with its segment inside the combiner, and the
+    shuffle moves six numbers per (segment, batch).
+
+    Parity contract: x is CENTERED on a fixed constant epoch-day (9500 ~
+    1996-01-06, same constant in the oracle) so the normal-equation
+    cancellations are well-conditioned, and the oracle computes THE SAME
+    closed-form slope/intercept/r2 from its own sum() aggregates — only
+    summation order differs, absorbed by the rounding grid."""
+    X0 = 9500  # fixed centering constant (epoch days)
+    orders = load(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+    cust = load_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b["o_orderdate"].to_numpy().astype("datetime64[D]")
+             .astype(np.float64)) - X0
+        y = b["o_totalprice"].to_numpy(np.float64)
+        return b.assign(x=x, y=y, xx=x * x, yy=y * y, xy=x * y)
+
+    out = partial_groupby(
+        joined, ["c_mktsegment"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"), "sxy": ("xy", "sum")},
+        prep=prep,
+    ).to_pandas()
+    n = out["n"].astype(np.float64)
+    dxy = n * out["sxy"] - out["sx"] * out["sy"]
+    dxx = n * out["sxx"] - out["sx"] * out["sx"]
+    dyy = n * out["syy"] - out["sy"] * out["sy"]
+    slope = dxy / dxx
+    return pd.DataFrame({
+        "c_mktsegment": out["c_mktsegment"],
+        "n": out["n"].astype(np.int64),
+        "slope": sql_round(slope, 6),
+        "intercept": sql_round((out["sy"] - slope * out["sx"]) / n, 4),
+        "r2": sql_round(dxy * dxy / (dxx * dyy), 6),
+    }).sort_values("c_mktsegment").reset_index(drop=True)

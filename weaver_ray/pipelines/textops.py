@@ -1189,3 +1189,76 @@ def doc_token_entropy(sf_dir: str) -> rd.Dataset:
             "token_entropy": sql_round(h, 4)})
 
     return ds.map_batches(entropy, batch_format="pandas")
+
+
+def contamination_neardup_pairs(sf_dir: str, modulus: int = 53,
+                                threshold: float = 0.2) -> rd.Dataset:
+    """NEAR-DUP decontamination — the fuzzy complement of
+    :func:`contamination_overlap_docs`: a training document is flagged if
+    its distinct-TOKEN-set Jaccard with ANY benchmark document
+    (``doc_id % modulus == 0``) reaches ``threshold`` (exact n-gram
+    overlap misses paraphrased/lightly-edited eval leakage; Jaccard at
+    the token level is the standard first fuzzy gate).  Returns every
+    contaminated (doc_id, eval_doc, jaccard) pair.
+
+    Scale shape (the contamination_overlap broadcast topology): the
+    benchmark side collapses to a long-form (token, eval_doc) inverted
+    index plus per-eval-doc set sizes, broadcast ONCE via ``ray.put``
+    (eval sets are MB, not TB); the training scan is ONE map_batches —
+    per batch: distinct (doc, token) explode, one vectorized merge
+    against the broadcast index, one groupby for shared counts, the
+    Jaccard compare on the 1e-9 grid.  Zero shuffles end to end."""
+    import ray
+
+    from .common import _cached_get
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    token_re = re.compile(TOKEN_RE)
+
+    def _tok_pairs(df: pd.DataFrame, bench_side: bool) -> pd.DataFrame:
+        sel = (df["doc_id"] % modulus == 0) == bench_side
+        sub = df[sel.to_numpy()]
+        toks = sub["text"].map(lambda t: list(set(token_re.findall(t))))
+        # fromiter, not .map(len).to_numpy(): an EMPTY object Series keeps
+        # object dtype and np.repeat refuses the safe cast
+        cnt = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        doc = np.repeat(sub["doc_id"].to_numpy(np.int64), cnt)
+        if not len(doc):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "t": pd.Series([], dtype="string")})
+        return pd.DataFrame({
+            "doc_id": doc,
+            "t": pd.Series(np.concatenate([np.asarray(x, dtype=object)
+                                           for x in toks]), dtype="string")})
+
+    bench = (ds.map_batches(lambda df: _tok_pairs(df, True),
+                            batch_format="pandas").to_pandas())
+    bench_sizes = bench.groupby("doc_id").size() if len(bench) else pd.Series(
+        [], dtype=np.int64)
+    bench_ref = ray.put((bench.rename(columns={"doc_id": "eval_doc"}),
+                         bench_sizes.to_dict()))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "eval_doc": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        bidx, bsz = _cached_get(bench_ref)
+        pairs = _tok_pairs(df, False)
+        if not len(pairs) or not len(bidx):
+            return empty
+        a_sz = pairs.groupby("doc_id").size()
+        m = pairs.merge(bidx, on="t")
+        if not len(m):
+            return empty
+        s = (m.groupby(["doc_id", "eval_doc"], sort=False).size()
+             .reset_index(name="s"))
+        na = s["doc_id"].map(a_sz).to_numpy(np.float64)
+        nb = s["eval_doc"].map(bsz).to_numpy(np.float64)
+        j = s["s"].to_numpy(np.float64) / (na + nb - s["s"].to_numpy())
+        keep = np.floor(j * 1e9 + 0.5) / 1e9 >= threshold
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(np.int64)[keep],
+            "eval_doc": s["eval_doc"].to_numpy(np.int64)[keep],
+            "jaccard": sql_round(j[keep], 4)})
+
+    return ds.map_batches(probe, batch_format="pandas")
