@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "earliest_events": relational.earliest_events,
         "price_quantiles": relational.price_quantiles,
         "price_quantiles_cont": relational.price_quantiles_cont,
+        # one-pass mergeable histogram quantile sketch (deterministic, so
+        # fully SQL-oracled; error bound <= one bin width, pytest-pinned)
+        "value_quantile_sketch": relational.value_quantile_sketch,
         "event_sample_stats": relational.event_sample_stats,
         "approx_distinct_users": relational.approx_distinct_users,
         # temporal / keyed-window operators (the brief's "custom operators
@@ -299,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_no_purchase": analytics.users_click_no_purchase,
         "customer_order_profile": analytics.customer_order_profile,
         "daily_activity_fulljoin": analytics.daily_activity_fulljoin,
+        # per-column table profile (counts, exact distinct, typed min/max)
+        "docs_profile": analytics.docs_profile,
         "monthly_revenue": analytics.monthly_revenue,
         "clean_text_hashes": textops.clean_text_hashes,
         # text analysis
@@ -424,6 +429,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_avi_stats": video.video_avi_stats,
         "video_frame_features": video.video_frame_features,
     }
+
+
+def _docs_profile_sql() -> str:
+    """Per-column profile: one UNION ALL leg per column with count /
+    null-count / exact distinct / VARCHAR-cast min+max — the engine
+    stringifies only after reducing on the original dtype, so str(int)
+    must equal the VARCHAR cast (it does) and string order is UTF-8
+    bytes on both sides."""
+    from weaver_ray.pipelines.analytics import _PROFILE_COLS
+
+    legs = [f"""
+            SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS vmin,
+                   CAST(max({c}) AS VARCHAR) AS vmax
+            FROM documents""" for c in _PROFILE_COLS]
+    return " UNION ALL ".join(legs)
 
 
 def _bm25_sql() -> str:
@@ -1184,6 +1207,27 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1
+        """,
+        # quantile sketch: the oracle replays the identical fixed-width
+        # bucket arithmetic (same floor(value*B/vmax) expression, same
+        # ceil(q*n) rank, same left-edge estimate)
+        "value_quantile_sketch": """
+            WITH b AS (
+                SELECT least(greatest(CAST(floor(value * 8192.0 / 500.0)
+                                           AS BIGINT), 0), 8191) AS bin
+                FROM events
+            ),
+            cum AS (
+                SELECT bin, sum(n) OVER (ORDER BY bin) AS c FROM (
+                    SELECT bin, count(*) AS n FROM b GROUP BY bin)
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM events),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            SELECT q, CAST(ceil(q * (SELECT n FROM tot)) AS BIGINT) AS rank,
+                   round((SELECT min(bin) FROM cum
+                          WHERE c >= ceil(q * (SELECT n FROM tot)))
+                         * 500.0 / 8192.0, 6) AS est_value
+            FROM qs
         """,
         # weekly cohort retention: first-event cohort week x week offset ->
         # distinct active users (engine: user-keyed shuffle, bucket-local
@@ -1951,6 +1995,8 @@ def oracle_sql() -> dict[str, str]:
                                                page_bfs_depth_sql,
                                                pagerank_sql)
 
+    # per-column table profile: one UNION ALL leg per column
+    d["docs_profile"] = _docs_profile_sql()
     d["host_pagerank"] = pagerank_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()

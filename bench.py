@@ -90,6 +90,16 @@ QUERY_NAMES = [
     "image_phash_topk",
     "audio_wav_features",
     "video_frame_features",
+    # block-17 additions: retention, lexical entropy, graph analytics,
+    # composed IVF-PQ, OLS trend, fuzzy decontamination, quantile sketch
+    "cohort_retention",
+    "doc_token_entropy",
+    "host_triangles",
+    "page_bfs_depth",
+    "ann_ivfpq_topk",
+    "segment_order_trend",
+    "contamination_neardup_pairs",
+    "value_quantile_sketch",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

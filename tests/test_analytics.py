@@ -433,3 +433,25 @@ def test_contamination_neardup_flags_planted_leak(tmp_path):
     # |A ∩ B| = 4, |A ∪ B| = 6 -> jaccard 4/6
     assert (r["doc_id"], r["eval_doc"]) == (1, 53)
     assert abs(r["jaccard"] - round(4 / 6, 4)) < 1e-9
+
+
+def test_docs_profile_counts_nulls_and_order(tmp_path):
+    from weaver_ray.pipelines import analytics
+
+    t = pa.table({
+        "doc_id": pa.array([9, 10, 2], pa.int64()),
+        "text": pa.array(["b", None, "a"], pa.string()),
+        "lang": pa.array(["en", "de", "en"], pa.string()),
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([1, 0, 1], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (analytics.docs_profile(str(tmp_path))).set_index("col")
+    # integer min/max reduce on the ORIGINAL dtype: '2' < '10' numerically
+    # even though '10' < '2' lexicographically
+    assert (out.loc["doc_id", "vmin"], out.loc["doc_id", "vmax"]) == ("2", "10")
+    assert out.loc["text", "n_null"] == 1
+    assert out.loc["text", "n_distinct"] == 2      # nulls don't count
+    assert (out.loc["text", "vmin"], out.loc["text", "vmax"]) == ("a", "b")
+    assert out.loc["lang", "n_distinct"] == 2
+    assert (out["n"] == 3).all()

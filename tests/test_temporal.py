@@ -177,3 +177,19 @@ def test_cohort_retention_cells(tmp_path):
              r.n_users for r in out.itertuples()}
     assert cells == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
     assert out["n_users"].dtype == np.int64
+
+
+def test_value_quantile_sketch_error_bound(ray_session):
+    """Sketch estimate vs the exact order statistic: biased low by at most
+    one bin width (the contract the docstring states)."""
+    from weaver_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    out = relational.value_quantile_sketch(sf)
+    v = np.sort(pd.read_parquet(sf + "/events.parquet",
+                                columns=["value"])["value"].to_numpy())
+    w = 500.0 / 8192
+    for q, rank, est in out.itertuples(index=False):
+        exact = v[int(rank) - 1]  # the rank-th order statistic (1-indexed)
+        assert est <= exact + 1e-9            # left-edge estimate: never high
+        assert exact - est <= w + 1e-9        # ... and low by <= one bin

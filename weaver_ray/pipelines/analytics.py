@@ -478,3 +478,96 @@ def segment_order_trend(sf_dir: str) -> pd.DataFrame:
         "intercept": sql_round((out["sy"] - slope * out["sx"]) / n, 4),
         "r2": sql_round(dxy * dxy / (dxx * dyy), 6),
     }).sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def docs_profile(sf_dir: str) -> pd.DataFrame:
+    """Table PROFILING over documents — the schema-quality report every
+    ingest runs before training (row/null/distinct counts + min/max per
+    column).  Two distributed pieces:
+
+    * counts + typed min/max ride ONE map_batches pass emitting a single
+      WIDE partial row per batch (min/max reduce on the ORIGINAL dtype —
+      lexicographic string reduction would mis-order integers — and
+      stringify only at the very end, with str(int) matching DuckDB's
+      VARCHAR cast and UTF-8 byte order matching Python's codepoint
+      order for the string columns);
+    * exact per-column distinct counts hash-shuffle stringified
+      (column, value) pairs — str() is injective on every column here,
+      so distinct-of-repr == distinct-of-value — through one many_groups
+      dedup, then a tiny per-column count.
+
+    At 100 TB the distinct shuffle is the only wide op and moves each
+    column's distinct VALUES once (the distinct_users_per_type budget);
+    everything else is additive one-row partials."""
+    ds = load(sf_dir, "documents", list(_PROFILE_COLS))
+
+    def wide(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # typed empty: the reduce ignores it entirely
+            cols: dict[str, pd.Series] = {"k": pd.Series([], dtype=np.int64)}
+            for c in _PROFILE_COLS:
+                cols[f"n__{c}"] = pd.Series([], dtype=np.int64)
+                cols[f"null__{c}"] = pd.Series([], dtype=np.int64)
+                cols[f"min__{c}"] = pd.Series([], dtype=df[c].dtype)
+                cols[f"max__{c}"] = pd.Series([], dtype=df[c].dtype)
+            return pd.DataFrame(cols)
+        row: dict[str, object] = {"k": 0}
+        for c in _PROFILE_COLS:
+            s = df[c]
+            row[f"n__{c}"] = np.int64(len(s))
+            row[f"null__{c}"] = np.int64(s.isna().sum())
+            # None partials from an all-null batch column reduce with
+            # pandas skipna min/max — exactly SQL's min()/max() semantics
+            nn = s.dropna()
+            row[f"min__{c}"] = nn.min() if len(nn) else None
+            row[f"max__{c}"] = nn.max() if len(nn) else None
+        return pd.DataFrame([row])
+
+    # the partials are ONE ROW PER BLOCK (metadata-sized, like
+    # global_row_number's per-block counts), so the final fold runs
+    # driver-side with explicit skipna — an all-null block column emits
+    # None, and pandas' object-dtype groupby min raises on a None/str mix
+    wp = ds.map_batches(wide, batch_format="pandas").to_pandas()
+    # all-empty Dataset.to_pandas() drops the schema (0-column frame)
+    if "k" not in wp.columns:
+        wp = wide(pd.DataFrame({c: pd.Series([], dtype=object)
+                                for c in _PROFILE_COLS}))
+    w: dict[str, object] = {}
+    for c in _PROFILE_COLS:
+        w[f"n__{c}"] = int(wp[f"n__{c}"].sum()) if len(wp) else 0
+        w[f"null__{c}"] = int(wp[f"null__{c}"].sum()) if len(wp) else 0
+        mn = wp[f"min__{c}"].dropna()
+        mx = wp[f"max__{c}"].dropna()
+        w[f"min__{c}"] = mn.min() if len(mn) else None
+        w[f"max__{c}"] = mx.max() if len(mx) else None
+
+    def val_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in _PROFILE_COLS:
+            v = df[c].dropna().astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({
+                "col": np.full(len(v), c, dtype=object),
+                "val": v.to_numpy()}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"col": "string", "val": "string"})
+
+    dv = partial_groupby(ds.map_batches(val_pairs, batch_format="pandas"),
+                         ["col", "val"], {"n": ("n", "count")},
+                         prep=lambda df: df.assign(n=1),
+                         many_groups=True)
+    nd = partial_groupby(dv, ["col"], {"n_distinct": ("n", "count")},
+                         many_groups=True).to_pandas()
+    ndm = dict(zip(nd["col"], nd["n_distinct"]))
+
+    rows = []
+    for c in _PROFILE_COLS:
+        rows.append((c, int(w[f"n__{c}"]), int(w[f"null__{c}"]),
+                     int(ndm.get(c, 0)), str(w[f"min__{c}"]),
+                     str(w[f"max__{c}"])))
+    out = pd.DataFrame(rows, columns=["col", "n", "n_null", "n_distinct",
+                                      "vmin", "vmax"])
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out

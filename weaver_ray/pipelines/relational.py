@@ -607,3 +607,49 @@ def orders_above_customer_avg(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                      lcols=["o_orderkey", "o_custkey", "o_totalprice"],
                      rcols=["o_custkey", "s", "n"],
                      num_buckets=num_buckets, post=keep)
+
+
+def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
+                          vmax: float = 500.0) -> pd.DataFrame:
+    """ONE-PASS mergeable quantile SKETCH over events.value — the
+    approximate complement of the exact iterative-refinement
+    price_quantiles: a fixed-width histogram sketch (n_bins counters over
+    the declared [0, vmax) domain) whose per-batch partials merge by
+    addition, so a 100-TB pass needs exactly one reduction and O(n_bins)
+    driver state; the estimate for rank k = ceil(q*n) is the LEFT EDGE of
+    the rank-bearing bucket, biased low by at most one bin width
+    (vmax/n_bins ~ 0.06 here — the error bound is part of the contract
+    and pinned by a pytest against the exact order statistic).
+
+    The sketch is DETERMINISTIC (no sampling), so it carries a full SQL
+    oracle that replays the identical bucket arithmetic — the expression
+    ``floor(value * n_bins / vmax)`` is written the same on both engines
+    so IEEE rounding agrees bit-for-bit."""
+    ds = load(sf_dir, "events", ["value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        b = np.clip(np.floor(v * float(n_bins) / vmax).astype(np.int64),
+                    0, n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(cnt)  # sparse partials: only occupied bins move
+        return pd.DataFrame({"bin": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    g = partial_groupby(ds.map_batches(hist, batch_format="pandas"),
+                        ["bin"], {"n": ("n", "sum")},
+                        many_groups=True).to_pandas()
+    counts = np.zeros(n_bins, dtype=np.int64)
+    counts[g["bin"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    rows = []
+    for q in qs:
+        k = int(np.ceil(q * n))
+        b = int(np.searchsorted(cum, k))
+        rows.append((q, k, b * vmax / float(n_bins)))
+    out = pd.DataFrame(rows, columns=["q", "rank", "est_value"])
+    out["rank"] = out["rank"].astype(np.int64)
+    out["est_value"] = out["est_value"].round(6)
+    return out
