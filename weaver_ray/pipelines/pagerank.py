@@ -250,6 +250,11 @@ def host_triangles(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
     H = int(deg.index.max()) + 1
     degv = np.zeros(H, dtype=np.int64)
     degv[deg.index.to_numpy(np.int64)] = deg.to_numpy(np.int64)
+    # the (u, v) join key packs both ids into one int64; host ids are tiny
+    # (config.N_HOSTS), so 2^31 headroom is 8 orders of magnitude — but
+    # fail loudly, not wrongly, if a different graph is ever wired in
+    if H > (1 << 31):
+        raise ValueError(f"host id space {H} exceeds the 2^31 uv-key packing")
     deg_ref = ray.put(degv)
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
