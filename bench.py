@@ -100,6 +100,7 @@ QUERY_NAMES = [
     "segment_order_trend",
     "contamination_neardup_pairs",
     "value_quantile_sketch",
+    "docs_profile",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

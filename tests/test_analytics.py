@@ -443,7 +443,9 @@ def test_docs_profile_counts_nulls_and_order(tmp_path):
         "text": pa.array(["b", None, "a"], pa.string()),
         "lang": pa.array(["en", "de", "en"], pa.string()),
         "source": pa.array(["s1", "s1", "s2"], pa.string()),
-        "n_chars": pa.array([1, 0, 1], pa.int64()),
+        # null in an INT column: Arrow hands those blocks to pandas as
+        # float64, which must not stringify 7 as '7.0' anywhere
+        "n_chars": pa.array([7, None, 7], pa.int64()),
     })
     pq.write_table(t, tmp_path / "documents.parquet")
     out = (analytics.docs_profile(str(tmp_path))).set_index("col")
@@ -455,3 +457,7 @@ def test_docs_profile_counts_nulls_and_order(tmp_path):
     assert (out.loc["text", "vmin"], out.loc["text", "vmax"]) == ("a", "b")
     assert out.loc["lang", "n_distinct"] == 2
     assert (out["n"] == 3).all()
+    # the float-coerced int column stringifies as int everywhere
+    assert out.loc["n_chars", "n_null"] == 1
+    assert out.loc["n_chars", "n_distinct"] == 1
+    assert (out.loc["n_chars", "vmin"], out.loc["n_chars", "vmax"]) == ("7", "7")

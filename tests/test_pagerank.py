@@ -89,7 +89,8 @@ def test_page_bfs_depth_matches_sequential_bfs(ray_session):
     edges = pq.read_table(
         generate_page_edges(1000) + "/part-00000.parquet").to_pandas()
     adj = edges.groupby("src_id")["dst_id"].agg(set).to_dict()
-    depth = {i: 0 for i in range(config.N_SEEDS)}
+    # the crawl's real seed pages: the first N_SEEDS ROOT rows (i*ROOT_EVERY)
+    depth = {i * config.ROOT_EVERY: 0 for i in range(config.N_SEEDS)}
     q = deque(depth)
     while q:
         u = q.popleft()

@@ -499,10 +499,22 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
       so distinct-of-repr == distinct-of-value — through one many_groups
       dedup, then a tiny per-column count.
 
+    Integer columns that carry nulls arrive in pandas blocks as float64
+    (Arrow's null coercion), which would stringify the same value as
+    '7.0' in null-bearing blocks and '7' elsewhere — breaking both
+    injectivity and the VARCHAR-cast contract; the declared Arrow schema
+    decides which columns re-cast to int64 before stringification.
+
     At 100 TB the distinct shuffle is the only wide op and moves each
     column's distinct VALUES once (the distinct_users_per_type budget);
     everything else is additive one-row partials."""
+    import pyarrow as pa
+
     ds = load(sf_dir, "documents", list(_PROFILE_COLS))
+    sch = ds.schema()
+    int_cols = frozenset(
+        n for n, t in zip(sch.names, sch.types)
+        if isinstance(t, pa.DataType) and pa.types.is_integer(t))
 
     def wide(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):  # typed empty: the reduce ignores it entirely
@@ -546,7 +558,10 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
     def val_pairs(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for c in _PROFILE_COLS:
-            v = df[c].dropna().astype(str).drop_duplicates()
+            nn = df[c].dropna()
+            if c in int_cols:  # undo Arrow's int-with-null float coercion
+                nn = nn.astype(np.int64)
+            v = nn.astype(str).drop_duplicates()
             frames.append(pd.DataFrame({
                 "col": np.full(len(v), c, dtype=object),
                 "val": v.to_numpy()}))
@@ -561,11 +576,16 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
                          many_groups=True).to_pandas()
     ndm = dict(zip(nd["col"], nd["n_distinct"]))
 
+    def fmt(c: str, v: object) -> str:
+        if v is not None and c in int_cols:
+            return str(int(v))  # a float-coerced block's min/max -> '7', not '7.0'
+        return str(v)
+
     rows = []
     for c in _PROFILE_COLS:
         rows.append((c, int(w[f"n__{c}"]), int(w[f"null__{c}"]),
-                     int(ndm.get(c, 0)), str(w[f"min__{c}"]),
-                     str(w[f"max__{c}"])))
+                     int(ndm.get(c, 0)), fmt(c, w[f"min__{c}"]),
+                     fmt(c, w[f"max__{c}"])))
     out = pd.DataFrame(rows, columns=["col", "n", "n_null", "n_distinct",
                                       "vmin", "vmax"])
     for c in ("n", "n_null", "n_distinct"):

@@ -58,6 +58,32 @@ def host_edges_dir(n_base: int, seed: int = config.CORPUS_SEED,
         root, f"seed{seed}_n{n_base}_hostedges_v{_EDGES_VERSION}")
 
 
+def _live_child_links(n_base: int):
+    """Iterate (parent_index, child_index) over every LIVE link in the
+    deterministic corpus graph (dead-link children 404 and emit nothing) —
+    the one loop both edge fixtures derive from."""
+    for i in range(n_base):
+        pid = image_id_of(i)
+        for c in children_of(url_of(pid), url_type_of(pid), n_base):
+            if c.startswith("imgdead"):
+                continue
+            yield i, int(c[3:])
+
+
+def _memoized_edge_parquet(d: Path, table: pa.Table, note: str) -> str:
+    """Shared memoize-to-parquet protocol for the edge fixtures: _DONE
+    sentinel, stale-file cleanup, single sorted part."""
+    done = d / "_DONE"
+    if done.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    for old in d.glob("*"):
+        old.unlink()
+    pq.write_table(table, d / "part-00000.parquet")
+    done.write_text(note)
+    return str(d)
+
+
 def generate_host_edges(n_base: int = 1000, seed: int = config.CORPUS_SEED,
                         root: str = "/tmp/weaver_corpus") -> str:
     """Write (and memoize) the host-level edge list: one row per LIVE
@@ -65,27 +91,15 @@ def generate_host_edges(n_base: int = 1000, seed: int = config.CORPUS_SEED,
     children are skipped — they 404 and contribute no edge).  Pure sha1
     arithmetic; no corpus scan needed."""
     d = Path(host_edges_dir(n_base, seed, root))
-    done = d / "_DONE"
-    if done.exists():
+    if (d / "_DONE").exists():
         return str(d)
-    d.mkdir(parents=True, exist_ok=True)
-    for old in d.glob("*"):
-        old.unlink()
     src, dst = [], []
-    for i in range(n_base):
-        pid = image_id_of(i)
-        sh = host_index(pid)
-        for c in children_of(url_of(pid), url_type_of(pid), n_base):
-            if c.startswith("imgdead"):
-                continue
-            src.append(sh)
-            dst.append(host_index(c))
-    pq.write_table(
-        pa.table({"src_host": pa.array(src, pa.int64()),
-                  "dst_host": pa.array(dst, pa.int64())}),
-        d / "part-00000.parquet")
-    done.write_text(f"n_base={n_base} seed={seed}\n")
-    return str(d)
+    for i, j in _live_child_links(n_base):
+        src.append(host_index(image_id_of(i)))
+        dst.append(host_index(image_id_of(j)))
+    t = pa.table({"src_host": pa.array(src, pa.int64()),
+                  "dst_host": pa.array(dst, pa.int64())})
+    return _memoized_edge_parquet(d, t, f"n_base={n_base} seed={seed}\n")
 
 
 def host_pagerank(sf_dir: str, n_base: int = 1000, n_iters: int = 5,
@@ -355,45 +369,39 @@ def generate_page_edges(n_base: int = 1000, seed: int = config.CORPUS_SEED,
     link between corpus pages (dead links skipped) — the exact graph the
     crawler's frontier expands over, at page (not host) granularity."""
     d = Path(page_edges_dir(n_base, seed, root))
-    done = d / "_DONE"
-    if done.exists():
+    if (d / "_DONE").exists():
         return str(d)
-    d.mkdir(parents=True, exist_ok=True)
-    for old in d.glob("*"):
-        old.unlink()
-    src_l, dst_l = [], []
-    for i in range(n_base):
-        pid = image_id_of(i)
-        for c in children_of(url_of(pid), url_type_of(pid), n_base):
-            if c.startswith("imgdead"):
-                continue
-            src_l.append(i)
-            dst_l.append(int(c[3:]))
-    pq.write_table(
-        pa.table({"src_id": pa.array(src_l, pa.int64()),
-                  "dst_id": pa.array(dst_l, pa.int64())}),
-        d / "part-00000.parquet")
-    done.write_text(f"n_base={n_base} seed={seed}\n")
-    return str(d)
+    src_l, dst_l = zip(*_live_child_links(n_base)) if n_base else ([], [])
+    t = pa.table({"src_id": pa.array(list(src_l), pa.int64()),
+                  "dst_id": pa.array(list(dst_l), pa.int64())})
+    return _memoized_edge_parquet(d, t, f"n_base={n_base} seed={seed}\n")
 
 
 def page_bfs_depth(sf_dir: str, n_base: int = 1000,
                    n_seeds: int = config.N_SEEDS,
                    max_depth: int = 64) -> pd.DataFrame:
     """Directed BFS depth of every corpus page reachable from the crawl's
-    seed pages — the frontier-expansion geometry itself: because the crawl
+    seed pages — the frontier-expansion geometry itself: in an
+    UNCONSTRAINED crawl (no robots denials, unlimited budget) that
     fetches its whole frontier every round (pipelines/crawl.py round
     loop), a page's BFS depth IS the round in which it first becomes
-    fetchable.  (The HOST graph is near-complete at fixture scale — every
-    host reachable in one hop — so depth is only meaningful at page
-    granularity.)
+    fetchable.  The real crawl prunes robots-denied pages, whose
+    children are then discovered later or never — the simulator parity
+    battery, not this operator, checks that constrained behavior.  (The
+    HOST graph is near-complete at fixture scale — every host reachable
+    in one hop — so depth is only meaningful at page granularity.)
 
     Engine shape per round (the pagerank budget): the frontier membership
     bitmap (O(nodes)) is broadcast; ONE map_batches pass over the
     distributed edge Dataset emits the next frontier's candidate dsts as
     per-batch DISTINCT partials; the driver folds candidates into the
     depth vector.  Edges never reach the driver; rounds = graph depth."""
-    seeds = list(range(min(n_seeds, n_base)))
+    # the crawl's ACTUAL seed pages (sources/corpus.py:seed_image_ids —
+    # the first n_seeds ROOT-classified rows, ids i*ROOT_EVERY), not
+    # ids 0..n_seeds-1: 18 of those are product pages the crawl never seeds
+    seeds = sorted({i * config.ROOT_EVERY
+                    for i in range(min(n_seeds,
+                                       (n_base - 1) // config.ROOT_EVERY + 1))})
     files = sorted(str(p) for p in
                    Path(generate_page_edges(n_base)).glob("part-*.parquet"))
     edges = partial_groupby(rd.read_parquet(files),
@@ -401,14 +409,8 @@ def page_bfs_depth(sf_dir: str, n_base: int = 1000,
                             {"n": ("src_id", "count")},
                             many_groups=True).materialize()
 
-    depth = np.full(n_base, -1, dtype=np.int64)
-    depth[seeds] = 0
-    d = 0
-    while d < max_depth:
-        frontier = np.zeros(n_base, dtype=bool)
-        frontier[depth == d] = True
-        if not frontier.any():
-            break
+    def expand(frontier: np.ndarray) -> np.ndarray:
+        """One distributed round: dst pages reachable from the frontier."""
         ref = ray.put(frontier)
 
         def next_pages(df: pd.DataFrame) -> pd.DataFrame:
@@ -423,15 +425,35 @@ def page_bfs_depth(sf_dir: str, n_base: int = 1000,
                                                  batch_format="pandas"),
                                ["h"], {"n": ("h", "count")},
                                many_groups=True).to_pandas()
-        new = cand["h"].to_numpy(np.int64)
+        return cand["h"].to_numpy(np.int64)
+
+    depth = np.full(n_base, -1, dtype=np.int64)
+    depth[seeds] = 0
+    d = 0
+    while d < max_depth:
+        frontier = np.zeros(n_base, dtype=bool)
+        frontier[depth == d] = True
+        if not frontier.any():
+            break
+        new = expand(frontier)
         new = new[depth[new] == -1]
         if not len(new):
             break
         depth[new] = d + 1
         d += 1
     else:
-        raise RuntimeError(f"BFS exceeded max_depth={max_depth}; "
-                           "raise the cap (oracle unrolls to the same cap)")
+        # d hit the cap.  That is fine if the cap-depth frontier expands to
+        # nothing NEW (BFS complete, deepest page exactly at max_depth —
+        # the oracle's recursive CTE also emits d == max_depth rows); it is
+        # an error only if unexplored pages remain beyond the cap.
+        frontier = np.zeros(n_base, dtype=bool)
+        frontier[depth == max_depth] = True
+        if frontier.any():
+            beyond = expand(frontier)
+            if len(beyond) and (depth[beyond] == -1).any():
+                raise RuntimeError(
+                    f"BFS exceeded max_depth={max_depth}; raise the cap "
+                    "(oracle unrolls to the same cap)")
 
     reached = np.flatnonzero(depth >= 0)
     return pd.DataFrame({"page_id": reached.astype(np.int64),
@@ -444,7 +466,9 @@ def page_bfs_depth_sql(n_base: int = 1000, n_seeds: int = config.N_SEEDS,
     (distinct) bounds the recursion at V*max_depth rows even with cycles,
     and min(d) per page is the BFS depth as long as max_depth >= the true
     eccentricity (the engine raises if its BFS exceeds the same cap)."""
-    seeds = list(range(min(n_seeds, n_base)))
+    seeds = sorted({i * config.ROOT_EVERY
+                    for i in range(min(n_seeds,
+                                       (n_base - 1) // config.ROOT_EVERY + 1))})
     glob = generate_page_edges(n_base) + "/part-*.parquet"
     vals = ", ".join(f"({h}::BIGINT, 0::BIGINT)" for h in seeds)
     return f"""

@@ -649,7 +649,12 @@ def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
         k = int(np.ceil(q * n))
         b = int(np.searchsorted(cum, k))
         rows.append((q, k, b * vmax / float(n_bins)))
+    from .common import sql_round
+
     out = pd.DataFrame(rows, columns=["q", "rank", "est_value"])
     out["rank"] = out["rank"].astype(np.int64)
-    out["est_value"] = out["est_value"].round(6)
+    # sql_round, NOT .round(): bin edges b*500/8192 land on an exact 5 at
+    # the 7th decimal for every b % 32 == 16 (e.g. sf0.1's q=0.9 bin 1872
+    # -> 114.2578125), where banker's rounding diverges from DuckDB
+    out["est_value"] = sql_round(out["est_value"], 6)
     return out
