@@ -267,6 +267,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass mergeable histogram quantile sketch (deterministic, so
         # fully SQL-oracled; error bound <= one bin width, pytest-pinned)
         "value_quantile_sketch": relational.value_quantile_sketch,
+        # sketch -> clip -> aggregate composition (outlier-robust mean)
+        "winsorized_value_stats": relational.winsorized_value_stats,
+        # incremental view maintenance: checkpointed pre-cutoff partials +
+        # delta-only scan; oracle = full recompute over all events
+        "incremental_event_stats": relational.incremental_event_stats,
         "event_sample_stats": relational.event_sample_stats,
         "approx_distinct_users": relational.approx_distinct_users,
         # temporal / keyed-window operators (the brief's "custom operators
@@ -304,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_activity_fulljoin": analytics.daily_activity_fulljoin,
         # per-column table profile (counts, exact distinct, typed min/max)
         "docs_profile": analytics.docs_profile,
+        # Morton/Z-order layout index over (user_id, epoch_hour)
+        "zorder_events": analytics.zorder_events,
         "monthly_revenue": analytics.monthly_revenue,
         "clean_text_hashes": textops.clean_text_hashes,
         # text analysis
@@ -1229,6 +1236,40 @@ def oracle_sql() -> dict[str, str]:
                          * 500.0 / 8192.0, 6) AS est_value
             FROM qs
         """,
+        # incremental maintenance: the oracle is the FULL recompute — the
+        # value-hash equality certifies checkpoint-merge == recompute
+        "incremental_event_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
+        # from the identical bucket arithmetic, then least/greatest clip
+        "winsorized_value_stats": """
+            WITH b AS (
+                SELECT least(greatest(CAST(floor(value * 8192.0 / 500.0)
+                                           AS BIGINT), 0), 8191) AS bin
+                FROM events
+            ),
+            cum AS (
+                SELECT bin, sum(n) OVER (ORDER BY bin) AS c FROM (
+                    SELECT bin, count(*) AS n FROM b GROUP BY bin)
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM events),
+            lo AS (SELECT (SELECT min(bin) FROM cum
+                           WHERE c >= ceil(0.01 * (SELECT n FROM tot)))
+                          * 500.0 / 8192.0 AS v),
+            hi AS (SELECT (SELECT min(bin) FROM cum
+                           WHERE c >= ceil(0.99 * (SELECT n FROM tot)))
+                          * 500.0 / 8192.0 AS v)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(least(greatest(value, (SELECT v FROM lo)),
+                                   (SELECT v FROM hi))), 4)
+                       AS mean_winsorized,
+                   round((SELECT v FROM lo), 6) AS cap_lo,
+                   round((SELECT v FROM hi), 6) AS cap_hi
+            FROM events GROUP BY event_type
+        """,
         # weekly cohort retention: first-event cohort week x week offset ->
         # distinct active users (engine: user-keyed shuffle, bucket-local
         # distinct counts are additive because buckets partition users)
@@ -1997,6 +2038,10 @@ def oracle_sql() -> dict[str, str]:
 
     # per-column table profile: one UNION ALL leg per column
     d["docs_profile"] = _docs_profile_sql()
+    # Morton interleave unrolled to 2*bits integer terms
+    from weaver_ray.pipelines.analytics import zorder_events_sql
+
+    d["zorder_events"] = zorder_events_sql()
     d["host_pagerank"] = pagerank_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()

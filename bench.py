@@ -101,6 +101,9 @@ QUERY_NAMES = [
     "contamination_neardup_pairs",
     "value_quantile_sketch",
     "docs_profile",
+    "zorder_events",
+    "winsorized_value_stats",
+    "incremental_event_stats",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

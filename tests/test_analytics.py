@@ -461,3 +461,29 @@ def test_docs_profile_counts_nulls_and_order(tmp_path):
     assert out.loc["n_chars", "n_null"] == 1
     assert out.loc["n_chars", "n_distinct"] == 1
     assert (out.loc["n_chars", "vmin"], out.loc["n_chars", "vmax"]) == ("7", "7")
+
+
+def test_zorder_interleave_roundtrip(tmp_path):
+    from weaver_ray.pipelines import analytics
+
+    # hand example: u=0b1010, h=0b0110 -> z bits (h1 u1 h0 u0 ...) from LSB
+    t = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([np.datetime64("1970-01-01T06:00:00", "us")],
+                       pa.timestamp("us")),  # epoch hour 6 = 0b0110
+        "user_id": pa.array([10], pa.int64()),  # 0b1010
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = to_table(analytics.zorder_events(str(tmp_path))).to_pandas()
+    z = int(out["zorder"].iloc[0])
+    # interleave: sum_i u_i*4^i + 2*h_i*4^i with u=10, h=6
+    expected = sum(((10 >> i) & 1) * 4**i + 2 * ((6 >> i) & 1) * 4**i
+                   for i in range(16))
+    assert z == expected
+    # decode round-trip recovers both quantized keys
+    u = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    h = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (u, h) == (10, 6)

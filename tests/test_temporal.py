@@ -193,3 +193,50 @@ def test_value_quantile_sketch_error_bound(ray_session):
         exact = v[int(rank) - 1]  # the rank-th order statistic (1-indexed)
         assert est <= exact + 1e-9            # left-edge estimate: never high
         assert exact - est <= w + 1e-9        # ... and low by <= one bin
+
+
+def test_winsorized_stats_caps_bite(ray_session):
+    """At sf0.01 the P99 cap must actually clip some values (the robust
+    mean differs from the plain mean), and caps must equal the sketch's
+    P1/P99 estimates."""
+    from weaver_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    out = relational.winsorized_value_stats(sf)
+    ev = pd.read_parquet(sf + "/events.parquet",
+                         columns=["event_type", "value"])
+    lo, hi = out["cap_lo"].iloc[0], out["cap_hi"].iloc[0]
+    assert lo < hi
+    assert (ev["value"] > hi).any() or (ev["value"] < lo).any()
+    ref = (ev.assign(w=ev["value"].clip(lo, hi))
+           .groupby("event_type")["w"].mean().round(4))
+    got = out.set_index("event_type")["mean_winsorized"]
+    assert (got - ref.reindex(got.index)).abs().max() < 1e-3
+    plain = ev.groupby("event_type")["value"].mean().round(4)
+    assert (got != plain.reindex(got.index)).any()
+
+
+def test_incremental_event_stats_checkpoint_reuse(ray_session, tmp_path):
+    """Second run must reuse the checkpointed base partials (file untouched)
+    and still equal the from-scratch result after the state is wiped."""
+    import os
+
+    from weaver_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "state")
+    a = relational.incremental_event_stats(sf, state_root=root)
+    state = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert len(state) == 1
+    mtime = os.path.getmtime(os.path.join(root, state[0]))
+    b = relational.incremental_event_stats(sf, state_root=root)
+    assert os.path.getmtime(os.path.join(root, state[0])) == mtime
+    pd.testing.assert_frame_equal(a, b)
+    # wipe the checkpoint: full rebuild must agree exactly
+    os.unlink(os.path.join(root, state[0]))
+    c = relational.incremental_event_stats(sf, state_root=root)
+    pd.testing.assert_frame_equal(a, c)
+    # the cutoff actually splits the data (both sides non-empty)
+    ev = pd.read_parquet(sf + "/events.parquet", columns=["ts"])
+    cut = pd.Timestamp(relational.INCR_CUTOFF_US, unit="us")
+    assert (ev["ts"] < cut).any() and (ev["ts"] >= cut).any()

@@ -591,3 +591,47 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "n_null", "n_distinct"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def zorder_events(sf_dir: str, bits: int = 16) -> rd.Dataset:
+    """Z-ORDER (Morton) layout index over (user_id, epoch_hour) — the
+    multi-dimensional data-layout operator: writing a 100-TB table sorted
+    by this index co-locates rows close in BOTH keys, so (user, time)
+    range scans prune row groups on either dimension (the Delta/Iceberg
+    OPTIMIZE ZORDER primitive, computed as a plain column).
+
+    Engine: one embarrassingly-parallel map_batches; the bit interleave
+    is vectorized numpy shifts (no per-row Python).  The oracle replays
+    the identical interleave as an unrolled 2*bits-term integer sum, so
+    the operator is fully SQL-checkable.  Both keys quantize mod 2^bits —
+    the standard wraparound trade for unbounded domains, documented here
+    rather than hidden (locality holds within each 2^bits tile)."""
+    ds = load(sf_dir, "events", ["event_id", "user_id", "ts"])
+    mask = (1 << bits) - 1
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        u = (df["user_id"].to_numpy(np.int64) & mask).astype(np.int64)
+        h = ((df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000) & mask).astype(np.int64)
+        zv = np.zeros(len(df), dtype=np.int64)
+        for i in range(bits):
+            zv |= ((u >> i) & 1) << (2 * i)
+            zv |= ((h >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(np.int64),
+                             "zorder": zv})
+
+    return ds.map_batches(z, batch_format="pandas")
+
+
+def zorder_events_sql(bits: int = 16) -> str:
+    """Unrolled Morton-interleave oracle: one integer term per bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((user_id & {(1 << bits) - 1}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(((epoch_us(ts) // 3600000000) & {(1 << bits) - 1}) >> {i} & 1) * {1 << (2 * i + 1)}")
+    expr = "\n                   + ".join(terms)
+    return f"""
+        SELECT event_id,
+               CAST({expr} AS BIGINT) AS zorder
+        FROM events
+    """

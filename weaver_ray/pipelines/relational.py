@@ -609,22 +609,10 @@ def orders_above_customer_avg(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                      num_buckets=num_buckets, post=keep)
 
 
-def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
-                          vmax: float = 500.0) -> pd.DataFrame:
-    """ONE-PASS mergeable quantile SKETCH over events.value — the
-    approximate complement of the exact iterative-refinement
-    price_quantiles: a fixed-width histogram sketch (n_bins counters over
-    the declared [0, vmax) domain) whose per-batch partials merge by
-    addition, so a 100-TB pass needs exactly one reduction and O(n_bins)
-    driver state; the estimate for rank k = ceil(q*n) is the LEFT EDGE of
-    the rank-bearing bucket, biased low by at most one bin width
-    (vmax/n_bins ~ 0.06 here — the error bound is part of the contract
-    and pinned by a pytest against the exact order statistic).
-
-    The sketch is DETERMINISTIC (no sampling), so it carries a full SQL
-    oracle that replays the identical bucket arithmetic — the expression
-    ``floor(value * n_bins / vmax)`` is written the same on both engines
-    so IEEE rounding agrees bit-for-bit."""
+def _sketch_cumhist(sf_dir: str, n_bins: int, vmax: float) -> np.ndarray:
+    """One-pass mergeable fixed-width histogram over events.value:
+    per-batch sparse bincount partials, one additive reduce, cumulative
+    counts on the driver (O(n_bins) state)."""
     ds = load(sf_dir, "events", ["value"])
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
@@ -641,14 +629,42 @@ def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
                         many_groups=True).to_pandas()
     counts = np.zeros(n_bins, dtype=np.int64)
     counts[g["bin"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
-    cum = np.cumsum(counts)
+    return np.cumsum(counts)
+
+
+def _sketch_quantile(cum: np.ndarray, q: float, n_bins: int,
+                     vmax: float) -> tuple[int, float]:
+    """Rank k = ceil(q*n); estimate = LEFT EDGE of the rank-bearing bin
+    (the same ceil/searchsorted arithmetic the SQL oracle replays)."""
+    n = int(cum[-1])
+    k = int(np.ceil(q * n))
+    b = int(np.searchsorted(cum, k))
+    return k, b * vmax / float(n_bins)
+
+
+def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
+                          vmax: float = 500.0) -> pd.DataFrame:
+    """ONE-PASS mergeable quantile SKETCH over events.value — the
+    approximate complement of the exact iterative-refinement
+    price_quantiles: a fixed-width histogram sketch (n_bins counters over
+    the declared [0, vmax) domain) whose per-batch partials merge by
+    addition, so a 100-TB pass needs exactly one reduction and O(n_bins)
+    driver state; the estimate for rank k = ceil(q*n) is the LEFT EDGE of
+    the rank-bearing bucket, biased low by at most one bin width
+    (vmax/n_bins ~ 0.06 here — the error bound is part of the contract
+    and pinned by a pytest against the exact order statistic).
+
+    The sketch is DETERMINISTIC (no sampling), so it carries a full SQL
+    oracle that replays the identical bucket arithmetic — the expression
+    ``floor(value * n_bins / vmax)`` is written the same on both engines
+    so IEEE rounding agrees bit-for-bit."""
+    cum = _sketch_cumhist(sf_dir, n_bins, vmax)
     n = int(cum[-1])
     qs = (0.25, 0.5, 0.75, 0.9, 0.99)
     rows = []
     for q in qs:
-        k = int(np.ceil(q * n))
-        b = int(np.searchsorted(cum, k))
-        rows.append((q, k, b * vmax / float(n_bins)))
+        k, est = _sketch_quantile(cum, q, n_bins, vmax)
+        rows.append((q, k, est))
     from .common import sql_round
 
     out = pd.DataFrame(rows, columns=["q", "rank", "est_value"])
@@ -658,3 +674,101 @@ def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
     # -> 114.2578125), where banker's rounding diverges from DuckDB
     out["est_value"] = sql_round(out["est_value"], 6)
     return out
+
+
+def winsorized_value_stats(sf_dir: str, n_bins: int = 8192,
+                           vmax: float = 500.0, q_lo: float = 0.01,
+                           q_hi: float = 0.99) -> pd.DataFrame:
+    """WINSORIZED per-type statistics — the outlier-robust mean every
+    metrics pipeline wants: values are clipped to the [P1, P99] caps
+    BEFORE aggregating, with the caps coming from the deterministic
+    one-pass histogram sketch (:func:`_sketch_cumhist`), so the whole
+    composition — sketch -> clip transform -> grouped aggregate — stays
+    fully SQL-oracled (the oracle recomputes the identical caps from the
+    identical bucket arithmetic and clips with least/greatest on the
+    same IEEE doubles).  Two passes over events total; both are one-pass
+    mergeable-partial shapes."""
+    from .common import sql_round
+
+    cum = _sketch_cumhist(sf_dir, n_bins, vmax)
+    _, lo = _sketch_quantile(cum, q_lo, n_bins, vmax)
+    _, hi = _sketch_quantile(cum, q_hi, n_bins, vmax)
+
+    ds = load(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(w=np.clip(df["value"].to_numpy(np.float64), lo, hi))
+
+    out = partial_groupby(ds, ["event_type"],
+                          {"n": ("w", "count"), "s": ("w", "sum")},
+                          prep=prep).to_pandas()
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype(np.int64),
+        "mean_winsorized": sql_round(out["s"] / out["n"], 4),
+        "cap_lo": np.full(len(out), sql_round(lo, 6)),
+        "cap_hi": np.full(len(out), sql_round(hi, 6)),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+INCR_CUTOFF_US = 1_706_140_800_000_000  # 2024-01-25T00:00:00Z (epoch us)
+
+
+def incremental_event_stats(sf_dir: str,
+                            state_root: str = "/tmp/weaver_state") -> pd.DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a grouped aggregate — the streaming
+    -ingest pattern: events before a fixed cutoff are the "already
+    ingested" history whose MERGEABLE partials are checkpointed to
+    parquet ONCE; every later run scans only the post-cutoff delta and
+    folds it into the checkpointed state (sum/count partials merge by
+    addition — the whole point of the partial-aggregation design).  The
+    DuckDB oracle is the full recompute over all events, so the
+    value-hash equality certifies merged-state == full-recompute.
+
+    Both scans push the cutoff filter into the parquet read (only the
+    needed row groups leave storage).  The checkpoint is one row per
+    group — metadata-sized; at 100 TB the delta scan is the only data
+    touched per refresh."""
+    import hashlib
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from .common import sql_round
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    state = os.path.join(state_root, f"incr_event_stats_{key}.parquet")
+
+    def partials_for(flt) -> pd.DataFrame:
+        import os as _os
+
+        ds = rd.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value", "ts"],
+                             filter=flt)
+        g = partial_groupby(ds, ["event_type"],
+                            {"n": ("value", "count"), "s": ("value", "sum")},
+                            many_groups=True).to_pandas()
+        if "event_type" not in g.columns:  # all-empty Dataset drops schema
+            g = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64),
+                              "s": pd.Series([], dtype=np.float64)})
+        return g
+
+    cutoff = np.datetime64(INCR_CUTOFF_US, "us")
+    if not os.path.exists(state):
+        os.makedirs(state_root, exist_ok=True)
+        base = partials_for(pads.field("ts") < cutoff)
+        tmp = state + ".tmp"
+        papq.write_table(pa.Table.from_pandas(base, preserve_index=False), tmp)
+        os.replace(tmp, state)  # atomic commit, torn writes invisible
+
+    base = papq.read_table(state).to_pandas()
+    delta = partials_for(pads.field("ts") >= cutoff)
+    merged = (pd.concat([base, delta], ignore_index=True)
+              .groupby("event_type", as_index=False)[["n", "s"]].sum())
+    return pd.DataFrame({
+        "event_type": merged["event_type"],
+        "n_events": merged["n"].astype(np.int64),
+        "sum_value": sql_round(merged["s"], 4),
+    }).sort_values("event_type").reset_index(drop=True)
