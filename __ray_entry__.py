@@ -78,6 +78,58 @@ def _crawl_gather_merge(sf_dir: str):
     return gather_merge(res.records_dir)
 
 
+def _crawl_curated_shards(sf_dir: str):
+    """Crawl → curate → pack composition over the memoized query crawl's
+    records (pipelines/gather.py:curated_crawl_shards)."""
+    from weaver_ray.pipelines.gather import curated_crawl_shards
+
+    res = _crawl_result(sf_dir)
+    return curated_crawl_shards(res.records_dir)
+
+
+def _crawl_curated_shards_sql(host_cap: int = 40, budget: int = 256,
+                              min_caption_tokens: int = 6) -> str:
+    """DuckDB replay of the crawl→curate→pack chain over the IDENTICAL
+    records parquet the engine read.  Runs the memoized query crawl if it
+    has not run yet (Ray is initialized by the driver before oracle_sql()
+    is consumed), so the read_parquet path always exists.
+    hive_partitioning is disabled: the records files already CARRY a
+    'round' column and the round=N directory names would collide."""
+    records = _crawl_result("unused").records_dir
+    glob = f"{records}/round=*/part-*.parquet"
+    tok = r"\w+"
+    return f"""
+        WITH r AS (
+            SELECT image_id, host, w, h, caption
+            FROM read_parquet('{glob}', hive_partitioning = false)
+            WHERE fetch_status = 'ok'
+        ),
+        g AS (
+            SELECT image_id, host,
+                   CAST(len(regexp_extract_all(caption, '{tok}')) AS BIGINT)
+                       AS n_tokens
+            FROM r
+            WHERE w >= 32 AND h >= 32 AND w <= 2 * h AND h <= 2 * w
+              AND len(regexp_extract_all(caption, '{tok}'))
+                      >= {min_caption_tokens}
+        ),
+        cap AS (
+            SELECT image_id, n_tokens FROM (
+                SELECT image_id, n_tokens,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY md5(image_id)) AS rn
+                FROM g) WHERE rn <= {host_cap}
+        )
+        SELECT image_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY image_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) // {budget}
+               AS BIGINT) AS shard
+        FROM cap
+    """
+
+
 def _crawl_oracle_parity(sf_dir: str):
     """Self-evidencing parity row for the stateful crawl: runs the
     INDEPENDENT single-threaded oracle simulator (weaver_ray/oracle.py)
@@ -396,6 +448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _crawl_host_stats,
         "crawl_gather_merge": _crawl_gather_merge,
         "crawl_oracle_parity": _crawl_oracle_parity,
+        # crawl -> curate -> pack over the crawl's OWN records (FULL SQL
+        # oracle — both engines read the same memoized records parquet)
+        "crawl_curated_shards": _crawl_curated_shards,
         # multimodal
         "image_decode_stats": _image_decode_stats,
         "media_stub_plumbing": _media_stub_plumbing,
@@ -2038,6 +2093,8 @@ def oracle_sql() -> dict[str, str]:
 
     # per-column table profile: one UNION ALL leg per column
     d["docs_profile"] = _docs_profile_sql()
+    # crawl -> curate -> pack over the memoized query crawl's records
+    d["crawl_curated_shards"] = _crawl_curated_shards_sql()
     # Morton interleave unrolled to 2*bits integer terms
     from weaver_ray.pipelines.analytics import zorder_events_sql
 

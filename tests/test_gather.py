@@ -52,3 +52,33 @@ def test_near_dup_phash_runs(crawl_out):
     assert set(out.columns) == {"image_a", "image_b", "hamming"}
     if len(out):
         assert (out["hamming"] <= 10).all()
+
+
+def test_curated_crawl_shards_legs_and_packing(crawl_out):
+    """Every curation leg must bite, the host cap must hold exactly, and
+    shard token sums must respect the budget (except possibly the last
+    doc of each shard, which may straddle it)."""
+    import re
+
+    import pandas as pd
+
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.gather import curated_crawl_shards, read_records
+
+    out = (to_table(curated_crawl_shards(crawl_out.records_dir))
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+    rec = to_table(read_records(crawl_out.records_dir,
+                                ["image_id", "host", "w", "h", "caption",
+                                 "fetch_status"])).to_pandas()
+    ok = rec[rec["fetch_status"] == "ok"]
+    ntok = ok["caption"].str.count(r"\w+")
+    gate = ok[(ok["w"] >= 32) & (ok["h"] >= 32) & (ok["w"] <= 2 * ok["h"])
+              & (ok["h"] <= 2 * ok["w"]) & (ntok >= 6)]
+    assert 0 < len(gate) < len(ok)          # size+caption gates bite
+    assert 0 < len(out) <= len(gate)        # host cap can only shrink
+    per_host = gate.merge(out[["image_id"]], on="image_id")["host"].value_counts()
+    assert per_host.max() <= 40             # the cap holds
+    # packing: cumulative-before // budget, in image_id order
+    out = out.sort_values("image_id")
+    cum = out["n_tokens"].cumsum().shift(fill_value=0)
+    assert (out["shard"].to_numpy() == (cum // 256).to_numpy()).all()

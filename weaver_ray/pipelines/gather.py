@@ -149,3 +149,90 @@ def near_dup_phash(records_dir: str, max_hamming: int = 4, prefix_bits: int = 16
     if out.empty:
         return pair_schema.empty_table().to_pandas()
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+
+def curated_crawl_shards(records_dir: str, host_cap: int = 40,
+                         budget: int = 256, min_caption_tokens: int = 6,
+                         num_buckets: int = 16) -> rd.Dataset:
+    """CRAWL → CURATE → PACK, end to end over the crawl's OWN output —
+    the full "web scrape to training shards" chain of a LAION-style
+    image+caption pipeline, composed from audited pieces:
+
+      fetched-ok records → integer size/aspect gate ∩ caption token gate
+        → per-HOST retention cap (the domain-cap governance rule applied
+          to crawl hosts, md5(image_id) hash rank — Zipf-hot hosts are
+          exactly the ones the cap bites)
+        → deterministic image_id order → token-budget shard packing
+          (common.global_prefix_sum — one metadata-only scan exchange)
+
+    Every leg is vectorized and mergeable: the gate is one map_batches;
+    the cap ships ≤ hosts×cap rows per block (per-batch top-cap partials,
+    then complete hosts per bucket); the packing scan never ships rows.
+    The DuckDB oracle replays the identical chain over the identical
+    records parquet (md5 rank, window row_number, window cumsum)."""
+    import hashlib
+
+    from .common import global_prefix_sum, keyed_map_groups
+    from .textops import TOKEN_RE
+
+    import re
+
+    tok = re.compile(TOKEN_RE)
+    ds = read_records(records_dir, ["image_id", "host", "w", "h",
+                                    "caption", "fetch_status"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "image_id": pd.Series([], dtype="string"),
+            "host": pd.Series([], dtype="string"),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "rk": pd.Series([], dtype="string")})
+        if not len(df):
+            return empty
+        ok = df["fetch_status"].to_numpy() == "ok"
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        # integer-only size/aspect gate: no FP boundary to disagree on
+        size_ok = (w >= 32) & (h >= 32) & (w <= 2 * h) & (h <= 2 * w)
+        ntok = df["caption"].str.count(TOKEN_RE).to_numpy(np.int64)
+        keep = ok & size_ok & (ntok >= min_caption_tokens)
+        sub = df[keep]
+        return pd.DataFrame({
+            "image_id": sub["image_id"].astype("string"),
+            "host": sub["host"].astype("string"),
+            "n_tokens": ntok[keep],
+            "rk": pd.Series([hashlib.md5(i.encode()).hexdigest()
+                             for i in sub["image_id"]], dtype="string",
+                            index=sub.index),
+        })
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+
+    def cap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # mergeable per-batch top-cap: at most host_cap rows per host leave
+        # each batch, so the shuffle moves <= hosts*cap rows per block
+        if not len(df):
+            return df
+        return (df.sort_values("rk").groupby("host", sort=False)
+                .head(host_cap))
+
+    def cap_final(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g[["image_id", "n_tokens"]]
+        out = (g.sort_values("rk").groupby("host", sort=False)
+               .head(host_cap))
+        return out[["image_id", "n_tokens"]]
+
+    capped = keyed_map_groups(gated.map_batches(cap_partial,
+                                                batch_format="pandas"),
+                              "host", cap_final, num_buckets)
+    cum = global_prefix_sum(capped, ["image_id"], "n_tokens")
+
+    def shardify(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": df["image_id"].astype("string"),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "shard": (df["cum_before"].to_numpy(np.int64) // budget),
+        })
+
+    return cum.map_batches(shardify, batch_format="pandas")
