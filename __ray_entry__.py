@@ -472,6 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed image-axis curation flagship (LAION/CLIP-pair shape):
         # size gate ∩ caption gate ∩ exact-dup keeper ∩ phash canonical
         "curated_image_pairs": images.curated_image_pairs,
+        # CLIP-style deterministic negative sampling (md5-rank + stride)
+        "contrastive_negative_pairs": images.contrastive_negative_pairs,
         # audio axis: REAL WAV/PCM16 corpus (pure-numpy RIFF codec).
         # audio_wav_stats has a full SQL oracle (canonical-header container
         # arithmetic); audio_wav_features is self-evidencing (per-row
@@ -2095,6 +2097,10 @@ def oracle_sql() -> dict[str, str]:
     d["docs_profile"] = _docs_profile_sql()
     # crawl -> curate -> pack over the memoized query crawl's records
     d["crawl_curated_shards"] = _crawl_curated_shards_sql()
+    # md5-rank + modular-stride negative pairing over the same corpus
+    from weaver_ray.pipelines.images import contrastive_negative_pairs_sql
+
+    d["contrastive_negative_pairs"] = contrastive_negative_pairs_sql()
     # Morton interleave unrolled to 2*bits integer terms
     from weaver_ray.pipelines.analytics import zorder_events_sql
 

@@ -303,3 +303,25 @@ def test_generate_dups_empty_plan_writes_typed_empty():
     d = generate_dups(n_base=3)
     t = pq.read_table(d + "/part-00000.parquet")
     assert t.num_rows == 0 and "image_id" in t.schema.names
+
+
+def test_contrastive_negatives_derangement(ray_session):
+    """Every image gets exactly k negatives, never its own caption, and
+    the pairing is identical across two runs (determinism under
+    re-execution)."""
+    import pandas as pd
+
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.images import contrastive_negative_pairs
+
+    a = (to_table(contrastive_negative_pairs("unused")).to_pandas()
+         .sort_values(["image_id", "neg_rank"]).reset_index(drop=True))
+    assert (a.groupby("image_id").size() == 2).all()
+    assert (a["image_id"] != a["neg_image_id"]).all()
+    b = (to_table(contrastive_negative_pairs("unused")).to_pandas()
+         .sort_values(["image_id", "neg_rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # negatives differ between ranks (stride 1x vs 2x lands elsewhere)
+    by_img = a.pivot(index="image_id", columns="neg_rank",
+                     values="neg_image_id")
+    assert (by_img[1] != by_img[2]).all()

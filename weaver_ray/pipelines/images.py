@@ -720,3 +720,105 @@ def image_decoded_dims(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
     ds = read_corpus(generate_corpus(n_base), ["image_id", "bytes", "fmt"])
     return ds.map_batches(_decode_dims_batch, batch_format="pyarrow",
                           batch_size=64)
+
+
+NEG_SHIFT = 7919  # fixed prime stride for derangement-style negatives
+
+
+def contrastive_negative_pairs(sf_dir: str, n_base: int = 1000,
+                               k: int = 2,
+                               num_buckets: int = 16) -> rd.Dataset:
+    """Deterministic CONTRASTIVE NEGATIVE sampling over the image+caption
+    table — the training-pair construction step of a CLIP-style run:
+    each image keeps its positive caption implicitly and gains ``k``
+    negative captions drawn by a fixed modular stride over the
+    md5(image_id)-ordered corpus (negative j of rank r = caption at rank
+    (r + j*7919) mod n).  Hash-rank ordering decorrelates neighbors from
+    crawl/id locality; the fixed stride makes the pairing reproducible
+    under ANY partitioning or retry — no RNG state, the
+    deterministic_shuffle/weighted_mix idiom applied to pair generation.
+
+    Scale shape: one :func:`common.global_row_number` scan (metadata-only
+    exchange) to rank the corpus, one bucketed hash join from each row's
+    k target ranks back to the ranked rows — both sides distributed, no
+    broadcast of the caption column.  The stride must be coprime-ish
+    with n: any j*stride ≡ 0 (mod n) would pair an image with its own
+    caption, so those j shift by one extra (documented, mirrored in the
+    oracle)."""
+    import hashlib
+
+    from .common import global_row_number, hash_join
+
+    ds = read_corpus(generate_corpus(n_base), ["image_id", "caption"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(rk=pd.Series(
+            [hashlib.md5(i.encode()).hexdigest() for i in df["image_id"]],
+            dtype="string", index=df.index))
+
+    ranked, n = global_row_number(ds.map_batches(add_key,
+                                                 batch_format="pandas"),
+                                  ["rk"], rank_col="rank")
+
+    def targets(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "image_id": pd.Series([], dtype="string"),
+                "neg_rank": pd.Series([], dtype=np.int64),
+                "tgt": pd.Series([], dtype=np.int64)})
+        r = df["rank"].to_numpy(np.int64)
+        outs = []
+        for j in range(1, k + 1):
+            shift = (j * NEG_SHIFT) % n
+            if shift == 0:  # degenerate stride: never pair a row with itself
+                shift = 1
+            outs.append(pd.DataFrame({
+                "image_id": df["image_id"].astype("string"),
+                "neg_rank": np.full(len(df), j, dtype=np.int64),
+                "tgt": (r + shift) % n}))
+        return pd.concat(outs, ignore_index=True)
+
+    left = ranked.map_batches(targets, batch_format="pandas")
+    right = ranked.map_batches(
+        lambda df: pd.DataFrame({
+            "tgt": df["rank"].to_numpy(np.int64),
+            "neg_image_id": df["image_id"].astype("string"),
+            "neg_caption": df["caption"].astype("string")}),
+        batch_format="pandas")
+
+    def clean(j: pd.DataFrame) -> pd.DataFrame:
+        return j[["image_id", "neg_rank", "neg_image_id", "neg_caption"]]
+
+    return hash_join(left, right, on="tgt",
+                     lcols=["tgt", "image_id", "neg_rank"],
+                     rcols=["tgt", "neg_image_id", "neg_caption"],
+                     num_buckets=num_buckets, post=clean)
+
+
+def contrastive_negative_pairs_sql(n_base: int = 1000, k: int = 2) -> str:
+    """Oracle: the identical md5-rank + modular-stride pairing as one
+    window + self-join over the same corpus parquet."""
+    from ..sources.corpus import generate_corpus as _gen
+
+    glob = _gen(n_base) + "/part-*.parquet"
+    return f"""
+        WITH r AS (
+            SELECT image_id, caption,
+                   row_number() OVER (ORDER BY md5(image_id)) - 1 AS rank
+            FROM read_parquet('{glob}')
+        ),
+        n AS (SELECT count(*)::BIGINT AS n FROM r),
+        t AS (
+            SELECT r.image_id, j.j AS neg_rank,
+                   (r.rank + CASE WHEN (j.j * {NEG_SHIFT})
+                                       % (SELECT n FROM n) = 0
+                                  THEN 1
+                                  ELSE (j.j * {NEG_SHIFT})
+                                       % (SELECT n FROM n) END)
+                       % (SELECT n FROM n) AS tgt
+            FROM r CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS j) j
+        )
+        SELECT t.image_id, t.neg_rank,
+               r2.image_id AS neg_image_id, r2.caption AS neg_caption
+        FROM t JOIN r r2 ON r2.rank = t.tgt
+    """
