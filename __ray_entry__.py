@@ -87,17 +87,26 @@ def _crawl_curated_shards(sf_dir: str):
     return curated_crawl_shards(res.records_dir)
 
 
-def _crawl_curated_shards_sql(host_cap: int = 40, budget: int = 256,
-                              min_caption_tokens: int = 6) -> str:
+def _crawl_curated_shards_sql() -> str:
     """DuckDB replay of the crawl→curate→pack chain over the IDENTICAL
-    records parquet the engine read.  Runs the memoized query crawl if it
-    has not run yet (Ray is initialized by the driver before oracle_sql()
-    is consumed), so the read_parquet path always exists.
+    records parquet the engine read.  The records path is DERIVED (the
+    memoized query-crawl checkpoint dir is a deterministic function of
+    the corpus size), NOT produced by running the crawl here — assembling
+    the SQL dict must stay side-effect-free; the crawl_curated_shards
+    query callable runs the crawl, and the driver executes the engine
+    before its oracle, so the parquet exists by oracle-run time.
     hive_partitioning is disabled: the records files already CARRY a
-    'round' column and the round=N directory names would collide."""
-    records = _crawl_result("unused").records_dir
-    glob = f"{records}/round=*/part-*.parquet"
-    tok = r"\w+"
+    'round' column and the round=N directory names would collide.
+    The curation constants import from pipelines/gather.py — ONE home,
+    so engine and oracle cannot drift."""
+    from weaver_ray.pipelines.gather import (SHARD_BUDGET, SHARD_HOST_CAP,
+                                             SHARD_MIN_CAPTION_TOKENS)
+
+    host_cap, budget = SHARD_HOST_CAP, SHARD_BUDGET
+    min_caption_tokens = SHARD_MIN_CAPTION_TOKENS
+    corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
+    glob = f"/tmp/weaver_query_crawl_{corpus}/records/round=*/part-*.parquet"
+    tok = "[A-Za-z0-9_]+"
     return f"""
         WITH r AS (
             SELECT image_id, host, w, h, caption
@@ -1286,7 +1295,11 @@ def oracle_sql() -> dict[str, str]:
                     SELECT bin, count(*) AS n FROM b GROUP BY bin)
             ),
             tot AS (SELECT count(*)::BIGINT AS n FROM events),
-            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            -- q and the rank product are DOUBLE, matching the engine's
+            -- np.ceil(q * n): DECIMAL would ceil exactly where the binary
+            -- double of 0.9*n overshoots an integer
+            qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+                                  0.9::DOUBLE, 0.99::DOUBLE]) AS q)
             SELECT q, CAST(ceil(q * (SELECT n FROM tot)) AS BIGINT) AS rank,
                    round((SELECT min(bin) FROM cum
                           WHERE c >= ceil(q * (SELECT n FROM tot)))
@@ -1314,10 +1327,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT count(*)::BIGINT AS n FROM events),
             lo AS (SELECT (SELECT min(bin) FROM cum
-                           WHERE c >= ceil(0.01 * (SELECT n FROM tot)))
+                           WHERE c >= ceil(0.01::DOUBLE
+                                           * (SELECT n FROM tot)))
                           * 500.0 / 8192.0 AS v),
             hi AS (SELECT (SELECT min(bin) FROM cum
-                           WHERE c >= ceil(0.99 * (SELECT n FROM tot)))
+                           WHERE c >= ceil(0.99::DOUBLE
+                                           * (SELECT n FROM tot)))
                           * 500.0 / 8192.0 AS v)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    round(avg(least(greatest(value, (SELECT v FROM lo)),

@@ -438,6 +438,15 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
     return rd.from_arrow_refs(outs)
 
 
+def md5_hex(values) -> list[str]:
+    """md5 hexdigest per string — THE hash-rank idiom (the engine spelling
+    of SQL's ``md5(col)``), shared so samplers, caps and pair generators
+    can never desynchronize from their oracles."""
+    import hashlib
+
+    return [hashlib.md5(s.encode()).hexdigest() for s in values]
+
+
 def sql_round(x, digits: int):
     """Round half AWAY FROM ZERO, matching SQL/DuckDB ``round()``.  numpy's
     ``.round()`` is banker's (half to even): 4.28125 rounds to 4.2812 in

@@ -151,8 +151,17 @@ def near_dup_phash(records_dir: str, max_hamming: int = 4, prefix_bits: int = 16
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
-def curated_crawl_shards(records_dir: str, host_cap: int = 40,
-                         budget: int = 256, min_caption_tokens: int = 6,
+# ONE home for the curation constants: the SQL builder in __ray_entry__
+# imports these, so engine and oracle cannot drift apart
+SHARD_HOST_CAP = 40
+SHARD_BUDGET = 256
+SHARD_MIN_CAPTION_TOKENS = 6
+CAPTION_TOKEN_RE = r"[A-Za-z0-9_]+"
+
+
+def curated_crawl_shards(records_dir: str, host_cap: int = SHARD_HOST_CAP,
+                         budget: int = SHARD_BUDGET,
+                         min_caption_tokens: int = SHARD_MIN_CAPTION_TOKENS,
                          num_buckets: int = 16) -> rd.Dataset:
     """CRAWL → CURATE → PACK, end to end over the crawl's OWN output —
     the full "web scrape to training shards" chain of a LAION-style
@@ -170,14 +179,8 @@ def curated_crawl_shards(records_dir: str, host_cap: int = 40,
     then complete hosts per bucket); the packing scan never ships rows.
     The DuckDB oracle replays the identical chain over the identical
     records parquet (md5 rank, window row_number, window cumsum)."""
-    import hashlib
+    from .common import global_prefix_sum, keyed_map_groups, md5_hex
 
-    from .common import global_prefix_sum, keyed_map_groups
-    from .textops import TOKEN_RE
-
-    import re
-
-    tok = re.compile(TOKEN_RE)
     ds = read_records(records_dir, ["image_id", "host", "w", "h",
                                     "caption", "fetch_status"])
 
@@ -194,15 +197,17 @@ def curated_crawl_shards(records_dir: str, host_cap: int = 40,
         h = df["h"].to_numpy(np.int64)
         # integer-only size/aspect gate: no FP boundary to disagree on
         size_ok = (w >= 32) & (h >= 32) & (w <= 2 * h) & (h <= 2 * w)
-        ntok = df["caption"].str.count(TOKEN_RE).to_numpy(np.int64)
+        # ASCII \w class, NOT Python's Unicode \w: the oracle counts via
+        # RE2, which is ASCII-only — a non-ASCII caption word must gate
+        # identically on both engines
+        ntok = df["caption"].str.count(CAPTION_TOKEN_RE).to_numpy(np.int64)
         keep = ok & size_ok & (ntok >= min_caption_tokens)
         sub = df[keep]
         return pd.DataFrame({
             "image_id": sub["image_id"].astype("string"),
             "host": sub["host"].astype("string"),
             "n_tokens": ntok[keep],
-            "rk": pd.Series([hashlib.md5(i.encode()).hexdigest()
-                             for i in sub["image_id"]], dtype="string",
+            "rk": pd.Series(md5_hex(sub["image_id"]), dtype="string",
                             index=sub.index),
         })
 

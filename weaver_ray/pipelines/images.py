@@ -745,16 +745,13 @@ def contrastive_negative_pairs(sf_dir: str, n_base: int = 1000,
     with n: any j*stride ≡ 0 (mod n) would pair an image with its own
     caption, so those j shift by one extra (documented, mirrored in the
     oracle)."""
-    import hashlib
-
-    from .common import global_row_number, hash_join
+    from .common import global_row_number, hash_join, md5_hex
 
     ds = read_corpus(generate_corpus(n_base), ["image_id", "caption"])
 
     def add_key(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(rk=pd.Series(
-            [hashlib.md5(i.encode()).hexdigest() for i in df["image_id"]],
-            dtype="string", index=df.index))
+        return df.assign(rk=pd.Series(md5_hex(df["image_id"]),
+                                      dtype="string", index=df.index))
 
     ranked, n = global_row_number(ds.map_batches(add_key,
                                                  batch_format="pandas"),

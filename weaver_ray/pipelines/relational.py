@@ -737,7 +737,13 @@ def incremental_event_stats(sf_dir: str,
 
     from .common import sql_round
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # key includes the source file's identity (mtime_ns + size), so a
+    # regenerated events.parquet invalidates the checkpoint instead of
+    # silently merging stale pre-cutoff partials
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     state = os.path.join(state_root, f"incr_event_stats_{key}.parquet")
 
     def partials_for(flt) -> pd.DataFrame:
@@ -759,7 +765,9 @@ def incremental_event_stats(sf_dir: str,
     if not os.path.exists(state):
         os.makedirs(state_root, exist_ok=True)
         base = partials_for(pads.field("ts") < cutoff)
-        tmp = state + ".tmp"
+        tmp = f"{state}.{os.getpid()}.tmp"  # unique per writer: two
+        # concurrent first runs each write their own tmp; both renames
+        # commit identical deterministic content
         papq.write_table(pa.Table.from_pandas(base, preserve_index=False), tmp)
         os.replace(tmp, state)  # atomic commit, torn writes invisible
 

@@ -205,7 +205,9 @@ def _md5_doc_key(doc_ids) -> list[str]:
     oracle's ``md5(CAST(doc_id AS VARCHAR))``.  ONE definition so
     stratified sampling, the deterministic shuffle and the domain cap can
     never desynchronize from each other or their three SQL oracles."""
-    return [hashlib.md5(str(int(d)).encode()).hexdigest() for d in doc_ids]
+    from .common import md5_hex
+
+    return md5_hex(str(int(d)) for d in doc_ids)
 
 
 def stratified_sample_docs(sf_dir: str, per_group: int = 20) -> rd.Dataset:
