@@ -398,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_overlap_docs": textops.contamination_overlap_docs,
         # fuzzy decontamination: token-set Jaccard vs the eval subset
         "contamination_neardup_pairs": textops.contamination_neardup_pairs,
+        # snapshot diff / CDC vs a deterministically-derived v2 snapshot
+        "snapshot_diff_docs": textops.snapshot_diff_docs,
         # pairwise cross-source shared-ngram counts (data governance)
         "source_overlap_matrix": textops.source_overlap_matrix,
         # per-doc duplicated-span (copy-fraction) statistics
@@ -2116,6 +2118,10 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.images import contrastive_negative_pairs_sql
 
     d["contrastive_negative_pairs"] = contrastive_negative_pairs_sql()
+    # CDC: the oracle derives the identical v2 snapshot from the view
+    from weaver_ray.pipelines.textops import SNAPSHOT_DIFF_SQL
+
+    d["snapshot_diff_docs"] = SNAPSHOT_DIFF_SQL
     # Morton interleave unrolled to 2*bits integer terms
     from weaver_ray.pipelines.analytics import zorder_events_sql
 

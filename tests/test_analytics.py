@@ -487,3 +487,25 @@ def test_zorder_interleave_roundtrip(tmp_path):
     u = sum(((z >> (2 * i)) & 1) << i for i in range(16))
     h = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (u, h) == (10, 6)
+
+
+def test_snapshot_diff_classifies_planted_changes(ray_session):
+    from weaver_ray.pipelines import textops
+    from weaver_ray.pipelines.common import to_table
+
+    sf = "/root/testdata/sf0.001"
+    out = (to_table(textops.snapshot_diff_docs(sf)).to_pandas()
+           .set_index("doc_id"))
+    docs = pd.read_parquet(sf + "/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    base_max, n = int(ids.max()), len(ids)
+    # removed: every 17th (unless also its own 10th-modified — removal wins)
+    removed = set(ids[ids % 17 == 0])
+    modified = set(ids[(ids % 10 == 0) & (ids % 17 != 0)])
+    added = set(range(base_max + 1, base_max + 1 + n // 20))
+    got = out.groupby("change").groups
+    assert set(out.index[out["change"] == "removed"]) == removed
+    assert set(out.index[out["change"] == "modified"]) == modified
+    assert set(out.index[out["change"] == "added"]) == added
+    # unchanged docs are absent from the report
+    assert len(out) == len(removed) + len(modified) + len(added)

@@ -1264,3 +1264,117 @@ def contamination_neardup_pairs(sf_dir: str, modulus: int = 53,
             "jaccard": sql_round(j[keep], 4)})
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """SNAPSHOT DIFF / CDC between two table versions — the ingest
+    reconciliation operator: classify every doc_id as 'added' (only in
+    v2), 'removed' (only in v1) or 'modified' (in both, text md5
+    differs); unchanged rows are not reported.
+
+    The v2 snapshot is DERIVED deterministically from v1 by a transform
+    both engines replay (every 17th doc dropped, every 10th doc's text
+    gains a ' [rev2]' suffix, one synthetic new doc appended per 20
+    originals with ids past max(doc_id)) — no side fixture, so the
+    operator is correct at ANY scale factor and the oracle rebuilds the
+    identical v2 from the documents view.
+
+    Scale shape: each side collapses to (doc_id, md5(text)) inside
+    map_batches — full text never shuffles — then ONE bucketed hash
+    exchange classifies vectorized per bucket (full-outer semantics via
+    the indicator merge).  The appended new docs are synthesized
+    DISTRIBUTED from rd.range (at 100 TB, 5% of the corpus is not a
+    driver-side list).  This is the canonical delta-reconcile: one
+    content-hash scan per snapshot + one id-keyed exchange of 32-byte
+    digests."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from .common import bucket_of, md5_hex, task_hash_exchange
+
+    # max id + row count: parquet column statistics would do; one pruned
+    # int64 column scan keeps it engine-agnostic (tiny either way)
+    ids = _pq.read_table(_os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"]).column("doc_id").to_numpy()
+    base_max, n_rows = int(ids.max()), len(ids)
+    n_new = n_rows // 20
+
+    a = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def digest(side: str, v2_transform: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if v2_transform:
+                df = df[(df["doc_id"] % 17 != 0).to_numpy()].copy()
+                mod = (df["doc_id"] % 10 == 0).to_numpy()
+                df.loc[mod, "text"] = df.loc[mod, "text"] + " [rev2]"
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "h": pd.Series(md5_hex(df["text"]), dtype="string",
+                               index=df.index),
+            })
+            out["side"] = side
+            out["bkt"] = bucket_of(out["doc_id"], num_buckets)
+            return out
+        return fn
+
+    def synth_new(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["id"].to_numpy(np.int64) + 1  # 1-based like the oracle range
+        return pd.DataFrame({
+            "doc_id": base_max + i,
+            "text": pd.Series([f"new document {j} for snapshot two"
+                               for j in (i - 1)], dtype="string"),
+        })
+
+    new_docs = rd.range(n_new).map_batches(synth_new, batch_format="pandas")
+    both = (a.map_batches(digest("a", False), batch_format="pandas")
+            .union(a.map_batches(digest("b", True), batch_format="pandas"))
+            .union(new_docs.map_batches(digest("b", False),
+                                        batch_format="pandas")))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "change": pd.Series([], dtype="string")})
+        if not len(g):
+            return empty
+        l = g[g["side"] == "a"][["doc_id", "h"]]
+        r = g[g["side"] == "b"][["doc_id", "h"]]
+        m = l.merge(r, on="doc_id", how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        # StringDtype outer-join misses are pd.NA, whose != yields NA and
+        # breaks np.where — fill first; the _merge branches win anyway
+        differs = (m["h_a"].fillna("") != m["h_b"].fillna("")).to_numpy()
+        change = np.where(m["_merge"] == "left_only", "removed",
+                          np.where(m["_merge"] == "right_only", "added",
+                                   np.where(differs, "modified", "")))
+        keep = change != ""
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64)[keep],
+            "change": pd.Series(change[keep], dtype="string")})
+
+    return task_hash_exchange(both, lambda df: df["bkt"].to_numpy(),
+                              classify, num_buckets)
+
+
+SNAPSHOT_DIFF_SQL = """
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT (SELECT max(doc_id) FROM documents) + i,
+               'new document ' || CAST(i - 1 AS VARCHAR)
+                   || ' for snapshot two'
+        FROM (SELECT unnest(range(1,
+                 (SELECT count(*) FROM documents) // 20 + 1)) AS i)
+    ),
+    a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b AS (SELECT doc_id, md5(text) AS h FROM v2)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.doc_id IS NULL THEN 'added'
+                ELSE 'modified' END AS change
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+"""
