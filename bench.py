@@ -104,6 +104,8 @@ QUERY_NAMES = [
     "zorder_events",
     "winsorized_value_stats",
     "incremental_event_stats",
+    "snapshot_diff_docs",
+    "contrastive_negative_pairs",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
