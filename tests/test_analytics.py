@@ -503,7 +503,6 @@ def test_snapshot_diff_classifies_planted_changes(ray_session):
     removed = set(ids[ids % 17 == 0])
     modified = set(ids[(ids % 10 == 0) & (ids % 17 != 0)])
     added = set(range(base_max + 1, base_max + 1 + n // 20))
-    got = out.groupby("change").groups
     assert set(out.index[out["change"] == "removed"]) == removed
     assert set(out.index[out["change"] == "modified"]) == modified
     assert set(out.index[out["change"] == "added"]) == added

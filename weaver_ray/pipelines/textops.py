@@ -1293,11 +1293,14 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
     from .common import bucket_of, md5_hex, task_hash_exchange
 
-    # max id + row count: parquet column statistics would do; one pruned
-    # int64 column scan keeps it engine-agnostic (tiny either way)
-    ids = _pq.read_table(_os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id"]).column("doc_id").to_numpy()
-    base_max, n_rows = int(ids.max()), len(ids)
+    # max id + row count from parquet METADATA (row-group statistics):
+    # zero data read — a 100-TB table's doc_id column must not visit the
+    # driver just to learn its max
+    pf = _pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet"))
+    n_rows = pf.metadata.num_rows
+    col_idx = pf.schema_arrow.names.index("doc_id")
+    base_max = max(pf.metadata.row_group(i).column(col_idx).statistics.max
+                   for i in range(pf.metadata.num_row_groups))
     n_new = n_rows // 20
 
     a = load(sf_dir, "documents", ["doc_id", "text"])
@@ -1326,9 +1329,15 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                                for j in (i - 1)], dtype="string"),
         })
 
+    def both_sides(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE scan of the text column emits both snapshots' digests — the
+        # v2 side derives from the same rows in-process, so a second
+        # full-corpus read would be pure wasted I/O
+        return pd.concat([digest("a", False)(df), digest("b", True)(df)],
+                         ignore_index=True)
+
     new_docs = rd.range(n_new).map_batches(synth_new, batch_format="pandas")
-    both = (a.map_batches(digest("a", False), batch_format="pandas")
-            .union(a.map_batches(digest("b", True), batch_format="pandas"))
+    both = (a.map_batches(both_sides, batch_format="pandas")
             .union(new_docs.map_batches(digest("b", False),
                                         batch_format="pandas")))
 
