@@ -508,3 +508,16 @@ def test_snapshot_diff_classifies_planted_changes(ray_session):
     assert set(out.index[out["change"] == "added"]) == added
     # unchanged docs are absent from the report
     assert len(out) == len(removed) + len(modified) + len(added)
+
+
+def test_snapshot_diff_partition_invariance(ray_session):
+    from weaver_ray.pipelines import textops
+    from weaver_ray.pipelines.common import to_table
+
+    sf = "/root/testdata/sf0.001"
+    outs = []
+    for nb in (2, 16):
+        o = (to_table(textops.snapshot_diff_docs(sf, num_buckets=nb))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])

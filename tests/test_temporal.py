@@ -240,3 +240,24 @@ def test_incremental_event_stats_checkpoint_reuse(ray_session, tmp_path):
     ev = pd.read_parquet(sf + "/events.parquet", columns=["ts"])
     cut = pd.Timestamp(relational.INCR_CUTOFF_US, unit="us")
     assert (ev["ts"] < cut).any() and (ev["ts"] >= cut).any()
+
+
+def test_cohort_retention_partition_invariance(tmp_path):
+    """The retention triangle must be identical under any bucket count —
+    the additivity claim (buckets partition users) made by the docstring."""
+    week = 7 * 86400
+    rows = []
+    eid = 0
+    for u in range(17):
+        for k in range(u % 5 + 1):
+            eid += 1
+            rows.append((eid, (u % 3) * week + k * week * 2, u, "view", 0.0))
+    sf = _write_events(tmp_path, rows)
+    outs = []
+    for nb in (1, 3, 16):
+        o = (to_table(temporal.cohort_retention(sf, num_buckets=nb))
+             .to_pandas().sort_values(["cohort_week", "week_offset"])
+             .reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
