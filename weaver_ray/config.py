@@ -53,6 +53,12 @@ class CrawlConfig:
     n_seeds: int = N_SEEDS
     max_rounds: int = MAX_ROUNDS_DEFAULT
     max_urls: int | None = None          # stop after this many fetched URLs (budget)
+    max_pages_per_host: int | None = None  # fairness cap: each host schedules at
+                                         # most this many frontier rows over the
+                                         # whole crawl (counted in seq order on
+                                         # the post-dedup frontier, seeds
+                                         # included; checkpointed, so resume
+                                         # keeps counting).  None = unlimited.
     delay_scale: float = 0.0             # scales the crawl delay itself (waits
                                          # AND host clocks); robots decisions,
                                          # host grouping and slot ORDER are

@@ -40,6 +40,7 @@ class OracleResult:
 def simulate(cfg: CrawlConfig) -> OracleResult:
     res = OracleResult()
     seen_hashes: set[int] = set()
+    used_per_host: dict[str, int] = {}  # per-host crawl-budget counter
     robots_cache: dict[str, RobotsRules] = {}
 
     def rules_for(host: str) -> RobotsRules:
@@ -66,6 +67,18 @@ def simulate(cfg: CrawlConfig) -> OracleResult:
             if canon not in in_round:
                 in_round.add(canon)
                 deduped.append((canon, prio, depth))
+
+        # per-host crawl budget: identical rule to the engine's
+        # _apply_host_quota_table — each host keeps its first
+        # (cap - used) rows of the deduped frontier in seq order
+        if cfg.max_pages_per_host is not None:
+            kept: list[tuple[str, float, int]] = []
+            for canon, prio, depth in deduped:
+                host = canon.split("://")[1].split("/")[0]
+                if used_per_host.get(host, 0) < cfg.max_pages_per_host:
+                    used_per_host[host] = used_per_host.get(host, 0) + 1
+                    kept.append((canon, prio, depth))
+            deduped = kept
 
         next_frontier: list[tuple[str, float, int]] = []
         n_ok = n_denied = n_dead = n_dup = 0

@@ -261,6 +261,103 @@ def _seq_and_host_counts(t: pa.Table, offset: int, limit: int | None):
     return t, {"count": t.num_rows, "host_counts": hc}
 
 
+def _within_host_rank(inv: np.ndarray) -> np.ndarray:
+    """Ordinal of each row within its group (inv = group codes), preserving
+    ROW order — vectorized (stable argsort + run-start subtraction)."""
+    n = len(inv)
+    order = np.argsort(inv, kind="stable")
+    si = inv[order]
+    first = np.concatenate(([True], si[1:] != si[:-1]))
+    run_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n) - run_start
+    return rank
+
+
+def _apply_host_quota_table(t: pa.Table, used: dict[str, int],
+                            cap: int) -> pa.Table:
+    """PER-HOST CRAWL BUDGET (fairness cap) on a seq-ordered frontier
+    table: keep each host's first (cap - used[host]) rows in seq order,
+    fold the kept counts into ``used``, and re-assign seq densely (budget
+    slices and resume truncation rely on dense seq).  The oracle
+    simulator applies the identical rule to its deduped frontier."""
+    if t.num_rows == 0:
+        return t
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    base = np.array([used.get(h, 0) for h in uniq], dtype=np.int64)[inv]
+    keep = (_within_host_rank(inv) + base) < cap
+    out = t.filter(pa.array(keep))
+    kept_h, kept_c = np.unique(hosts[keep], return_counts=True)
+    for h, c in zip(kept_h, kept_c):
+        used[h] = used.get(h, 0) + int(c)
+    idx = out.schema.get_field_index("seq")
+    return out.set_column(
+        idx, "seq", pa.array(np.arange(out.num_rows, dtype=np.int64),
+                             pa.int64()))
+
+
+@ray.remote(num_cpus=0, num_returns=2)
+def _quota_filter_block(t: pa.Table, allowed: dict):
+    """One barrier block (rows already in global seq order): keep each
+    host's first ``allowed[host]`` rows.  seq is re-stamped by a
+    follow-up _seq_and_host_counts pass once the kept counts are known."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t, {"count": 0, "host_counts": {}}
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    allow = np.array([allowed.get(h, 0) for h in uniq], dtype=np.int64)[inv]
+    keep = _within_host_rank(inv) < allow
+    out = t.filter(pa.array(keep))
+    vc = pc.value_counts(out.column("host"))
+    hc = dict(zip(vc.field("values").to_pylist(),
+                  (int(c) for c in vc.field("counts").to_pylist())))
+    return out, {"count": out.num_rows, "host_counts": hc}
+
+
+def _apply_host_quota_refs(refs: list, block_hcs: list[dict],
+                           used: dict[str, int], cap: int):
+    """Distributed-mode host quota over barrier output refs: blocks are
+    range partitions in GLOBAL seq order and carry per-block host counts,
+    so each block's per-host allowance is cap - used - (host rows in
+    prior blocks) — O(hosts + blocks) driver metadata, the same budget as
+    the LPT router's rank machinery.  Rows never touch the driver; seq is
+    re-stamped densely by the standard _seq_and_host_counts pass."""
+    pref: dict[str, int] = dict(used)
+    filt_refs, meta_refs = [], []
+    for ref, hc in zip(refs, block_hcs):
+        allowed = {h: max(0, cap - pref.get(h, 0)) for h in hc}
+        fref, mref = _quota_filter_block.remote(ref, allowed)
+        filt_refs.append(fref)
+        meta_refs.append(mref)
+        for h, c in hc.items():
+            pref[h] = pref.get(h, 0) + c
+    metas = ray.get(meta_refs)
+    counts = [m["count"] for m in metas]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
+    out_refs, smeta_refs = [], []
+    for fref, off, cnt in zip(filt_refs, offsets, counts):
+        if cnt == 0:
+            continue
+        oref, mref = _seq_and_host_counts.remote(fref, int(off), None)
+        out_refs.append(oref)
+        smeta_refs.append(mref)
+    smetas = ray.get(smeta_refs)
+    host_counts: dict[str, int] = {}
+    total = 0
+    for m in smetas:
+        total += m["count"]
+        for h, c in m["host_counts"].items():
+            host_counts[h] = host_counts.get(h, 0) + c
+    for h, c in host_counts.items():
+        used[h] = used.get(h, 0) + c
+    if total == 0:
+        return None, 0, {}, []
+    return out_refs, total, host_counts, [m["host_counts"] for m in smetas]
+
+
 def _barrier_parts(child_rows: int, floor: int,
                    rows_per_part: int = 500_000) -> int:
     """Co-location part count for the barrier: data-sized, not
@@ -608,6 +705,17 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     # politeness and one seen-set RPC fan-out per shard
     num_fetch_parts = max(cfg.fetch_concurrency * cfg.fetch_parts_per_actor, 8)
 
+    # per-host crawl budget (fairness cap): cumulative kept-row counts per
+    # host, checkpointed with the round summary so resume keeps counting
+    cap_ph = cfg.max_pages_per_host
+    used_ph: dict[str, int] = {}
+    if resume and committed is not None:
+        used_ph = {str(k): int(v) for k, v in
+                   state["summary"].get("used_per_host", {}).items()}
+    elif cap_ph is not None and frontier is not None and frontier.num_rows:
+        # the SEED frontier is quota'd by the same rule as every round
+        frontier = _apply_host_quota_table(frontier, used_ph, cap_ph)
+
     import os as _os
 
     trace = bool(_os.environ.get("WEAVER_TRACE"))
@@ -690,6 +798,10 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             k = _barrier_parts(child_rows, floor=max(8, num_fetch_parts // 4))
             frontier_refs, frontier_count, frontier_hosts, frontier_block_hcs = \
                 _distributed_barrier(child_refs, k, remaining)
+            if cap_ph is not None and frontier_refs is not None:
+                (frontier_refs, frontier_count, frontier_hosts,
+                 frontier_block_hcs) = _apply_host_quota_refs(
+                    frontier_refs, frontier_block_hcs, used_ph, cap_ph)
             tr = _t(f"r{r} barrier", tr)
             summary = {
                 "round": r,
@@ -708,7 +820,8 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                 seen.serialize_shards(),
                 politeness.serialize_shards(),
                 ray.get(lineage.drain.remote()),
-                {"urls_fetched": urls_fetched, "per_round": per_round, "round": r},
+                {"urls_fetched": urls_fetched, "per_round": per_round,
+                 "round": r, "used_per_host": dict(used_ph)},
             )
             _t(f"r{r} checkpoint", tr)
             continue
@@ -771,6 +884,8 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
         if cfg.max_urls is not None:
             remaining = max(0, cfg.max_urls - urls_fetched)
             nxt = nxt.slice(0, remaining)
+        if cap_ph is not None:
+            nxt = _apply_host_quota_table(nxt, used_ph, cap_ph)
 
         summary = {
             "round": r,
@@ -790,7 +905,8 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
             seen.serialize_shards(),
             politeness.serialize_shards(),
             ray.get(lineage.drain.remote()),
-            {"urls_fetched": urls_fetched, "per_round": per_round, "round": r},
+            {"urls_fetched": urls_fetched, "per_round": per_round,
+             "round": r, "used_per_host": dict(used_ph)},
         )
         frontier = nxt
         _t(f"r{r} checkpoint", tr)
