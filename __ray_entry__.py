@@ -139,6 +139,44 @@ def _crawl_curated_shards_sql() -> str:
     """
 
 
+def _crawl_budget_parity(sf_dir: str):
+    """Self-evidencing parity row for the PER-HOST CRAWL BUDGET
+    (CrawlConfig.max_pages_per_host): a capped crawl vs the independent
+    simulator under the identical cap — seen-set equality, fetch-count
+    equality, the cap HOLDING (max scheduled per host <= cap) and
+    BINDING (some host exactly at cap).  Memoized per process like the
+    main query crawl."""
+    import pandas as pd
+
+    from weaver_ray.config import CrawlConfig
+    from weaver_ray.oracle import simulate
+    from weaver_ray.pipelines.crawl import crawl
+
+    if "budget_res" not in _CRAWL_CACHE:
+        cfg = CrawlConfig(corpus_size=1000, max_rounds=3, num_seen_shards=2,
+                          num_politeness_shards=2, fetch_concurrency=2,
+                          max_pages_per_host=5, distributed=True)
+        _CRAWL_CACHE["budget_cfg"] = cfg
+        _CRAWL_CACHE["budget_res"] = crawl(
+            cfg, "/tmp/weaver_query_crawl_budget")
+    res = _CRAWL_CACHE["budget_res"]
+    cfg = _CRAWL_CACHE["budget_cfg"]
+    ora = simulate(cfg)
+    eng_seen = set(res.seen_table.column("url_canon").to_pylist())
+    ora_seen = {c for c, _, _ in ora.seen}
+    hosts = pd.Series([c.split("://")[1].split("/")[0] for c in eng_seen])
+    per_host = hosts.value_counts()
+    return pd.DataFrame({
+        "seen_equal": [eng_seen == ora_seen],
+        "fetched_equal": [res.urls_fetched == ora.urls_fetched],
+        "cap_holds": [bool(per_host.max() <= cfg.max_pages_per_host)],
+        "cap_binds": [bool((per_host == cfg.max_pages_per_host).any())],
+        "n_seen": [len(eng_seen)],
+        "urls_fetched": [res.urls_fetched],
+        "max_per_host": [int(per_host.max())],
+    })
+
+
 def _crawl_oracle_parity(sf_dir: str):
     """Self-evidencing parity row for the stateful crawl: runs the
     INDEPENDENT single-threaded oracle simulator (weaver_ray/oracle.py)
@@ -459,6 +497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _crawl_host_stats,
         "crawl_gather_merge": _crawl_gather_merge,
         "crawl_oracle_parity": _crawl_oracle_parity,
+        # capped-crawl parity: per-host budget vs the simulator (verdicts
+        # in-row; stateful, so rows-only like the other crawl_* entries)
+        "crawl_budget_parity": _crawl_budget_parity,
         # crawl -> curate -> pack over the crawl's OWN records (FULL SQL
         # oracle — both engines read the same memoized records parquet)
         "crawl_curated_shards": _crawl_curated_shards,
