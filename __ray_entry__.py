@@ -87,25 +87,70 @@ def _crawl_curated_shards(sf_dir: str):
     return curated_crawl_shards(res.records_dir)
 
 
+def _crawl_records_glob() -> str:
+    """Parquet glob of the memoized query crawl's records.  The path is
+    DERIVED (the checkpoint dir is a deterministic function of the corpus
+    size), NOT produced by running the crawl here — assembling the SQL
+    dict must stay side-effect-free; the crawl_* query callables run the
+    crawl, and the driver executes each engine query before its oracle,
+    so the parquet exists by oracle-run time.  hive_partitioning must be
+    disabled by readers: the records files already CARRY a 'round' column
+    and the round=N directory names would collide."""
+    corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
+    return f"/tmp/weaver_query_crawl_{corpus}/records/round=*/part-*.parquet"
+
+
+def _crawl_host_stats_sql() -> str:
+    """DuckDB replay of gather.host_stats over the IDENTICAL records
+    parquet the engine read: per-host fetched/denied/dead counts."""
+    glob = _crawl_records_glob()
+    return f"""
+        SELECT host,
+               count(url_hash) AS n_urls,
+               CAST(sum(CASE WHEN fetch_status = 'ok'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               CAST(sum(CASE WHEN fetch_status = 'robots_denied'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_denied,
+               CAST(sum(CASE WHEN fetch_status = 'dead'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        FROM read_parquet('{glob}', hive_partitioning = false)
+        GROUP BY host
+    """
+
+
+def _crawl_gather_merge_sql() -> str:
+    """DuckDB replay of gather.gather_merge over the identical records
+    parquet: first-wins by (round, seq) per url_canon + sighting count.
+    (round, seq) is the engine's total crawl order — seq is unique within
+    a round — so the window tiebreak is deterministic."""
+    glob = _crawl_records_glob()
+    return f"""
+        WITH ranked AS (
+            SELECT url_canon, host, image_id, fetch_status, round,
+                   row_number() OVER (PARTITION BY url_canon
+                                      ORDER BY round, seq) AS rn,
+                   count(*) OVER (PARTITION BY url_canon) AS n_sightings
+            FROM read_parquet('{glob}', hive_partitioning = false)
+        )
+        SELECT url_canon, host, image_id, fetch_status,
+               CAST(round AS INTEGER) AS first_round,
+               CAST(n_sightings AS BIGINT) AS n_sightings
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _crawl_curated_shards_sql() -> str:
     """DuckDB replay of the crawl→curate→pack chain over the IDENTICAL
-    records parquet the engine read.  The records path is DERIVED (the
-    memoized query-crawl checkpoint dir is a deterministic function of
-    the corpus size), NOT produced by running the crawl here — assembling
-    the SQL dict must stay side-effect-free; the crawl_curated_shards
-    query callable runs the crawl, and the driver executes the engine
-    before its oracle, so the parquet exists by oracle-run time.
-    hive_partitioning is disabled: the records files already CARRY a
-    'round' column and the round=N directory names would collide.
-    The curation constants import from pipelines/gather.py — ONE home,
-    so engine and oracle cannot drift."""
+    records parquet the engine read (glob derivation + side-effect-free
+    contract: see _crawl_records_glob).  The curation constants import
+    from pipelines/gather.py — ONE home, so engine and oracle cannot
+    drift."""
     from weaver_ray.pipelines.gather import (SHARD_BUDGET, SHARD_HOST_CAP,
                                              SHARD_MIN_CAPTION_TOKENS)
 
     host_cap, budget = SHARD_HOST_CAP, SHARD_BUDGET
     min_caption_tokens = SHARD_MIN_CAPTION_TOKENS
-    corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
-    glob = f"/tmp/weaver_query_crawl_{corpus}/records/round=*/part-*.parquet"
+    glob = _crawl_records_glob()
     tok = "[A-Za-z0-9_]+"
     return f"""
         WITH r AS (
@@ -2155,6 +2200,9 @@ def oracle_sql() -> dict[str, str]:
     d["docs_profile"] = _docs_profile_sql()
     # crawl -> curate -> pack over the memoized query crawl's records
     d["crawl_curated_shards"] = _crawl_curated_shards_sql()
+    # gather report + first-wins merge replayed over the same records
+    d["crawl_host_stats"] = _crawl_host_stats_sql()
+    d["crawl_gather_merge"] = _crawl_gather_merge_sql()
     # md5-rank + modular-stride negative pairing over the same corpus
     from weaver_ray.pipelines.images import contrastive_negative_pairs_sql
 
