@@ -100,6 +100,21 @@ def _crawl_records_glob() -> str:
     return f"/tmp/weaver_query_crawl_{corpus}/records/round=*/part-*.parquet"
 
 
+def _crawl_flagship_seen_sql() -> str:
+    """The final URL-seen table must equal the records parquet's
+    (url_canon, url_hash, round) projection exactly: with the exact
+    seen-set each scheduled URL is fetched once, in the round it
+    survived dedup.  This value-hash certifies the seen-set state
+    machinery against the independent durable-records sink path (the
+    seen set's EXTERNAL correctness — vs the reference-semantics
+    simulator — is crawl_oracle_parity's job)."""
+    glob = _crawl_records_glob()
+    return f"""
+        SELECT url_canon, url_hash, round
+        FROM read_parquet('{glob}', hive_partitioning = false)
+    """
+
+
 def _crawl_host_stats_sql() -> str:
     """DuckDB replay of gather.host_stats over the IDENTICAL records
     parquet the engine read: per-host fetched/denied/dead counts."""
@@ -2200,9 +2215,11 @@ def oracle_sql() -> dict[str, str]:
     d["docs_profile"] = _docs_profile_sql()
     # crawl -> curate -> pack over the memoized query crawl's records
     d["crawl_curated_shards"] = _crawl_curated_shards_sql()
-    # gather report + first-wins merge replayed over the same records
+    # gather report + first-wins merge replayed over the same records;
+    # the seen table certified against the durable records projection
     d["crawl_host_stats"] = _crawl_host_stats_sql()
     d["crawl_gather_merge"] = _crawl_gather_merge_sql()
+    d["crawl_flagship_seen"] = _crawl_flagship_seen_sql()
     # md5-rank + modular-stride negative pairing over the same corpus
     from weaver_ray.pipelines.images import contrastive_negative_pairs_sql
 
