@@ -78,6 +78,15 @@ def _crawl_gather_merge(sf_dir: str):
     return gather_merge(res.records_dir)
 
 
+def _crawl_round_stats(sf_dir: str):
+    """Per-round scheduled-URL totals from the records themselves — the
+    lineage cross-check (pipelines/gather.py:round_stats)."""
+    from weaver_ray.pipelines.gather import round_stats
+
+    res = _crawl_result(sf_dir)
+    return round_stats(res.records_dir)
+
+
 def _crawl_curated_shards(sf_dir: str):
     """Crawl → curate → pack composition over the memoized query crawl's
     records (pipelines/gather.py:curated_crawl_shards)."""
@@ -556,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship_seen": _crawl_seen,
         "crawl_host_stats": _crawl_host_stats,
         "crawl_gather_merge": _crawl_gather_merge,
+        "crawl_round_stats": _crawl_round_stats,
         "crawl_oracle_parity": _crawl_oracle_parity,
         # capped-crawl parity: per-host budget vs the simulator (verdicts
         # in-row; stateful, so rows-only like the other crawl_* entries)
@@ -2220,6 +2230,12 @@ def oracle_sql() -> dict[str, str]:
     d["crawl_host_stats"] = _crawl_host_stats_sql()
     d["crawl_gather_merge"] = _crawl_gather_merge_sql()
     d["crawl_flagship_seen"] = _crawl_flagship_seen_sql()
+    d["crawl_round_stats"] = f"""
+        SELECT round, count(url_hash) AS n_urls
+        FROM read_parquet('{_crawl_records_glob()}',
+                          hive_partitioning = false)
+        GROUP BY round
+    """
     # md5-rank + modular-stride negative pairing over the same corpus
     from weaver_ray.pipelines.images import contrastive_negative_pairs_sql
 
