@@ -2255,11 +2255,14 @@ def oracle_sql() -> dict[str, str]:
     d["page_bfs_depth"] = page_bfs_depth_sql()
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
-    from weaver_ray.pipelines.similarity import (ann_ivfpq_sql, kmeans_sql,
-                                                  pq_adc_sql, pq_sql,
-                                                  semantic_dedup_sql)
+    from weaver_ray.pipelines.similarity import (ann_ivf_sql, ann_ivfpq_sql,
+                                                  kmeans_sql, pq_adc_sql,
+                                                  pq_sql, semantic_dedup_sql)
 
     d["kmeans_clusters"] = kmeans_sql()
+    # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
+    # exact cosine rank within probed cells (no PQ)
+    d["ann_ivf_topk"] = ann_ivf_sql()
     # product quantization: m independent unrolled Lloyd chains, one per
     # contiguous dim slice, UNION ALL'd with final member counts
     d["pq_codebooks"] = pq_sql()

@@ -308,9 +308,26 @@ def audio_fp_clusters_ds(sf_dir: str, max_hamming: int = 9,
 
 def audio_fp_clusters(sf_dir: str, max_hamming: int = 9,
                       n_clips: int = 200) -> pd.DataFrame:
-    """Query shim: sorted pandas view of :func:`audio_fp_clusters_ds`."""
+    """Query shim + per-row self-evidence over the result set (the
+    audio_fp_pairs pattern): ``planted_cohesion_ok`` records whether EVERY
+    planted noisy variant landed in its base clip's cluster (the ground
+    truth the noise plant created), and ``min_label_ok`` whether every
+    cluster_id equals the minimum member node id (the connected-components
+    label contract).  Both checks run over the already-collected result
+    frame — O(result) driver work on a query-shim path."""
     from .dedup import _pairs_to_pandas
 
-    return _pairs_to_pandas(
+    df = _pairs_to_pandas(
         audio_fp_clusters_ds(sf_dir, max_hamming, n_clips),
         ["media_id"], {"media_id": object, "cluster_id": np.int64})
+    # planted cohesion: base clip%06d and every clip%06dvJ share one label
+    base_key = df["media_id"].str.slice(0, 10)
+    cohesion = bool((df.groupby(base_key)["cluster_id"]
+                     .nunique() == 1).all())
+    # label contract: cluster_id is the min node id among its members
+    mins = pd.Series(_node_ids(df["media_id"])).groupby(
+        df["cluster_id"].to_numpy()).min()
+    min_ok = bool((mins.index.to_numpy() == mins.to_numpy()).all())
+    df["planted_cohesion_ok"] = cohesion
+    df["min_label_ok"] = min_ok
+    return df

@@ -141,40 +141,40 @@ def ann_topk_per_label(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataF
 
 
 def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 8,
-                 n_probe: int = 2, train_iters: int = 5) -> pd.DataFrame:
-    """IVF variant: k-means cells trained on a seeded DISTRIBUTED sample
-    (ds.random_sample — only the tiny sample reaches the driver), centroids
-    broadcast once, each batch row assigned to its nearest cell, queries
-    probe ``n_probe`` cells.  Approximate by design (recall-vs-bruteforce
-    checked by pytest and the ann_ivf_recall query); at scale the cell
-    assignment is the partition key and probing prunes the scan to
-    n_probe/n_cells of the data.  The fact table is never materialized on
-    the driver."""
+                 n_probe: int = 2, cell_iters: int = 3,
+                 num_buckets: int = 16) -> pd.DataFrame:
+    """IVF-FLAT approximate top-k (the FAISS ``IndexIVFFlat`` shape,
+    inner-product ranking, ``by_residual=False``): the coarse quantizer is
+    the SHARED :func:`kmeans_clusters` distributed Lloyd run — 4-dp-ROUNDED
+    centroids, so both engines partition against bit-identical constants
+    and this operator has a FULL DuckDB oracle (kmeans_sql nested, the
+    ann_ivfpq_topk precedent minus the PQ half).
+
+    Cell assignment uses the shared :func:`_nearest_centroid` 1e-9
+    quantized-grid rule; each query probes its ``n_probe`` nearest cells
+    (``row_number OVER (ORDER BY round(dist, 9), c) <= n_probe``), and
+    ranking INSIDE the probed cells is exact cosine DESC with a
+    neighbor_id tiebreak — the same raw-cos rank contract the green
+    ann_bruteforce / ann_ivf_exhaustive oracles already rely on.
+
+    Scale shape: training is the distributed Lloyd loop (driver state
+    O(n_cells x dim), no sample ever materializes — strictly more
+    de-drivered than sampled training); centroids + query info broadcast
+    once via ``ray.put``; ONE map_batches pass assigns each batch row to
+    its cell and scans only probe-masked rows — at scale the cell id is
+    the storage partition key and the mask becomes read-path pruning of
+    n_probe/n_cells of the data.  The corpus never reaches the driver."""
     import os
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from .common import _cached_get
 
-    # --- centroid training on a seeded sample (driver sees ONLY the sample)
-    total = ds.count()  # parquet metadata, no scan
-    target = min(total, 64 * n_cells)
-    frac = min(1.0, target / max(total, 1))
-    sample_df = ds.random_sample(frac, seed=42).to_pandas()
-    if len(sample_df) < n_cells:  # tiny-table fallback: sample can undershoot
-        sample_df = ds.limit(max(n_cells, target)).to_pandas()
-    S = _matrix(sample_df["embedding"].to_numpy())
-    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
-    cent = Sn[:n_cells].copy()
-    for _ in range(train_iters):
-        assign = (Sn @ cent.T).argmax(axis=1)
-        for c in range(n_cells):
-            members = Sn[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
-    cent_ref = ray.put(cent)
+    cent = kmeans_clusters(sf_dir, k=n_cells, n_iters=cell_iters,
+                           num_buckets=num_buckets)
+    CC = (cent.pivot(index="cluster", columns="dim", values="centroid")
+          .to_numpy())                                       # n_cells x dim
 
     # --- query rows via filter-pushdown read (only n_queries rows scanned)
     qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -183,22 +183,27 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 8,
     qids = qt.column("vec_id").to_numpy()
     Q = _matrix(qt.column("embedding").to_pylist())
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qcells = np.argsort(-(Qn @ cent.T), axis=1)[:, :n_probe]
-    qinfo_ref = ray.put((qids, Qn, qcells))
+    # probe sets: the n_probe nearest cells on the 1e-9 grid, exact grid
+    # ties to the LOWEST cell id (ORDER BY round(dist, 9), c)
+    dq = ((Q[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2)
+    gq = np.floor(dq * 1e9 + 0.5)
+    probe_mask = np.zeros((len(qids), CC.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
+        cells = np.lexsort((np.arange(CC.shape[0]), gq[qi]))[:n_probe]
+        probe_mask[qi, cells] = True
+    ref = ray.put((qids, Qn, probe_mask, CC))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def probe_topk(df: pd.DataFrame) -> pd.DataFrame:
-        from .common import _cached_get
-
-        cent = _cached_get(cent_ref)
-        qids, Qn, qcells = _cached_get(qinfo_ref)
+        qids, Qn, probe_mask, CC = _cached_get(ref)
         vid = df["vec_id"].to_numpy()
         B = _matrix(df["embedding"].to_numpy())
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        cells = (Bn @ cent.T).argmax(axis=1)
+        cells = _nearest_centroid(B, CC)
         out_q, out_n, out_c = [], [], []
         for qi, qid in enumerate(qids):
-            probe = np.isin(cells, qcells[qi]) & (vid != qid)
-            idx = np.flatnonzero(probe)
+            idx = np.flatnonzero(probe_mask[qi, cells] & (vid != qid))
             if len(idx) == 0:
                 continue
             row = Bn[idx] @ Qn[qi]
@@ -226,9 +231,10 @@ def ann_ivf_exhaustive_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                             n_cells: int = 8) -> pd.DataFrame:
     """IVF with ``n_probe == n_cells``: every cell is probed, so the probe
     mask degenerates to ``vid != qid`` and the output MUST equal exact
-    brute-force top-k.  This runs the full IVF machinery (sampled k-means
-    training, broadcast centroids, per-batch cell assignment, probe-masked
-    scan, candidate merge) through a path whose answer is SQL-checkable —
+    brute-force top-k.  This runs the full IVF machinery (distributed
+    Lloyd training, broadcast centroids, per-batch cell assignment,
+    probe-masked scan, candidate merge) through a path whose answer is
+    SQL-checkable —
     the oracle is the same brute-force cosine top-k SQL as
     ann_bruteforce_topk, giving the approximate operator's plumbing a full
     value-hash correctness gate (the recall-vs-exact check in
@@ -238,12 +244,62 @@ def ann_ivf_exhaustive_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                         n_cells=n_cells, n_probe=n_cells)
 
 
+def ann_ivf_sql(n_cells: int = 8, cell_iters: int = 3, n_probe: int = 2,
+                n_queries: int = 5, k: int = 10, dim: int = 64) -> str:
+    """The DuckDB oracle for :func:`ann_ivf_topk`: kmeans_sql's unrolled
+    Lloyd chain supplies the coarse centroids, every vector cell-assigns
+    on the round(dist, 9) grid with the lowest-cell tiebreak, each query
+    probes its top-``n_probe`` cells, and the final ranking is exact
+    cosine DESC with a neighbor_id tiebreak restricted to candidates in
+    probed cells (the ann_ivfpq_sql skeleton with the PQ half replaced by
+    the exact scan)."""
+    return f"""
+        WITH km AS ({kmeans_sql(k=n_cells, n_iters=cell_iters, dim=dim)}
+        ),
+        cc AS (SELECT cluster AS c, dim AS d, centroid AS v FROM km),
+        ad AS (
+            SELECT e.vec_id, cc.c,
+                   sum((e.embedding[cc.d]::DOUBLE - cc.v)
+                       * (e.embedding[cc.d]::DOUBLE - cc.v)) AS dist
+            FROM embeddings e, cc
+            GROUP BY e.vec_id, cc.c
+        ),
+        asg AS (
+            SELECT vec_id, c AS cell FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM ad) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, c AS cell FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM ad WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding, e.embedding) DESC, e.vec_id) AS rn
+            FROM embeddings q
+            JOIN probe p ON p.query_id = q.vec_id
+            JOIN asg ON asg.cell = p.cell
+            JOIN embeddings e ON e.vec_id = asg.vec_id
+                             AND e.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}
+        ) WHERE rn <= {k}
+        ORDER BY query_id, rn
+    """
+
+
 def ann_ivf_recall(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
     """Self-evidencing check row for the approximate operator: recall@k of
     IVF (2/8 cells probed) against the exact brute-force top-k, computed by
-    running BOTH pipelines.  Rows-only by design (no SQL can reproduce the
-    trained centroids), but the returned row itself carries the evidence:
-    recall_at_k is deterministic for a fixed sf_dir and must stay >= 0.4."""
+    running BOTH pipelines.  The machinery is value-hash-checked by
+    ann_ivf_topk's full DuckDB oracle; this row vouches for the PRUNING
+    quality itself: recall_at_k is deterministic for a fixed sf_dir and
+    must stay >= 0.4."""
     exact = ann_bruteforce_topk(sf_dir, n_queries=n_queries, k=k)
     approx = ann_ivf_topk(sf_dir, n_queries=n_queries, k=k)
     hits = 0
