@@ -459,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": temporal.value_histogram,
         # weekly cohort retention triangle (first-event cohort x offset)
         "cohort_retention": temporal.cohort_retention,
+        # watermark / allowed-lateness tumbling windows (streaming
+        # late-data semantics replayed deterministically in arrival order)
+        "late_event_windows": temporal.late_event_windows,
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
@@ -1469,6 +1472,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # watermark / allowed-lateness windows: arrival = ts + a
+        # deterministic md5-derived network delay (max 2 h), watermark =
+        # exclusive running max event time in arrival order; an event is
+        # LATE iff its own time sits below watermark - 30 min (engine:
+        # global_prefix_max metadata-only scan + one classify pass +
+        # bucketed window partials)
+        "late_event_windows": """
+            WITH arr AS (
+                SELECT event_id, epoch_us(ts) AS ts_us, value,
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY epoch_us(ts)
+                               + CAST(('0x' || substr(
+                                   md5(CAST(event_id AS VARCHAR)), 1, 8)
+                                 )::UBIGINT % 7200000000 AS BIGINT),
+                               event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm_us
+                FROM events
+            ),
+            cls AS (
+                SELECT CAST(ts_us // 3600000000 AS BIGINT) AS window_hour,
+                       (wm_us IS NOT NULL
+                        AND ts_us < wm_us - 1800000000) AS late,
+                       value
+                FROM arr
+            )
+            SELECT window_hour,
+                   CAST(count(*) FILTER (WHERE NOT late) AS BIGINT)
+                       AS n_on_time,
+                   CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late,
+                   round(coalesce(
+                       sum(value) FILTER (WHERE NOT late), 0), 4)
+                       AS on_time_value
+            FROM cls GROUP BY window_hour
         """,
         # large-large join: agg pushed into the join buckets engine-side
         "brand_revenue": """

@@ -261,3 +261,46 @@ def test_cohort_retention_partition_invariance(tmp_path):
         outs.append(o)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_late_event_windows_sequential_replay(ray_session):
+    """Engine == an independent sequential stream replay at sf0.001, and
+    the late branch genuinely fires (non-degenerate plant)."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    out = (to_table(temporal.late_event_windows(sf)).to_pandas()
+           .sort_values("window_hour").reset_index(drop=True))
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "value"]).to_pandas()
+    ts_us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    delay = np.array(
+        [int(hashlib.md5(str(int(e)).encode()).hexdigest()[:8], 16)
+         for e in ev["event_id"]], dtype=np.int64) % (2 * 3_600_000_000)
+    order = np.lexsort((ev["event_id"].to_numpy(), ts_us + delay))
+    # sequential replay: walk arrivals, track the high-water mark
+    wm, rows = None, []
+    for i in order:
+        late = wm is not None and ts_us[i] < wm - 30 * 60_000_000
+        rows.append((ts_us[i] // 3_600_000_000, late, ev["value"].iloc[i]))
+        wm = ts_us[i] if wm is None else max(wm, ts_us[i])
+    rep = pd.DataFrame(rows, columns=["window_hour", "late", "value"])
+    exp = rep.groupby("window_hour").agg(
+        n_on_time=("late", lambda s: int((~s).sum())),
+        n_late=("late", "sum"),
+        on_time_value=("value", lambda s: 0.0),
+    ).reset_index()
+    exp["n_late"] = exp["n_late"].astype(np.int64)
+    exp["n_on_time"] = exp["n_on_time"].astype(np.int64)
+    ontime_val = rep[~rep["late"]].groupby("window_hour")["value"].sum()
+    exp["on_time_value"] = (exp["window_hour"].map(ontime_val).fillna(0.0)
+                            .to_numpy())
+
+    assert out["n_late"].sum() > 0, "late branch never fired"
+    m = out.merge(exp, on="window_hour", suffixes=("", "_exp"))
+    assert len(m) == len(out) == len(exp)
+    assert (m["n_late"] == m["n_late_exp"]).all()
+    assert (m["n_on_time"] == m["n_on_time_exp"]).all()
+    np.testing.assert_allclose(m["on_time_value"], m["on_time_value_exp"],
+                               atol=1e-3)

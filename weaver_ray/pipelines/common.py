@@ -375,6 +375,57 @@ def global_prefix_sum(ds: rd.Dataset, keys: list[str], val_col: str,
     return rd.from_arrow_refs(out)
 
 
+def global_prefix_max(ds: rd.Dataset, keys: list[str], val_col: str,
+                      out_col: str = "max_before") -> rd.Dataset:
+    """EXCLUSIVE global prefix MAX of an int64 column in total sort order —
+    each row gets the max of ``val_col`` over all STRICTLY PRIOR rows
+    (``numpy.iinfo(int64).min`` on the first row, where no prior exists).
+
+    The same metadata-only scan skeleton as :func:`global_prefix_sum`
+    with the monoid swapped from (+, 0) to (max, -inf): after the
+    distributed sort only per-block (count, max) pairs reach the driver,
+    which folds the exclusive running max across blocks; a zero-cpu task
+    per block stamps ``maximum(block_offset_max, local exclusive cummax)``.
+    This is the WATERMARK primitive of streaming engines — the running
+    high-water mark of event time in arrival order that decides which
+    events are late (late_event_windows)."""
+
+    mat = ds.sort(keys).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _blockmax(t: pa.Table) -> tuple[int, int]:
+        if t.num_rows == 0:
+            return 0, 0
+        import pyarrow.compute as pc
+
+        return t.num_rows, int(pc.max(t.column(val_col)).as_py())
+
+    metas = ray.get([_blockmax.remote(r) for r in refs])
+    # drop zero-row blocks (schema-less post-sort holes — see prefix_sum)
+    refs = [r for r, (n, _) in zip(refs, metas) if n]
+    maxes = np.asarray([m for n, m in metas if n], dtype=np.int64)
+    if not len(refs):
+        return rd.from_arrow(_empty_like(ds, out_col))
+    lo = np.iinfo(np.int64).min
+    offsets = np.full(len(maxes), lo, dtype=np.int64)
+    if len(maxes) > 1:
+        offsets[1:] = np.maximum.accumulate(maxes[:-1])
+
+    @ray.remote(num_cpus=0)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pre = np.empty(len(v), dtype=np.int64)
+        if len(v):
+            pre[0] = off
+            np.maximum.accumulate(v[:-1], out=pre[1:])
+            np.maximum(pre[1:], off, out=pre[1:])
+        return t.append_column(out_col, pa.array(pre))
+
+    out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
+
+
 @ray.remote(num_cpus=0)
 def _tx_split(t: pa.Table, k: int, part_of):
     """Split one block into k sub-tables by the per-row partition id."""

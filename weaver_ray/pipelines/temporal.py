@@ -532,3 +532,88 @@ def cohort_retention(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         return batch
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def late_event_windows(sf_dir: str, allowed_lateness_minutes: int = 30,
+                       max_delay_hours: int = 2) -> rd.Dataset:
+    """WATERMARK / ALLOWED-LATENESS tumbling windows — the streaming
+    late-data semantics (Flink/Beam shape) replayed deterministically over
+    the batch table so a full SQL oracle can check it.
+
+    The synthetic events table is generated in time order, so out-of-order
+    ingestion is modeled with a DETERMINISTIC per-event network delay:
+    ``delay = md5(event_id)[:8] % max_delay`` (the SQL-safe md5 mixer both
+    engines reproduce bit-identically), and arrival order is
+    ``(ts + delay, event_id)``.  The watermark at each arrival is the
+    running MAX event time over all STRICTLY PRIOR arrivals minus
+    ``allowed_lateness``; an event is LATE iff its own event time sits
+    below that watermark (a stream processor would drop it or side-output
+    it).  The first arrival has no prior, hence no watermark, hence is on
+    time.  With delays up to 2 h against 30 min lateness the late branch
+    genuinely fires (~1/3 of rows at the fixture scales).
+
+    Engine shape: the exclusive running max rides
+    :func:`common.global_prefix_max` — ONE distributed sort by arrival
+    key plus a metadata-only (count, max) exchange, never rows to the
+    driver — then one map_batches classifies rows and emits
+    per-(hour-window) partials folded by the bucketed partial_groupby.
+    Output per window_hour: on-time count, late count, and the on-time
+    value sum (what the window would have fired with).
+
+    Reference analog: none (the reference has no event-time semantics);
+    this extends the windowed family (user_hourly_windows / sliding /
+    session) with the late-data dimension a production ingestion pipeline
+    needs."""
+    from .common import global_prefix_max, md5_hex, sql_round
+
+    late_us = int(allowed_lateness_minutes) * 60_000_000
+    max_delay_us = int(max_delay_hours) * 3_600_000_000
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        ts_us = _ts_us(df["ts"])
+        delay = np.array(
+            [int(h[:8], 16) for h in md5_hex(str(int(e)) for e in eid)],
+            dtype=np.int64) % max_delay_us
+        return pd.DataFrame({
+            "event_id": eid,
+            "ts_us": ts_us,
+            "arr_us": ts_us + delay,
+            "value": df["value"].to_numpy(np.float64)})
+
+    stamped = global_prefix_max(
+        ds.map_batches(to_us, batch_format="pandas"),
+        ["arr_us", "event_id"], "ts_us", out_col="wm_us")
+
+    lo = np.iinfo(np.int64).min
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts_us"].to_numpy(np.int64)
+        wm = df["wm_us"].to_numpy(np.int64)
+        # first arrival carries the int64-min sentinel: no watermark yet
+        late = (wm != lo) & (ts < wm - late_us)
+        return pd.DataFrame({
+            "window_hour": ts // 3_600_000_000,
+            "n_late": late.astype(np.int64),
+            "n_on_time": (~late).astype(np.int64),
+            "on_time_value": np.where(late, 0.0, df["value"].to_numpy()),
+        })
+
+    agg = partial_groupby(
+        stamped.map_batches(classify, batch_format="pandas"),
+        ["window_hour"],
+        {"n_on_time": ("n_on_time", "sum"), "n_late": ("n_late", "sum"),
+         "on_time_value": ("on_time_value", "sum")},
+        many_groups=True)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_hour": batch["window_hour"].to_numpy(np.int64),
+            "n_on_time": batch["n_on_time"].to_numpy(np.int64),
+            "n_late": batch["n_late"].to_numpy(np.int64),
+            "on_time_value": sql_round(batch["on_time_value"], 4),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
