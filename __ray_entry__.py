@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
+        # bloom-filter join pushdown (runtime filter): the orders side is
+        # pruned by a small-side bloom BEFORE the join shuffle; FPs are
+        # removed by the exact join, so the plain semi-join SQL oracles it
+        "bloom_semi_join_revenue": analytics.bloom_semi_join_revenue,
         "local_supplier_volume": analytics.local_supplier_volume,
         "users_click_and_purchase": analytics.users_click_and_purchase,
         "props_key_stats": analytics.props_key_stats,
@@ -1507,6 +1511,15 @@ def oracle_sql() -> dict[str, str]:
                        sum(value) FILTER (WHERE NOT late), 0), 4)
                        AS on_time_value
             FROM cls GROUP BY window_hour
+        """,
+        # bloom pushdown is exact (the join removes FPs): plain semi-join
+        "bloom_semi_join_revenue": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_spent
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY c.c_custkey, c.c_name
         """,
         # large-large join: agg pushed into the join buckets engine-side
         "brand_revenue": """

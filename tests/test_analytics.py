@@ -521,3 +521,38 @@ def test_snapshot_diff_partition_invariance(ray_session):
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         outs.append(o)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bloom_semi_join_fp_robust_and_pruning(ray_session):
+    """An UNDERSIZED bloom (1 bit/key -> heavy false positives) must still
+    produce the exact result — the join, not the filter, decides — and the
+    properly-sized filter must genuinely prune the orders side."""
+    import duckdb
+
+    exact = analytics.bloom_semi_join_revenue(SF)
+    fp_heavy = analytics.bloom_semi_join_revenue(SF, bits_per_key=1)
+    pd.testing.assert_frame_equal(exact, fp_heavy)
+
+    # independent truth from DuckDB
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    want = con.execute("""
+        SELECT count(DISTINCT c.c_custkey) FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'""").fetchone()[0]
+    assert len(exact) == want
+
+    # the filter bites: the 10-bit/key bloom passes far fewer order rows
+    # than the full table (segment selectivity ~1/5 + ~1% FP)
+    from weaver_ray.functions.sketches import BloomFilter
+
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+    bf = BloomFilter(len(cust), bits_per_key=10)
+    bf.add(keys.to_numpy(np.int64).astype(np.uint64))
+    ok = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"])
+    frac = bf.maybe_contains(
+        ok.column("o_custkey").to_numpy().astype(np.uint64)).mean()
+    assert frac < 0.5, f"bloom pruned nothing ({frac:.2f} passed)"

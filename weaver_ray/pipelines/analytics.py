@@ -635,3 +635,97 @@ def zorder_events_sql(bits: int = 16) -> str:
                CAST({expr} AS BIGINT) AS zorder
         FROM events
     """
+
+
+def bloom_semi_join_revenue(sf_dir: str, segment: str = "BUILDING",
+                            bits_per_key: int = 10,
+                            num_buckets: int = 16) -> pd.DataFrame:
+    """BLOOM-FILTER JOIN PUSHDOWN (the 'runtime filter' / sideways
+    information passing of distributed SQL engines): per-customer order
+    revenue for one market segment, where the big (orders) side is pruned
+    BEFORE the join shuffle by a bloom filter built over the small side's
+    keys — rows that definitely cannot match never enter the exchange.
+
+    Engine shape: the segment's customers stream once, each batch emitting
+    ONE fixed-size bloom bit-array partial (m bits regardless of batch
+    size); the driver OR-folds the handful of partials — metadata-sized at
+    dimension scale, and past that the fold becomes a tree reduce of
+    per-shard blooms (the SeenShard precedent, state/seen.py).  The folded
+    filter broadcasts via ``ray.put``; one map_batches over orders probes
+    it vectorized (double-hashed, ~1% FP at 10 bits/key) and pre-aggregates
+    the survivors per custkey, so the bucketed hash join that follows
+    moves only (custkey, n, sum) partials from a ~segment-selectivity
+    fraction of the fact table.  Bloom FALSE POSITIVES are eliminated by
+    that exact inner join — the filter only prunes, it never decides — so
+    the result is EXACT and the DuckDB oracle is the plain semi-join SQL.
+    Pruning-vs-exactness under a deliberately undersized bloom is
+    pytest-pinned."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.sketches import BloomFilter
+
+    cap = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+
+    cust = load(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        lambda b: b.loc[b["c_mktsegment"] == segment,
+                        ["c_custkey", "c_name"]],
+        batch_format="pandas")
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(cap, bits_per_key=bits_per_key)
+        if len(df):
+            bf.add(df["c_custkey"].to_numpy(np.int64).astype(np.uint64))
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    partials = cust.map_batches(bloom_partial,
+                                batch_format="pandas").to_pandas()
+    bf = BloomFilter(cap, bits_per_key=bits_per_key)
+    for b in partials["bits"]:
+        bf.bits |= np.frombuffer(b, dtype=np.uint64)
+    ref = ray.put(bf.serialize())
+
+    orders = load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def probe_and_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketches import BloomFilter as BF
+
+        bf = BF.deserialize(_cached_get(ref))
+        keep = bf.maybe_contains(
+            df["o_custkey"].to_numpy(np.int64).astype(np.uint64))
+        g = (df[keep].groupby("o_custkey", sort=False)["o_totalprice"]
+             .agg(["size", "sum"]).reset_index())
+        return pd.DataFrame({
+            "c_custkey": g["o_custkey"].to_numpy(np.int64),
+            "n_orders": g["size"].to_numpy(np.int64),
+            "spent": g["sum"].to_numpy(np.float64)})
+
+    opart = orders.map_batches(probe_and_partial, batch_format="pandas")
+
+    def fold(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype=np.int64),
+                "c_name": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "spent": pd.Series([], dtype=np.float64)})
+        # buckets partition custkeys, so this per-bucket fold is final
+        return (j.groupby(["c_custkey", "c_name"], sort=False)
+                .agg(n_orders=("n_orders", "sum"), spent=("spent", "sum"))
+                .reset_index())
+
+    joined = hash_join(
+        cust, opart, on="c_custkey",
+        lcols=["c_custkey", "c_name"],
+        rcols=["c_custkey", "n_orders", "spent"],
+        num_buckets=num_buckets, post=fold,
+    ).to_pandas()
+    return pd.DataFrame({
+        "c_custkey": joined["c_custkey"].to_numpy(np.int64),
+        "c_name": joined["c_name"].to_numpy(object),
+        "n_orders": joined["n_orders"].to_numpy(np.int64),
+        "total_spent": sql_round(joined["spent"], 2),
+    }).sort_values("c_custkey").reset_index(drop=True)
