@@ -567,6 +567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top principal direction (self-evidencing residual verdicts)
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_top_eigvec": similarity.embedding_top_eigvec,
+        # scalar (SQ8) quantization certificate: per-dim trained range +
+        # reconstruction MSE; codes bit-identical on both engines
+        "embedding_sq8_stats": similarity.embedding_sq8_stats,
         # crawl engine (stateful; rows-only by design, but parity is
         # self-evidenced by crawl_oracle_parity's verdict columns)
         "crawl_flagship_seen": _crawl_seen,
@@ -2314,6 +2317,24 @@ def oracle_sql() -> dict[str, str]:
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()
+    # SQ8 scalar quantization: identical FP quantize/dequant expression on
+    # both engines (codes bit-exact; only the MSE is a rounded sum)
+    d["embedding_sq8_stats"] = """
+        WITH dims AS (SELECT range AS d FROM range(1, 65)),
+        x AS (SELECT e.vec_id, dims.d, e.embedding[dims.d]::DOUBLE AS v
+              FROM embeddings e, dims),
+        mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY d),
+        q AS (SELECT x.d, x.v, mm.mn, mm.mx,
+                     least(greatest(round(CASE WHEN mm.mx = mm.mn THEN 0.0
+                         ELSE (x.v - mm.mn) / (mm.mx - mm.mn) * 255
+                         END, 0), 0.0), 255.0) AS code
+              FROM x JOIN mm USING (d))
+        SELECT d AS dim, round(min(mn), 6) AS qmin, round(min(mx), 6) AS qmax,
+               round(avg((v - (mn + code * (mx - mn) / 255))
+                         * (v - (mn + code * (mx - mn) / 255))), 6) AS mse,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY d ORDER BY dim
+    """
     # product quantization: m independent unrolled Lloyd chains, one per
     # contiguous dim slice, UNION ALL'd with final member counts
     d["pq_codebooks"] = pq_sql()

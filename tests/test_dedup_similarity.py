@@ -299,3 +299,18 @@ def test_label_centroids_matches_numpy(tmp_path):
         got = out.loc[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
         np.testing.assert_allclose(got, want, atol=1e-9)
         assert (out.loc[out["label"] == lab, "n"] == (labels == lab).sum()).all()
+
+
+def test_embedding_sq8_error_bound(ray_session):
+    """A uniform scalar quantizer's per-value error is at most half a step
+    ((mx-mn)/255/2), so per-dim MSE must sit under step^2/4; and the codec
+    must be lossless on a constant dimension (mx == mn -> mse 0)."""
+    from weaver_ray.pipelines.similarity import embedding_sq8_stats
+
+    out = embedding_sq8_stats("/root/testdata/sf0.001")
+    assert len(out) == 64
+    step = (out["qmax"] - out["qmin"]) / 255.0
+    assert (out["mse"] <= step * step / 4.0 + 1e-9).all()
+    assert (out["mse"] >= 0).all()
+    # ranges are genuine (synthetic embeddings are not constant)
+    assert (out["qmax"] > out["qmin"]).all()

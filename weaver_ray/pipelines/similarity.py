@@ -1339,3 +1339,76 @@ def ann_ivfpq_sql(n_cells: int = 8, cell_iters: int = 3, m: int = 4,
         ) WHERE rn <= {topk}
         ORDER BY query_id, ivfpq_rank
     """
+
+
+def embedding_sq8_stats(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """SCALAR QUANTIZATION (SQ8) of the embedding column — the third
+    standard ANN compression next to flat (ann_bruteforce) and PQ
+    (pq_codebooks): each dimension maps linearly onto one uint8 code
+    against its global [min, max] range (the FAISS ``ScalarQuantizer``
+    QT_8bit shape), and the output certifies the codec per dimension:
+    the trained range and the mean squared reconstruction error.
+
+    Parity contract: codes are computed with the IDENTICAL FP expression
+    on both engines — ``round((v - mn) / (mx - mn) * 255)`` half-away,
+    clipped to [0, 255] — so the code of every (vector, dim) is
+    bit-identical (single IEEE op sequence, no summation involved); only
+    the MSE is a sum, rounded to 6 dp like embedding_covariance.
+
+    Engine shape: pass 1 emits per-batch per-dim (min, max) partials
+    (d rows per batch); the 64-row range table broadcasts via ``ray.put``;
+    pass 2 quantizes each batch vectorized and emits per-dim squared-error
+    partials.  Two metadata-sized reduces, zero driver materialization of
+    vectors.  Pytest pins the mse <= step^2/4 bound the uniform quantizer
+    guarantees."""
+    from .common import _cached_get, partial_groupby, sql_round
+
+    ds = load(sf_dir, "embeddings", ["embedding"])
+
+    def range_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "mn": pd.Series([], dtype=np.float64),
+                                 "mx": pd.Series([], dtype=np.float64)})
+        E = _matrix(df["embedding"].to_numpy())
+        d = E.shape[1]
+        return pd.DataFrame({"dim": np.arange(1, d + 1, dtype=np.int64),
+                             "mn": E.min(axis=0), "mx": E.max(axis=0)})
+
+    rng = partial_groupby(
+        ds.map_batches(range_partials, batch_format="pandas"), ["dim"],
+        {"mn": ("mn", "min"), "mx": ("mx", "max")}, many_groups=True,
+        num_buckets=num_buckets).to_pandas().sort_values("dim")
+    mn = rng["mn"].to_numpy(np.float64)
+    mx = rng["mx"].to_numpy(np.float64)
+    ref = ray.put((mn, mx))
+
+    def err_partials(df: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = _cached_get(ref)
+        d = len(mn)
+        if not len(df):
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "sse": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        E = _matrix(df["embedding"].to_numpy())
+        denom = np.where(mx == mn, 1.0, mx - mn)
+        code = sql_round(np.where(mx == mn, 0.0, (E - mn) / denom * 255), 0)
+        code = np.clip(code, 0.0, 255.0)
+        dq = mn + code * (mx - mn) / 255
+        err = E - dq
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "sse": (err * err).sum(axis=0),
+            "n": np.full(d, len(E), dtype=np.int64)})
+
+    agg = partial_groupby(
+        ds.map_batches(err_partials, batch_format="pandas"), ["dim"],
+        {"sse": ("sse", "sum"), "n": ("n", "sum")}, many_groups=True,
+        num_buckets=num_buckets).to_pandas().sort_values("dim")
+    return pd.DataFrame({
+        "dim": agg["dim"].to_numpy(np.int64),
+        "qmin": sql_round(pd.Series(mn), 6),
+        "qmax": sql_round(pd.Series(mx), 6),
+        "mse": sql_round(agg["sse"].to_numpy() / agg["n"].to_numpy(), 6),
+        "n": agg["n"].to_numpy(np.int64),
+    }).reset_index(drop=True)
