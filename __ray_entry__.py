@@ -462,6 +462,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # watermark / allowed-lateness tumbling windows (streaming
         # late-data semantics replayed deterministically in arrival order)
         "late_event_windows": temporal.late_event_windows,
+        # grouped MODE: each user's most frequent event_type with a
+        # deterministic (count desc, type asc) tiebreak
+        "top_event_type_per_user": temporal.top_event_type_per_user,
+        # exponentially time-decayed counts/sums (1-day half-life, exact
+        # dyadic 2^-age weights so both engines agree bit-for-bit)
+        "decayed_event_scores": temporal.decayed_event_scores,
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
@@ -1514,6 +1520,30 @@ def oracle_sql() -> dict[str, str]:
                        sum(value) FILTER (WHERE NOT late), 0), 4)
                        AS on_time_value
             FROM cls GROUP BY window_hour
+        """,
+        # time-decayed scores: integer-day ages, exact power-of-two weights
+        "decayed_event_scores": """
+            WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(pow(0.5,
+                       (r - epoch_us(ts)) // 86400000000)), 6)
+                       AS decayed_count,
+                   round(sum(value * pow(0.5,
+                       (r - epoch_us(ts)) // 86400000000)), 6)
+                       AS decayed_value
+            FROM events, ref GROUP BY event_type
+        """,
+        # grouped mode: argmax per user over (count desc, type asc)
+        "top_event_type_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type AS top_type, n AS n_events FROM (
+                SELECT user_id, event_type, n, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+                FROM c
+            ) WHERE rn = 1
         """,
         # bloom pushdown is exact (the join removes FPs): plain semi-join
         "bloom_semi_join_revenue": """

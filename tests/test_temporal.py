@@ -304,3 +304,38 @@ def test_late_event_windows_sequential_replay(ray_session):
     assert (m["n_on_time"] == m["n_on_time_exp"]).all()
     np.testing.assert_allclose(m["on_time_value"], m["on_time_value_exp"],
                                atol=1e-3)
+
+
+def test_top_event_type_tiebreak(ray_session, tmp_path):
+    """Equal counts break to the lexically smallest type; singleton and
+    multi-type users both resolve."""
+    sf = _write_events(tmp_path, [
+        (1, 0, 1, "view", 1.0), (2, 10, 1, "view", 1.0),
+        (3, 20, 1, "click", 1.0), (4, 30, 1, "click", 1.0),  # tie -> click
+        (5, 0, 2, "purchase", 1.0),                          # singleton
+        (6, 0, 3, "view", 1.0), (7, 5, 3, "view", 1.0),
+        (8, 9, 3, "click", 1.0),                             # majority view
+    ])
+    out = (to_table(temporal.top_event_type_per_user(sf)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert list(out["user_id"]) == [1, 2, 3]
+    assert list(out["top_type"]) == ["click", "purchase", "view"]
+    assert list(out["n_events"]) == [2, 1, 2]
+
+
+def test_decayed_event_scores_exact_weights(ray_session, tmp_path):
+    """Day-old events weigh exactly half; weights are dyadic so the sums
+    are exact for small hand inputs."""
+    day = 86_400
+    sf = _write_events(tmp_path, [
+        (1, 2 * day, 1, "view", 8.0),    # newest: age 0, weight 1
+        (2, day, 1, "view", 8.0),        # age 1 day, weight 1/2
+        (3, 0, 1, "view", 8.0),          # age 2 days, weight 1/4
+        (4, 2 * day - 1, 1, "click", 4.0),  # 1s short of a day: age 0
+    ])
+    out = temporal.decayed_event_scores(sf).set_index("event_type")
+    assert out.loc["view", "decayed_count"] == 1.75       # 1 + .5 + .25
+    assert out.loc["view", "decayed_value"] == 14.0       # 8 + 4 + 2
+    assert out.loc["click", "decayed_count"] == 1.0
+    assert out.loc["click", "decayed_value"] == 4.0
+    assert out.loc["view", "n_events"] == 3

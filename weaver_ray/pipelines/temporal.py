@@ -617,3 +617,104 @@ def late_event_windows(sf_dir: str, allowed_lateness_minutes: int = 30,
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def top_event_type_per_user(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Grouped MODE with a deterministic tiebreak: each user's most
+    frequent event_type (ties break to the lexically smallest type) and
+    its count — the per-entity dominant-category shape (device/class/
+    language attribution) that SQL spells ``mode() WITHIN GROUP`` but
+    needs a window to make the tiebreak deterministic.
+
+    Scale shape: per-batch (user, type) count partials inside map_batches
+    cut the shuffle to one row per pair per batch; ONE user-keyed bucket
+    exchange (keyed_map_groups) then folds partials and takes the argmax
+    per user vectorized — sort by (count desc, type asc) + groupby head(1)
+    across the whole bucket, never a per-user loop."""
+    from .common import keyed_map_groups
+
+    ds = load(sf_dir, "events", ["user_id", "event_type"])
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    pairs = ds.map_batches(pair_counts, batch_format="pandas")
+
+    def mode_per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "top_type": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        g = (bucket.groupby(["user_id", "event_type"], sort=False)["n"]
+             .sum().reset_index())
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        top = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(np.int64),
+            "top_type": top["event_type"].to_numpy(object),
+            "n_events": top["n"].to_numpy(np.int64)})
+
+    return keyed_map_groups(pairs, "user_id", mode_per_user, num_buckets)
+
+
+def decayed_event_scores(sf_dir: str) -> pd.DataFrame:
+    """TIME-DECAYED aggregate (the trending-score / feature-store shape):
+    per event_type, the exponentially-decayed count and value sum with a
+    one-day half-life relative to the table's newest event.
+
+    Decay parity trick: ages are INTEGER days and the weight is
+    ``0.5 ** age_days`` — a power of two, hence EXACTLY representable in
+    IEEE754 — so numpy ``ldexp`` and DuckDB ``pow(0.5, n)`` produce
+    bit-identical per-row weights and no constants table or grid is
+    needed; only the sums are rounded (6 dp, the embedding_covariance
+    convention).
+
+    The reference timestamp is the ts column's MAX read from parquet
+    ROW-GROUP STATISTICS (zero scan — the snapshot-diff metadata-only-max
+    idiom); the oracle's ``max(ts)`` over the view is the same value by
+    construction.  Engine shape: one map_batches pass emitting per-type
+    partials + the tiny partial_groupby reduce — zero wide shuffles."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .common import sql_round
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    idx = pf.schema_arrow.get_field_index("ts")
+    ref_us = max(
+        pf.metadata.row_group(g).column(idx).statistics.max
+        for g in range(pf.metadata.num_row_groups))
+    if hasattr(ref_us, "timestamp"):  # stats may decode to datetime
+        ref_us = np.datetime64(ref_us, "us").astype(np.int64)
+
+    ds = load(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        age_days = (ref_us - _ts_us(df["ts"])) // 86_400_000_000
+        w = np.ldexp(1.0, -age_days.astype(np.int64))
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                           "w": w,
+                           "wv": w * df["value"].to_numpy(np.float64)})
+             .groupby("event_type", sort=False).agg(
+                 n=("w", "size"), dc=("w", "sum"), dv=("wv", "sum"))
+             .reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out = partial_groupby(
+        ds.map_batches(partials, batch_format="pandas"), ["event_type"],
+        {"n_events": ("n", "sum"), "dc": ("dc", "sum"), "dv": ("dv", "sum")}
+    ).to_pandas()
+    return pd.DataFrame({
+        "event_type": out["event_type"].to_numpy(object),
+        "n_events": out["n_events"].to_numpy(np.int64),
+        "decayed_count": sql_round(out["dc"], 6),
+        "decayed_value": sql_round(out["dv"], 6),
+    }).sort_values("event_type").reset_index(drop=True)
