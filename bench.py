@@ -106,6 +106,14 @@ QUERY_NAMES = [
     "incremental_event_stats",
     "snapshot_diff_docs",
     "contrastive_negative_pairs",
+    # block-21 additions: IVF-Flat (now fully oracled), watermark windows,
+    # bloom join pushdown, SQ8 quantization, grouped mode, decay scores
+    "ann_ivf_topk",
+    "late_event_windows",
+    "bloom_semi_join_revenue",
+    "embedding_sq8_stats",
+    "top_event_type_per_user",
+    "decayed_event_scores",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
