@@ -504,6 +504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": textops.langid_counts,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        # deletion-neighborhood (SymSpell) edit-distance-1 typo join over
+        # the vocabulary + one planted md5-position deletion per token
+        "token_typo_pairs": textops.token_typo_pairs,
         # self-evidencing (bound_ok / in_exact_topk verdict columns);
         # estimate depends on batch boundaries, so no SQL oracle by
         # design.  c=20 forces the truncation path at test scale (the
@@ -2018,6 +2021,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(regexp_extract_all(text, '{TOK}')) AS token
                 FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        # deletion-neighborhood (SymSpell) typo join over the vocabulary
+        # plus one planted md5-position deletion per token (both engines
+        # replay the plant); blocking is lossless at distance 1, so the
+        # levenshtein()=1 cross join over the bounded vocab oracles it
+        "token_typo_pairs": f"""
+            WITH toks AS (
+                SELECT DISTINCT lower(token) AS tok FROM (
+                    SELECT unnest(regexp_extract_all(text, '{TOK}'))
+                        AS token FROM documents)
+                WHERE length(token) >= 4
+            ),
+            uni AS (
+                SELECT DISTINCT tok FROM (
+                    SELECT tok FROM toks
+                    UNION ALL
+                    SELECT substr(tok, 1, CAST(
+                               ('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                               % length(tok) AS INT))
+                           || substr(tok, CAST(
+                               ('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                               % length(tok) AS INT) + 2)
+                    FROM toks)
+            )
+            SELECT a.tok AS tok_a, b.tok AS tok_b
+            FROM uni a JOIN uni b
+              ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+            ORDER BY tok_a, tok_b
         """,
         "stratified_sample_docs": """
             SELECT lang, doc_id FROM (

@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "embedding_sq8_stats",
     "top_event_type_per_user",
     "decayed_event_scores",
+    "token_typo_pairs",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

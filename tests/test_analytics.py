@@ -556,3 +556,40 @@ def test_bloom_semi_join_fp_robust_and_pruning(ray_session):
     frac = bf.maybe_contains(
         ok.column("o_custkey").to_numpy().astype(np.uint64)).mean()
     assert frac < 0.5, f"bloom pruned nothing ({frac:.2f} passed)"
+
+
+def test_edit_distance_is_1_cases():
+    from weaver_ray.pipelines.textops import _edit_distance_is_1 as e1
+
+    assert e1("cat", "cut")          # substitution
+    assert e1("cat", "cart")         # insertion
+    assert e1("cart", "cat")         # deletion (either order)
+    assert e1("cat", "ca")           # trailing deletion
+    assert not e1("cat", "cat")      # identical -> 0
+    assert not e1("cat", "cub")      # two substitutions
+    assert not e1("cat", "carts")    # length diff 2
+    assert not e1("abcd", "badc")    # transposition is distance 2
+
+
+def test_token_typo_pairs_planted_recovery(ray_session):
+    """Every planted deletion must be recovered as a pair with its base
+    token (blocking is lossless at distance 1)."""
+    import hashlib
+
+    from weaver_ray.pipelines.textops import TOKEN_RE, token_typo_pairs
+
+    out = token_typo_pairs(SF)
+    got = set(map(tuple, out[["tok_a", "tok_b"]].to_numpy()))
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    vocab = sorted({t for toks in docs["text"].str.lower().str.findall(TOKEN_RE)
+                    for t in toks if len(t) >= 4})
+    assert vocab, "empty vocabulary"
+    for t in vocab:
+        p = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % len(t)
+        v = t[:p] + t[p + 1:]
+        pair = (min(t, v), max(t, v))
+        assert pair in got, f"planted pair {pair} missing"
+    # symmetry/canonical form: tok_a strictly below tok_b, no dups
+    assert (out["tok_a"] < out["tok_b"]).all()
+    assert not out.duplicated(["tok_a", "tok_b"]).any()

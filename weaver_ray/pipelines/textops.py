@@ -1387,3 +1387,111 @@ SNAPSHOT_DIFF_SQL = """
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
 """
+
+
+def _edit_distance_is_1(a: str, b: str) -> bool:
+    """Exact Levenshtein == 1 check for the two cases a deletion-blocked
+    candidate pair can take (equal length -> one substitution; length
+    diff 1 -> one insertion/deletion)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def token_typo_pairs(sf_dir: str, min_len: int = 4,
+                     num_buckets: int = 8) -> pd.DataFrame:
+    """APPROXIMATE STRING MATCHING join: all pairs of vocabulary tokens at
+    edit distance EXACTLY 1, found by DELETION-NEIGHBORHOOD blocking (the
+    public FastSS / SymSpell scheme): every token emits itself plus each
+    single-character deletion as a blocking key — two tokens at distance 1
+    necessarily share a key (substitution: both drop the differing
+    position; insert/delete: the longer's deletion IS the shorter) — so
+    candidate generation is lossless and never compares the O(V^2) token
+    pairs.
+
+    The synthetic corpus's tiny wordlist has no natural distance-1 pairs,
+    so the universe is AUGMENTED with one planted typo per vocabulary
+    token — the character at position md5(token) % len(token) deleted —
+    a transform both engines replay verbatim (the pii_redact_docs planted
+    -augmentation precedent), guaranteeing the operator's match/verify
+    path genuinely executes.
+
+    Scale shape: the vocabulary is built DISTRIBUTED (per-batch distinct
+    + one token-keyed reduce), the blocking fan-out is L+1 keys per
+    length-L token, and pair verification runs inside each key bucket —
+    per-pair work is bounded by the deletion-key collision sets, never
+    the vocabulary square.  The final exact-distance check is pure-Python
+    per CANDIDATE (a few per bucket); the oracle is a levenshtein() = 1
+    cross join, feasible in SQL precisely because the vocabulary is
+    bounded."""
+    from .common import keyed_map_groups, md5_hex, partial_groupby
+
+    ds = load(sf_dir, "documents", ["text"])
+
+    def batch_vocab(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE).explode()
+        toks = toks[toks.str.len() >= min_len].dropna().unique()
+        return pd.DataFrame({"tok": pd.Series(toks, dtype=object)})
+
+    vocab = partial_groupby(
+        ds.map_batches(batch_vocab, batch_format="pandas"),
+        ["tok"], {"n": ("tok", "count")}, many_groups=True,
+        num_buckets=num_buckets)
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["tok"].astype(str).tolist()
+        hashes = md5_hex(toks)
+        planted = [t[:int(h[:8], 16) % len(t)] + t[int(h[:8], 16) % len(t) + 1:]
+                   for t, h in zip(toks, hashes)]
+        return pd.DataFrame({"tok": pd.Series(toks + planted, dtype=object)})
+
+    universe = partial_groupby(
+        vocab.map_batches(augment, batch_format="pandas"),
+        ["tok"], {"n": ("tok", "count")}, many_groups=True,
+        num_buckets=num_buckets)
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        keys, toks = [], []
+        for t in df["tok"].astype(str):
+            keys.append(t)
+            toks.append(t)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                toks.append(t)
+        return pd.DataFrame({"key": pd.Series(keys, dtype=object),
+                             "tok": pd.Series(toks, dtype=object)})
+
+    blocked = universe.map_batches(block, batch_format="pandas")
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                              "tok_b": pd.Series([], dtype=object)})
+        if not len(bucket):
+            return empty
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("key", sort=False):
+            cand = sorted(set(g["tok"]))
+            for i in range(len(cand)):
+                for j in range(i + 1, len(cand)):
+                    if _edit_distance_is_1(cand[i], cand[j]):
+                        out_a.append(cand[i])
+                        out_b.append(cand[j])
+        return pd.DataFrame({"tok_a": pd.Series(out_a, dtype=object),
+                             "tok_b": pd.Series(out_b, dtype=object)})
+
+    pairs = keyed_map_groups(blocked, "key", pairs_in_bucket, num_buckets)
+    # a pair can surface under several shared deletion keys: one more
+    # pair-keyed reduce dedups it distributed before the tiny collect
+    deduped = partial_groupby(pairs, ["tok_a", "tok_b"],
+                              {"n": ("tok_a", "count")}, many_groups=True,
+                              num_buckets=num_buckets).to_pandas()
+    return (deduped[["tok_a", "tok_b"]]
+            .sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
