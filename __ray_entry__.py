@@ -1501,7 +1501,7 @@ def oracle_sql() -> dict[str, str]:
                        max(epoch_us(ts)) OVER (
                            ORDER BY epoch_us(ts)
                                + CAST(('0x' || substr(
-                                   md5(CAST(event_id AS VARCHAR)), 1, 8)
+                                   md5(CAST(event_id AS VARCHAR)), 1, 12)
                                  )::UBIGINT % 7200000000 AS BIGINT),
                                event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING

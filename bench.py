@@ -107,7 +107,8 @@ QUERY_NAMES = [
     "snapshot_diff_docs",
     "contrastive_negative_pairs",
     # block-21 additions: IVF-Flat (now fully oracled), watermark windows,
-    # bloom join pushdown, SQ8 quantization, grouped mode, decay scores
+    # bloom join pushdown, SQ8 quantization, grouped mode, decay scores,
+    # deletion-neighborhood typo join
     "ann_ivf_topk",
     "late_event_windows",
     "bloom_semi_join_revenue",

@@ -276,7 +276,7 @@ def test_late_event_windows_sequential_replay(ray_session):
                        columns=["event_id", "ts", "value"]).to_pandas()
     ts_us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     delay = np.array(
-        [int(hashlib.md5(str(int(e)).encode()).hexdigest()[:8], 16)
+        [int(hashlib.md5(str(int(e)).encode()).hexdigest()[:12], 16)
          for e in ev["event_id"]], dtype=np.int64) % (2 * 3_600_000_000)
     order = np.lexsort((ev["event_id"].to_numpy(), ts_us + delay))
     # sequential replay: walk arrivals, track the high-water mark

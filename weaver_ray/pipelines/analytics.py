@@ -669,11 +669,13 @@ def bloom_semi_join_revenue(sf_dir: str, segment: str = "BUILDING",
     cap = pq.ParquetFile(
         os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
 
+    # materialized once: the filtered side is consumed twice (bloom build
+    # + join) and a lazy Dataset would re-run the read+filter per consumer
     cust = load(sf_dir, "customer",
                 ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
         lambda b: b.loc[b["c_mktsegment"] == segment,
                         ["c_custkey", "c_name"]],
-        batch_format="pandas")
+        batch_format="pandas").materialize()
 
     def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(cap, bits_per_key=bits_per_key)

@@ -325,54 +325,68 @@ def global_row_number(ds: rd.Dataset, keys: list[str],
     return rd.from_arrow_refs(out), int(sum(counts))
 
 
+def _global_scan(ds: rd.Dataset, keys: list[str], val_col: str,
+                 out_col: str, op: str,
+                 descending: bool | list[bool] = False) -> rd.Dataset:
+    """Shared EXCLUSIVE-prefix-scan skeleton over a distributed sort —
+    parameterized by the monoid ``op``: "sum" ((+, 0)) or "max"
+    ((max, int64 min)).  After ``ds.sort`` only one scalar per block (the
+    block's aggregate) reaches the driver, which folds the exclusive
+    running combination across blocks; a zero-cpu task per block then
+    stamps ``combine(block_offset, local exclusive scan)``.  At 100 TB
+    the driver traffic stays one int per block."""
+    identity = 0 if op == "sum" else int(np.iinfo(np.int64).min)
+    ufunc = np.add if op == "sum" else np.maximum
+
+    mat = ds.sort(keys, descending=descending).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _blockagg(t: pa.Table) -> tuple[int, int]:
+        if t.num_rows == 0:
+            return 0, 0
+        import pyarrow.compute as pc
+
+        fn = pc.sum if op == "sum" else pc.max
+        return t.num_rows, int(fn(t.column(val_col)).as_py() or 0)
+
+    metas = ray.get([_blockagg.remote(r) for r in refs])
+    # drop zero-row blocks: an empty post-sort block can be SCHEMA-LESS
+    # (no columns), which would crash the stamp and corrupt from_arrow_refs
+    refs = [r for r, (n, _) in zip(refs, metas) if n]
+    aggs = np.asarray([s for n, s in metas if n], dtype=np.int64)
+    if not refs:
+        # keep the OUTPUT contract on empty input: schema + out_col
+        return rd.from_arrow(_empty_like(ds, out_col))
+    offsets = np.full(len(aggs), identity, dtype=np.int64)
+    if len(aggs) > 1:
+        offsets[1:] = ufunc.accumulate(aggs[:-1])
+
+    @ray.remote(num_cpus=0)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pre = np.empty(len(v), dtype=np.int64)
+        if len(v):
+            pre[0] = off
+            ufunc.accumulate(v[:-1], out=pre[1:])
+            ufunc(pre[1:], off, out=pre[1:])
+        return t.append_column(out_col, pa.array(pre))
+
+    out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
+
+
 def global_prefix_sum(ds: rd.Dataset, keys: list[str], val_col: str,
                       out_col: str = "cum_before",
                       descending: bool | list[bool] = False) -> rd.Dataset:
     """EXCLUSIVE global prefix sum of an int column in total sort order —
     each row gets the sum of ``val_col`` over all STRICTLY PRIOR rows.
 
-    Same metadata-only exchange as :func:`global_row_number`: after the
-    distributed sort, only the per-block SUMS (one int per block) reach the
-    driver; a zero-cpu task per block stamps ``offset + local exclusive
-    cumsum``.  This is the scan primitive behind sequence packing /
-    token-budget binning (assigning documents to fixed-token training
-    chunks) — at 100 TB the driver traffic stays one scalar per block."""
-
-    mat = ds.sort(keys, descending=descending).materialize()
-    refs = mat.to_arrow_refs()
-
-    @ray.remote(num_cpus=0)
-    def _blocksum(t: pa.Table) -> tuple[int, int]:
-        if t.num_rows == 0:
-            return 0, 0
-        import pyarrow.compute as pc
-
-        return t.num_rows, int(pc.sum(t.column(val_col)).as_py() or 0)
-
-    metas = ray.get([_blocksum.remote(r) for r in refs])
-    # drop zero-row blocks: an empty post-sort block can be SCHEMA-LESS
-    # (no columns), which would crash the stamp and corrupt from_arrow_refs
-    refs = [r for r, (n, _) in zip(refs, metas) if n]
-    sums = np.asarray([s for n, s in metas if n], dtype=np.int64)
-    if not refs:
-        # keep the OUTPUT contract on empty input: schema + out_col
-        return rd.from_arrow(_empty_like(ds, out_col))
-    offsets = np.zeros(len(sums), dtype=np.int64)
-    if len(sums) > 1:
-        offsets[1:] = np.cumsum(sums[:-1])
-
-    @ray.remote(num_cpus=0)
-    def _stamp(t: pa.Table, off: int) -> pa.Table:
-        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cum = np.empty(len(v), dtype=np.int64)
-        if len(v):
-            cum[0] = off
-            np.cumsum(v[:-1], out=cum[1:])
-            cum[1:] += off
-        return t.append_column(out_col, pa.array(cum))
-
-    out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return rd.from_arrow_refs(out)
+    Same metadata-only exchange as :func:`global_row_number` (the shared
+    :func:`_global_scan` skeleton with the (+, 0) monoid).  This is the
+    scan primitive behind sequence packing / token-budget binning
+    (assigning documents to fixed-token training chunks)."""
+    return _global_scan(ds, keys, val_col, out_col, "sum", descending)
 
 
 def global_prefix_max(ds: rd.Dataset, keys: list[str], val_col: str,
@@ -381,49 +395,11 @@ def global_prefix_max(ds: rd.Dataset, keys: list[str], val_col: str,
     each row gets the max of ``val_col`` over all STRICTLY PRIOR rows
     (``numpy.iinfo(int64).min`` on the first row, where no prior exists).
 
-    The same metadata-only scan skeleton as :func:`global_prefix_sum`
-    with the monoid swapped from (+, 0) to (max, -inf): after the
-    distributed sort only per-block (count, max) pairs reach the driver,
-    which folds the exclusive running max across blocks; a zero-cpu task
-    per block stamps ``maximum(block_offset_max, local exclusive cummax)``.
-    This is the WATERMARK primitive of streaming engines — the running
-    high-water mark of event time in arrival order that decides which
-    events are late (late_event_windows)."""
-
-    mat = ds.sort(keys).materialize()
-    refs = mat.to_arrow_refs()
-
-    @ray.remote(num_cpus=0)
-    def _blockmax(t: pa.Table) -> tuple[int, int]:
-        if t.num_rows == 0:
-            return 0, 0
-        import pyarrow.compute as pc
-
-        return t.num_rows, int(pc.max(t.column(val_col)).as_py())
-
-    metas = ray.get([_blockmax.remote(r) for r in refs])
-    # drop zero-row blocks (schema-less post-sort holes — see prefix_sum)
-    refs = [r for r, (n, _) in zip(refs, metas) if n]
-    maxes = np.asarray([m for n, m in metas if n], dtype=np.int64)
-    if not len(refs):
-        return rd.from_arrow(_empty_like(ds, out_col))
-    lo = np.iinfo(np.int64).min
-    offsets = np.full(len(maxes), lo, dtype=np.int64)
-    if len(maxes) > 1:
-        offsets[1:] = np.maximum.accumulate(maxes[:-1])
-
-    @ray.remote(num_cpus=0)
-    def _stamp(t: pa.Table, off: int) -> pa.Table:
-        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        pre = np.empty(len(v), dtype=np.int64)
-        if len(v):
-            pre[0] = off
-            np.maximum.accumulate(v[:-1], out=pre[1:])
-            np.maximum(pre[1:], off, out=pre[1:])
-        return t.append_column(out_col, pa.array(pre))
-
-    out = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return rd.from_arrow_refs(out)
+    :func:`_global_scan` with the (max, -inf) monoid.  This is the
+    WATERMARK primitive of streaming engines — the running high-water
+    mark of event time in arrival order that decides which events are
+    late (late_event_windows)."""
+    return _global_scan(ds, keys, val_col, out_col, "max")
 
 
 @ray.remote(num_cpus=0)

@@ -550,7 +550,9 @@ def late_event_windows(sf_dir: str, allowed_lateness_minutes: int = 30,
     below that watermark (a stream processor would drop it or side-output
     it).  The first arrival has no prior, hence no watermark, hence is on
     time.  With delays up to 2 h against 30 min lateness the late branch
-    genuinely fires (~1/3 of rows at the fixture scales).
+    genuinely fires (15-50% of rows at the fixture scales).  The
+    registered DRIVER QUERY pins ``max_delay_hours=2`` — the oracle
+    hard-codes that constant — so other values are library-only knobs.
 
     Engine shape: the exclusive running max rides
     :func:`common.global_prefix_max` — ONE distributed sort by arrival
@@ -574,8 +576,11 @@ def late_event_windows(sf_dir: str, allowed_lateness_minutes: int = 30,
     def to_us(df: pd.DataFrame) -> pd.DataFrame:
         eid = df["event_id"].to_numpy(np.int64)
         ts_us = _ts_us(df["ts"])
+        # 12 hex chars = 48 bits: strictly wider than any sane max_delay_us
+        # (an 8-char slice is only 32 bits ~= 1.19 h and would make the
+        # modulus a silent no-op above that)
         delay = np.array(
-            [int(h[:8], 16) for h in md5_hex(str(int(e)) for e in eid)],
+            [int(h[:12], 16) for h in md5_hex(str(int(e)) for e in eid)],
             dtype=np.int64) % max_delay_us
         return pd.DataFrame({
             "event_id": eid,

@@ -1436,25 +1436,20 @@ def token_typo_pairs(sf_dir: str, min_len: int = 4,
 
     ds = load(sf_dir, "documents", ["text"])
 
-    def batch_vocab(df: pd.DataFrame) -> pd.DataFrame:
+    def batch_universe(df: pd.DataFrame) -> pd.DataFrame:
+        # the plant is a pure per-token function, so it fuses into the
+        # vocab pass: each batch emits its distinct tokens PLUS their
+        # planted deletions, and ONE distinct reduce builds the universe
         toks = df["text"].str.lower().str.findall(TOKEN_RE).explode()
-        toks = toks[toks.str.len() >= min_len].dropna().unique()
-        return pd.DataFrame({"tok": pd.Series(toks, dtype=object)})
-
-    vocab = partial_groupby(
-        ds.map_batches(batch_vocab, batch_format="pandas"),
-        ["tok"], {"n": ("tok", "count")}, many_groups=True,
-        num_buckets=num_buckets)
-
-    def augment(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["tok"].astype(str).tolist()
+        toks = [str(t) for t in
+                toks[toks.str.len() >= min_len].dropna().unique()]
         hashes = md5_hex(toks)
         planted = [t[:int(h[:8], 16) % len(t)] + t[int(h[:8], 16) % len(t) + 1:]
                    for t, h in zip(toks, hashes)]
         return pd.DataFrame({"tok": pd.Series(toks + planted, dtype=object)})
 
     universe = partial_groupby(
-        vocab.map_batches(augment, batch_format="pandas"),
+        ds.map_batches(batch_universe, batch_format="pandas"),
         ["tok"], {"n": ("tok", "count")}, many_groups=True,
         num_buckets=num_buckets)
 
