@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # directed BFS depth from the crawl's seed pages (frontier geometry:
         # a page's depth IS the crawl round it first becomes fetchable)
         "page_bfs_depth": pagerank.page_bfs_depth,
+        # weighted SSSP (Bellman-Ford, fixed rounds) over the host graph —
+        # pure int64 min-plus arithmetic, no rounding grid needed
+        "host_shortest_paths": pagerank.host_shortest_paths,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -2368,6 +2371,10 @@ def oracle_sql() -> dict[str, str]:
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list
     d["page_bfs_depth"] = page_bfs_depth_sql()
+    # weighted SSSP: Bellman-Ford unrolled one CTE per relaxation round
+    from weaver_ray.pipelines.pagerank import host_sssp_sql
+
+    d["host_shortest_paths"] = host_sssp_sql()
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
     from weaver_ray.pipelines.similarity import (ann_ivf_sql, ann_ivfpq_sql,

@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "top_event_type_per_user",
     "decayed_event_scores",
     "token_typo_pairs",
+    "host_shortest_paths",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

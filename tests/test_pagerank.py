@@ -104,3 +104,45 @@ def test_page_bfs_depth_matches_sequential_bfs(ray_session):
     assert got == depth
     # non-degenerate: the crawl graph has real multi-round depth
     assert max(depth.values()) >= 3
+
+
+def test_host_shortest_paths_golden_and_converged(ray_session):
+    """Engine == an independent sequential Dijkstra over the same edges
+    and weights; and the fixed 10-round count genuinely covers the
+    diameter (round 11 changes nothing)."""
+    import heapq
+
+    import duckdb
+
+    from weaver_ray.pipelines.pagerank import (_SSSP_INF,
+                                               generate_host_edges,
+                                               host_shortest_paths)
+
+    out = host_shortest_paths("unused")
+    got = dict(zip(out["host"], out["dist"]))
+
+    glob = generate_host_edges(1000) + "/part-*.parquet"
+    e = duckdb.sql("SELECT DISTINCT src_host, dst_host FROM "
+                   f"read_parquet('{glob}')").df()
+    src = e["src_host"].to_numpy(np.int64)
+    dst = e["dst_host"].to_numpy(np.int64)
+    w = 1 + (src + 2 * dst) % 7
+    adj: dict = {}
+    for s, d, ww in zip(src, dst, w):
+        adj.setdefault(int(s), []).append((int(d), int(ww)))
+    source = int(min(src.min(), dst.min()))
+    dist = {source: 0}
+    pq_ = [(0, source)]
+    while pq_:
+        du, u = heapq.heappop(pq_)
+        if du > dist.get(u, _SSSP_INF):
+            continue
+        for v, ww in adj.get(u, []):
+            nd = du + ww
+            if nd < dist.get(v, _SSSP_INF):
+                dist[v] = nd
+                heapq.heappush(pq_, (nd, v))
+    assert got == dist
+    # convergence: one more round is a no-op
+    more = host_shortest_paths("unused", n_rounds=11)
+    assert dict(zip(more["host"], more["dist"])) == got

@@ -485,3 +485,127 @@ def page_bfs_depth_sql(n_base: int = 1000, n_seeds: int = config.N_SEEDS,
         SELECT page_id, CAST(min(d) AS BIGINT) AS depth
         FROM bfs GROUP BY page_id
     """
+
+
+_SSSP_INF = 10 ** 15  # unreachable sentinel; all arithmetic stays int64
+
+
+def host_shortest_paths(sf_dir: str, n_base: int = 1000,
+                        n_rounds: int = 10) -> pd.DataFrame:
+    """Weighted SINGLE-SOURCE SHORTEST PATHS over the directed host graph
+    — Bellman-Ford run for a FIXED ``n_rounds`` of relaxations so the
+    DuckDB oracle can unroll the identical fixed point (the pagerank /
+    kmeans precedent applied to the (min, +) semiring).  All arithmetic
+    is int64 (deterministic weights ``1 + (src + 2*dst) % 7`` on the
+    DISTINCT edge set, source = lowest host id), so parity needs no
+    rounding grid at all.
+
+    Engine shape per round: the O(nodes) distance vector broadcasts via
+    ``ray.put`` (the pagerank budget — never O(edges) driver state); ONE
+    map_batches pass over the distributed edge Dataset emits per-batch
+    per-dst candidate minima; a tiny min-reduce folds them and the driver
+    takes elementwise min with the previous vector.  ``n_rounds`` bounds
+    path HOPS, not graph size — pytest pins that an extra round changes
+    nothing at fixture scale (converged), so the fixed count is the
+    diameter bound, not an approximation."""
+    from .common import _cached_get
+
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    edges = rd.read_parquet(files)
+
+    # distinct directed edges with the deterministic weight
+    ew = partial_groupby(edges, ["src_host", "dst_host"],
+                         {"n": ("dst_host", "count")},
+                         many_groups=True).map_batches(
+        lambda df: pd.DataFrame({
+            "src_host": df["src_host"].to_numpy(np.int64),
+            "dst_host": df["dst_host"].to_numpy(np.int64),
+            "w": 1 + (df["src_host"].to_numpy(np.int64)
+                      + 2 * df["dst_host"].to_numpy(np.int64)) % 7}),
+        batch_format="pandas").materialize()
+
+    od = partial_groupby(ew, ["src_host"], {"n": ("w", "count")},
+                         many_groups=True).to_pandas()
+    dd = partial_groupby(ew, ["dst_host"], {"n": ("w", "count")},
+                         many_groups=True).to_pandas()
+    nodes = np.union1d(od["src_host"].to_numpy(np.int64),
+                       dd["dst_host"].to_numpy(np.int64))
+    if not len(nodes):
+        return pd.DataFrame({"host": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+    H = int(nodes.max()) + 1
+    dist = np.full(H, _SSSP_INF, dtype=np.int64)
+    dist[int(nodes.min())] = 0
+
+    for _ in range(n_rounds):
+        ref = ray.put(dist)
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            d_ = _cached_get(ref)
+            s = df["src_host"].to_numpy(np.int64)
+            reach = d_[s] < _SSSP_INF
+            if not reach.any():
+                return pd.DataFrame({"dst_host": pd.Series([], dtype=np.int64),
+                                     "m": pd.Series([], dtype=np.int64)})
+            cand = pd.DataFrame({
+                "dst_host": df["dst_host"].to_numpy(np.int64)[reach],
+                "m": d_[s[reach]] + df["w"].to_numpy(np.int64)[reach]})
+            return cand.groupby("dst_host", sort=False)["m"].min().reset_index()
+
+        mins = partial_groupby(
+            ew.map_batches(relax, batch_format="pandas"),
+            ["dst_host"], {"m": ("m", "min")}, many_groups=True).to_pandas()
+        if len(mins):
+            di = mins["dst_host"].to_numpy(np.int64)
+            np.minimum.at(dist, di, mins["m"].to_numpy(np.int64))
+
+    reach = nodes[dist[nodes] < _SSSP_INF]
+    return (pd.DataFrame({"host": reach.astype(np.int64),
+                          "dist": dist[reach].astype(np.int64)})
+            .sort_values("host").reset_index(drop=True))
+
+
+def host_sssp_sql(n_base: int = 1000, n_rounds: int = 10) -> str:
+    """The DuckDB oracle: Bellman-Ford unrolled one CTE per relaxation
+    round over the identical edge parquet — distinct edges, the same
+    deterministic integer weights, source = min host id, INF sentinel.
+
+    Every round CTE is AS MATERIALIZED: each d_{{t+1}} references d_t
+    TWICE (elementwise min + relaxation join), so DuckDB's default CTE
+    INLINING doubles the plan per round — 2^n_rounds copies of the base
+    scan, which turned the 10-round chain into a >10-minute query.
+    Materialization makes it 10 tiny sequential joins (~0.06 s)."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    inf = _SSSP_INF
+    parts = [f"""
+        WITH ew AS MATERIALIZED (
+            SELECT src_host, dst_host,
+                   1 + (src_host + 2 * dst_host) % 7 AS w
+            FROM (SELECT DISTINCT src_host, dst_host
+                  FROM read_parquet('{glob}'))
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT h FROM (
+                SELECT src_host AS h FROM ew
+                UNION SELECT dst_host FROM ew)
+        ),
+        d0 AS MATERIALIZED (
+            SELECT h AS host,
+                   CASE WHEN h = (SELECT min(h) FROM nodes)
+                        THEN 0 ELSE {inf} END AS dist
+            FROM nodes)"""]
+    for t in range(n_rounds):
+        parts.append(f""",
+        d{t + 1} AS MATERIALIZED (
+            SELECT n.host, least(n.dist, coalesce(c.m, {inf})) AS dist
+            FROM d{t} n LEFT JOIN (
+                SELECT ew.dst_host AS host, min(p.dist + ew.w) AS m
+                FROM ew JOIN d{t} p ON p.host = ew.src_host
+                WHERE p.dist < {inf}
+                GROUP BY ew.dst_host) c ON c.host = n.host
+        )""")
+    parts.append(f"""
+        SELECT host, CAST(dist AS BIGINT) AS dist FROM d{n_rounds}
+        WHERE dist < {inf} ORDER BY host""")
+    return "".join(parts)
