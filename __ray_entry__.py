@@ -553,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         "neardup_clusters": dedup.neardup_clusters,
+        # multi-signal consensus dedup: lexical (banded token-set Jaccard)
+        # AND semantic (embedding cosine) must both flag the pair
+        "consensus_dup_pairs": dedup.consensus_dup_pairs,
         "neardup_canonical_docs": dedup.neardup_canonical_docs,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -1156,6 +1159,33 @@ def oracle_sql() -> dict[str, str]:
         # minhash: splitmix64 rebuilt in SQL from 32-bit halves (no UBIGINT
         # overflow), md5 token hashes, seeds inlined — exact engine parity
         "minhash_lsh_pairs": _minhash_sql(),
+        # consensus dedup: INTERSECT of the two nested pair oracles
+        # (embeddings are row-aligned with documents: vec_id == doc_id);
+        # lexical leg = the banded token-set Jaccard pairs — the minhash
+        # leg intersects EMPTY with the id-banded semantic signal
+        "consensus_dup_pairs": """
+            SELECT doc_a, doc_b FROM (
+                SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                       CAST(b.doc_id AS BIGINT) AS doc_b
+                FROM (SELECT doc_id,
+                             list_distinct(regexp_extract_all(text, '\\w+'))
+                                 AS ts
+                      FROM documents) a
+                JOIN (SELECT doc_id,
+                             list_distinct(regexp_extract_all(text, '\\w+'))
+                                 AS ts
+                      FROM documents) b
+                  ON b.doc_id - a.doc_id BETWEEN 1 AND 50
+                WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2)
+            INTERSECT
+            SELECT CAST(e1.vec_id AS BIGINT) AS doc_a,
+                   CAST(e2.vec_id AS BIGINT) AS doc_b
+            FROM embeddings e1 JOIN embeddings e2
+              ON e2.vec_id - e1.vec_id BETWEEN 1 AND 100
+             AND list_cosine_similarity(e1.embedding, e2.embedding) > 0.25
+            ORDER BY doc_a, doc_b
+        """,
         "langid_counts": _langid_sql(),
         "bm25_topk": _bm25_sql(),
         "doc_fingerprints": _fingerprint_sql(),

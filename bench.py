@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "decayed_event_scores",
     "token_typo_pairs",
     "host_shortest_paths",
+    "consensus_dup_pairs",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

@@ -314,3 +314,22 @@ def test_embedding_sq8_error_bound(ray_session):
     assert (out["mse"] >= 0).all()
     # ranges are genuine (synthetic embeddings are not constant)
     assert (out["qmax"] > out["qmin"]).all()
+
+
+def test_consensus_dup_pairs_is_set_intersection(ray_session, dup_dir):
+    """Consensus pairs == exact set intersection of the two signal
+    pipelines' outputs on the standard fixture, and both legs genuinely
+    gate (consensus is strictly smaller than each leg)."""
+    from weaver_ray.pipelines.dedup import (consensus_dup_pairs,
+                                            embedding_near_dup_pairs,
+                                            ngram_jaccard_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    lex = ngram_jaccard_pairs(sf)
+    sem = embedding_near_dup_pairs(sf)
+    lex_set = set(zip(lex["doc_a"], lex["doc_b"]))
+    sem_set = set(zip(sem["vec_a"], sem["vec_b"]))
+    out = consensus_dup_pairs(sf)
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == (lex_set & sem_set)
+    assert 0 < len(got) < min(len(lex_set), len(sem_set))

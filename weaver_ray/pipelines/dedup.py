@@ -822,3 +822,57 @@ def embedding_near_dup_pairs(sf_dir: str, band: int = 100, threshold: float = 0.
     return _pairs_to_pandas(
         embedding_near_dup_pairs_ds(sf_dir, band, threshold, bucket),
         ["vec_a", "vec_b"], {"vec_a": np.int64, "vec_b": np.int64})
+
+
+def consensus_dup_pairs(sf_dir: str, jaccard_band: int = 50,
+                        jaccard_threshold: float = 0.2,
+                        cos_band: int = 100, cos_threshold: float = 0.25,
+                        num_buckets: int = 16) -> pd.DataFrame:
+    """MULTI-SIGNAL (consensus) deduplication: a pair is a duplicate only
+    if BOTH the lexical signal (token-set Jaccard >= ``jaccard_threshold``
+    within the doc_id band) AND the semantic signal (embedding cosine >
+    ``cos_threshold`` within the vec_id band) flag it — the
+    precision-first curation policy that rejects lexical collisions
+    without semantic agreement and vice versa.  The embeddings table is
+    row-aligned with documents (vec_id == doc_id), so the intersection is
+    well-defined (509 consensus pairs at sf0.001 — both legs genuinely
+    gate; the minhash leg was tried first and intersects EMPTY with the
+    semantic signal, because the planted text dups are id-distant while
+    the cosine near-dups are id-banded).
+
+    Engine shape: both existing pair pipelines run UNCHANGED as Datasets;
+    the intersection is one bucketed hash join on the packed
+    ``doc_a * 2^32 + doc_b`` pair key (pair sets, not corpora, move
+    through the exchange — each side emits every pair exactly once by its
+    own construction).  Oracle: INTERSECT of the two nested pair SQLs."""
+    from .common import hash_join
+
+    mh = ngram_jaccard_pairs_ds(sf_dir, jaccard_band,
+                                jaccard_threshold).map_batches(
+        lambda df: pd.DataFrame({
+            "pk": (df["doc_a"].to_numpy(np.int64) << 32)
+                  | df["doc_b"].to_numpy(np.int64),
+            "doc_a": df["doc_a"].to_numpy(np.int64),
+            "doc_b": df["doc_b"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    em = embedding_near_dup_pairs_ds(sf_dir, cos_band, cos_threshold
+                                     ).map_batches(
+        lambda df: pd.DataFrame({
+            "pk": (df["vec_a"].to_numpy(np.int64) << 32)
+                  | df["vec_b"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    def keep_pair(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return j[["doc_a", "doc_b"]].drop_duplicates()
+
+    out = hash_join(mh, em, on="pk",
+                    lcols=["pk", "doc_a", "doc_b"], rcols=["pk"],
+                    num_buckets=num_buckets, post=keep_pair).to_pandas()
+    if "doc_a" not in out.columns:  # all-empty result drops the schema
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    return (out.astype({"doc_a": np.int64, "doc_b": np.int64})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
