@@ -471,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exponentially time-decayed counts/sums (1-day half-life, exact
         # dyadic 2^-age weights so both engines agree bit-for-bit)
         "decayed_event_scores": temporal.decayed_event_scores,
+        # per-type daily anomaly z-scores (count vs the type's daily
+        # mean/stddev_samp; sd==0 types excluded on both engines)
+        "daily_type_anomalies": temporal.daily_type_anomalies,
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
@@ -1556,6 +1559,25 @@ def oracle_sql() -> dict[str, str]:
                        sum(value) FILTER (WHERE NOT late), 0), 4)
                        AS on_time_value
             FROM cls GROUP BY window_hour
+        """,
+        # daily anomaly z-scores: sample stddev per type over days
+        "daily_type_anomalies": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd,
+                       count(*) AS days
+                FROM d GROUP BY 1
+            )
+            SELECT d.event_type, d.day, d.n,
+                   round((d.n - s.mu) / s.sd, 4) AS z
+            FROM d JOIN s USING (event_type)
+            WHERE s.days >= 2 AND s.sd > 0
+            ORDER BY event_type, day
         """,
         # time-decayed scores: integer-day ages, exact power-of-two weights
         "decayed_event_scores": """

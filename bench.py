@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "token_typo_pairs",
     "host_shortest_paths",
     "consensus_dup_pairs",
+    "daily_type_anomalies",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

@@ -339,3 +339,27 @@ def test_decayed_event_scores_exact_weights(ray_session, tmp_path):
     assert out.loc["click", "decayed_count"] == 1.0
     assert out.loc["click", "decayed_value"] == 4.0
     assert out.loc["view", "n_events"] == 3
+
+
+def test_daily_type_anomalies_hand_computed(ray_session, tmp_path):
+    """Known daily counts -> known z-scores; constant-count types are
+    excluded (sd == 0)."""
+    day = 86_400
+    rows = []
+    eid = 0
+    # 'view': 1, 2, 3 events on days 0, 1, 2  (mu=2, sd=1 -> z=-1, 0, 1)
+    for d, k in ((0, 1), (1, 2), (2, 3)):
+        for _ in range(k):
+            rows.append((eid, d * day + eid, 1, "view", 1.0))
+            eid += 1
+    # 'click': constant 2/day -> sd 0 -> excluded entirely
+    for d in (0, 1):
+        for _ in range(2):
+            rows.append((eid, d * day + eid, 2, "click", 1.0))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    out = temporal.daily_type_anomalies(sf)
+    assert set(out["event_type"]) == {"view"}
+    v = out.sort_values("day")
+    assert list(v["n"]) == [1, 2, 3]
+    assert list(v["z"]) == [-1.0, 0.0, 1.0]

@@ -723,3 +723,58 @@ def decayed_event_scores(sf_dir: str) -> pd.DataFrame:
         "decayed_count": sql_round(out["dc"], 6),
         "decayed_value": sql_round(out["dv"], 6),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def daily_type_anomalies(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """TIME-SERIES ANOMALY SCORING: each (event_type, day) cell's event
+    count standardized against its type's daily distribution — the
+    monitoring shape behind traffic-spike / pipeline-regression alerts
+    (z = (n - mean) / stddev_samp over that type's days).
+
+    Engine shape: ONE (type, day)-keyed count pass (per-batch partials,
+    bucketed reduce); the resulting cell table is metadata-sized
+    (types x days), so the per-type moments and the z-scores fold
+    driver-side — the same finish-pass budget as every small-aggregate
+    query here.  Types whose daily counts never vary (sd == 0) are
+    excluded on BOTH engines rather than emitting inf.  z rounds to 4 dp
+    half-away (stddev FP paths differ between numpy and DuckDB at ulp
+    scale; the established rounding convention absorbs it)."""
+    from .common import sql_round
+
+    ds = load(sf_dir, "events", ["ts", "event_type"])
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "event_type": df["event_type"].to_numpy(object),
+                "day": _ts_us(df["ts"]) // 86_400_000_000})
+             .groupby(["event_type", "day"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cells = partial_groupby(
+        ds.map_batches(day_counts, batch_format="pandas"),
+        ["event_type", "day"], {"n": ("n", "sum")}, many_groups=True,
+        num_buckets=num_buckets).to_pandas()
+
+    out = []
+    for et, g in cells.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.float64)
+        if len(n) < 2:
+            continue
+        mu = n.mean()
+        sd = np.sqrt(((n - mu) ** 2).sum() / (len(n) - 1))
+        if sd == 0:
+            continue
+        out.append(pd.DataFrame({
+            "event_type": np.full(len(g), et, dtype=object),
+            "day": g["day"].to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "z": sql_round((n - mu) / sd, 4)}))
+    if not out:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "day": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "z": pd.Series([], dtype=np.float64)})
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
