@@ -474,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type daily anomaly z-scores (count vs the type's daily
         # mean/stddev_samp; sd==0 types excluded on both engines)
         "daily_type_anomalies": temporal.daily_type_anomalies,
+        # Markov transition counts over per-user (ts, event_id)-ordered
+        # event sequences + each cell's share of its source row
+        "event_transition_matrix": temporal.event_transition_matrix,
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
@@ -1559,6 +1562,26 @@ def oracle_sql() -> dict[str, str]:
                        sum(value) FILTER (WHERE NOT late), 0), 4)
                        AS on_time_value
             FROM cls GROUP BY window_hour
+        """,
+        # Markov transitions: lag window per user, grouped counts + share
+        "event_transition_matrix": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                FROM events
+            ),
+            cnt AS (
+                SELECT event_type AS prev_type, next_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM seq WHERE next_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+                   round(n / sum(n) OVER (PARTITION BY prev_type), 4)
+                       AS row_share
+            FROM cnt ORDER BY prev_type, next_type
         """,
         # daily anomaly z-scores: sample stddev per type over days
         "daily_type_anomalies": """

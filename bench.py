@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "host_shortest_paths",
     "consensus_dup_pairs",
     "daily_type_anomalies",
+    "event_transition_matrix",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

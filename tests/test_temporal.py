@@ -363,3 +363,22 @@ def test_daily_type_anomalies_hand_computed(ray_session, tmp_path):
     v = out.sort_values("day")
     assert list(v["n"]) == [1, 2, 3]
     assert list(v["z"]) == [-1.0, 0.0, 1.0]
+
+
+def test_event_transition_matrix_hand_computed(ray_session, tmp_path):
+    """Two users with known sequences -> known transition counts; the
+    boundary between users must NOT produce a transition."""
+    sf = _write_events(tmp_path, [
+        (1, 0, 1, "view", 1.0), (2, 1, 1, "click", 1.0),
+        (3, 2, 1, "view", 1.0), (4, 3, 1, "click", 1.0),
+        (5, 0, 2, "purchase", 1.0), (6, 1, 2, "view", 1.0),
+    ])
+    out = temporal.event_transition_matrix(sf, num_buckets=2)
+    cells = {(r.prev_type, r.next_type): (r.n, r.row_share)
+             for r in out.itertuples()}
+    assert cells[("view", "click")] == (2, 1.0)
+    assert cells[("click", "view")] == (1, 1.0)
+    assert cells[("purchase", "view")] == (1, 1.0)
+    # user boundary (click@u1 -> purchase@u2) must not appear
+    assert ("click", "purchase") not in cells
+    assert len(cells) == 3

@@ -778,3 +778,49 @@ def daily_type_anomalies(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
                              "z": pd.Series([], dtype=np.float64)})
     return (pd.concat(out, ignore_index=True)
             .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+def event_transition_matrix(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """MARKOV TRANSITION COUNTS over per-user event sequences: for each
+    user's events ordered by (ts, event_id), count every adjacent
+    (prev_type -> next_type) step, then aggregate the corpus-wide
+    transition matrix with each cell's share of its source row — the
+    session-flow / behavioral-model shape (what follows a click?).
+
+    Engine shape: ONE user-keyed bucket exchange (complete users per
+    bucket); inside the bucket a single vectorized sort + shift pairs
+    each event with its successor (never a per-user loop); per-bucket
+    (prev, next) partials reduce through the tiny grouped sum.  The row
+    share divides AFTER the global reduce, on the 4-dp half-away grid."""
+    from .common import keyed_map_groups, sql_round
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def steps(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                              "next_type": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        b = bucket.assign(ts_us=_ts_us(bucket["ts"])).sort_values(
+            ["user_id", "ts_us", "event_id"])
+        same_user = b["user_id"].to_numpy()[1:] == b["user_id"].to_numpy()[:-1]
+        prev = b["event_type"].to_numpy(object)[:-1][same_user]
+        nxt = b["event_type"].to_numpy(object)[1:][same_user]
+        if not len(prev):
+            return empty
+        g = (pd.DataFrame({"prev_type": prev, "next_type": nxt})
+             .groupby(["prev_type", "next_type"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cells = keyed_map_groups(ds, "user_id", steps, num_buckets)
+    agg = partial_groupby(cells, ["prev_type", "next_type"],
+                          {"n": ("n", "sum")}, many_groups=True,
+                          num_buckets=num_buckets).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    row_tot = agg.groupby("prev_type")["n"].transform("sum")
+    agg["row_share"] = sql_round(agg["n"] / row_tot, 4)
+    return (agg.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
