@@ -516,6 +516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deletion-neighborhood (SymSpell) edit-distance-1 typo join over
         # the vocabulary + one planted md5-position deletion per token
         "token_typo_pairs": textops.token_typo_pairs,
+        # BPE tokenizer training: 6 merge rounds over the distributed
+        # word-frequency table (integer/string parity, no rounding)
+        "bpe_merges": textops.bpe_merges,
         # self-evidencing (bound_ok / in_exact_topk verdict columns);
         # estimate depends on batch boundaries, so no SQL oracle by
         # design.  c=20 forces the truncation path at test scale (the
@@ -2450,6 +2453,10 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import host_sssp_sql
 
     d["host_shortest_paths"] = host_sssp_sql()
+    # BPE training: merge loop unrolled, all CTEs materialized
+    from weaver_ray.pipelines.textops import bpe_sql
+
+    d["bpe_merges"] = bpe_sql()
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
     from weaver_ray.pipelines.similarity import (ann_ivf_sql, ann_ivfpq_sql,

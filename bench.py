@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "consensus_dup_pairs",
     "daily_type_anomalies",
     "event_transition_matrix",
+    "bpe_merges",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

@@ -593,3 +593,47 @@ def test_token_typo_pairs_planted_recovery(ray_session):
     # symmetry/canonical form: tok_a strictly below tok_b, no dups
     assert (out["tok_a"] < out["tok_b"]).all()
     assert not out.duplicated(["tok_a", "tok_b"]).any()
+
+
+def test_bpe_merges_golden_sequential(ray_session, tmp_path):
+    """Engine == an independent sequential BPE trainer (same replace
+    contract) over a tiny corpus with hand-checkable merges."""
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        # 'lolo' x3, 'lo' x2  -> round 0 merges (l, o) with n = 3*2+2 = 8
+        "text": pa.array(["lolo lolo lo", "lolo lo"], pa.string()),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([12, 7], pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from weaver_ray.pipelines.textops import TOKEN_RE, bpe_merges
+
+    out = bpe_merges(str(tmp_path), n_merges=2)
+
+    # independent sequential trainer with the identical contract
+    import collections
+    import re
+
+    toks = collections.Counter()
+    for txt in t.column("text").to_pylist():
+        for w in re.findall(TOKEN_RE, txt.lower()):
+            toks[w] += 1
+    vocab = {w: (" " + " ".join(w) + " ", f) for w, f in toks.items()}
+    expect = []
+    for rnd in range(2):
+        pairs = collections.Counter()
+        for sym, f in vocab.values():
+            s = sym.split()
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        (a, b), n = sorted(pairs.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((rnd, a, b, a + b, n))
+        vocab = {w: (sym.replace(f" {a} {b} ", f" {a}{b} "), f)
+                 for w, (sym, f) in vocab.items()}
+    got = list(map(tuple, out.to_numpy()))
+    assert got == expect
+    # round 0 by inspection: (l, o) appears 2x in 'lolo' (freq 3) + 1x in
+    # 'lo' (freq 2) = 8; the alternating-run contract then leaves ' lo l o '
+    assert got[0] == (0, "l", "o", "lo", 8)

@@ -1490,3 +1490,152 @@ def token_typo_pairs(sf_dir: str, min_len: int = 4,
                               num_buckets=num_buckets).to_pandas()
     return (deduped[["tok_a", "tok_b"]]
             .sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 6,
+               num_buckets: int = 8) -> pd.DataFrame:
+    """BPE TOKENIZER TRAINING (the Sennrich et al. 2016 word-frequency
+    formulation): starting from character symbols, learn ``n_merges``
+    merge rules — each round merges the corpus-wide most frequent
+    adjacent symbol pair (ties to the lexically smallest (a, b)) — and
+    return the merge table (round, a, b, merged, n).
+
+    Merge-application contract (pinned so the SQL oracle replays it
+    bit-identically): symbols live space-joined with sentinel spaces
+    (`` a b c ``) and a merge is ``str.replace(" a b ", " ab ")`` —
+    leftmost non-overlapping with delimiter consumption, identical in
+    Python and DuckDB ``replace``.  (In an alternating run ``a b a b``
+    this defers the second merge to a later round — a documented,
+    deterministic divergence from canonical list-walk BPE that both
+    engines share.)
+
+    Engine shape: the word-frequency table builds DISTRIBUTED (per-batch
+    token counts, one token-keyed reduce) and STAYS a Dataset; each round
+    one map_batches pass explodes per-word adjacent pairs into weighted
+    partials, the tiny (a, b) reduce finds the winner (driver sees one
+    bounded pair table, never words), and a second map_batches applies
+    the merge — driver state is the merge TABLE only.  All values are
+    integers and strings: parity needs no rounding at all.  Vocabulary,
+    not corpus, bounds every per-round cost (the classic BPE property)."""
+    import ray.data as rd
+
+    from .common import partial_groupby
+
+    ds = load(sf_dir, "documents", ["text"])
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"word": vc.index.astype(object),
+                             "freq": vc.to_numpy(np.int64)})
+
+    vocab = partial_groupby(
+        ds.map_batches(word_counts, batch_format="pandas"),
+        ["word"], {"freq": ("freq", "sum")}, many_groups=True,
+        num_buckets=num_buckets)
+
+    def to_sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "word": df["word"].to_numpy(object),
+            "sym": [" " + " ".join(w) + " " for w in df["word"].astype(str)],
+            "freq": df["freq"].to_numpy(np.int64)})
+
+    words = vocab.map_batches(to_sym, batch_format="pandas").materialize()
+
+    merges = []
+    for rnd in range(n_merges):
+        def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_n = [], [], []
+            for sym, freq in zip(df["sym"], df["freq"]):
+                s = sym.split()
+                for i in range(len(s) - 1):
+                    out_a.append(s[i])
+                    out_b.append(s[i + 1])
+                    out_n.append(freq)
+            g = (pd.DataFrame({"a": pd.Series(out_a, dtype=object),
+                               "b": pd.Series(out_b, dtype=object),
+                               "n": pd.Series(out_n, dtype=np.int64)})
+                 .groupby(["a", "b"], sort=False)["n"].sum().reset_index())
+            g["n"] = g["n"].astype(np.int64)
+            return g
+
+        pairs = partial_groupby(
+            words.map_batches(pair_partials, batch_format="pandas"),
+            ["a", "b"], {"n": ("n", "sum")}, many_groups=True,
+            num_buckets=num_buckets).to_pandas()
+        if not len(pairs):
+            raise ValueError(f"bpe_merges: pair table ran dry at round "
+                             f"{rnd} — lower n_merges ({n_merges})")
+        win = pairs.sort_values(["n", "a", "b"],
+                                ascending=[False, True, True]).iloc[0]
+        a, b, n = str(win["a"]), str(win["b"]), int(win["n"])
+        merges.append((rnd, a, b, a + b, n))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply_merge(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            return pd.DataFrame({
+                "word": df["word"].to_numpy(object),
+                "sym": [s.replace(pat, rep) for s in df["sym"]],
+                "freq": df["freq"].to_numpy(np.int64)})
+
+        words = words.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+
+    return pd.DataFrame(merges, columns=["round", "a", "b", "merged", "n"]
+                        ).astype({"round": np.int64, "n": np.int64})
+
+
+def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
+    """The DuckDB oracle for :func:`bpe_merges`: the merge loop unrolled
+    one (pair-count, argmax, replace) CTE triple per round — every CTE
+    AS MATERIALIZED (the host_sssp_sql lesson: each round references its
+    predecessor repeatedly and default inlining blows the plan up
+    exponentially).  Pair positions come from a static 1..max_word_len
+    index joined on ``i <= len(s) - 1`` (DuckDB's range() takes only
+    constants); words longer than ``max_word_len`` symbols would
+    silently under-count, so the bound is generous vs any \\w+ token."""
+    parts = [f"""
+        WITH idx AS MATERIALIZED (
+            SELECT range AS i FROM range(1, {max_word_len})
+        ),
+        w0 AS MATERIALIZED (
+            SELECT token AS word,
+                   ' ' || array_to_string(regexp_extract_all(token, '.'),
+                                          ' ') || ' ' AS sym,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT lower(unnest(regexp_extract_all(text, '{TOKEN_RE}')))
+                      AS token
+                  FROM documents)
+            GROUP BY 1, 2
+        )"""]
+    for t in range(n_merges):
+        parts.append(f""",
+        sp{t} AS MATERIALIZED (
+            SELECT word, freq, str_split(trim(sym), ' ') AS s FROM w{t}
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT sp.s[idx.i] AS a, sp.s[idx.i + 1] AS b,
+                   sum(sp.freq) AS n
+            FROM sp{t} sp JOIN idx ON idx.i <= len(sp.s) - 1
+            GROUP BY 1, 2
+        ),
+        win{t} AS MATERIALIZED (
+            SELECT a, b, CAST(n AS BIGINT) AS n FROM p{t}
+            ORDER BY n DESC, a, b LIMIT 1
+        ),
+        w{t + 1} AS MATERIALIZED (
+            SELECT word,
+                   replace(sym,
+                           ' ' || (SELECT a FROM win{t}) || ' '
+                               || (SELECT b FROM win{t}) || ' ',
+                           ' ' || (SELECT a FROM win{t})
+                               || (SELECT b FROM win{t}) || ' ') AS sym,
+                   freq
+            FROM w{t}
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, a, b, a || b AS merged, n "
+        f"FROM win{t}" for t in range(n_merges))
+    parts.append(f"""
+        SELECT * FROM ({sel}) ORDER BY round""")
+    return "".join(parts)
