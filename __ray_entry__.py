@@ -1168,33 +1168,6 @@ def oracle_sql() -> dict[str, str]:
         # minhash: splitmix64 rebuilt in SQL from 32-bit halves (no UBIGINT
         # overflow), md5 token hashes, seeds inlined — exact engine parity
         "minhash_lsh_pairs": _minhash_sql(),
-        # consensus dedup: INTERSECT of the two nested pair oracles
-        # (embeddings are row-aligned with documents: vec_id == doc_id);
-        # lexical leg = the banded token-set Jaccard pairs — the minhash
-        # leg intersects EMPTY with the id-banded semantic signal
-        "consensus_dup_pairs": """
-            SELECT doc_a, doc_b FROM (
-                SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
-                       CAST(b.doc_id AS BIGINT) AS doc_b
-                FROM (SELECT doc_id,
-                             list_distinct(regexp_extract_all(text, '\\w+'))
-                                 AS ts
-                      FROM documents) a
-                JOIN (SELECT doc_id,
-                             list_distinct(regexp_extract_all(text, '\\w+'))
-                                 AS ts
-                      FROM documents) b
-                  ON b.doc_id - a.doc_id BETWEEN 1 AND 50
-                WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
-                      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.2)
-            INTERSECT
-            SELECT CAST(e1.vec_id AS BIGINT) AS doc_a,
-                   CAST(e2.vec_id AS BIGINT) AS doc_b
-            FROM embeddings e1 JOIN embeddings e2
-              ON e2.vec_id - e1.vec_id BETWEEN 1 AND 100
-             AND list_cosine_similarity(e1.embedding, e2.embedding) > 0.25
-            ORDER BY doc_a, doc_b
-        """,
         "langid_counts": _langid_sql(),
         "bm25_topk": _bm25_sql(),
         "doc_fingerprints": _fingerprint_sql(),
@@ -2109,8 +2082,8 @@ def oracle_sql() -> dict[str, str]:
         # levenshtein()=1 cross join over the bounded vocab oracles it
         "token_typo_pairs": f"""
             WITH toks AS (
-                SELECT DISTINCT lower(token) AS tok FROM (
-                    SELECT unnest(regexp_extract_all(text, '{TOK}'))
+                SELECT DISTINCT token AS tok FROM (
+                    SELECT unnest(regexp_extract_all(lower(text), '{TOK}'))
                         AS token FROM documents)
                 WHERE length(token) >= 4
             ),
@@ -2453,6 +2426,14 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import host_sssp_sql
 
     d["host_shortest_paths"] = host_sssp_sql()
+    # consensus dedup: DERIVED from the two registered leg oracles (one
+    # source of truth — band/threshold constants live only in the legs)
+    d["consensus_dup_pairs"] = f"""
+        SELECT doc_a, doc_b FROM ({d["ngram_jaccard_pairs"]})
+        INTERSECT
+        SELECT vec_a, vec_b FROM ({d["embedding_near_dup_pairs"]})
+        ORDER BY 1, 2
+    """
     # BPE training: merge loop unrolled, all CTEs materialized
     from weaver_ray.pipelines.textops import bpe_sql
 

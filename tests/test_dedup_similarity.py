@@ -316,7 +316,7 @@ def test_embedding_sq8_error_bound(ray_session):
     assert (out["qmax"] > out["qmin"]).all()
 
 
-def test_consensus_dup_pairs_is_set_intersection(ray_session, dup_dir):
+def test_consensus_dup_pairs_is_set_intersection(ray_session):
     """Consensus pairs == exact set intersection of the two signal
     pipelines' outputs on the standard fixture, and both legs genuinely
     gate (consensus is strictly smaller than each leg)."""

@@ -525,12 +525,16 @@ def host_shortest_paths(sf_dir: str, n_base: int = 1000,
                       + 2 * df["dst_host"].to_numpy(np.int64)) % 7}),
         batch_format="pandas").materialize()
 
-    od = partial_groupby(ew, ["src_host"], {"n": ("w", "count")},
-                         many_groups=True).to_pandas()
-    dd = partial_groupby(ew, ["dst_host"], {"n": ("w", "count")},
-                         many_groups=True).to_pandas()
-    nodes = np.union1d(od["src_host"].to_numpy(np.int64),
-                       dd["dst_host"].to_numpy(np.int64))
+    # ONE stacked distinct pass enumerates the node ids (review fix:
+    # two per-endpoint exchanges paid a second full shuffle for nothing)
+    hosts = partial_groupby(
+        ew.map_batches(
+            lambda df: pd.DataFrame({"h": np.concatenate(
+                [df["src_host"].to_numpy(np.int64),
+                 df["dst_host"].to_numpy(np.int64)])}),
+            batch_format="pandas"),
+        ["h"], {"n": ("h", "count")}, many_groups=True).to_pandas()
+    nodes = np.sort(hosts["h"].to_numpy(np.int64))
     if not len(nodes):
         return pd.DataFrame({"host": pd.Series([], dtype=np.int64),
                              "dist": pd.Series([], dtype=np.int64)})

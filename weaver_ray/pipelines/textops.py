@@ -1517,10 +1517,6 @@ def bpe_merges(sf_dir: str, n_merges: int = 6,
     the merge — driver state is the merge TABLE only.  All values are
     integers and strings: parity needs no rounding at all.  Vocabulary,
     not corpus, bounds every per-round cost (the classic BPE property)."""
-    import ray.data as rd
-
-    from .common import partial_groupby
-
     ds = load(sf_dir, "documents", ["text"])
 
     def word_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -1592,8 +1588,8 @@ def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
     predecessor repeatedly and default inlining blows the plan up
     exponentially).  Pair positions come from a static 1..max_word_len
     index joined on ``i <= len(s) - 1`` (DuckDB's range() takes only
-    constants); words longer than ``max_word_len`` symbols would
-    silently under-count, so the bound is generous vs any \\w+ token."""
+    constants); a guard CTE raises a LOUD error() if any token reaches
+    ``max_word_len`` symbols instead of silently under-counting."""
     parts = [f"""
         WITH idx AS MATERIALIZED (
             SELECT range AS i FROM range(1, {max_word_len})
@@ -1603,8 +1599,8 @@ def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
                    ' ' || array_to_string(regexp_extract_all(token, '.'),
                                           ' ') || ' ' AS sym,
                    CAST(count(*) AS BIGINT) AS freq
-            FROM (SELECT lower(unnest(regexp_extract_all(text, '{TOKEN_RE}')))
-                      AS token
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '{TOKEN_RE}')) AS token
                   FROM documents)
             GROUP BY 1, 2
         )"""]
@@ -1633,9 +1629,19 @@ def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
                    freq
             FROM w{t}
         )""")
+    parts.append(f""",
+        guard AS MATERIALIZED (
+            SELECT CASE WHEN max(len(s)) >= {max_word_len}
+                        THEN CAST(error('bpe_sql: token exceeds '
+                                        || '{max_word_len} symbols — raise '
+                                        || 'max_word_len') AS INT)
+                        ELSE 1 END AS chk
+            FROM sp0
+        )""")
     sel = " UNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS round, a, b, a || b AS merged, n "
         f"FROM win{t}" for t in range(n_merges))
     parts.append(f"""
-        SELECT * FROM ({sel}) ORDER BY round""")
+        SELECT * FROM ({sel})
+        WHERE (SELECT chk FROM guard) = 1 ORDER BY round""")
     return "".join(parts)
