@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_source_mix": textops.weighted_source_mix,
         "deterministic_shuffle_docs": textops.deterministic_shuffle_docs,
         "token_budget_bins": textops.token_budget_bins,
+        "pps_sample_docs": textops.pps_sample_docs,
         # near-dup family
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
@@ -625,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact image dedup over base ∪ variants ∪ planted byte-identical
         # copies (content hash = md5(hex(bytes)), SQL-reproducible)
         "image_exact_dedup": images.image_exact_dedup,
+        "aspect_bucket_assign": images.aspect_bucket_assign,
         # composed image-axis curation flagship (LAION/CLIP-pair shape):
         # size gate ∩ caption gate ∩ exact-dup keeper ∩ phash canonical
         "curated_image_pairs": images.curated_image_pairs,
@@ -954,9 +956,18 @@ def _image_sql() -> dict[str, str]:
     recursive transitive closure for the components — the simhash /
     neardup_clusters oracle pattern applied to the image table."""
     from weaver_ray.pipelines.audio import generate_audio_corpus
-    from weaver_ray.pipelines.images import generate_dups, generate_variants
+    from weaver_ray.pipelines.images import (
+        _AB_LCM,
+        ASPECT_BUCKETS,
+        generate_dups,
+        generate_variants,
+    )
     from weaver_ray.pipelines.video import generate_video_corpus
     from weaver_ray.sources.corpus import generate_corpus
+
+    def _aspect_values() -> str:
+        return ", ".join(f"({i}, {w}, {h})"
+                         for i, (w, h) in enumerate(ASPECT_BUCKETS))
 
     base = generate_corpus(1000) + "/part-*.parquet"
     var = generate_variants(1000) + "/part-*.parquet"
@@ -1033,6 +1044,27 @@ def _image_sql() -> dict[str, str]:
             SELECT n.image_id, CAST(min(reach.r) AS BIGINT) AS cluster_id
             FROM reach JOIN nodes n ON n.nid = reach.nid
             GROUP BY n.image_id
+        """,
+        # aspect bucketing: argmin over the SAME pure-integer scores the
+        # engine computes (constants injected from images.ASPECT_BUCKETS —
+        # one source of truth); ties break to the smallest bucket index
+        "aspect_bucket_assign": f"""
+            WITH bkts AS (
+                SELECT * FROM (VALUES {_aspect_values()}) b(idx, wb, hb)
+            ), scored AS (
+                SELECT i.image_id, b.idx, b.wb, b.hb,
+                       abs(i.w * b.hb - i.h * b.wb) * ({_AB_LCM} // b.hb)
+                           AS score
+                FROM read_parquet('{base}') i, bkts b
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY image_id ORDER BY score, idx) AS rn
+                FROM scored
+            )
+            SELECT image_id, CAST(idx AS BIGINT) AS bucket_idx,
+                   CAST(wb AS BIGINT) AS bucket_w,
+                   CAST(hb AS BIGINT) AS bucket_h
+            FROM ranked WHERE rn = 1
         """,
         # exact image dedup: keeper = min image_id per content hash
         "image_exact_dedup": f"""
@@ -2219,6 +2251,33 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0) // 2048
                    AS BIGINT) AS bin
             FROM t
+        """,
+        # systematic PPS sampling: pure-integer midpoint stride points over
+        # the md5-shuffled exclusive token scan (sum() is HUGEINT in DuckDB,
+        # so (2j+1)*T never overflows); n_hits = points inside the interval
+        "pps_sample_docs": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{TOK}')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM t
+            ), tot AS (SELECT sum(n_tokens) AS T FROM t),
+            pts AS (
+                SELECT ((2 * j.j + 1) * tot.T) // (2 * 100) AS pt
+                FROM range(0, 100) j(j), tot
+            )
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   c.n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM c JOIN pts ON pts.pt >= c.cb AND pts.pt < c.cb + c.n_tokens
+            GROUP BY c.doc_id, c.n_tokens
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS text_hash,

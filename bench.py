@@ -80,12 +80,14 @@ QUERY_NAMES = [
     "kmeans_clusters",
     "semantic_dedup_keepers",
     "token_budget_bins",
+    "pps_sample_docs",
     "weighted_source_mix",
     "deterministic_shuffle_docs",
     "multimodal_joint_pairs",
     "image_decode_stats",
     "image_phash_clusters",
     "image_exact_dedup",
+    "aspect_bucket_assign",
     "curated_image_pairs",
     "image_phash_topk",
     "audio_wav_features",

@@ -325,3 +325,43 @@ def test_contrastive_negatives_derangement(ray_session):
     by_img = a.pivot(index="image_id", columns="neg_rank",
                      values="neg_image_id")
     assert (by_img[1] != by_img[2]).all()
+
+
+def test_aspect_assign_matches_exact_rational_argmin():
+    """The integer-score argmin must equal the true rational-distance
+    argmin |w/h - wb/hb| (computed with fractions.Fraction), and ties
+    must break to the smallest bucket index — pinned on a constructed
+    exact tie (17/12 is equidistant from 4/3 and 3/2)."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from weaver_ray.pipelines.images import ASPECT_BUCKETS, _aspect_assign
+
+    dims = [(100, 100), (400, 300), (299, 400), (1600, 900), (90, 160),
+            (150, 100), (100, 150), (641, 480), (479, 640), (17, 12),
+            (1, 1000), (1000, 1)]
+    df = pd.DataFrame({
+        "image_id": [f"t{i:03d}" for i in range(len(dims))],
+        "w": np.asarray([d[0] for d in dims], dtype=np.int32),
+        "h": np.asarray([d[1] for d in dims], dtype=np.int32)})
+    out = _aspect_assign(df)
+    for i, (w, h) in enumerate(dims):
+        dists = [abs(Fraction(w, h) - Fraction(wb, hb))
+                 for wb, hb in ASPECT_BUCKETS]
+        expect = dists.index(min(dists))  # first minimum = smallest index
+        assert out["bucket_idx"][i] == expect, (w, h)
+    # the constructed tie resolves to bucket 1 (4:3), not bucket 5 (3:2)
+    assert out.loc[out["image_id"] == "t009", "bucket_idx"].item() == 1
+
+
+def test_aspect_bucket_assign_covers_corpus(ray_session):
+    """Every corpus image gets exactly one bucket; bucket dims come from
+    the fixed list."""
+    from weaver_ray.pipelines.images import ASPECT_BUCKETS, aspect_bucket_assign
+
+    out = aspect_bucket_assign("/root/testdata/sf0.001", n_base=200)
+    assert len(out) == 200
+    assert out["image_id"].is_unique
+    got = set(zip(out["bucket_w"], out["bucket_h"]))
+    assert got <= set(ASPECT_BUCKETS)

@@ -269,3 +269,57 @@ def test_ann_ivfpq_matches_independent_numpy(ray_session):
     # the probe restriction must actually bite at n_probe=2 of 8 cells:
     # fewer candidates than exhaustive for at least one query is expected
     assert len(eng) > 0
+
+
+def test_pps_sample_matches_sequential_replay(ray_session, tmp_path):
+    """Systematic PPS vs an independent sequential replay (md5 order ->
+    exclusive prefix -> midpoint points -> interval hits), including a
+    heavy document whose weight spans multiple strides (n_hits > 1)."""
+    from weaver_ray.pipelines.textops import pps_sample_docs
+
+    texts = ["alpha beta", "x", "", "one two three four five six seven",
+             " ".join(["tok"] * 40), "a b c"]  # doc 4 is the heavy one
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    n = 8
+    eng = (pps_sample_docs(str(tmp_path), n=n).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # independent replay
+    w = {i: len(s.split()) for i, s in enumerate(texts)}
+    order = sorted(w, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+    total = sum(w.values())
+    pts = [((2 * j + 1) * total) // (2 * n) for j in range(n)]
+    cb, rows = 0, []
+    for d in order:
+        hits = sum(1 for p in pts if cb <= p < cb + w[d])
+        if hits:
+            rows.append((d, w[d], hits))
+        cb += w[d]
+    ref = (pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_hits"])
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ref, check_dtype=False)
+    assert eng["n_hits"].sum() == n          # every point lands somewhere
+    assert (eng["n_hits"] > 1).any()         # the heavy doc spans strides
+    assert 2 not in set(eng["doc_id"])       # doc 2 (zero tokens) excluded
+
+
+def test_pps_sample_point_budget_at_fixture_scale(ray_session):
+    """At sf0.001: exactly n points distributed, every sampled doc has
+    positive weight, inclusion leans toward heavier docs."""
+    from weaver_ray.pipelines.textops import pps_sample_docs
+
+    out = pps_sample_docs(SF, n=100).to_pandas()
+    assert out["n_hits"].sum() == 100
+    assert (out["n_tokens"] > 0).all()
+    # PPS property: the mean token weight of sampled docs exceeds the
+    # corpus mean (heavier docs are more likely to be hit)
+    import re
+
+    corpus = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    mean_all = np.mean([len(re.findall(r"\w+", s))
+                        for s in corpus["text"].to_pylist()])
+    assert out["n_tokens"].mean() > mean_all

@@ -541,6 +541,47 @@ def caption_stats_by_fmt(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     return out.sort_values("fmt").reset_index(drop=True)
 
 
+# SDXL/NovelAI-style aspect-ratio buckets (w_ratio, h_ratio) — training
+# batches must share a shape, so every image is assigned to the nearest
+# aspect bucket.  _AB_LCM = lcm of the bucket heights: comparing
+# |w/h - wb/hb| across buckets multiplies each |w*hb - h*wb| / (h*hb) by
+# the common positive factor h*_AB_LCM, giving PURE-INTEGER scores with
+# the exact same argmin — no floats, so engine and oracle agree
+# bit-for-bit (ties break to the smallest bucket index).
+ASPECT_BUCKETS = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3))
+_AB_LCM = int(np.lcm.reduce([h for _, h in ASPECT_BUCKETS]))
+
+
+def aspect_bucket_assign(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """ASPECT-RATIO BUCKETING (the SDXL / NovelAI training-data layout
+    step): assign every image to the fixed aspect bucket minimizing
+    |w/h - wb/hb|, so a multimodal training loader can batch same-shape
+    resizes.  One shuffle-free map_batches over (image_id, w, h) only
+    (bytes never read — column pruning at the parquet scan); the n×B
+    integer score matrix argmins vectorized per batch.  Exact-integer
+    scoring (see ASPECT_BUCKETS) makes the assignment bit-reproducible
+    and fully SQL-checkable."""
+    ds = read_corpus(generate_corpus(n_base), ["image_id", "w", "h"])
+    out = ds.map_batches(_aspect_assign, batch_format="pandas").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _aspect_assign(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized exact-integer aspect-bucket argmin (one batch)."""
+    wb = np.asarray([b[0] for b in ASPECT_BUCKETS], dtype=np.int64)
+    hb = np.asarray([b[1] for b in ASPECT_BUCKETS], dtype=np.int64)
+    mult = _AB_LCM // hb  # per-bucket integer scale factor
+    w = df["w"].to_numpy(np.int64)[:, None]
+    h = df["h"].to_numpy(np.int64)[:, None]
+    score = np.abs(w * hb[None, :] - h * wb[None, :]) * mult[None, :]
+    k = np.argmin(score, axis=1)  # first minimum = smallest index tie
+    return pd.DataFrame({
+        "image_id": df["image_id"].to_numpy(object),
+        "bucket_idx": k.astype(np.int64),
+        "bucket_w": wb[k],
+        "bucket_h": hb[k]})
+
+
 def _decode_dims_batch(batch: pa.Table) -> pa.Table:
     """bytes -> DECODED pixel dimensions only (no features) — the minimal
     per-row certificate that the real codecs (pure-Python PNG + pure-numpy

@@ -874,6 +874,64 @@ def curated_packed_shards(sf_dir: str, budget: int = 512,
     return _pack_bins(cum, budget)
 
 
+def pps_sample_docs(sf_dir: str, n: int = 100) -> rd.Dataset:
+    """PROBABILITY-PROPORTIONAL-TO-SIZE sampling (systematic PPS, Madow
+    1949): draw ``n`` sample points from the token-weighted corpus so each
+    document's inclusion count is proportional to its token weight — the
+    importance-sampling step of data-mixture construction (more tokens,
+    more representation), with multiplicity reported when a heavy doc's
+    weight exceeds a full stride.
+
+    Exactness by construction: NO transcendentals anywhere (unlike
+    Efraimidis-Spirakis u^(1/w) keys, whose pow() ulps differ between
+    libms) — the scan, the sample points ``p_j = ((2j+1)·T) // (2n)`` and
+    the interval-membership counts are pure integer arithmetic, so engine
+    and oracle agree bit-for-bit with no rounding grid.  Document order is
+    the md5(doc_id) deterministic shuffle (decorrelates the systematic
+    stride from ingestion order — the classic systematic-sampling
+    requirement), the exclusive token scan is
+    :func:`common.global_prefix_sum` (one int per block to the driver),
+    and the per-row hit count is two vectorized searchsorted calls against
+    the n-point array closed over the batch fn.  Scale shape: one token
+    pass + one metadata-only scan; rows never reach the driver."""
+    from .common import global_prefix_sum
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        out = _doc_token_count_frame(df)
+        out["__k"] = _md5_doc_key(out["doc_id"])
+        return out
+
+    # materialize once: the token frame feeds BOTH the total and the scan
+    # (a lazy plan would re-run the read + tokenize per consumer)
+    toks = ds.map_batches(keyed_tokens, batch_format="pandas").materialize()
+    total = int(toks.sum("n_tokens"))
+    if total <= 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "n_hits": pd.Series([], dtype=np.int64)}))
+    # midpoint systematic sample points on the integer token axis,
+    # computed in Python ints (no int64 overflow at any corpus size)
+    points = np.asarray([((2 * j + 1) * total) // (2 * n) for j in range(n)],
+                        dtype=np.int64)
+    cum = global_prefix_sum(toks, ["__k", "doc_id"], "n_tokens")
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        cb = df["cum_before"].to_numpy(np.int64)
+        w = df["n_tokens"].to_numpy(np.int64)
+        k = (np.searchsorted(points, cb + w, side="left")
+             - np.searchsorted(points, cb, side="left"))
+        keep = k > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "n_tokens": w[keep],
+            "n_hits": k[keep].astype(np.int64)})
+
+    return cum.map_batches(hits, batch_format="pandas")
+
+
 BM25_TERMS = ("data", "merge", "spark", "window")  # fixed sorted query
 
 
