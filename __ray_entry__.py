@@ -87,6 +87,16 @@ def _crawl_round_stats(sf_dir: str):
     return round_stats(res.records_dir)
 
 
+def _crawl_pagerank_priority(sf_dir: str):
+    """Importance-ordered scheduling (Cho et al. 1998): within-round URL
+    re-ranking by host PageRank (pipelines/gather.py:pagerank_priority_order)."""
+    from weaver_ray.pipelines.gather import pagerank_priority_order
+
+    res = _crawl_result(sf_dir)
+    corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
+    return pagerank_priority_order(res.records_dir, n_base=corpus)
+
+
 def _crawl_curated_shards(sf_dir: str):
     """Crawl → curate → pack composition over the memoized query crawl's
     records (pipelines/gather.py:curated_crawl_shards)."""
@@ -107,6 +117,37 @@ def _crawl_records_glob() -> str:
     and the round=N directory names would collide."""
     corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
     return f"/tmp/weaver_query_crawl_{corpus}/records/round=*/part-*.parquet"
+
+
+def _crawl_pagerank_priority_sql() -> str:
+    """DuckDB replay: the host_pagerank oracle (nested verbatim — the
+    kmeans_sql nesting precedent) LEFT-joined to the records on the host
+    index parsed from the 'host-K.example' name, ranked within each round
+    by (pr desc, seq asc); hosts outside the link graph rank at 0.0 on
+    both engines."""
+    from weaver_ray.pipelines.pagerank import pagerank_sql
+
+    corpus = int(os.environ.get("WEAVER_QUERY_CRAWL_CORPUS", "1000"))
+    glob = _crawl_records_glob()
+    return f"""
+        WITH pr AS ({pagerank_sql(corpus)}),
+        rec AS (
+            SELECT url_canon, host, round, seq,
+                   CAST(regexp_extract(host, 'host-(\\d+)', 1) AS BIGINT)
+                       AS hidx
+            FROM read_parquet('{glob}', hive_partitioning = false)
+        ),
+        j AS (
+            SELECT r.url_canon, r.host, r.round, r.seq,
+                   coalesce(pr.pr, 0.0) AS pr
+            FROM rec r LEFT JOIN pr ON pr.host = r.hidx
+        )
+        SELECT url_canon, host, round, seq, pr,
+               CAST(row_number() OVER (
+                   PARTITION BY round ORDER BY pr DESC, seq) - 1
+               AS BIGINT) AS prio_rank
+        FROM j
+    """
 
 
 def _crawl_flagship_seen_sql() -> str:
@@ -608,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl -> curate -> pack over the crawl's OWN records (FULL SQL
         # oracle — both engines read the same memoized records parquet)
         "crawl_curated_shards": _crawl_curated_shards,
+        "crawl_pagerank_priority": _crawl_pagerank_priority,
         # multimodal
         "image_decode_stats": _image_decode_stats,
         "media_stub_plumbing": _media_stub_plumbing,
@@ -2453,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
     d["docs_profile"] = _docs_profile_sql()
     # crawl -> curate -> pack over the memoized query crawl's records
     d["crawl_curated_shards"] = _crawl_curated_shards_sql()
+    d["crawl_pagerank_priority"] = _crawl_pagerank_priority_sql()
     # gather report + first-wins merge replayed over the same records;
     # the seen table certified against the durable records projection
     d["crawl_host_stats"] = _crawl_host_stats_sql()

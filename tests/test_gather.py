@@ -82,3 +82,28 @@ def test_curated_crawl_shards_legs_and_packing(crawl_out):
     out = out.sort_values("image_id")
     cum = out["n_tokens"].cumsum().shift(fill_value=0)
     assert (out["shard"].to_numpy() == (cum // 256).to_numpy()).all()
+
+
+def test_pagerank_priority_order_semantics(crawl_out):
+    """Within each round: prio_rank is a dense permutation, pr is
+    non-increasing along it, and equal-pr runs preserve seq order (the
+    Cho et al. ordering contract the SQL hash can't localize)."""
+    import numpy as np
+
+    from weaver_ray.pipelines.gather import pagerank_priority_order
+
+    out = pagerank_priority_order(crawl_out.records_dir).to_pandas()
+    assert len(out) == crawl_out.urls_seen
+    for rnd, g in out.groupby("round"):
+        g = g.sort_values("prio_rank")
+        assert list(g["prio_rank"]) == list(range(len(g)))
+        pr = g["pr"].to_numpy()
+        assert (np.diff(pr) <= 0).all()          # importance-ordered
+        for _, run in g.groupby("pr", sort=False):
+            assert run["seq"].is_monotonic_increasing
+    # the re-ranking must actually bite somewhere: at least one round
+    # orders differently from the original seq order
+    bites = any((g.sort_values("prio_rank")["seq"].to_numpy()
+                 != np.sort(g["seq"].to_numpy())).any()
+                for _, g in out.groupby("round"))
+    assert bites

@@ -151,6 +151,70 @@ def near_dup_phash(records_dir: str, max_hamming: int = 4, prefix_bits: int = 16
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
+def pagerank_priority_order(records_dir: str, n_base: int = 1000) -> rd.Dataset:
+    """IMPORTANCE-ORDERED CRAWL SCHEDULING (Cho, Garcia-Molina & Page
+    1998, "Efficient crawling through URL ordering"): re-rank every
+    round's scheduled URLs by the PageRank of their target host — the
+    published frontier-prioritization policy, applied as an auditable
+    operator over the crawl's own records.
+
+    Composition: :func:`pagerank.host_pagerank` supplies the rank vector
+    (O(hosts) driver state — the pagerank budget; ray.put once, read via
+    the per-worker broadcast cache), one map_batches attaches each
+    record's host rank (host index parsed from the 'host-K.example'
+    name, rank 0.0 for hosts outside the link graph on BOTH engines),
+    and the within-round (pr desc, seq asc) rank rides
+    :func:`common.global_row_number` — a distributed sort whose exchange
+    ships one int per block — minus each round's base offset (a
+    rounds-sized aggregate).  Rows never reach the driver."""
+    import ray
+
+    from .common import _cached_get, global_row_number, partial_groupby
+    from .pagerank import host_pagerank
+
+    pr = host_pagerank(records_dir, n_base)  # sf_dir unused: edge fixture
+    H = int(pr["host"].max()) + 1 if len(pr) else 1
+    prv = np.zeros(H, dtype=np.float64)
+    if len(pr):
+        prv[pr["host"].to_numpy(np.int64)] = pr["pr"].to_numpy(np.float64)
+    pref = ray.put(prv)
+
+    ds = read_records(records_dir, ["url_canon", "host", "round", "seq"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        v = _cached_get(pref)
+        hidx = (df["host"].str.extract(r"host-(\d+)", expand=False)
+                .to_numpy(np.int64))
+        p = np.where(hidx < len(v), v[np.minimum(hidx, len(v) - 1)], 0.0)
+        return pd.DataFrame({
+            "url_canon": df["url_canon"].astype("string"),
+            "host": df["host"].astype("string"),
+            "round": df["round"].to_numpy(np.int32),
+            "seq": df["seq"].to_numpy(np.int64),
+            "pr": p})
+
+    keyed = ds.map_batches(attach, batch_format="pandas")
+    ranked, _ = global_row_number(keyed, ["round", "pr", "seq"],
+                                  descending=[False, True, False],
+                                  rank_col="__g")
+    ranked = ranked.materialize()  # consumed by the base map AND the finish
+    base = partial_groupby(ranked, ["round"], {"m": ("__g", "min")}).to_pandas()
+    base_map = dict(zip(base["round"].astype(np.int64),
+                        base["m"].astype(np.int64)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["round"].astype(np.int64).map(base_map).to_numpy(np.int64)
+        return pd.DataFrame({
+            "url_canon": df["url_canon"].astype("string"),
+            "host": df["host"].astype("string"),
+            "round": df["round"].to_numpy(np.int32),
+            "seq": df["seq"].to_numpy(np.int64),
+            "pr": df["pr"].to_numpy(np.float64),
+            "prio_rank": df["__g"].to_numpy(np.int64) - m})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
 # ONE home for the curation constants: the SQL builder in __ray_entry__
 # imports these, so engine and oracle cannot drift apart
 SHARD_HOST_CAP = 40
