@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass mergeable histogram quantile sketch (deterministic, so
         # fully SQL-oracled; error bound <= one bin width, pytest-pinned)
         "value_quantile_sketch": relational.value_quantile_sketch,
+        "range_partition_bounds": relational.range_partition_bounds,
         # sketch -> clip -> aggregate composition (outlier-robust mean)
         "winsorized_value_stats": relational.winsorized_value_stats,
         # incremental view maintenance: checkpointed pre-cutoff partials +
@@ -1526,6 +1527,44 @@ def oracle_sql() -> dict[str, str]:
                           WHERE c >= ceil(q * (SELECT n FROM tot)))
                          * 500.0 / 8192.0, 6) AS est_value
             FROM qs
+        """,
+        # range-partition planner: boundaries replay the identical bucket
+        # arithmetic with INTEGER ceil ranks; pid = count of bounds <= value
+        # (bin edges are exact dyadic doubles, so >= agrees bit-for-bit);
+        # empty partitions survive via the generated pid spine
+        "range_partition_bounds": """
+            WITH b AS (
+                SELECT least(greatest(CAST(floor(value * 8192.0 / 500.0)
+                                           AS BIGINT), 0), 8191) AS bin
+                FROM events
+            ),
+            cum AS (
+                SELECT bin, sum(n) OVER (ORDER BY bin) AS c FROM (
+                    SELECT bin, count(*) AS n FROM b GROUP BY bin)
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM events),
+            bounds AS (
+                SELECT i,
+                       (SELECT min(bin) FROM cum
+                        WHERE c >= (i * (SELECT n FROM tot) + 8 - 1) // 8)
+                       * 500.0 / 8192.0 AS bound
+                FROM range(1, 8) r(i)
+            ),
+            parts AS (
+                SELECT (SELECT count(*) FROM bounds
+                        WHERE e.value >= bounds.bound) AS pid
+                FROM events e
+            ),
+            cnts AS (SELECT pid, count(*)::BIGINT AS n_rows
+                     FROM parts GROUP BY pid),
+            spine AS (SELECT i AS pid FROM range(0, 8) r(i))
+            SELECT CAST(spine.pid AS BIGINT) AS pid,
+                   coalesce((SELECT bound FROM bounds
+                             WHERE i = spine.pid), 0.0) AS lo,
+                   coalesce((SELECT bound FROM bounds
+                             WHERE i = spine.pid + 1), 500.0) AS hi,
+                   coalesce(cnts.n_rows, 0) AS n_rows
+            FROM spine LEFT JOIN cnts ON cnts.pid = spine.pid
         """,
         # incremental maintenance: the oracle is the FULL recompute — the
         # value-hash equality certifies checkpoint-merge == recompute

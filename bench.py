@@ -102,6 +102,7 @@ QUERY_NAMES = [
     "segment_order_trend",
     "contamination_neardup_pairs",
     "value_quantile_sketch",
+    "range_partition_bounds",
     "docs_profile",
     "zorder_events",
     "winsorized_value_stats",

@@ -382,3 +382,38 @@ def test_event_transition_matrix_hand_computed(ray_session, tmp_path):
     # user boundary (click@u1 -> purchase@u2) must not appear
     assert ("click", "purchase") not in cells
     assert len(cells) == 3
+
+
+def test_range_partition_bounds_equidepth_and_skew(ray_session, tmp_path):
+    """The plan must (a) conserve rows, (b) keep every partition within
+    one histogram-bin occupancy of perfect depth n/P (the sketch's error
+    contract applied to partitioning), (c) emit monotone [lo, hi) ranges,
+    and (d) surface skew honestly: a constant-valued table collapses all
+    boundaries onto one bin edge and leaves P-1 partitions EMPTY."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import range_partition_bounds
+
+    sf = "/root/testdata/sf0.01"
+    out = range_partition_bounds(sf, n_parts=8)
+    v = pd.read_parquet(sf + "/events.parquet", columns=["value"])["value"]
+    n = len(v)
+    assert out["n_rows"].sum() == n
+    assert (out["lo"].to_numpy() <= out["hi"].to_numpy()).all()
+    assert (out["lo"].to_numpy()[1:] == out["hi"].to_numpy()[:-1]).all()
+    # depth error bound: a boundary misplaces at most the occupancy of
+    # one bin on each side of the partition
+    bins = np.clip(np.floor(v.to_numpy(np.float64) * 8192 / 500.0)
+                   .astype(np.int64), 0, 8191)
+    max_bin = np.bincount(bins, minlength=8192).max()
+    assert (np.abs(out["n_rows"].to_numpy() - n / 8)
+            <= 2 * max_bin + 1).all()
+
+    # adversarial skew: constant column -> everything in the last partition
+    t = pa.table({"value": pa.array([42.0] * 100, pa.float64())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    sk = range_partition_bounds(str(tmp_path), n_parts=8)
+    assert sk["n_rows"].sum() == 100
+    assert (sk["n_rows"].to_numpy()[:-1] == 0).all()
+    assert sk["n_rows"].to_numpy()[-1] == 100

@@ -676,6 +676,53 @@ def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
     return out
 
 
+def range_partition_bounds(sf_dir: str, n_parts: int = 8,
+                           n_bins: int = 8192,
+                           vmax: float = 500.0) -> pd.DataFrame:
+    """RANGE-PARTITION PLANNING — the equi-depth boundary computation
+    behind every distributed sort / range shuffle (Ray Data's sort does
+    this by sampling; here it is exact-on-the-sketch and therefore fully
+    SQL-checkable, per the north rule's "partitioning handled
+    explicitly").  Boundary i (1..P-1) is the left edge of the histogram
+    bin bearing rank ceil(i*n/P) — INTEGER ceil ((i*n + P - 1) // P), so
+    no FP enters rank selection — and every row's partition id is the
+    count of boundaries <= value (two searchsorted calls per batch).  A
+    second mergeable count pass certifies the plan: per-partition row
+    counts ride sparse bincount partials, and ALL P partitions are
+    emitted (empty ones prove skew) with their [lo, hi) ranges.  Bin
+    edges b*vmax/n_bins are exact dyadic doubles (n_bins a power of
+    two), so the >= comparisons agree bit-for-bit with DuckDB."""
+    from .common import load
+
+    cum = _sketch_cumhist(sf_dir, n_bins, vmax)
+    n = int(cum[-1])
+    ks = [(i * n + n_parts - 1) // n_parts for i in range(1, n_parts)]
+    bounds = np.asarray(
+        [int(np.searchsorted(cum, k)) * vmax / float(n_bins) for k in ks],
+        dtype=np.float64)
+
+    ds = load(sf_dir, "events", ["value"])
+
+    def pid_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        pid = np.searchsorted(bounds, v, side="right")
+        cnt = np.bincount(pid, minlength=n_parts)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"pid": nz.astype(np.int64),
+                             "n_rows": cnt[nz].astype(np.int64)})
+
+    g = partial_groupby(ds.map_batches(pid_counts, batch_format="pandas"),
+                        ["pid"], {"n_rows": ("n_rows", "sum")},
+                        many_groups=True).to_pandas()
+    rows = np.zeros(n_parts, dtype=np.int64)
+    rows[g["pid"].to_numpy(np.int64)] = g["n_rows"].to_numpy(np.int64)
+    lo = np.concatenate(([0.0], bounds))
+    hi = np.concatenate((bounds, [float(vmax)]))
+    return pd.DataFrame({
+        "pid": np.arange(n_parts, dtype=np.int64),
+        "lo": lo, "hi": hi, "n_rows": rows})
+
+
 def winsorized_value_stats(sf_dir: str, n_bins: int = 8192,
                            vmax: float = 500.0, q_lo: float = 0.01,
                            q_hi: float = 0.99) -> pd.DataFrame:
