@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted SSSP (Bellman-Ford, fixed rounds) over the host graph —
         # pure int64 min-plus arithmetic, no rounding grid needed
         "host_shortest_paths": pagerank.host_shortest_paths,
+        # k-core coreness via the h-index fixed point (Lü et al. 2016)
+        "host_kcore": pagerank.host_kcore,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -2609,6 +2611,10 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import host_sssp_sql
 
     d["host_shortest_paths"] = host_sssp_sql()
+    # coreness: the h-index fixed point unrolled one CTE per round
+    from weaver_ray.pipelines.pagerank import host_kcore_sql
+
+    d["host_kcore"] = host_kcore_sql()
     # consensus dedup: DERIVED from the two registered leg oracles (one
     # source of truth — band/threshold constants live only in the legs)
     d["consensus_dup_pairs"] = f"""

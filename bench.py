@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "decayed_event_scores",
     "token_typo_pairs",
     "host_shortest_paths",
+    "host_kcore",
     "consensus_dup_pairs",
     "daily_type_anomalies",
     "event_transition_matrix",

@@ -146,3 +146,36 @@ def test_host_shortest_paths_golden_and_converged(ray_session):
     # convergence: one more round is a no-op
     more = host_shortest_paths("unused", n_rounds=11)
     assert dict(zip(more["host"], more["dist"])) == got
+
+
+def test_host_kcore_matches_sequential_peeling(ray_session):
+    """Coreness from the distributed h-index fixed point vs an
+    INDEPENDENT sequential min-degree peeling (the textbook algorithm
+    the h-index iteration provably converges to)."""
+    from pathlib import Path
+
+    from weaver_ray.pipelines.pagerank import generate_host_edges, host_kcore
+
+    eng = host_kcore(SF).set_index("host")["coreness"]
+
+    files = sorted(Path(generate_host_edges(1000)).glob("part-*.parquet"))
+    e = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    e = e[e["src_host"] != e["dst_host"]]
+    adj: dict[int, set] = {}
+    for s, t in zip(e["src_host"], e["dst_host"]):
+        adj.setdefault(int(s), set()).add(int(t))
+        adj.setdefault(int(t), set()).add(int(s))
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, k = {}, 0
+    live = set(adj)
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        live.discard(v)
+        for u in adj[v]:
+            if u in live:
+                deg[u] -= 1
+    assert dict(eng) == core
+    # non-degenerate: the fixture graph has at least two coreness levels
+    assert eng.nunique() >= 2

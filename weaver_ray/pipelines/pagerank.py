@@ -326,6 +326,137 @@ def host_triangles(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
     return out.map_batches(finish, batch_format="pandas")
 
 
+def host_kcore(sf_dir: str, n_base: int = 1000,
+               n_rounds: int = 12) -> pd.DataFrame:
+    """K-CORE DECOMPOSITION of the undirected simple host graph — each
+    host's coreness (the largest k such that it survives iterated
+    pruning of degree-<k nodes): the standard "dense web community vs
+    leaf content" signal for crawl prioritization and graph cleaning.
+
+    Algorithm: the H-INDEX FIXED POINT (Lü, Zhou, Zhang & Stanley 2016,
+    Nature Comms): c_0 = degree; c_{t+1}(v) = h-index of the multiset
+    {c_t(u) : u ~ v}.  The sequence is monotone non-increasing and
+    converges to coreness exactly — and, unlike peeling, every round is
+    one data-parallel pass, the published distributed formulation.
+
+    Scale shape: the symmetrized edge list is node-partitioned ONCE
+    (keyed_map_groups — each node's neighbor rows co-located); every
+    round broadcasts the O(nodes) coreness vector (the pagerank budget)
+    and computes per-node h-indexes vectorized inside each bucket (sort
+    + cumcount + grouped max — h = max over rn of min(rn, c_sorted)).
+    Runs EXACTLY ``n_rounds`` rounds (the oracle unrolls the same count)
+    and RAISES if one more round would still change anything — the SSSP
+    convergence-pin precedent."""
+    from .common import keyed_map_groups
+
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    raw = rd.read_parquet(files)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src_host"].to_numpy(np.int64)
+        d_ = df["dst_host"].to_numpy(np.int64)
+        keep = s != d_
+        a = np.minimum(s, d_)[keep]
+        b = np.maximum(s, d_)[keep]
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    und = partial_groupby(raw, ["a", "b"], {"n": ("a", "count")},
+                          prep=norm, many_groups=True)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
+
+    # node-co-located neighbor lists, exchanged ONCE and reused per round
+    parted = keyed_map_groups(und.map_batches(sym, batch_format="pandas"),
+                              "node", lambda g: g).materialize()
+
+    deg = partial_groupby(parted, ["node"], {"d": ("node", "count")},
+                          many_groups=True).to_pandas()
+    if not len(deg):
+        return pd.DataFrame({"host": pd.Series([], dtype=np.int64),
+                             "coreness": pd.Series([], dtype=np.int64)})
+    H = int(deg["node"].max()) + 1
+    c = np.zeros(H, dtype=np.int64)
+    c[deg["node"].to_numpy(np.int64)] = deg["d"].to_numpy(np.int64)
+
+    def one_round(cv: np.ndarray) -> np.ndarray:
+        ref = ray.put(cv)
+
+        def hindex(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                     "h": pd.Series([], dtype=np.int64)})
+            from .common import _cached_get
+
+            v = _cached_get(ref)[g["nbr"].to_numpy(np.int64)]
+            d = (pd.DataFrame({"node": g["node"].to_numpy(np.int64), "v": v})
+                 .sort_values(["node", "v"], ascending=[True, False]))
+            rn = d.groupby("node", sort=False).cumcount().to_numpy() + 1
+            d["hv"] = np.minimum(rn, d["v"].to_numpy(np.int64))
+            return (d.groupby("node", sort=False)["hv"].max()
+                    .rename("h").reset_index())
+
+        # batch_size=None: whole exchange blocks, so every node's
+        # neighbor rows stay together inside one hindex() call
+        out = parted.map_batches(hindex, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+        nxt = cv.copy()
+        nxt[out["node"].to_numpy(np.int64)] = out["h"].to_numpy(np.int64)
+        return nxt
+
+    for _ in range(n_rounds):
+        c = one_round(c)
+    if not np.array_equal(one_round(c), c):
+        raise RuntimeError(
+            f"host_kcore: h-index iteration not converged after "
+            f"{n_rounds} rounds — raise n_rounds (and the oracle unroll)")
+    nodes = deg["node"].to_numpy(np.int64)
+    nodes.sort()
+    return pd.DataFrame({"host": nodes, "coreness": c[nodes]})
+
+
+def host_kcore_sql(n_base: int = 1000, n_rounds: int = 12) -> str:
+    """DuckDB oracle: the identical h-index iteration unrolled one CTE
+    per round (rn-tie order inside equal c values is irrelevant — the
+    h-index depends only on the multiset).  Every CTE is MATERIALIZED:
+    sym is referenced in all rounds and each round references its
+    predecessor in two places (the SSSP CTE-inlining lesson — default
+    inlining doubles the plan per round)."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        ),
+        sym AS MATERIALIZED (
+            SELECT a AS node, b AS nbr FROM e
+            UNION ALL SELECT b, a FROM e
+        ),
+        c0 AS MATERIALIZED (
+            SELECT node, count(*)::BIGINT AS c FROM sym GROUP BY node
+        )"""]
+    for t in range(n_rounds):
+        parts.append(f""",
+        c{t + 1} AS MATERIALIZED (
+            SELECT node, max(least(rn, cv)) AS c FROM (
+                SELECT s.node,
+                       row_number() OVER (PARTITION BY s.node
+                                          ORDER BY p.c DESC, s.nbr) AS rn,
+                       p.c AS cv
+                FROM sym s JOIN c{t} p ON p.node = s.nbr)
+            GROUP BY node
+        )""")
+    parts.append(f"""
+        SELECT node AS host, CAST(c AS BIGINT) AS coreness
+        FROM c{n_rounds}""")
+    return "".join(parts)
+
+
 def host_triangles_sql(n_base: int = 1000) -> str:
     """DuckDB oracle: distinct least/greatest-normalized edges, one 3-way
     self-join enumerating each triangle exactly once (x < y < z), then the
