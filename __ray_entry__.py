@@ -133,8 +133,8 @@ def _crawl_pagerank_priority_sql() -> str:
         WITH pr AS ({pagerank_sql(corpus)}),
         rec AS (
             SELECT url_canon, host, round, seq,
-                   CAST(regexp_extract(host, 'host-(\\d+)', 1) AS BIGINT)
-                       AS hidx
+                   coalesce(TRY_CAST(regexp_extract(host, 'host-(\\d+)', 1)
+                                     AS BIGINT), -1) AS hidx
             FROM read_parquet('{glob}', hive_partitioning = false)
         ),
         j AS (
@@ -718,16 +718,18 @@ def _docs_profile_sql() -> str:
     return " UNION ALL ".join(legs)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = 50) -> str:
     """DuckDB reconstruction of Okapi BM25: the per-term contributions are
     written as one left-to-right sum in the SAME sorted-term order the
     engine accumulates, avgdl/df come from the same int-sum/count doubles,
     and ranking orders by the 4-dp half-away-rounded score (both sides
-    round before ranking, so a libm ulp can't flip the order)."""
+    round before ranking, so a libm ulp can't flip the order).  ``k`` is
+    the top-k cut (the engine's bm25_topk default; hybrid_rrf passes its
+    n_leg through so both legs stay symmetric)."""
     from weaver_ray.pipelines.textops import BM25_TERMS
 
     terms = sorted(BM25_TERMS)
-    k1, b, k = 1.2, 0.75, 50
+    k1, b = 1.2, 0.75
     df_cols = ",\n                   ".join(
         f"sum((len(regexp_extract_all(text, '\\b{t}\\b')) > 0)::INT)::DOUBLE"
         f" AS df_{t}" for t in terms)
@@ -772,7 +774,7 @@ def _hybrid_rrf_sql(k: int = 20, c: int = 60, n_leg: int = 50) -> str:
     identical doubles (commutative-exact — no rounding)."""
     dbl = "list_transform({0}, x -> CAST(x AS DOUBLE))"
     return f"""
-        WITH lex AS ({_bm25_sql()}),
+        WITH lex AS ({_bm25_sql(k=n_leg)}),
         dense AS (
             SELECT doc_id, rn AS dense_rank FROM (
                 SELECT e.vec_id AS doc_id,
@@ -1274,6 +1276,8 @@ def _image_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines import textops
+    from weaver_ray.pipelines.relational import (RANGE_PARTS, SKETCH_BINS,
+                                                 SKETCH_VMAX)
     TOK = r"\w+"
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
@@ -1576,10 +1580,12 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic with INTEGER ceil ranks; pid = count of bounds <= value
         # (bin edges are exact dyadic doubles, so >= agrees bit-for-bit);
         # empty partitions survive via the generated pid spine
-        "range_partition_bounds": """
+        "range_partition_bounds": f"""
             WITH b AS (
-                SELECT least(greatest(CAST(floor(value * 8192.0 / 500.0)
-                                           AS BIGINT), 0), 8191) AS bin
+                SELECT least(greatest(CAST(floor(value * {float(SKETCH_BINS)}
+                                                 / {SKETCH_VMAX})
+                                           AS BIGINT), 0),
+                             {SKETCH_BINS - 1}) AS bin
                 FROM events
             ),
             cum AS (
@@ -1590,9 +1596,10 @@ def oracle_sql() -> dict[str, str]:
             bounds AS (
                 SELECT i,
                        (SELECT min(bin) FROM cum
-                        WHERE c >= (i * (SELECT n FROM tot) + 8 - 1) // 8)
-                       * 500.0 / 8192.0 AS bound
-                FROM range(1, 8) r(i)
+                        WHERE c >= (i * (SELECT n FROM tot)
+                                    + {RANGE_PARTS} - 1) // {RANGE_PARTS})
+                       * {SKETCH_VMAX} / {float(SKETCH_BINS)} AS bound
+                FROM range(1, {RANGE_PARTS}) r(i)
             ),
             parts AS (
                 SELECT (SELECT count(*) FROM bounds
@@ -1601,12 +1608,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             cnts AS (SELECT pid, count(*)::BIGINT AS n_rows
                      FROM parts GROUP BY pid),
-            spine AS (SELECT i AS pid FROM range(0, 8) r(i))
+            spine AS (SELECT i AS pid FROM range(0, {RANGE_PARTS}) r(i))
             SELECT CAST(spine.pid AS BIGINT) AS pid,
                    coalesce((SELECT bound FROM bounds
                              WHERE i = spine.pid), 0.0) AS lo,
                    coalesce((SELECT bound FROM bounds
-                             WHERE i = spine.pid + 1), 500.0) AS hi,
+                             WHERE i = spine.pid + 1), {SKETCH_VMAX}) AS hi,
                    coalesce(cnts.n_rows, 0) AS n_rows
             FROM spine LEFT JOIN cnts ON cnts.pid = spine.pid
         """,
@@ -2395,8 +2402,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             ), tot AS (SELECT sum(n_tokens) AS T FROM t),
             pts AS (
-                SELECT ((2 * j.j + 1) * tot.T) // (2 * 100) AS pt
-                FROM range(0, 100) j(j), tot
+                SELECT ((2 * j.j + 1) * tot.T) // (2 * {textops.PPS_N}) AS pt
+                FROM range(0, {textops.PPS_N}) j(j), tot
             )
             SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
                    c.n_tokens,

@@ -183,9 +183,14 @@ def pagerank_priority_order(records_dir: str, n_base: int = 1000) -> rd.Dataset:
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         v = _cached_get(pref)
-        hidx = (df["host"].str.extract(r"host-(\d+)", expand=False)
-                .to_numpy(np.int64))
-        p = np.where(hidx < len(v), v[np.minimum(hidx, len(v) - 1)], 0.0)
+        # non-matching host names (anything not 'host-K...') -> sentinel
+        # -1 -> rank 0.0, so the outside-the-graph contract covers them
+        # instead of ValueError-ing inside the Ray task
+        hidx = pd.to_numeric(
+            df["host"].str.extract(r"host-(\d+)", expand=False),
+            errors="coerce").fillna(-1).to_numpy(np.int64)
+        p = np.where((hidx >= 0) & (hidx < len(v)),
+                     v[np.clip(hidx, 0, len(v) - 1)], 0.0)
         return pd.DataFrame({
             "url_canon": df["url_canon"].astype("string"),
             "host": df["host"].astype("string"),

@@ -216,6 +216,29 @@ def pagerank_sql(n_base: int = 1000, n_iters: int = 5, d: float = 0.85) -> str:
 # ------------------------------------------------------- triangle counting
 
 
+def _undirected_simple_edges(n_base: int) -> "rd.Dataset":
+    """Distinct undirected simple edges (a < b) of the host graph, as a
+    lazy Dataset: self-loops dropped, direction collapsed via (min, max),
+    distributed dedup through count partials (keys only) — the one
+    edge-normalization contract shared by every undirected graph
+    operator (triangles, k-core), so dedup/dtype semantics can't drift
+    between them."""
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    raw = rd.read_parquet(files)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src_host"].to_numpy(np.int64)
+        d_ = df["dst_host"].to_numpy(np.int64)
+        keep = s != d_  # self-loops are never simple-graph edges
+        a = np.minimum(s, d_)[keep]
+        b = np.maximum(s, d_)[keep]
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    return partial_groupby(raw, ["a", "b"], {"n": ("a", "count")},
+                           prep=norm, many_groups=True)
+
+
 def host_triangles(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
     """Per-host triangle counts over the UNDIRECTED simple host graph —
     the clustering/community signal for crawl prioritization (hosts
@@ -233,21 +256,8 @@ def host_triangles(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
     reach the driver."""
     from .common import hash_join, keyed_map_groups
 
-    files = sorted(str(p) for p in
-                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
-    raw = rd.read_parquet(files)
-
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src_host"].to_numpy(np.int64)
-        d_ = df["dst_host"].to_numpy(np.int64)
-        keep = s != d_  # self-loops close no triangle
-        a = np.minimum(s, d_)[keep]
-        b = np.maximum(s, d_)[keep]
-        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-
     # distinct undirected edges, distributed (count partials -> keys only)
-    und = partial_groupby(raw, ["a", "b"], {"n": ("a", "count")},
-                          prep=norm, many_groups=True).materialize()
+    und = _undirected_simple_edges(n_base).materialize()
 
     # degree map: O(nodes) on the driver (the pagerank state budget)
     da = partial_groupby(und, ["a"], {"d": ("a", "count")},
@@ -349,20 +359,7 @@ def host_kcore(sf_dir: str, n_base: int = 1000,
     convergence-pin precedent."""
     from .common import keyed_map_groups
 
-    files = sorted(str(p) for p in
-                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
-    raw = rd.read_parquet(files)
-
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src_host"].to_numpy(np.int64)
-        d_ = df["dst_host"].to_numpy(np.int64)
-        keep = s != d_
-        a = np.minimum(s, d_)[keep]
-        b = np.maximum(s, d_)[keep]
-        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-
-    und = partial_groupby(raw, ["a", "b"], {"n": ("a", "count")},
-                          prep=norm, many_groups=True)
+    und = _undirected_simple_edges(n_base)
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a"].to_numpy(np.int64)

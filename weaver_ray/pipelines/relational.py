@@ -642,8 +642,17 @@ def _sketch_quantile(cum: np.ndarray, q: float, n_bins: int,
     return k, b * vmax / float(n_bins)
 
 
-def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
-                          vmax: float = 500.0) -> pd.DataFrame:
+# histogram-sketch geometry + partition fan-out shared by the engine
+# defaults AND the registered SQL oracles (one source of truth — the
+# ASPECT_BUCKETS injection precedent), so a changed constant can't
+# silently desynchronize the parity check
+SKETCH_BINS = 8192
+SKETCH_VMAX = 500.0
+RANGE_PARTS = 8
+
+
+def value_quantile_sketch(sf_dir: str, n_bins: int = SKETCH_BINS,
+                          vmax: float = SKETCH_VMAX) -> pd.DataFrame:
     """ONE-PASS mergeable quantile SKETCH over events.value — the
     approximate complement of the exact iterative-refinement
     price_quantiles: a fixed-width histogram sketch (n_bins counters over
@@ -676,9 +685,9 @@ def value_quantile_sketch(sf_dir: str, n_bins: int = 8192,
     return out
 
 
-def range_partition_bounds(sf_dir: str, n_parts: int = 8,
-                           n_bins: int = 8192,
-                           vmax: float = 500.0) -> pd.DataFrame:
+def range_partition_bounds(sf_dir: str, n_parts: int = RANGE_PARTS,
+                           n_bins: int = SKETCH_BINS,
+                           vmax: float = SKETCH_VMAX) -> pd.DataFrame:
     """RANGE-PARTITION PLANNING — the equi-depth boundary computation
     behind every distributed sort / range shuffle (Ray Data's sort does
     this by sampling; here it is exact-on-the-sketch and therefore fully
@@ -723,8 +732,8 @@ def range_partition_bounds(sf_dir: str, n_parts: int = 8,
         "lo": lo, "hi": hi, "n_rows": rows})
 
 
-def winsorized_value_stats(sf_dir: str, n_bins: int = 8192,
-                           vmax: float = 500.0, q_lo: float = 0.01,
+def winsorized_value_stats(sf_dir: str, n_bins: int = SKETCH_BINS,
+                           vmax: float = SKETCH_VMAX, q_lo: float = 0.01,
                            q_hi: float = 0.99) -> pd.DataFrame:
     """WINSORIZED per-type statistics — the outlier-robust mean every
     metrics pipeline wants: values are clipped to the [P1, P99] caps

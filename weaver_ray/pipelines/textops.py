@@ -874,7 +874,13 @@ def curated_packed_shards(sf_dir: str, budget: int = 512,
     return _pack_bins(cum, budget)
 
 
-def pps_sample_docs(sf_dir: str, n: int = 100) -> rd.Dataset:
+# sample-point budget shared by the engine default AND the registered SQL
+# oracle (one source of truth — the ASPECT_BUCKETS injection precedent),
+# so a changed n can't silently desynchronize the parity check
+PPS_N = 100
+
+
+def pps_sample_docs(sf_dir: str, n: int = PPS_N) -> rd.Dataset:
     """PROBABILITY-PROPORTIONAL-TO-SIZE sampling (systematic PPS, Madow
     1949): draw ``n`` sample points from the token-weighted corpus so each
     document's inclusion count is proportional to its token weight — the
