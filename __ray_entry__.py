@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # all-pairs similarity self-join, prefix-filter pruned (no id band)
+        "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs,
         "embedding_near_dup_pairs": dedup.embedding_near_dup_pairs,
         "neardup_clusters": dedup.neardup_clusters,
         # multi-signal consensus dedup: lexical (banded token-set Jaccard)
@@ -1276,9 +1278,13 @@ def _image_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines import textops
+    from weaver_ray.pipelines.dedup import PJ_DEN, PJ_NUM, PJ_W
     from weaver_ray.pipelines.relational import (RANGE_PARTS, SKETCH_BINS,
                                                  SKETCH_VMAX)
     TOK = r"\w+"
+    # w-gram shingle concat "w[i] || ' ' || w[i+1] || ..." for the prefix join
+    _pj_shingle_expr = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]"
+                                          for k in range(PJ_W))
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     d = {
@@ -2438,6 +2444,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(e) / count(*), 4) AS centroid,
                    CAST(count(*) AS BIGINT) AS n
             FROM u GROUP BY label, dim
+        """,
+        # all-pairs shingle-set similarity via prefix filtering: the SQL
+        # replays prefix candidate generation (rarest-first (df, shingle)
+        # order, prefix length L - ceil(L/2) + 1) and then the identical
+        # pure-integer accept test 2*inter >= union.  Engine and oracle
+        # candidate SETS may differ (any single global order is lossless
+        # by the prefix-filter lemma; the engine adds a lossless length
+        # filter the SQL omits) — the FINAL pair sets provably agree.
+        "prefix_jaccard_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '{TOK}') AS w
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(w) - {PJ_W - 1}),
+                           i -> {_pj_shingle_expr}))
+                           AS ts
+                FROM t WHERE len(w) >= {PJ_W}
+            ),
+            u AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+            dfreq AS (SELECT tok, count(*) AS df FROM u GROUP BY tok),
+            ranked AS (
+                SELECT u.doc_id, u.tok,
+                       row_number() OVER (PARTITION BY u.doc_id
+                                          ORDER BY d.df, u.tok) AS rn,
+                       count(*) OVER (PARTITION BY u.doc_id) AS L
+                FROM u JOIN dfreq d USING (tok)
+            ),
+            pref AS (
+                SELECT doc_id, tok FROM ranked
+                WHERE rn <= L - (({PJ_NUM} * L + {PJ_DEN} - 1) // {PJ_DEN}) + 1
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM pref a JOIN pref b
+                  ON b.tok = a.tok AND b.doc_id > a.doc_id
+            ),
+            v AS (
+                SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(ta.ts, tb.ts)) AS i,
+                       len(list_distinct(list_concat(ta.ts, tb.ts))) AS un
+                FROM cand c
+                JOIN toks ta ON ta.doc_id = c.doc_a
+                JOIN toks tb ON tb.doc_id = c.doc_b
+            )
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   round(i::DOUBLE / un, 4) AS jaccard
+            FROM v WHERE {PJ_DEN} * i >= {PJ_NUM} * un
         """,
         "ngram_jaccard_pairs": f"""
             SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,

@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "ann_bruteforce_topk",
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -363,3 +363,41 @@ def test_hybrid_rrf_fuses_both_legs(ray_session):
     # scores non-increasing along the fused ranking
     s = out["rrf_score"].to_numpy()
     assert (np.diff(s) <= 0).all()
+
+
+def test_prefix_jaccard_equals_brute_force(dup_dir):
+    """Losslessness end-to-end: the prefix-filtered engine must return
+    EXACTLY the brute-force all-pairs shingle-Jaccard >= 1/2 set (the
+    prefix-filter lemma plus the length filter prune candidates only) —
+    including the 10 planted one-word-changed near-dup pairs.  Also pins
+    the pure-integer accept test and the <w-token doc exclusion."""
+    import re
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.dedup import PJ_W, prefix_jaccard_pairs
+
+    tok_re = re.compile(r"\w+")
+    docs = pq.read_table(dup_dir + "/documents.parquet").to_pydict()
+    sets = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = tok_re.findall(text)
+        if len(toks) < PJ_W:
+            continue
+        sets[did] = {" ".join(toks[i:i + PJ_W])
+                     for i in range(len(toks) - PJ_W + 1)}
+    expect = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 2 * inter >= union:  # J >= 1/2, exact integers
+                expect.append((a, b, float(sql_round(inter / union, 4))))
+    out = prefix_jaccard_pairs(dup_dir)
+    got = list(zip(out["doc_a"], out["doc_b"], out["jaccard"]))
+    assert sorted(got) == sorted(expect)
+    # the 10 planted near-dup pairs (2i, 2i+1) must all be recovered
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert planted <= {(a, b) for a, b, _ in got}
+    # and the join is non-trivially selective: far fewer pairs than n^2/2
+    assert len(got) < len(ids) * (len(ids) - 1) // 4

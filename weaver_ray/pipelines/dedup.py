@@ -261,6 +261,186 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
         return j2
 
 
+# prefix-filter join contract shared by the engine defaults AND the
+# registered SQL oracle (one source of truth): Jaccard threshold
+# PJ_NUM/PJ_DEN over word-PJ_W-gram shingle sets
+PJ_NUM = 1
+PJ_DEN = 2
+PJ_W = 3
+
+
+def prefix_jaccard_pairs_ds(sf_dir: str, num: int = PJ_NUM, den: int = PJ_DEN,
+                            w: int = PJ_W, num_buckets: int = 16) -> rd.Dataset:
+    """ALL-PAIRS set-similarity self-join via PREFIX FILTERING (Chaudhuri,
+    Ganti & Kaushik, ICDE 2006; Bayardo, Ma & Srikant, WWW 2007 "Scaling
+    Up All Pairs Similarity Search") over word-``w``-gram SHINGLE sets
+    (Broder 1997) — unlike :func:`ngram_jaccard_pairs`' doc-id-banded
+    range join, this finds EVERY pair with shingle-set Jaccard >=
+    ``num/den``, regardless of doc-id distance.  Shingles (not unigrams)
+    are the feature because the corpus vocabulary is tiny (~31 words):
+    unigram SETS are all near-identical (median all-pairs Jaccard 0.66),
+    while w=3 shingle sets are sparse (median 0.0) — the regime the
+    published filter is built for (measured: 97% of candidate pairs
+    pruned at sf0.1).
+
+    Lossless pruning, order-independent parity: shingles are globally
+    ordered by (document frequency asc, shingle asc) — rarest first —
+    and each doc emits only its first L - ceil(t*L) + 1 shingles (its
+    PREFIX) as candidate keys; the prefix-filter lemma guarantees any
+    pair with overlap >= ceil(t*L) shares a prefix shingle under ANY
+    single global order, so the engine's and oracle's candidate sets may
+    differ while their FINAL outputs provably agree (both end with the
+    identical pure-integer accept test ``den*inter >= num*union`` — no
+    FP grid anywhere).  A per-group length filter (``den*Lmin >=
+    num*Lmax``) prunes candidates that cannot reach t; it is lossless,
+    so the oracle omits it.
+
+    Scale shape: the document-frequency table is O(#distinct shingles)
+    driver state broadcast once (ray.put + per-worker cache — the
+    pagerank O(nodes) budget precedent; at true web scale swap for a
+    shingle-keyed hash join, same lattice); prefix rows shuffle ONCE
+    keyed by shingle hash; cross-shingle pair dedup and both verify
+    joins are bucketed exchanges.  Nothing corpus-sized reaches the
+    driver."""
+    from .common import hash_join, partial_groupby, sql_round
+
+    SEP = "\x1f"  # cannot occur in \w+ tokens
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, Ls, packs = [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            toks = _TOKEN_RE.findall(text)
+            if len(toks) < w:
+                continue  # no w-gram exists; both engines drop the doc
+            sh = sorted({" ".join(toks[i:i + w])
+                         for i in range(len(toks) - w + 1)})
+            ids.append(did)
+            Ls.append(len(sh))
+            packs.append(SEP.join(sh).encode())
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "L": np.asarray(Ls, np.int64),
+                             "packed": packs})
+
+    packed = load(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pandas").materialize()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [p.decode().split(SEP) for p in df["packed"]]
+        return pd.DataFrame(
+            {"tok": np.concatenate([np.asarray(t, dtype=object)
+                                    for t in toks])
+             if toks else np.asarray([], dtype=object)})
+
+    dfreq = partial_groupby(packed.map_batches(explode, batch_format="pandas"),
+                            ["tok"], {"df": ("tok", "count")},
+                            many_groups=True,
+                            num_buckets=num_buckets).to_pandas()
+    df_map = ray.put(dict(zip(dfreq["tok"], dfreq["df"].astype(np.int64))))
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        dfm = _cached_get(df_map)
+        out_tok, out_doc, out_len = [], [], []
+        for did, L, p in zip(df["doc_id"].to_numpy(np.int64),
+                             df["L"].to_numpy(np.int64), df["packed"]):
+            sh = np.asarray(p.decode().split(SEP), dtype=object)
+            dfs = np.asarray([dfm[t] for t in sh], dtype=np.int64)
+            order = np.lexsort((sh, dfs))  # (df asc, shingle asc)
+            alpha = (num * L + den - 1) // den  # ceil(t*L), pure integer
+            plen = int(L - alpha + 1)
+            pre = sh[order[:plen]]
+            out_tok.extend(pre)
+            out_doc.extend([did] * len(pre))
+            out_len.extend([L] * len(pre))
+        return pd.DataFrame({"tok": np.asarray(out_tok, dtype=object),
+                             "doc_id": np.asarray(out_doc, np.int64),
+                             "L": np.asarray(out_len, np.int64)})
+
+    pref = packed.map_batches(prefix_rows, batch_format="pandas")
+
+    from .common import bucket_of
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "doc_id"])
+        tok = g["tok"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        Ls = g["L"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        ends = np.r_[starts[1:], len(tok)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            ia, ib = ids[s:e][a], ids[s:e][b]
+            la, lb = Ls[s:e][a], Ls[s:e][b]
+            # length filter: J <= Lmin/Lmax, so require den*Lmin >= num*Lmax
+            ok = (den * np.minimum(la, lb)) >= (num * np.maximum(la, lb))
+            out_a.append(ia[ok])
+            out_b.append(ib[ok])
+        empty = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a) if out_a else empty,
+             "doc_b": np.concatenate(out_b) if out_b else empty})
+
+    cand_raw = task_hash_exchange(
+        pref,
+        lambda df: (bucket_of(df["tok"], num_buckets)),
+        pairs_in_bucket, num_buckets)
+    cand = bucketed_pair_dedup(cand_raw, "doc_a", "doc_b",
+                               ["doc_a", "doc_b"], num_buckets).materialize()
+    if cand.count() == 0:
+        return _empty_pairs_ds({"doc_a": np.int64, "doc_b": np.int64,
+                                "jaccard": np.float64})
+
+    def verify(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        keep_a, keep_b, keep_j = [], [], []
+        for da, db, pa_, pb_ in zip(j["doc_a"], j["doc_b"],
+                                    j["pk_a"], j["pk_b"]):
+            sa = set(pa_.decode().split(SEP))
+            sb = set(pb_.decode().split(SEP))
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if den * inter >= num * union:  # J >= num/den, exact integers
+                keep_a.append(da)
+                keep_b.append(db)
+                keep_j.append(inter / union)
+        return pd.DataFrame(
+            {"doc_a": np.asarray(keep_a, np.int64),
+             "doc_b": np.asarray(keep_b, np.int64),
+             "jaccard": sql_round(np.asarray(keep_j, np.float64), 4)})
+
+    pk_a = packed.map_batches(
+        lambda df: pd.DataFrame({"doc_a": df["doc_id"].to_numpy(np.int64),
+                                 "pk_a": df["packed"]}),
+        batch_format="pandas")
+    pk_b = packed.map_batches(
+        lambda df: pd.DataFrame({"doc_b": df["doc_id"].to_numpy(np.int64),
+                                 "pk_b": df["packed"]}),
+        batch_format="pandas")
+    j1 = hash_join(cand, pk_a, on="doc_a",
+                   lcols=["doc_a", "doc_b"], rcols=["doc_a", "pk_a"],
+                   num_buckets=num_buckets)
+    return hash_join(j1, pk_b, on="doc_b",
+                     lcols=["doc_a", "doc_b", "pk_a"],
+                     rcols=["doc_b", "pk_b"],
+                     num_buckets=num_buckets, post=verify)
+
+
+def prefix_jaccard_pairs(sf_dir: str, num: int = PJ_NUM, den: int = PJ_DEN,
+                         w: int = PJ_W) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`prefix_jaccard_pairs_ds`."""
+    return _pairs_to_pandas(
+        prefix_jaccard_pairs_ds(sf_dir, num, den, w),
+        ["doc_a", "doc_b"],
+        {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64})
+
+
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                       broadcast_threshold: int = 100_000) -> pd.DataFrame:
     """Query shim: sorted pandas view of :func:`minhash_lsh_pairs_ds`."""
