@@ -668,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_topk": images.image_phash_topk,
         "multimodal_joint_pairs": images.multimodal_joint_pairs,
         "corpus_format_stats": images.corpus_format_stats,
+        # per-image Shannon entropy of the stored bytes (corrupt/flat gate)
+        "image_byte_entropy": images.image_byte_entropy,
         "caption_stats_by_fmt": images.caption_stats_by_fmt,
         # per-image decoded-geometry certificate (engine decodes the
         # binary payload; oracle reads the declared columns)
@@ -1212,6 +1214,30 @@ def _image_sql() -> dict[str, str]:
             SELECT image_id, fmt, CAST(w AS BIGINT) AS dec_w,
                    CAST(h AS BIGINT) AS dec_h
             FROM read_parquet('{base}')
+        """,
+        # per-image byte entropy: the SQL replays the histogram via a
+        # hex-pair explode of every blob (2 chars per byte), then the
+        # identical H = log2(n) - sum(c*log2 c)/n integer-count form
+        "image_byte_entropy": f"""
+            WITH b AS (
+                SELECT image_id, fmt, octet_length(bytes) AS n,
+                       hex(bytes) AS hx
+                FROM read_parquet('{base}')
+                WHERE octet_length(bytes) > 0
+            ),
+            u AS (
+                SELECT image_id,
+                       unnest(list_transform(generate_series(1, n),
+                              i -> substr(hx, 2 * i - 1, 2))) AS byte
+                FROM b
+            ),
+            c AS (SELECT image_id, byte, count(*)::DOUBLE AS c
+                  FROM u GROUP BY image_id, byte),
+            d AS (SELECT image_id, sum(c) AS n, sum(c * log2(c)) AS clogc
+                  FROM c GROUP BY image_id)
+            SELECT b.image_id, b.fmt, CAST(b.n AS BIGINT) AS n_bytes,
+                   round(log2(d.n) - d.clogc / d.n, 4) AS byte_entropy
+            FROM d JOIN b USING (image_id)
         """,
         "corpus_format_stats": f"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,

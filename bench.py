@@ -56,6 +56,7 @@ QUERY_NAMES = [
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
+    "image_byte_entropy",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -365,3 +365,36 @@ def test_aspect_bucket_assign_covers_corpus(ray_session):
     assert out["image_id"].is_unique
     got = set(zip(out["bucket_w"], out["bucket_h"]))
     assert got <= set(ASPECT_BUCKETS)
+
+
+def test_image_byte_entropy_matches_counter_replay(ray_session):
+    """Sequential replay: every row's entropy must equal the
+    collections.Counter recomputation over the same stored blob (H =
+    log2(n) - sum(c*log2 c)/n, 4 dp half-away), with entropies inside
+    [0, 8] bits and both corpus formats represented."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.images import image_byte_entropy
+    from weaver_ray.sources.corpus import generate_corpus
+
+    out = image_byte_entropy("/root/testdata/sf0.001", n_base=200).to_pandas()
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(
+            generate_corpus(200)).glob("part-*.parquet"))
+    raw = pq_.ParquetDataset(files).read(
+        columns=["image_id", "bytes"]).to_pydict()
+    blobs = dict(zip(raw["image_id"], raw["bytes"]))
+    assert len(out) == len(blobs)
+    for r in out.itertuples(index=False):
+        b = blobs[r.image_id]
+        assert r.n_bytes == len(b)
+        c = Counter(b)
+        n = len(b)
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert r.byte_entropy == float(sql_round(h, 4)), r.image_id
+        assert 0.0 <= r.byte_entropy <= 8.0
+    assert out["fmt"].nunique() >= 2  # both corpus formats present

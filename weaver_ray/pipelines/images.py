@@ -508,6 +508,45 @@ def corpus_format_stats(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     return out.sort_values("fmt").reset_index(drop=True)
 
 
+def image_byte_entropy(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
+    """Per-image Shannon entropy (bits/byte) of the STORED byte
+    distribution — the standard low-information / corrupt-payload triage
+    gate for binary columns: a well-compressed payload sits near 8
+    bits/byte while flat, truncated or zero-padded blobs score far
+    lower, so thresholding this column is the cheap first filter before
+    any decode.  Zero shuffles — one map_batches pass, per-image
+    ``np.bincount`` over the raw buffer; H = log2(n) - sum(c*log2 c)/n
+    so only integer byte counts enter the transcendental path (the
+    doc_token_entropy precedent), rounded 4 dp half-away on both
+    engines so FP summation order can't flip the value hash.  The SQL
+    oracle pays a full hex-pair explode of every blob that the engine's
+    bincount never materializes.  Empty blobs are excluded on both
+    engines (entropy undefined)."""
+    ds = read_corpus(generate_corpus(n_base), ["image_id", "fmt", "bytes"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fmts, ns, hs = [], [], [], []
+        for iid, fmt, blob in zip(df["image_id"], df["fmt"], df["bytes"]):
+            b = np.frombuffer(blob, dtype=np.uint8)
+            if not len(b):
+                continue
+            c = np.bincount(b, minlength=256).astype(np.float64)
+            c = c[c > 0.0]
+            n = float(len(b))
+            h = np.log2(n) - float((c * np.log2(c)).sum()) / n
+            ids.append(iid)
+            fmts.append(fmt)
+            ns.append(len(b))
+            hs.append(h)
+        return pd.DataFrame({
+            "image_id": pd.Series(ids, dtype="string"),
+            "fmt": pd.Series(fmts, dtype="string"),
+            "n_bytes": np.asarray(ns, np.int64),
+            "byte_entropy": sql_round(np.asarray(hs, np.float64), 4)})
+
+    return ds.map_batches(entropy, batch_format="pandas")
+
+
 def caption_stats_by_fmt(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     """Cross-modal stats: caption token/char counts grouped by image
     format (the image+caption table is multimodal by construction —
