@@ -629,6 +629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
         "semantic_dedup_keepers": similarity.semantic_dedup_keepers,
+        # chance-corrected agreement of kmeans vs the known labels
+        "kmeans_label_ari": similarity.kmeans_label_ari,
         # product-quantization codebooks: m sub-space Lloyd chains in ONE
         # pass per iteration (the IVF-PQ compression half)
         "pq_codebooks": similarity.pq_codebooks,
@@ -2720,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
     # iterative Lloyd k-means: one (assign, means, coalesce) CTE triple
     # per unrolled step over the same embeddings view
     from weaver_ray.pipelines.similarity import (ann_ivf_sql, ann_ivfpq_sql,
+                                                  kmeans_label_ari_sql,
                                                   kmeans_sql, pq_adc_sql,
                                                   pq_sql, semantic_dedup_sql)
 
@@ -2757,6 +2760,9 @@ def oracle_sql() -> dict[str, str]:
     # SemDeDup: kmeans_sql nested verbatim, then a lower-id within-cluster
     # anti-join on the 1e-9-grid cosine
     d["semantic_dedup_keepers"] = semantic_dedup_sql()
+    # ARI of kmeans vs labels: shared assignment CTEs + the integer-exact
+    # (2PS - 2AB) / (P(A+B) - 2AB) form with HUGEINT products
+    d["kmeans_label_ari"] = kmeans_label_ari_sql()
     # composed: pack the CURATED survivor set into fixed token-budget
     # training shards — the oracle reuses curated_docs's SQL verbatim as a
     # nested subquery, then applies the same exclusive-prefix-sum window

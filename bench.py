@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
     "image_byte_entropy",
+    "kmeans_label_ari",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -401,3 +401,78 @@ def test_prefix_jaccard_equals_brute_force(dup_dir):
     assert planted <= {(a, b) for a, b, _ in got}
     # and the join is non-trivially selective: far fewer pairs than n^2/2
     assert len(got) < len(ids) * (len(ids) - 1) // 4
+
+
+def test_ari_contingency_matches_pair_classification():
+    """The integer-exact ARI fold must agree with the algebraically
+    independent PAIR-CLASSIFICATION route (count pairs together in
+    both / one / neither partition, then the 2(ad-bc) Steinley form),
+    and be exactly 1.0 for identical partitions, ~0 for independent
+    ones, and invariant to cluster relabeling."""
+    import itertools
+
+    from weaver_ray.pipelines.similarity import _ari_from_contingency
+
+    def ari_pairs(clusters, labels):
+        n11 = n10 = n01 = n00 = 0
+        for (c1, l1), (c2, l2) in itertools.combinations(
+                zip(clusters, labels), 2):
+            sc, sl = c1 == c2, l1 == l2
+            if sc and sl:
+                n11 += 1
+            elif sc:
+                n10 += 1
+            elif sl:
+                n01 += 1
+            else:
+                n00 += 1
+        return (2.0 * (n11 * n00 - n10 * n01)
+                / ((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)))
+
+    rng = np.random.default_rng(11)
+    clusters = rng.integers(0, 4, size=200)
+    labels = (clusters + (rng.random(200) < 0.3)) % 4  # 70% agreement
+    cont = (pd.DataFrame({"cluster": clusters, "label": labels})
+            .groupby(["cluster", "label"]).size().rename("n").reset_index())
+    n, nc, nl, ari = _ari_from_contingency(cont)
+    assert n == 200 and nc == 4 and nl == 4
+    assert abs(ari - ari_pairs(clusters, labels)) < 1e-12
+    # identical partitions -> exactly 1.0 (integer num == den)
+    cont_id = (pd.DataFrame({"cluster": clusters, "label": clusters})
+               .groupby(["cluster", "label"]).size().rename("n")
+               .reset_index())
+    assert _ari_from_contingency(cont_id)[3] == 1.0
+    # relabel invariance: permuting cluster ids changes nothing
+    perm = {0: 3, 1: 2, 2: 0, 3: 1}
+    cont_p = (pd.DataFrame({"cluster": [perm[c] for c in clusters],
+                            "label": labels})
+              .groupby(["cluster", "label"]).size().rename("n")
+              .reset_index())
+    assert _ari_from_contingency(cont_p)[3] == ari
+
+
+def test_kmeans_label_ari_recovers_planted_blobs(ray_session, tmp_path):
+    """Four well-separated blobs labeled by blob id, seeded so vec_ids
+    0..3 land one per blob (the lowest-id Lloyd init): k-means must
+    recover the partition exactly -> ARI == 1.0."""
+    from weaver_ray.pipelines.similarity import kmeans_label_ari
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4, 16, dtype=np.float64) * 50.0
+    vids, vecs, labs = [], [], []
+    for i in range(200):
+        b = i % 4  # vec 0..3: one per blob
+        vids.append(i)
+        labs.append(b)
+        vecs.append((centers[b]
+                     + rng.normal(scale=0.1, size=16)).astype(np.float32))
+    pq.write_table(
+        pa.table({"vec_id": pa.array(vids, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labs, pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    out = kmeans_label_ari(str(tmp_path), k=4)
+    assert out["n_vectors"].item() == 200
+    assert out["n_clusters"].item() == 4 and out["n_labels"].item() == 4
+    assert out["ari"].item() == 1.0

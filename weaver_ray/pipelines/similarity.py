@@ -872,6 +872,141 @@ def semantic_dedup_keepers(sf_dir: str, k: int = 8, n_iters: int = 3,
     return keyed_map_groups(assigned, "cluster", prune, num_buckets)
 
 
+def kmeans_label_ari(sf_dir: str, k: int = 8, n_iters: int = 3,
+                     num_buckets: int = 16) -> pd.DataFrame:
+    """ADJUSTED RAND INDEX (Hubert & Arabie 1985) between the fixed-
+    iteration Lloyd clustering and the embeddings' ``label`` column —
+    the standard external cluster-quality certificate (chance-corrected
+    pair agreement), closing the loop on the clustering family: not
+    just "k-means ran" but "how well it recovers the known structure",
+    as a checkable number.
+
+    Pure-integer parity: from the k x #labels contingency table let
+    S = sum_ij C(n_ij,2), A = sum_i C(a_i,2), B = sum_j C(b_j,2),
+    P = C(n,2).  Multiplying the textbook form through by 2P:
+        ARI = (2*P*S - 2*A*B) / (P*(A+B) - 2*A*B)
+    — numerator and denominator are exact integers (Python bigints on
+    the engine, HUGEINT in DuckDB; at 10^10 rows the engine's bigints
+    keep working while SQL would need wider-than-HUGEINT arithmetic),
+    so the single final division is the only FP step, rounded 6 dp.
+
+    Scale shape: assignment reuses kmeans_clusters' 4-dp ROUNDED
+    centroids (broadcast once; both engines partition against
+    bit-identical constants, the ann_ivf precedent) fused with the
+    label read in ONE map_batches pass emitting (cluster, label) count
+    partials; the reduce output is k x #labels cells — metadata-sized
+    driver state where the combinatorics fold exactly."""
+    from .common import _cached_get, partial_groupby, sql_round
+
+    cent = kmeans_clusters(sf_dir, k=k, n_iters=n_iters,
+                           num_buckets=num_buckets)
+    C = (cent.pivot(index="cluster", columns="dim", values="centroid")
+         .to_numpy())
+    ref = ray.put(C)
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cluster": pd.Series([], dtype=np.int64),
+                                 "label": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        m = _matrix(df["embedding"].to_numpy())
+        a = _nearest_centroid(m, _cached_get(ref))
+        g = (pd.DataFrame({"cluster": a.astype(np.int64),
+                           "label": df["label"].to_numpy(np.int64)})
+             .groupby(["cluster", "label"], sort=False).size())
+        out = g.reset_index()
+        out.columns = ["cluster", "label", "n"]
+        return out
+
+    cont = partial_groupby(ds.map_batches(cells, batch_format="pandas"),
+                           ["cluster", "label"], {"n": ("n", "sum")},
+                           many_groups=True, num_buckets=num_buckets
+                           ).to_pandas()
+    n, n_clusters, n_labels, ari = _ari_from_contingency(cont)
+    return pd.DataFrame({
+        "n_vectors": np.asarray([n], np.int64),
+        "n_clusters": np.asarray([n_clusters], np.int64),
+        "n_labels": np.asarray([n_labels], np.int64),
+        "ari": sql_round(np.asarray([ari], np.float64), 6)})
+
+
+def _ari_from_contingency(cont: pd.DataFrame):
+    """Exact-integer ARI fold over a (cluster, label, n) cell table:
+    returns (n, n_clusters, n_labels, ari) with ari the single final
+    float division of two Python bigints."""
+    nij = [int(v) for v in cont["n"]]
+    n = sum(nij)
+    ai = cont.groupby("cluster")["n"].sum()
+    bj = cont.groupby("label")["n"].sum()
+
+    def comb2(x: int) -> int:
+        return x * (x - 1) // 2
+
+    S = sum(comb2(v) for v in nij)
+    A = sum(comb2(int(v)) for v in ai)
+    B = sum(comb2(int(v)) for v in bj)
+    P = comb2(n)
+    den = P * (A + B) - 2 * A * B
+    if den == 0:
+        raise ValueError("kmeans_label_ari: degenerate partitions "
+                         "(ARI undefined)")  # fail loudly, not wrongly
+    ari = (2 * P * S - 2 * A * B) / den
+    return n, int(ai.gt(0).sum()), int(bj.gt(0).sum()), ari
+
+
+def kmeans_label_ari_sql(k: int = 8, n_iters: int = 3,
+                         dim: int = 64) -> str:
+    """The DuckDB oracle: kmeans_sql's rounded centroids nested, the
+    shared quantized-grid assignment (the semantic_dedup_sql CTEs), the
+    contingency table by plain GROUP BY, and the identical
+    integer-exact ARI form with HUGEINT products."""
+    return f"""
+        WITH km AS ({kmeans_sql(k, n_iters, dim)}),
+        cent AS (SELECT cluster AS c, dim AS d, centroid AS v FROM km),
+        dst AS (
+            SELECT e.vec_id, cc.c,
+                   sum((e.embedding[cc.d]::DOUBLE - cc.v)
+                       * (e.embedding[cc.d]::DOUBLE - cc.v)) AS dist
+            FROM embeddings e, cent cc
+            GROUP BY e.vec_id, cc.c
+        ),
+        asg AS (
+            SELECT vec_id, c AS cluster FROM (
+                SELECT vec_id, c, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY round(dist, 9), c) AS rn
+                FROM dst) WHERE rn = 1
+        ),
+        cont AS (
+            SELECT a.cluster, e.label, count(*)::HUGEINT AS nij
+            FROM asg a JOIN embeddings e USING (vec_id)
+            GROUP BY a.cluster, e.label
+        ),
+        terms AS (
+            SELECT sum(nij * (nij - 1) // 2) AS S,
+                   sum(nij)::HUGEINT AS n,
+                   count(DISTINCT cluster)::BIGINT AS n_clusters,
+                   count(DISTINCT label)::BIGINT AS n_labels
+            FROM cont
+        ),
+        arow AS (
+            SELECT sum(ac * (ac - 1) // 2) AS A FROM (
+                SELECT sum(nij)::HUGEINT AS ac FROM cont GROUP BY cluster)
+        ),
+        brow AS (
+            SELECT sum(bc * (bc - 1) // 2) AS B FROM (
+                SELECT sum(nij)::HUGEINT AS bc FROM cont GROUP BY label)
+        )
+        SELECT t.n::BIGINT AS n_vectors, t.n_clusters, t.n_labels,
+               round((2 * (t.n * (t.n - 1) // 2) * t.S
+                      - 2 * a.A * b.B)::DOUBLE
+                     / ((t.n * (t.n - 1) // 2) * (a.A + b.B)
+                        - 2 * a.A * b.B)::DOUBLE, 6) AS ari
+        FROM terms t, arow a, brow b
+    """
+
+
 def semantic_dedup_sql(k: int = 8, n_iters: int = 3,
                        threshold: float = 0.3, dim: int = 64) -> str:
     """The DuckDB oracle: kmeans_sql's final (ROUNDED) centroids as a
