@@ -78,6 +78,16 @@ def _crawl_gather_merge(sf_dir: str):
     return gather_merge(res.records_dir)
 
 
+def _crawl_skew_stats(sf_dir: str):
+    """Gini / top-share skew diagnostics of the per-host fetch load
+    (pipelines/gather.py:host_skew_stats) — the north rule's "skew
+    handled explicitly" as a checkable number."""
+    from weaver_ray.pipelines.gather import host_skew_stats
+
+    res = _crawl_result(sf_dir)
+    return host_skew_stats(res.records_dir)
+
+
 def _crawl_round_stats(sf_dir: str):
     """Per-round scheduled-URL totals from the records themselves — the
     lineage cross-check (pipelines/gather.py:round_stats)."""
@@ -649,6 +659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-evidenced by crawl_oracle_parity's verdict columns)
         "crawl_flagship_seen": _crawl_seen,
         "crawl_host_stats": _crawl_host_stats,
+        # Gini / top-share of per-host fetch load (skew diagnostics)
+        "crawl_skew_stats": _crawl_skew_stats,
         "crawl_gather_merge": _crawl_gather_merge,
         "crawl_round_stats": _crawl_round_stats,
         "crawl_oracle_parity": _crawl_oracle_parity,
@@ -2674,6 +2686,33 @@ def oracle_sql() -> dict[str, str]:
     # gather report + first-wins merge replayed over the same records;
     # the seen table certified against the durable records projection
     d["crawl_host_stats"] = _crawl_host_stats_sql()
+    # Gini rank form (2*sum(i*c) - (H+1)*T) / (H*T) — all-integer
+    # numerator/denominator, tie order provably irrelevant; top shares
+    # are integer count ratios.  ceil(H/10) = (H+9)//10 on both engines.
+    d["crawl_skew_stats"] = f"""
+        WITH hc AS (
+            SELECT host, count(*)::BIGINT AS c
+            FROM read_parquet('{_crawl_records_glob()}',
+                              hive_partitioning = false)
+            GROUP BY host
+        ),
+        r AS (SELECT c, row_number() OVER (ORDER BY c, host) AS i FROM hc),
+        agg AS (
+            SELECT count(*)::BIGINT AS H, sum(c)::HUGEINT AS T,
+                   sum(i * c)::HUGEINT AS ic, max(c)::HUGEINT AS top1
+            FROM r
+        ),
+        topd AS (
+            SELECT sum(c)::HUGEINT AS s FROM r, agg
+            WHERE r.i > agg.H - (agg.H + 9) // 10
+        )
+        SELECT a.H AS n_hosts, a.T::BIGINT AS n_urls,
+               round((2 * a.ic - (a.H + 1) * a.T)::DOUBLE
+                     / (a.H * a.T)::DOUBLE, 6) AS gini,
+               round(a.top1::DOUBLE / a.T::DOUBLE, 6) AS top1_share,
+               round(t.s::DOUBLE / a.T::DOUBLE, 6) AS top_decile_share
+        FROM agg a, topd t
+    """
     d["crawl_gather_merge"] = _crawl_gather_merge_sql()
     d["crawl_flagship_seen"] = _crawl_flagship_seen_sql()
     d["crawl_round_stats"] = f"""

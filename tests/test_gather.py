@@ -107,3 +107,58 @@ def test_pagerank_priority_order_semantics(crawl_out):
                  != np.sort(g["seq"].to_numpy())).any()
                 for _, g in out.groupby("round"))
     assert bites
+
+
+def _skew_records(tmp_path, counts):
+    """Records dir with counts[h] rows for host h."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "records" / "round=0"
+    d.mkdir(parents=True)
+    hosts, hashes = [], []
+    k = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            hosts.append(f"host-{h}.example")
+            hashes.append(k)
+            k += 1
+    pq.write_table(pa.table({"host": pa.array(hosts),
+                             "url_hash": pa.array(hashes, pa.uint64())}),
+                   d / "part-00000.parquet")
+    return str(tmp_path / "records")
+
+
+def test_host_skew_stats_matches_mean_abs_difference(ray_session, tmp_path):
+    """The rank-form Gini must equal the algebraically independent
+    mean-absolute-difference form sum|ci-cj| / (2*H*T) on a skewed hand
+    distribution, with exact top-share ratios."""
+    import itertools
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.gather import host_skew_stats
+
+    counts = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 88]
+    out = host_skew_stats(_skew_records(tmp_path, counts))
+    H, T = len(counts), sum(counts)
+    mad = sum(abs(a - b) for a, b in itertools.product(counts, counts))
+    assert out["n_hosts"].item() == H and out["n_urls"].item() == T
+    assert out["gini"].item() == float(sql_round(mad / (2.0 * H * T), 6))
+    assert out["top1_share"].item() == float(sql_round(88 / T, 6))
+    k = (H + 9) // 10  # ceil(H/10) = 2 hottest hosts
+    assert out["top_decile_share"].item() == float(
+        sql_round((88 + 55) / T, 6))
+    assert k == 2
+
+
+def test_host_skew_stats_extremes(ray_session, tmp_path):
+    """Uniform load -> Gini exactly 0; near-total concentration -> Gini
+    approaches (H-1)/H and the hottest host owns ~everything."""
+    from weaver_ray.pipelines.gather import host_skew_stats
+
+    flat = host_skew_stats(_skew_records(tmp_path / "a", [7] * 10))
+    assert flat["gini"].item() == 0.0
+    assert flat["top1_share"].item() == 0.1
+    hot = host_skew_stats(_skew_records(tmp_path / "b", [1] * 9 + [991]))
+    assert hot["gini"].item() > 0.85
+    assert hot["top1_share"].item() == 0.991

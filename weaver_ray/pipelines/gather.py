@@ -91,6 +91,48 @@ def host_stats(records_dir: str) -> rd.Dataset:
     )
 
 
+def host_skew_stats(records_dir: str) -> pd.DataFrame:
+    """CRAWL SKEW DIAGNOSTICS over the per-host fetch distribution — the
+    measurable side of the north rule's "skew handled explicitly": the
+    Gini coefficient of per-host URL counts plus the load share of the
+    hottest host and the hottest decile of hosts.  These are the numbers
+    that tell an operator whether LPT splitting / hot-host salting (the
+    crawl's own mitigations, crawl.py) is warranted BEFORE a straggler
+    shows up in wall-clock.
+
+    Integer-exact parity: with ascending counts c_(1) <= .. <= c_(H) and
+    T = sum c, the Gini rank form
+        G = (2 * sum_i i*c_(i) - (H+1)*T) / (H*T)
+    has integer numerator and denominator — exchanging equal counts
+    between two ranks leaves sum i*c_(i) fixed, so tie order is
+    irrelevant on both engines — and the top shares are integer count
+    ratios; each final value is ONE float division, rounded 6 dp.
+
+    Scale shape: ONE many_groups partial_groupby to per-host counts
+    (O(hosts) — the gather/pagerank driver-state budget), exact fold on
+    the driver."""
+    counts = partial_groupby(read_records(records_dir, ["host", "url_hash"]),
+                             ["host"], {"n": ("url_hash", "count")},
+                             many_groups=True).to_pandas()
+    c = np.sort(counts["n"].to_numpy(np.int64))
+    H = len(c)
+    T = int(c.sum())
+    if H == 0 or T == 0:
+        raise ValueError("host_skew_stats: no fetched records")
+    i = np.arange(1, H + 1, dtype=np.int64)
+    gini_num = 2 * int((i * c).sum()) - (H + 1) * T
+    k = (H + 9) // 10  # ceil(H/10) hottest hosts, pure integer
+    from .common import sql_round
+
+    return pd.DataFrame({
+        "n_hosts": np.asarray([H], np.int64),
+        "n_urls": np.asarray([T], np.int64),
+        "gini": sql_round(np.asarray([gini_num / (H * T)]), 6),
+        "top1_share": sql_round(np.asarray([int(c[-1]) / T]), 6),
+        "top_decile_share": sql_round(
+            np.asarray([int(c[-k:].sum()) / T]), 6)})
+
+
 def round_stats(records_dir: str) -> pd.DataFrame:
     """Per-round totals from the records themselves (cross-check against
     checkpointed lineage)."""
