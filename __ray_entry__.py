@@ -531,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Markov transition counts over per-user (ts, event_id)-ordered
         # event sequences + each cell's share of its source row
         "event_transition_matrix": temporal.event_transition_matrix,
+        # top-k frequent length-3 event-type sequences (motif mining)
+        "top_event_sequences": temporal.top_event_sequences,
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
@@ -1325,6 +1327,8 @@ def oracle_sql() -> dict[str, str]:
     # w-gram shingle concat "w[i] || ' ' || w[i+1] || ..." for the prefix join
     _pj_shingle_expr = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]"
                                           for k in range(PJ_W))
+    from weaver_ray.pipelines.temporal import top_event_sequences_sql
+    _tes_sql = top_event_sequences_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     d = {
@@ -1749,6 +1753,9 @@ def oracle_sql() -> dict[str, str]:
                        AS on_time_value
             FROM cls GROUP BY window_hour
         """,
+        # top-k frequent event-type sequences: lead windows partitioned
+        # by user (nulls at user boundaries mirror the engine's mask)
+        "top_event_sequences": _tes_sql,
         # Markov transitions: lag window per user, grouped counts + share
         "event_transition_matrix": """
             WITH seq AS (

@@ -58,6 +58,7 @@ QUERY_NAMES = [
     "prefix_jaccard_pairs",
     "image_byte_entropy",
     "kmeans_label_ari",
+    "top_event_sequences",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -417,3 +417,37 @@ def test_range_partition_bounds_equidepth_and_skew(ray_session, tmp_path):
     assert sk["n_rows"].sum() == 100
     assert (sk["n_rows"].to_numpy()[:-1] == 0).all()
     assert sk["n_rows"].to_numpy()[-1] == 100
+
+
+def test_top_event_sequences_hand_stream(ray_session, tmp_path):
+    """Hand-computed motif counts: windows never span users, ordering is
+    (ts, event_id), ranking is (count desc, sequence asc) with the rank
+    column dense from 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import top_event_sequences
+
+    # user 1: A B A B A B  -> ABA x2, BAB x2
+    # user 2: A B A        -> ABA x1 (boundary: no window spans into u3)
+    # user 3: C C C C      -> CCC x2
+    rows = []
+    seqs = {1: list("ABABAB"), 2: list("ABA"), 3: list("CCCC")}
+    eid = 0
+    for u, types in seqs.items():
+        for j, t in enumerate(types):
+            rows.append((eid, np.datetime64("2024-01-01", "us")
+                         + np.timedelta64(j, "m"), u, t))
+            eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1].astype("datetime64[us]").item()
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}),
+        tmp_path / "events.parquet")
+    out = top_event_sequences(str(tmp_path))
+    got = [(r.t1, r.t2, r.t3, r.n, r.rank)
+           for r in out.itertuples(index=False)]
+    assert got == [("A", "B", "A", 3, 1), ("B", "A", "B", 2, 2),
+                   ("C", "C", "C", 2, 3)]

@@ -824,3 +824,89 @@ def event_transition_matrix(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     agg["row_share"] = sql_round(agg["n"] / row_tot, 4)
     return (agg.sort_values(["prev_type", "next_type"])
             .reset_index(drop=True))
+
+
+# sequence-mining contract shared by the engine defaults AND the registered
+# SQL oracle (one source of truth): window length and top-k cut
+SEQ_LEN = 3
+SEQ_K = 15
+
+
+def top_event_sequences(sf_dir: str, seq_len: int = SEQ_LEN, k: int = SEQ_K,
+                        num_buckets: int = 16) -> pd.DataFrame:
+    """GLOBAL TOP-K FREQUENT EVENT-TYPE SEQUENCES of length ``seq_len``
+    over per-user (ts, event_id)-ordered streams — the sequential-
+    pattern flavor of :func:`event_transition_matrix` (bigram ->
+    n-gram): the "view -> click -> purchase" motif mining behavioral
+    pipelines run.  Windows never span users; ranking is deterministic
+    (count desc, then sequence lexicographic), rank included.
+
+    Engine shape: the transition-matrix topology — ONE user-keyed
+    exchange (complete users per bucket), a vectorized sort + shift
+    stack per bucket (seq_len-1 shifts under an all-same-user mask,
+    never a per-user loop), (t1..tL) count partials, tiny reduce
+    (output bounded by #types^seq_len, not events); the top-k folds on
+    the driver over that metadata-sized table."""
+    from .common import keyed_map_groups
+
+    cols = [f"t{j + 1}" for j in range(seq_len)]
+    ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def windows(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{c: pd.Series([], dtype=object) for c in cols},
+             "n": pd.Series([], dtype=np.int64)})
+        if len(bucket) < seq_len:
+            return empty
+        b = bucket.assign(ts_us=_ts_us(bucket["ts"])).sort_values(
+            ["user_id", "ts_us", "event_id"])
+        u = b["user_id"].to_numpy()
+        e = b["event_type"].to_numpy(object)
+        n = len(b) - seq_len + 1
+        same = np.ones(n, dtype=bool)
+        for j in range(1, seq_len):  # window entirely inside one user
+            same &= u[j:j + n] == u[:n]
+        if not same.any():
+            return empty
+        g = (pd.DataFrame({c: e[j:j + n][same]
+                           for j, c in enumerate(cols)})
+             .groupby(cols, sort=False).size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cells = keyed_map_groups(ds, "user_id", windows, num_buckets)
+    agg = partial_groupby(cells, cols, {"n": ("n", "sum")},
+                          many_groups=True,
+                          num_buckets=num_buckets).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    agg = (agg.sort_values(["n"] + cols, ascending=[False] + [True] * seq_len)
+           .reset_index(drop=True).head(k))
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg
+
+
+def top_event_sequences_sql(seq_len: int = SEQ_LEN, k: int = SEQ_K) -> str:
+    """The DuckDB oracle: lead(event_type, j) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) for j = 1..seq_len-1 (the partition bound
+    nulls windows that would span users, mirroring the engine's mask),
+    grouped counts, then the identical (n desc, sequence asc) rank."""
+    leads = ",\n                   ".join(
+        f"lead(event_type, {j}) OVER w AS t{j + 1}"
+        for j in range(1, seq_len))
+    cols = ", ".join(f"t{j + 1}" for j in range(seq_len))
+    return f"""
+        WITH o AS (
+            SELECT event_type AS t1,
+                   {leads}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        c AS (
+            SELECT {cols}, count(*)::BIGINT AS n
+            FROM o WHERE t{seq_len} IS NOT NULL
+            GROUP BY {cols}
+        )
+        SELECT {cols}, n, CAST(row_number() OVER (
+                   ORDER BY n DESC, {cols}) AS BIGINT) AS rank
+        FROM c QUALIFY rank <= {k}
+    """
