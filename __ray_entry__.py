@@ -687,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-image Shannon entropy of the stored bytes (corrupt/flat gate)
         "image_byte_entropy": images.image_byte_entropy,
         "caption_stats_by_fmt": images.caption_stats_by_fmt,
+        # cross-modal Pearson r: caption tokens vs pixel area, per fmt
+        "caption_pixels_corr": images.caption_pixels_corr,
         # per-image decoded-geometry certificate (engine decodes the
         # binary payload; oracle reads the declared columns)
         "image_decoded_dims": images.image_decoded_dims,
@@ -1303,6 +1305,32 @@ def _image_sql() -> dict[str, str]:
                    CAST(octet_length(avi) AS BIGINT) AS n_bytes,
                    n_frames, w, h, fps
             FROM read_parquet('{vid}')
+        """,
+        # cross-modal Pearson r from the six integer moments; the two
+        # variance factors cast to DOUBLE BEFORE multiplying (their int
+        # product can exceed int64/BIGINT); zero-variance groups excluded
+        "caption_pixels_corr": rf"""
+            WITH m AS (
+                SELECT fmt, count(*)::BIGINT AS n,
+                       sum(len(regexp_extract_all(caption, '\w+')))::BIGINT
+                           AS sx,
+                       sum(CAST(w AS BIGINT) * h)::BIGINT AS sy,
+                       sum(CAST(len(regexp_extract_all(caption, '\w+'))
+                                AS BIGINT)
+                           * len(regexp_extract_all(caption, '\w+')))::BIGINT
+                           AS sxx,
+                       sum(CAST(w AS BIGINT) * h * w * h)::BIGINT AS syy,
+                       sum(CAST(len(regexp_extract_all(caption, '\w+'))
+                                AS BIGINT) * w * h)::BIGINT AS sxy
+                FROM read_parquet('{base}') GROUP BY fmt
+            )
+            SELECT fmt, n AS n_images,
+                   round((n * sxy - sx * sy)::DOUBLE
+                         / sqrt((n * sxx - sx * sx)::DOUBLE
+                                * (n * syy - sy * sy)::DOUBLE), 6)
+                       AS corr_tokens_pixels
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
         "caption_stats_by_fmt": rf"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,

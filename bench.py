@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "image_byte_entropy",
     "kmeans_label_ari",
     "top_event_sequences",
+    "caption_pixels_corr",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

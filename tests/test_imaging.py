@@ -398,3 +398,32 @@ def test_image_byte_entropy_matches_counter_replay(ray_session):
         assert r.byte_entropy == float(sql_round(h, 4)), r.image_id
         assert 0.0 <= r.byte_entropy <= 8.0
     assert out["fmt"].nunique() >= 2  # both corpus formats present
+
+
+def test_caption_pixels_corr_matches_numpy(ray_session):
+    """The integer-moment closed form must equal numpy's corrcoef on the
+    same (token count, area) columns per format, and sit inside [-1, 1]."""
+    import re
+
+    import pyarrow.parquet as pq_
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.images import caption_pixels_corr
+    from weaver_ray.sources.corpus import generate_corpus
+
+    out = caption_pixels_corr("/root/testdata/sf0.001", n_base=200)
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(
+            generate_corpus(200)).glob("part-*.parquet"))
+    raw = pq_.ParquetDataset(files).read(
+        columns=["fmt", "w", "h", "caption"]).to_pandas()
+    raw["x"] = raw["caption"].str.count(r"\w+")
+    raw["y"] = raw["w"].astype(np.int64) * raw["h"].astype(np.int64)
+    assert len(out) >= 1
+    for r in out.itertuples(index=False):
+        sub = raw[raw["fmt"] == r.fmt]
+        assert r.n_images == len(sub)
+        expect = np.corrcoef(sub["x"].to_numpy(np.float64),
+                             sub["y"].to_numpy(np.float64))[0, 1]
+        assert abs(r.corr_tokens_pixels - expect) < 1e-6
+        assert -1.0 <= r.corr_tokens_pixels <= 1.0

@@ -580,6 +580,59 @@ def caption_stats_by_fmt(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     return out.sort_values("fmt").reset_index(drop=True)
 
 
+def caption_pixels_corr(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """CROSS-MODAL correlation certificate: per-format Pearson r between
+    caption token count and pixel area (w*h) — the cheap "does text
+    length track image size?" diagnostic a multimodal curation pipeline
+    uses to spot caption/image mismatch in a source.
+
+    Integer-moment parity: ONE partial pass emits the six moments
+    (n, sx, sy, sxx, syy, sxy) as exact int64 sums per (fmt, batch)
+    (caption tokens ~1e1, area <= 1e6 — int64 holds the fixture sums
+    with 5+ orders of headroom; a 10^10-row run promotes the DRIVER
+    fold to Python bigints, the kmeans_label_ari precedent); r is the
+    closed form (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+    with the two variance factors cast to float64 BEFORE their product
+    (their int product can exceed int64), evaluated identically on both
+    engines, rounded 6 dp.  Constant-column groups (zero variance) are
+    excluded on both engines — r undefined."""
+    ds = read_corpus(generate_corpus(n_base), ["fmt", "w", "h", "caption"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["caption"].str.count(r"\w+").astype(np.int64)
+        y = df["w"].astype(np.int64) * df["h"].astype(np.int64)
+        return pd.DataFrame({"fmt": df["fmt"], "x": x, "y": y,
+                             "xx": x * x, "yy": y * y, "xy": x * y})
+
+    g = partial_groupby(
+        ds, ["fmt"],
+        {
+            "n": ("x", "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "syy": ("yy", "sum"),
+            "sxy": ("xy", "sum"),
+        },
+        prep=prep,
+    ).to_pandas()  # few groups (formats): finish driver-side
+    for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+        g[c] = g[c].astype(np.int64)
+    vx = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    vy = g["n"] * g["syy"] - g["sy"] * g["sy"]
+    keep = (vx > 0) & (vy > 0)
+    g = g[keep].copy()
+    num = (g["n"] * g["sxy"] - g["sx"] * g["sy"]).astype(np.float64)
+    den = np.sqrt(vx[keep].astype(np.float64) * vy[keep].astype(np.float64))
+    from .common import sql_round
+
+    return pd.DataFrame({
+        "fmt": g["fmt"].to_numpy(),
+        "n_images": g["n"].to_numpy(np.int64),
+        "corr_tokens_pixels": sql_round(num.to_numpy() / den.to_numpy(), 6),
+    }).sort_values("fmt").reset_index(drop=True)
+
+
 # SDXL/NovelAI-style aspect-ratio buckets (w_ratio, h_ratio) — training
 # batches must share a shape, so every image is assigned to the nearest
 # aspect bucket.  _AB_LCM = lcm of the bucket heights: comparing
