@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fully SQL-oracled; error bound <= one bin width, pytest-pinned)
         "value_quantile_sketch": relational.value_quantile_sketch,
         "range_partition_bounds": relational.range_partition_bounds,
+        # rendezvous (HRW) hashing: consistent key->shard routing
+        "rendezvous_assign": relational.rendezvous_assign,
         # sketch -> clip -> aggregate composition (outlier-robust mean)
         "winsorized_value_stats": relational.winsorized_value_stats,
         # incremental view maintenance: checkpointed pre-cutoff partials +
@@ -1357,6 +1359,8 @@ def oracle_sql() -> dict[str, str]:
                                           for k in range(PJ_W))
     from weaver_ray.pipelines.temporal import top_event_sequences_sql
     _tes_sql = top_event_sequences_sql()
+    from weaver_ray.pipelines.relational import rendezvous_assign_sql
+    _rendezvous_sql = rendezvous_assign_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     d = {
@@ -1658,6 +1662,8 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic with INTEGER ceil ranks; pid = count of bounds <= value
         # (bin edges are exact dyadic doubles, so >= agrees bit-for-bit);
         # empty partitions survive via the generated pid spine
+        # rendezvous hashing: identical md5-prefix weights, argmax replay
+        "rendezvous_assign": _rendezvous_sql,
         "range_partition_bounds": f"""
             WITH b AS (
                 SELECT least(greatest(CAST(floor(value * {float(SKETCH_BINS)}

@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "kmeans_label_ari",
     "top_event_sequences",
     "caption_pixels_corr",
+    "rendezvous_assign",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

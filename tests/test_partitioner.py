@@ -152,3 +152,33 @@ def test_lpt_plan_matches_router_balance(hosts, nparts):
     # can exceed twice the even share
     cap = -(-len(hosts) // nparts)
     assert max(loads.values()) <= 2 * cap
+
+
+def test_rendezvous_minimal_movement(ray_session):
+    """The HRW contract: dropping the highest shard remaps ONLY the keys
+    that lived on it — every other key keeps its shard — and the weight
+    column is each key's winning md5 prefix (independently recomputed)."""
+    import hashlib
+
+    from weaver_ray.pipelines.relational import rendezvous_assign
+
+    sf = "/root/testdata/sf0.001"
+    a8 = (rendezvous_assign(sf, n_shards=8).to_pandas()
+          .set_index("doc_id").sort_index())
+    a7 = (rendezvous_assign(sf, n_shards=7).to_pandas()
+          .set_index("doc_id").sort_index())
+    assert len(a8) == len(a7) == 500
+    moved = a8["shard"] != a7["shard"]
+    # exactly the shard-7 keys move; the rest stay put
+    assert (a8.loc[moved, "shard"] == 7).all()
+    assert (a8["shard"] == 7).sum() == int(moved.sum())
+    # balance: every shard is populated, none dominates wildly
+    sizes = a8["shard"].value_counts()
+    assert len(sizes) == 8 and sizes.min() >= 25
+    # weight replay for a few keys
+    for did in list(a8.index[:10]):
+        row = a8.loc[did]
+        ws = [hashlib.md5(f"{did}|{s}".encode()).hexdigest()[:16]
+              for s in range(8)]
+        assert int(row["shard"]) == max(range(8), key=lambda s: (ws[s], -s))
+        assert row["weight"] == ws[int(row["shard"])]

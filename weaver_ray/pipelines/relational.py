@@ -732,6 +732,69 @@ def range_partition_bounds(sf_dir: str, n_parts: int = RANGE_PARTS,
         "lo": lo, "hi": hi, "n_rows": rows})
 
 
+# rendezvous-hashing contract shared by the engine default AND the
+# registered SQL oracle (one source of truth): shard fan-out
+HRW_SHARDS = 8
+
+
+def rendezvous_assign(sf_dir: str, n_shards: int = HRW_SHARDS) -> rd.Dataset:
+    """RENDEZVOUS (highest-random-weight) HASHING (Thaler & Ravishankar
+    1998) — the consistent key->shard routing the reference's chord ring
+    provides (T3/T5), as a checkable per-key assignment: each doc goes
+    to argmax_s md5(doc_id || '|' || s), so when a shard leaves, ONLY
+    its keys move (minimal disruption — the property the pytest pins by
+    re-assigning at n_shards-1 and asserting every surviving key stays
+    put).  Weights compare as the md5's first 16 hex chars — fixed-width
+    lowercase hex orders identically as a STRING on both engines, so
+    parity needs no integer conversion at all; the (weight desc, shard
+    asc) tiebreak is total.
+
+    Scale shape: stateless per-row math — ONE map_batches pass, zero
+    shuffles, no broadcast; exactly the property that makes HRW the
+    scale-out routing choice (any worker can route any key with no ring
+    state)."""
+    from .common import load, md5_hex
+
+    ds = load(sf_dir, "documents", ["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(np.int64)
+        if not len(did):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "shard": pd.Series([], dtype=np.int64),
+                                 "weight": pd.Series([], dtype="string")})
+        # (rows, shards) weight matrix of 16-hex prefixes
+        w = np.array([[h[:16] for h in md5_hex(
+            [f"{d}|{s}" for d in did])] for s in range(n_shards)])
+        best = np.argmax(w, axis=0)  # ties -> lowest shard (argmax rule)
+        return pd.DataFrame({
+            "doc_id": did,
+            "shard": best.astype(np.int64),
+            "weight": pd.Series(w[best, np.arange(len(did))],
+                                dtype="string")})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def rendezvous_assign_sql(n_shards: int = HRW_SHARDS) -> str:
+    """The DuckDB oracle: cross-join docs x shards, the identical
+    md5-prefix weight, argmax via row_number (weight desc, shard asc)."""
+    return f"""
+        WITH w AS (
+            SELECT d.doc_id, s.s AS shard,
+                   substr(md5(CAST(d.doc_id AS VARCHAR)
+                              || '|' || CAST(s.s AS VARCHAR)), 1, 16)
+                       AS weight
+            FROM documents d, range(0, {n_shards}) s(s)
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, weight
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY weight DESC, shard) AS rn FROM w)
+        WHERE rn = 1
+    """
+
+
 def winsorized_value_stats(sf_dir: str, n_bins: int = SKETCH_BINS,
                            vmax: float = SKETCH_VMAX, q_lo: float = 0.01,
                            q_hi: float = 0.99) -> pd.DataFrame:
