@@ -571,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": textops.langid_counts,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        # top-k PMI collocations from doc-level co-occurrence
+        "token_pmi_pairs": textops.token_pmi_pairs,
         # deletion-neighborhood (SymSpell) edit-distance-1 typo join over
         # the vocabulary + one planted md5-position deletion per token
         "token_typo_pairs": textops.token_typo_pairs,
@@ -1361,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
     _tes_sql = top_event_sequences_sql()
     from weaver_ray.pipelines.relational import rendezvous_assign_sql
     _rendezvous_sql = rendezvous_assign_sql()
+    _pmi_sql = textops.token_pmi_pairs_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     d = {
@@ -1664,6 +1667,9 @@ def oracle_sql() -> dict[str, str]:
         # empty partitions survive via the generated pid spine
         # rendezvous hashing: identical md5-prefix weights, argmax replay
         "rendezvous_assign": _rendezvous_sql,
+        # PMI collocations: integer dfs, one shared log2 ratio, round-
+        # then-rank
+        "token_pmi_pairs": _pmi_sql,
         "range_partition_bounds": f"""
             WITH b AS (
                 SELECT least(greatest(CAST(floor(value * {float(SKETCH_BINS)}

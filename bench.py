@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "top_event_sequences",
     "caption_pixels_corr",
     "rendezvous_assign",
+    "token_pmi_pairs",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

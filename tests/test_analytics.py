@@ -637,3 +637,42 @@ def test_bpe_merges_golden_sequential(ray_session, tmp_path):
     # round 0 by inspection: (l, o) appears 2x in 'lolo' (freq 3) + 1x in
     # 'lo' (freq 2) = 8; the alternating-run contract then leaves ' lo l o '
     assert got[0] == (0, "l", "o", "lo", 8)
+
+
+def test_token_pmi_hand_corpus(ray_session, tmp_path):
+    """Hand-computed PMI on a constructed corpus: the planted collocation
+    ('neural', 'network' always together) must outrank independent pairs,
+    values must match log2(N*cab/(ca*cb)) exactly, and sub-min_count
+    pairs are dropped."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.textops import token_pmi_pairs
+
+    docs = []
+    for i in range(20):  # 'neural network' in every even doc
+        if i % 2 == 0:
+            docs.append("neural network alpha")
+        else:
+            docs.append("alpha beta")
+    pq.write_table(pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                             "text": pa.array(docs)}),
+                   tmp_path / "documents.parquet")
+    out = token_pmi_pairs(str(tmp_path), min_count=5, k=10)
+    got = {(r.a, r.b): (r.n_docs_ab, r.pmi)
+           for r in out.itertuples(index=False)}
+    # planted pair: together 10 docs, each df 10, N=20 -> pmi = log2(2)=1
+    assert got[("network", "neural")] == (10, 1.0)
+    # independent-ish pair alpha/beta: cab=10, ca=20, cb=10 -> pmi 0
+    assert got[("alpha", "beta")] == (10, 0.0)
+    # ranking: the planted collocation is rank 1
+    assert out.iloc[0]["a"] == "network" and out.iloc[0]["rank"] == 1
+    # every reported pmi replays exactly
+    for (a, b), (cab, pmi) in got.items():
+        # df per token from the construction
+        df = {"neural": 10, "network": 10, "alpha": 20, "beta": 10}
+        expect = math.log2(20 * cab / (df[a] * df[b]))
+        assert pmi == float(sql_round(expect, 6))

@@ -200,6 +200,114 @@ def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+# PMI collocation contract shared by the engine defaults AND the registered
+# SQL oracle (one source of truth): min doc co-occurrence and top-k cut
+PMI_MIN_COUNT = 5
+PMI_K = 20
+
+
+def token_pmi_pairs(sf_dir: str, min_count: int = PMI_MIN_COUNT,
+                    k: int = PMI_K, num_buckets: int = 16) -> pd.DataFrame:
+    """TOP-K POINTWISE MUTUAL INFORMATION token pairs (Church & Hanks
+    1990) from document-level co-occurrence — collocation mining, the
+    classic phrase-discovery signal of corpus curation.  For lowercased
+    distinct tokens a < b:  pmi = log2(N*c_ab / (c_a*c_b)) with N = doc
+    count, c_* = document frequencies; pairs below ``min_count`` docs
+    are dropped (sparse-count PMI is noise — the published caveat).
+
+    Parity: every count is an exact integer; the single log2 argument is
+    the SAME (N*c_ab)::float64 / (c_a*c_b)::float64 expression on both
+    engines, rounded 6 dp BEFORE ranking (the bm25 round-then-rank rule)
+    with the (pmi desc, a asc, b asc) total tiebreak.
+
+    Scale shape: per-doc distinct-pair explode is bounded by the
+    df-capped VOCABULARY squared, not the corpus (here the synthetic
+    vocab; at web scale the standard top-V cap bounds it the same way);
+    pair counts and unary dfs ride two many_groups partial reduces; the
+    top-k folds on the O(V^2) driver table."""
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        out_a, out_b = [], []
+        uni = []
+        for t in toks:
+            u = sorted(set(t))
+            uni.extend(u)
+            m = len(u)
+            if m >= 2:
+                ua = np.asarray(u, dtype=object)
+                ia, ib = np.triu_indices(m, k=1)
+                out_a.append(ua[ia])
+                out_b.append(ua[ib])
+        empty = np.asarray([], dtype=object)
+        pairs = pd.DataFrame(
+            {"a": np.concatenate(out_a) if out_a else empty,
+             "b": np.concatenate(out_b) if out_b else empty})
+        pairs = pairs.groupby(["a", "b"], sort=False).size().rename(
+            "n").reset_index()
+        un = (pd.Series(uni, dtype=object).value_counts()
+              .rename_axis("a").rename("n").reset_index())
+        un["b"] = ""  # unary rows: b sentinel (tokens are \w+, never "")
+        return pd.concat([pairs, un[["a", "b", "n"]]], ignore_index=True)
+
+    agg = partial_groupby(ds.map_batches(pair_rows, batch_format="pandas"),
+                          ["a", "b"], {"n": ("n", "sum")},
+                          many_groups=True, num_buckets=num_buckets
+                          ).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    n_docs = int(load(sf_dir, "documents", ["doc_id"]).count())
+    dfc = (agg[agg["b"] == ""].set_index("a")["n"])
+    p = agg[(agg["b"] != "") & (agg["n"] >= min_count)].copy()
+    ca = dfc.reindex(p["a"]).to_numpy(np.int64)
+    cb = dfc.reindex(p["b"]).to_numpy(np.int64)
+    cab = p["n"].to_numpy(np.int64)
+    pmi = sql_round(np.log2((n_docs * cab).astype(np.float64)
+                            / (ca * cb).astype(np.float64)), 6)
+    out = pd.DataFrame({"a": p["a"].to_numpy(), "b": p["b"].to_numpy(),
+                        "n_docs_ab": cab, "pmi": pmi})
+    out = (out.sort_values(["pmi", "a", "b"],
+                           ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def token_pmi_pairs_sql(min_count: int = PMI_MIN_COUNT,
+                        k: int = PMI_K) -> str:
+    """The DuckDB oracle: distinct (doc, token) explode, unary dfs, a
+    same-doc self-join for pair dfs, then the identical rounded-PMI
+    rank."""
+    return f"""
+        WITH u AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+            FROM documents
+        ),
+        nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        df_ AS (SELECT tok, count(*)::BIGINT AS c FROM u GROUP BY tok),
+        pc AS (
+            SELECT a.tok AS a, b.tok AS b, count(*)::BIGINT AS cab
+            FROM u a JOIN u b
+              ON b.doc_id = a.doc_id AND b.tok > a.tok
+            GROUP BY a.tok, b.tok
+        ),
+        s AS (
+            SELECT pc.a, pc.b, pc.cab AS n_docs_ab,
+                   round(log2((nn.n * pc.cab)::DOUBLE
+                              / (da.c * db.c)::DOUBLE), 6) AS pmi
+            FROM pc
+            JOIN df_ da ON da.tok = pc.a
+            JOIN df_ db ON db.tok = pc.b, nn
+            WHERE pc.cab >= {min_count}
+        )
+        SELECT a, b, n_docs_ab, pmi,
+               CAST(row_number() OVER (ORDER BY pmi DESC, a, b)
+                    AS BIGINT) AS rank
+        FROM s QUALIFY rank <= {k}
+    """
+
+
 def _md5_doc_key(doc_ids) -> list[str]:
     """The shared md5(doc_id) hash-rank key — the engine spelling of the
     oracle's ``md5(CAST(doc_id AS VARCHAR))``.  ONE definition so
