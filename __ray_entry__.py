@@ -1665,11 +1665,6 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic with INTEGER ceil ranks; pid = count of bounds <= value
         # (bin edges are exact dyadic doubles, so >= agrees bit-for-bit);
         # empty partitions survive via the generated pid spine
-        # rendezvous hashing: identical md5-prefix weights, argmax replay
-        "rendezvous_assign": _rendezvous_sql,
-        # PMI collocations: integer dfs, one shared log2 ratio, round-
-        # then-rank
-        "token_pmi_pairs": _pmi_sql,
         "range_partition_bounds": f"""
             WITH b AS (
                 SELECT least(greatest(CAST(floor(value * {float(SKETCH_BINS)}
@@ -1707,6 +1702,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cnts.n_rows, 0) AS n_rows
             FROM spine LEFT JOIN cnts ON cnts.pid = spine.pid
         """,
+        # rendezvous hashing: identical md5-prefix weights, argmax replay
+        "rendezvous_assign": _rendezvous_sql,
+        # PMI collocations: integer dfs, one shared log2 ratio, round-
+        # then-rank
+        "token_pmi_pairs": _pmi_sql,
         # incremental maintenance: the oracle is the FULL recompute — the
         # value-hash equality certifies checkpoint-merge == recompute
         "incremental_event_stats": """

@@ -249,21 +249,28 @@ def token_pmi_pairs(sf_dir: str, min_count: int = PMI_MIN_COUNT,
         un = (pd.Series(uni, dtype=object).value_counts()
               .rename_axis("a").rename("n").reset_index())
         un["b"] = ""  # unary rows: b sentinel (tokens are \w+, never "")
-        return pd.concat([pairs, un[["a", "b", "n"]]], ignore_index=True)
+        # doc-count sentinel row: N rides the SAME reduce (no second scan)
+        nrow = pd.DataFrame({"a": [""], "b": [""], "n": [len(df)]})
+        return pd.concat([pairs, un[["a", "b", "n"]], nrow],
+                         ignore_index=True)
 
     agg = partial_groupby(ds.map_batches(pair_rows, batch_format="pandas"),
                           ["a", "b"], {"n": ("n", "sum")},
                           many_groups=True, num_buckets=num_buckets
                           ).to_pandas()
     agg["n"] = agg["n"].astype(np.int64)
-    n_docs = int(load(sf_dir, "documents", ["doc_id"]).count())
-    dfc = (agg[agg["b"] == ""].set_index("a")["n"])
+    n_docs = int(agg.loc[(agg["a"] == "") & (agg["b"] == ""), "n"].sum())
+    dfc = (agg[(agg["b"] == "") & (agg["a"] != "")].set_index("a")["n"])
     p = agg[(agg["b"] != "") & (agg["n"] >= min_count)].copy()
     ca = dfc.reindex(p["a"]).to_numpy(np.int64)
     cb = dfc.reindex(p["b"]).to_numpy(np.int64)
     cab = p["n"].to_numpy(np.int64)
-    pmi = sql_round(np.log2((n_docs * cab).astype(np.float64)
-                            / (ca * cb).astype(np.float64)), 6)
+    # cast factors to float64 BEFORE multiplying (the caption_pixels_corr
+    # rule): an int64 product wraps silently at web-scale counts while the
+    # oracle's BIGINT product errors loudly — a parity break, not a wrap
+    pmi = sql_round(np.log2((float(n_docs) * cab.astype(np.float64))
+                            / (ca.astype(np.float64)
+                               * cb.astype(np.float64))), 6)
     out = pd.DataFrame({"a": p["a"].to_numpy(), "b": p["b"].to_numpy(),
                         "n_docs_ab": cab, "pmi": pmi})
     out = (out.sort_values(["pmi", "a", "b"],
@@ -294,8 +301,8 @@ def token_pmi_pairs_sql(min_count: int = PMI_MIN_COUNT,
         ),
         s AS (
             SELECT pc.a, pc.b, pc.cab AS n_docs_ab,
-                   round(log2((nn.n * pc.cab)::DOUBLE
-                              / (da.c * db.c)::DOUBLE), 6) AS pmi
+                   round(log2((nn.n::DOUBLE * pc.cab::DOUBLE)
+                              / (da.c::DOUBLE * db.c::DOUBLE)), 6) AS pmi
             FROM pc
             JOIN df_ da ON da.tok = pc.a
             JOIN df_ db ON db.tok = pc.b, nn
