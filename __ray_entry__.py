@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc duplicated-span (copy-fraction) statistics
         "duplicated_span_docs": textops.duplicated_span_docs,
         "unigram_logprob_docs": textops.unigram_logprob_docs,
+        # bigram LM scoring (token-order sensitivity the unigram lacks)
+        "bigram_logprob_docs": textops.bigram_logprob_docs,
         # composed curation flagship: quality ∩ repetition ∩ exact-keeper
         # ∩ near-dup canonical, one flag shuffle on top of the four legs
         "curated_docs": textops.curated_docs,
@@ -1364,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.relational import rendezvous_assign_sql
     _rendezvous_sql = rendezvous_assign_sql()
     _pmi_sql = textops.token_pmi_pairs_sql()
+    _bigram_sql = textops.bigram_logprob_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     d = {
@@ -1707,6 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         # PMI collocations: integer dfs, one shared log2 ratio, round-
         # then-rank
         "token_pmi_pairs": _pmi_sql,
+        # bigram LM: positional self-join, add-one smoothing, shared ratio
+        "bigram_logprob_docs": _bigram_sql,
         # incremental maintenance: the oracle is the FULL recompute — the
         # value-hash equality certifies checkpoint-merge == recompute
         "incremental_event_stats": """

@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "caption_pixels_corr",
     "rendezvous_assign",
     "token_pmi_pairs",
+    "bigram_logprob_docs",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

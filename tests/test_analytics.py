@@ -676,3 +676,45 @@ def test_token_pmi_hand_corpus(ray_session, tmp_path):
         df = {"neural": 10, "network": 10, "alpha": 20, "beta": 10}
         expect = math.log2(20 * cab / (df[a] * df[b]))
         assert pmi == float(sql_round(expect, 6))
+
+
+def test_bigram_logprob_hand_corpus(ray_session, tmp_path):
+    """Exact replay of the add-one-smoothed bigram scores on a hand
+    corpus, and the ordering property the unigram score cannot see: a
+    document with corpus-typical token ORDER outscores one with the
+    same tokens scrambled into rare transitions."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.textops import bigram_logprob_docs
+
+    docs = ["a b c d"] * 8 + ["d c b a", "a b c d e"]
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                             "text": pa.array(docs)}),
+                   tmp_path / "documents.parquet")
+    out = (bigram_logprob_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # sequential model replay
+    bg = Counter()
+    uni = set()
+    for t in (d.split() for d in docs):
+        uni.update(t)
+        bg.update(zip(t[:-1], t[1:]))
+    cp = Counter()
+    for (p, _n), c in bg.items():
+        cp[p] += c
+    V = len(uni)
+    for did, text in enumerate(docs):
+        t = text.split()
+        lps = [math.log2((bg[(p, n)] + 1) / (cp[p] + V))
+               for p, n in zip(t[:-1], t[1:])]
+        assert out.loc[did, "n_bigrams"] == len(lps)
+        assert out.loc[did, "avg_logprob"] == float(
+            sql_round(sum(lps) / len(lps), 4))
+    # token order matters: the scrambled doc scores strictly lower than
+    # the template docs built from the same unigrams
+    assert out.loc[8, "avg_logprob"] < out.loc[0, "avg_logprob"]

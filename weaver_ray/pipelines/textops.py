@@ -200,6 +200,121 @@ def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def bigram_logprob_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """BIGRAM language-model quality scoring — the CCNet/KenLM-filter
+    shape one order up from :func:`unigram_logprob_docs`: each document
+    scores the mean log2 of add-one-smoothed bigram probabilities
+    P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V) under a
+    model trained on the corpus itself (c = corpus bigram counts within
+    documents, V = distinct-token vocabulary).  Low scores mark
+    incoherent token ORDER, which the unigram score cannot see.
+
+    Scale shape — model small, corpus huge (the unigram precedent):
+    bigram counts AND the unigram vocabulary ride ONE partial reduce
+    (unigram rows carry a ""-sentinel next column — tokens are \\w+,
+    never empty); the resulting model table is vocabulary^2-bounded,
+    broadcast once via ``ray.put``; scoring is one map_batches with a
+    vectorized two-column merge + grouped mean.  Docs with < 2 tokens
+    are excluded on both engines (no bigram exists).  Rounded 4 dp
+    half-away both sides so FP summation order can't flip the hash."""
+    import ray
+
+    from .common import _cached_get
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(TOKEN_RE)
+        prevs, nxts, unis = [], [], []
+        for t in toks:
+            unis.extend(t)
+            if len(t) >= 2:
+                prevs.extend(t[:-1])
+                nxts.extend(t[1:])
+        bg = (pd.DataFrame({"prev": np.asarray(prevs, dtype=object),
+                            "nxt": np.asarray(nxts, dtype=object)})
+              .groupby(["prev", "nxt"], sort=False).size().rename("n")
+              .reset_index())
+        un = (pd.Series(unis, dtype=object).value_counts()
+              .rename_axis("prev").rename("n").reset_index())
+        un["nxt"] = ""  # unigram sentinel rows (vocabulary + stream counts)
+        return pd.concat([bg, un[["prev", "nxt", "n"]]], ignore_index=True)
+
+    model = partial_groupby(ds.map_batches(counts, batch_format="pandas"),
+                            ["prev", "nxt"], {"n": ("n", "sum")},
+                            many_groups=True, num_buckets=num_buckets
+                            ).to_pandas()
+    model["n"] = model["n"].astype(np.int64)
+    bc = model[model["nxt"] != ""]
+    V = int((model["nxt"] == "").sum())  # distinct tokens in the stream
+    cp = bc.groupby("prev")["n"].sum()  # bigram-prefix marginals
+    bc_ref = ray.put(bc.set_index(["prev", "nxt"])["n"])
+    cp_ref = ray.put(cp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bcm, cpm = _cached_get(bc_ref), _cached_get(cp_ref)
+        toks = df["text"].str.findall(TOKEN_RE)
+        docs, prevs, nxts = [], [], []
+        for did, t in zip(df["doc_id"].to_numpy(np.int64), toks):
+            if len(t) >= 2:
+                docs.extend([did] * (len(t) - 1))
+                prevs.extend(t[:-1])
+                nxts.extend(t[1:])
+        if not docs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_bigrams": pd.Series([], dtype=np.int64),
+                "avg_logprob": pd.Series([], dtype=np.float64)})
+        g = pd.DataFrame({"doc_id": np.asarray(docs, np.int64),
+                          "prev": np.asarray(prevs, dtype=object),
+                          "nxt": np.asarray(nxts, dtype=object)})
+        c = bcm.reindex(pd.MultiIndex.from_arrays([g["prev"], g["nxt"]])
+                        ).fillna(0).to_numpy(np.int64)
+        p = cpm.reindex(g["prev"]).fillna(0).to_numpy(np.int64)
+        g["lp"] = np.log2((c + 1.0) / (p + float(V)))
+        out = g.groupby("doc_id", sort=False).agg(
+            n_bigrams=("lp", "size"), avg_logprob=("lp", "mean")
+        ).reset_index()
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+        out["avg_logprob"] = sql_round(out["avg_logprob"], 4)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def bigram_logprob_sql() -> str:
+    """The DuckDB oracle: positional self-join for bigrams (unnest +
+    generate_subscripts in lockstep), grouped counts, prefix marginals,
+    the identical smoothed log2 ratio, avg rounded 4 dp."""
+    return r"""
+        WITH t AS (
+            SELECT doc_id, generate_subscripts(w, 1) AS pos,
+                   unnest(w) AS tok
+            FROM (SELECT doc_id, regexp_extract_all(text, '\w+') AS w
+                  FROM documents)
+        ),
+        bg AS (
+            SELECT a.doc_id, a.tok AS prev, b.tok AS nxt
+            FROM t a JOIN t b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        bc AS (SELECT prev, nxt, count(*)::BIGINT AS c
+               FROM bg GROUP BY prev, nxt),
+        pc AS (SELECT prev, sum(c)::BIGINT AS cp FROM bc GROUP BY prev),
+        v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM t),
+        scored AS (
+            SELECT g.doc_id,
+                   log2((bc.c + 1)::DOUBLE / (pc.cp + v.v)::DOUBLE) AS lp
+            FROM bg g
+            JOIN bc ON bc.prev = g.prev AND bc.nxt = g.nxt
+            JOIN pc ON pc.prev = g.prev, v
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(lp), 4) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """
+
+
 # PMI collocation contract shared by the engine defaults AND the registered
 # SQL oracle (one source of truth): min doc co-occurrence and top-k cut
 PMI_MIN_COUNT = 5
