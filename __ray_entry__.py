@@ -538,6 +538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wide analytics: star joins, set ops, JSON extraction, moment
         # aggregates, global window ranking — all full SQL oracles
         "brand_revenue": analytics.brand_revenue,
+        # market-basket association rules over per-order brand baskets
+        # (support / both confidences / lift, round-then-rank top-k)
+        "basket_rules_brands": analytics.basket_rules_brands,
         # bloom-filter join pushdown (runtime filter): the orders side is
         # pruned by a small-side bloom BEFORE the join shuffle; FPs are
         # removed by the exact join, so the plain semi-join SQL oracles it
@@ -1367,6 +1370,8 @@ def oracle_sql() -> dict[str, str]:
     _rendezvous_sql = rendezvous_assign_sql()
     _pmi_sql = textops.token_pmi_pairs_sql()
     _bigram_sql = textops.bigram_logprob_sql()
+    from weaver_ray.pipelines import analytics
+    _basket_sql = analytics.basket_rules_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
     d = {
@@ -1873,6 +1878,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.c_mktsegment = 'BUILDING'
             GROUP BY c.c_custkey, c.c_name
         """,
+        # association rules: distinct baskets via the join, sentinel-row
+        # counts, identical rounded confidence/lift, round-then-rank
+        "basket_rules_brands": _basket_sql,
         # large-large join: agg pushed into the join buckets engine-side
         "brand_revenue": """
             SELECT p.p_brand,

@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "rendezvous_assign",
     "token_pmi_pairs",
     "bigram_logprob_docs",
+    "basket_rules_brands",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -718,3 +718,69 @@ def test_bigram_logprob_hand_corpus(ray_session, tmp_path):
     # token order matters: the scrambled doc scores strictly lower than
     # the template docs built from the same unigrams
     assert out.loc[8, "avg_logprob"] < out.loc[0, "avg_logprob"]
+
+
+def test_basket_rules_hand_corpus(ray_session, tmp_path):
+    """Exact replay of support/confidence/lift on a hand basket table
+    (brute-force itertools enumeration), including the min-count floor
+    and the (lift desc, a, b) rank order."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.analytics import basket_rules_brands
+    from weaver_ray.pipelines.common import sql_round
+
+    # 12 orders over 4 brands; brands X,Y planted to co-occur often
+    baskets = {
+        1: ["X", "Y"], 2: ["X", "Y"], 3: ["X", "Y", "Z"], 4: ["X", "Y"],
+        5: ["X", "Y", "W"], 6: ["X", "Z"], 7: ["Y", "Z"], 8: ["Z", "W"],
+        9: ["X", "Y"], 10: ["W"], 11: ["X", "Y", "Z", "W"], 12: ["Z", "W"],
+    }
+    rows_o, rows_p = [], []
+    pkey = {}
+    for o, brs in baskets.items():
+        for br in brs:
+            pk = pkey.setdefault(br, len(pkey) + 1)
+            rows_o.append(o)
+            rows_p.append(pk)
+            rows_o.append(o)        # duplicate lineitem: the DISTINCT
+            rows_p.append(pk)       # basket must not double-count it
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rows_o, pa.int64()),
+        "l_partkey": pa.array(rows_p, pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(pkey.values()), pa.int64()),
+        "p_brand": pa.array(list(pkey.keys()))}),
+        tmp_path / "part.parquet")
+
+    out = basket_rules_brands(str(tmp_path), min_count=2, k=10)
+
+    n = len(baskets)
+    cnt = {}
+    cab = {}
+    for brs in baskets.values():
+        s = sorted(set(brs))
+        for br in s:
+            cnt[br] = cnt.get(br, 0) + 1
+        for a, b in combinations(s, 2):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    expect = []
+    for (a, b), c in cab.items():
+        if c < 2:
+            continue
+        expect.append((
+            float(sql_round(n * c / (cnt[a] * cnt[b]), 6)), a, b, c,
+            float(sql_round(c / cnt[a], 6)), float(sql_round(c / cnt[b], 6))))
+    expect.sort(key=lambda r: (-r[0], r[1], r[2]))
+    assert len(out) == len(expect)
+    for i, (lift, a, b, c, conf_ab, conf_ba) in enumerate(expect):
+        row = out.iloc[i]
+        assert (row["brand_a"], row["brand_b"]) == (a, b)
+        assert row["n_orders_ab"] == c
+        assert row["lift"] == lift
+        assert row["conf_a_b"] == conf_ab
+        assert row["conf_b_a"] == conf_ba
+        assert row["rank"] == i + 1

@@ -731,3 +731,123 @@ def bloom_semi_join_revenue(sf_dir: str, segment: str = "BUILDING",
         "n_orders": joined["n_orders"].to_numpy(np.int64),
         "total_spent": sql_round(joined["spent"], 2),
     }).sort_values("c_custkey").reset_index(drop=True)
+
+
+# Association-rule contract shared by the engine defaults AND the registered
+# SQL oracle (one source of truth): min pair support and top-k cut
+BASKET_MIN_COUNT = 5
+BASKET_K = 15
+
+
+def basket_rules_brands(sf_dir: str, min_count: int = BASKET_MIN_COUNT,
+                        k: int = BASKET_K,
+                        num_buckets: int = 16) -> pd.DataFrame:
+    """TOP-K ASSOCIATION RULES (Agrawal, Imielinski & Swami 1993) over
+    per-order brand BASKETS: for brands a < b co-occurring in an order,
+    support count c_ab, both directed confidences c_ab/c_a and c_ab/c_b,
+    and lift = n*c_ab/(c_a*c_b) with n = basket (order) count; pairs
+    below ``min_count`` baskets are dropped, ranked (lift desc, a, b).
+
+    This is the market-basket shape ON TOP OF a dimension join: baskets
+    are DISTINCT brands per order, so the pipeline is lineitem x part
+    (brand dim broadcast once — at a scale where part outgrows broadcast
+    the bucketed hash join swaps in, brand_revenue's path) -> ONE
+    order-keyed exchange (complete baskets per bucket) -> vectorized
+    per-bucket pair explode bounded by #brands^2 per order -> the tiny
+    (a, b) reduce.  Basket count, per-brand counts and pair counts all
+    ride the SAME sentinel-row reduce (the PMI trick), so one exchange
+    feeds every term of the rule statistics.
+
+    Parity: all counts are exact integers; confidences and lift are
+    single float64 divisions with factors cast BEFORE multiplying (the
+    caption_pixels_corr overflow rule), rounded 6 dp BEFORE ranking with
+    the (lift desc, a asc, b asc) total tiebreak."""
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = load_arrow(sf_dir, "part", ["p_partkey", "p_brand"]
+                      ).rename_columns(["l_partkey", "p_brand"])
+    joined = broadcast_join(li, part, on="l_partkey")
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=object),
+                              "b": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        # orders are COMPLETE in this bucket -> the distinct is global
+        b = g[["l_orderkey", "p_brand"]].drop_duplicates()
+        m = b.merge(b, on="l_orderkey")
+        m = m[m["p_brand_x"] < m["p_brand_y"]]
+        pairs = (m.groupby(["p_brand_x", "p_brand_y"], sort=False)
+                 .size().rename("n").reset_index())
+        pairs.columns = ["a", "b", "n"]
+        un = (b.groupby("p_brand", sort=False).size()
+              .rename("n").reset_index())
+        un.columns = ["a", "n"]
+        un["b"] = ""  # unary rows: b sentinel (brands are never empty)
+        # basket-count sentinel: n rides the SAME reduce (no second scan)
+        nrow = pd.DataFrame({"a": [""], "b": [""],
+                             "n": [b["l_orderkey"].nunique()]})
+        return pd.concat([pairs, un[["a", "b", "n"]], nrow],
+                         ignore_index=True)
+
+    parts = keyed_map_groups(joined, "l_orderkey", pair_rows, num_buckets)
+    agg = partial_groupby(parts, ["a", "b"], {"n": ("n", "sum")},
+                          many_groups=True, num_buckets=num_buckets
+                          ).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    n_orders = int(agg.loc[(agg["a"] == "") & (agg["b"] == ""), "n"].sum())
+    cnt = agg[(agg["b"] == "") & (agg["a"] != "")].set_index("a")["n"]
+    p = agg[(agg["b"] != "") & (agg["n"] >= min_count)].copy()
+    ca = cnt.reindex(p["a"]).to_numpy(np.int64)
+    cb = cnt.reindex(p["b"]).to_numpy(np.int64)
+    cab = p["n"].to_numpy(np.int64)
+    lift = sql_round((float(n_orders) * cab.astype(np.float64))
+                     / (ca.astype(np.float64) * cb.astype(np.float64)), 6)
+    out = pd.DataFrame({
+        "brand_a": p["a"].to_numpy(), "brand_b": p["b"].to_numpy(),
+        "n_orders_ab": cab,
+        "conf_a_b": sql_round(cab.astype(np.float64)
+                              / ca.astype(np.float64), 6),
+        "conf_b_a": sql_round(cab.astype(np.float64)
+                              / cb.astype(np.float64), 6),
+        "lift": lift})
+    out = (out.sort_values(["lift", "brand_a", "brand_b"],
+                           ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def basket_rules_sql(min_count: int = BASKET_MIN_COUNT,
+                     k: int = BASKET_K) -> str:
+    """The DuckDB oracle: distinct (order, brand) baskets via the join,
+    unary counts, a same-order self-join for pair counts, the identical
+    rounded confidence/lift expressions, round-then-rank."""
+    return f"""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS o, p_brand AS br
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+        ),
+        nn AS (SELECT count(DISTINCT o)::BIGINT AS n FROM ob),
+        cb AS (SELECT br, count(*)::BIGINT AS c FROM ob GROUP BY br),
+        pc AS (
+            SELECT x.br AS a, y.br AS b, count(*)::BIGINT AS cab
+            FROM ob x JOIN ob y ON y.o = x.o AND y.br > x.br
+            GROUP BY x.br, y.br
+        ),
+        s AS (
+            SELECT pc.a AS brand_a, pc.b AS brand_b, pc.cab AS n_orders_ab,
+                   round(pc.cab::DOUBLE / ca.c::DOUBLE, 6) AS conf_a_b,
+                   round(pc.cab::DOUBLE / cb2.c::DOUBLE, 6) AS conf_b_a,
+                   round((nn.n::DOUBLE * pc.cab::DOUBLE)
+                         / (ca.c::DOUBLE * cb2.c::DOUBLE), 6) AS lift
+            FROM pc
+            JOIN cb ca ON ca.br = pc.a
+            JOIN cb cb2 ON cb2.br = pc.b, nn
+            WHERE pc.cab >= {min_count}
+        )
+        SELECT brand_a, brand_b, n_orders_ab, conf_a_b, conf_b_a, lift,
+               CAST(row_number() OVER (ORDER BY lift DESC, brand_a, brand_b)
+                    AS BIGINT) AS rank
+        FROM s QUALIFY rank <= {k}
+    """
