@@ -600,6 +600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_docs": textops.snapshot_diff_docs,
         # pairwise cross-source shared-ngram counts (data governance)
         "source_overlap_matrix": textops.source_overlap_matrix,
+        # minhash sketch estimate of the same cross-source Jaccard (the
+        # web-scale replacement: per-source state = n_seeds hex minima)
+        "source_minhash_overlap": textops.source_minhash_overlap,
         # per-doc duplicated-span (copy-fraction) statistics
         "duplicated_span_docs": textops.duplicated_span_docs,
         "unigram_logprob_docs": textops.unigram_logprob_docs,
@@ -2382,6 +2385,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) t
             WHERE rn <= 20
         """,
+        # minhash overlap estimate: identical md5 permutations, string
+        # minima, integer seed matches — no float grid
+        "source_minhash_overlap": textops.source_minhash_overlap_sql(),
         # cross-source contamination matrix: distinct shared word 4-grams
         # per source pair (DuckDB list slices are 1-based INCLUSIVE)
         "source_overlap_matrix": """

@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "token_pmi_pairs",
     "bigram_logprob_docs",
     "basket_rules_brands",
+    "source_minhash_overlap",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

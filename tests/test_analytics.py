@@ -784,3 +784,44 @@ def test_basket_rules_hand_corpus(ray_session, tmp_path):
         assert row["conf_a_b"] == conf_ab
         assert row["conf_b_a"] == conf_ba
         assert row["rank"] == i + 1
+
+
+def test_source_minhash_overlap_hand_corpus(ray_session, tmp_path):
+    """Independent hashlib replay of the per-(source, seed) minima and
+    the match counts; identical gram sets match every seed (est 1.0),
+    disjoint sets match none (est 0.0)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import (MH_OVERLAP_SEEDS,
+                                              source_minhash_overlap)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    half = "alpha beta gamma delta iota kappa lam mu"
+    disj = "one two three four five six seven eight"
+    docs = {"sA": base, "sB": base, "sC": half, "sD": disj}
+    pq.write_table(pa.table({
+        "source": pa.array(list(docs)),
+        "text": pa.array(list(docs.values()))}),
+        tmp_path / "documents.parquet")
+    out = (source_minhash_overlap(str(tmp_path))
+           .set_index(["src_a", "src_b"]).sort_index())
+
+    def grams(text, n=4):
+        t = text.split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    def sig(gs):
+        return [min(hashlib.md5(f"{s}|{g}".encode()).hexdigest()
+                    for g in gs) for s in range(MH_OVERLAP_SEEDS)]
+
+    sigs = {k: sig(grams(v)) for k, v in docs.items()}
+    for (a, b), row in out.iterrows():
+        expect = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert row["n_seed_matches"] == expect
+        assert row["est_jaccard"] == round(expect / MH_OVERLAP_SEEDS, 6)
+    assert out.loc[("sA", "sB"), "est_jaccard"] == 1.0   # identical sets
+    assert out.loc[("sA", "sD"), "n_seed_matches"] == 0  # disjoint sets
+    assert 0 < out.loc[("sA", "sC"), "n_seed_matches"] < MH_OVERLAP_SEEDS

@@ -1939,3 +1939,100 @@ def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
         SELECT * FROM ({sel})
         WHERE (SELECT chk FROM guard) = 1 ORDER BY round""")
     return "".join(parts)
+
+
+# MinHash-overlap contract shared by the engine AND the SQL oracle: the
+# number of independent md5 permutations in the signature
+MH_OVERLAP_SEEDS = 16
+
+
+def source_minhash_overlap(sf_dir: str, n: int = 4,
+                           n_seeds: int = MH_OVERLAP_SEEDS,
+                           num_buckets: int = 16) -> pd.DataFrame:
+    """MinHash-ESTIMATED cross-source Jaccard (Broder 1997) — the sketch
+    companion to :func:`source_overlap_matrix`'s exact counts: for each
+    of ``n_seeds`` independent hash permutations h_s(g) =
+    md5(s || '|' || g) over the word ``n``-gram sets, two sources match
+    on seed s iff their minima agree; est_jaccard = matches / n_seeds.
+    This is THE estimator that replaces the exact gram-pair join when
+    source gram sets are web-scale: per-source state is n_seeds hex
+    strings, not the gram set.
+
+    Scale shape: each batch emits per-(source, seed) partial MINIMA over
+    its distinct grams (min is idempotent, so batch-local dedup
+    suffices); one tiny many_groups reduce folds them; the pairwise
+    compare runs on the #sources x n_seeds driver table (metadata-sized
+    — at a fan-out where even that outgrows the driver, the compare is
+    one more seed-keyed exchange).  Parity needs NO float grid: matches
+    are exact integers (fixed-width lowercase hex minima order
+    identically as strings on both engines — the rendezvous_assign
+    rule), and the single estimate division is rounded 6 dp."""
+    from .common import md5_hex
+
+    ds = load(sf_dir, "documents", ["source", "text"])
+
+    def partial_mins(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "seed": pd.Series([], dtype=np.int64),
+                              "h": pd.Series([], dtype=object)})
+        cnt, grams = _word_ngrams(df["text"], n)
+        src = np.repeat(df["source"].to_numpy(), cnt)
+        if not len(src):
+            return empty
+        d = pd.DataFrame({"source": src, "g": grams}).drop_duplicates()
+        outs = []
+        for s in range(n_seeds):
+            t = pd.DataFrame({
+                "source": d["source"],
+                "h": pd.Series(md5_hex(f"{s}|{g}" for g in d["g"]),
+                               index=d.index)})
+            m = t.groupby("source", sort=False)["h"].min().reset_index()
+            m["seed"] = np.int64(s)
+            outs.append(m)
+        return pd.concat(outs, ignore_index=True)[["source", "seed", "h"]]
+
+    agg = partial_groupby(
+        ds.map_batches(partial_mins, batch_format="pandas"),
+        ["source", "seed"], {"h": ("h", "min")}, many_groups=True,
+        num_buckets=num_buckets).to_pandas()
+    sig = agg.pivot(index="seed", columns="source", values="h")
+    srcs = sorted(sig.columns)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            matches = int((sig[a] == sig[b]).sum())
+            rows.append((a, b, matches))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "n_seed_matches"])
+    out["n_seed_matches"] = out["n_seed_matches"].astype(np.int64)
+    out["est_jaccard"] = sql_round(
+        out["n_seed_matches"].to_numpy(np.float64) / float(n_seeds), 6)
+    return out
+
+
+def source_minhash_overlap_sql(n: int = 4,
+                               n_seeds: int = MH_OVERLAP_SEEDS) -> str:
+    """The DuckDB oracle: the shared gram spelling, per-(source, seed)
+    min over the identical md5 permutation, seed-joined pair matches."""
+    return f"""
+        WITH toks AS (
+            SELECT source, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT source, array_to_string(ts[i:i + {n - 1}], ' ') AS g
+            FROM toks, UNNEST(range(1, len(ts) - {n - 2})) r(i)
+            WHERE len(ts) >= {n}
+        ),
+        m AS (
+            SELECT source, s, min(md5(CAST(s AS VARCHAR) || '|' || g)) AS h
+            FROM grams, UNNEST(range(0, {n_seeds})) q(s)
+            GROUP BY source, s
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)::BIGINT
+                   AS n_seed_matches,
+               round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)::DOUBLE
+                     / {n_seeds}, 6) AS est_jaccard
+        FROM m a JOIN m b ON b.s = a.s AND b.source > a.source
+        GROUP BY a.source, b.source
+    """
