@@ -598,6 +598,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_neardup_pairs": textops.contamination_neardup_pairs,
         # snapshot diff / CDC vs a deterministically-derived v2 snapshot
         "snapshot_diff_docs": textops.snapshot_diff_docs,
+        # MERGE INTO / CDC-apply: base + typed delta rows reconciled by
+        # one id-keyed exchange (delete/update/insert precedence)
+        "merge_upsert_docs": textops.merge_upsert_docs,
         # pairwise cross-source shared-ngram counts (data governance)
         "source_overlap_matrix": textops.source_overlap_matrix,
         # minhash sketch estimate of the same cross-source Jaccard (the
@@ -2795,6 +2798,11 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.textops import SNAPSHOT_DIFF_SQL
 
     d["snapshot_diff_docs"] = SNAPSHOT_DIFF_SQL
+    # MERGE apply: oracle rebuilds v2 directly from the SHARED transform,
+    # so the value hash certifies apply(base, delta) == rebuild(v2)
+    from weaver_ray.pipelines.textops import MERGE_UPSERT_SQL
+
+    d["merge_upsert_docs"] = MERGE_UPSERT_SQL
     # Morton interleave unrolled to 2*bits integer terms
     from weaver_ray.pipelines.analytics import zorder_events_sql
 

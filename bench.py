@@ -65,6 +65,7 @@ QUERY_NAMES = [
     "bigram_logprob_docs",
     "basket_rules_brands",
     "source_minhash_overlap",
+    "merge_upsert_docs",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -825,3 +825,39 @@ def test_source_minhash_overlap_hand_corpus(ray_session, tmp_path):
     assert out.loc[("sA", "sB"), "est_jaccard"] == 1.0   # identical sets
     assert out.loc[("sA", "sD"), "n_seed_matches"] == 0  # disjoint sets
     assert 0 < out.loc[("sA", "sC"), "n_seed_matches"] < MH_OVERLAP_SEEDS
+
+
+def test_merge_upsert_sequential_replay(ray_session, tmp_path):
+    """apply(base, delta) == a sequential dict MERGE, including the
+    delete-beats-update precedence on an id divisible by both 17 and
+    10, and the synthetic insert ids."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import merge_upsert_docs
+
+    ids = list(range(1, 41)) + [170]   # 170 % 17 == 0 AND % 10 == 0
+    texts = [f"document body {i}" for i in ids]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = (merge_upsert_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    # sequential MERGE replay
+    tbl = dict(zip(ids, texts))
+    for i in list(tbl):
+        if i % 17 == 0:
+            del tbl[i]              # delete wins over update
+        elif i % 10 == 0:
+            tbl[i] = tbl[i] + " [rev2]"
+    for j in range(len(ids) // 20):
+        tbl[170 + 1 + j] = f"new document {j} for snapshot two"
+
+    assert sorted(out.index) == sorted(tbl)
+    for i, text in tbl.items():
+        assert out.loc[i, "h"] == hashlib.md5(text.encode()).hexdigest()
+    assert 170 not in out.index    # the doubly-divisible id was deleted
+    assert 171 in out.index and 172 in out.index  # inserts landed

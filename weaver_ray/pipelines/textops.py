@@ -1560,6 +1560,23 @@ def contamination_neardup_pairs(sf_dir: str, modulus: int = 53,
     return ds.map_batches(probe, batch_format="pandas")
 
 
+def _doc_snapshot_meta(sf_dir: str) -> tuple[int, int]:
+    """(max doc_id, synthetic-new-doc count) for the derived-v2 snapshot,
+    from parquet METADATA (row-group statistics): zero data read — a
+    100-TB table's doc_id column must not visit the driver just to learn
+    its max.  Shared by the snapshot diff and the MERGE apply."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet"))
+    n_rows = pf.metadata.num_rows
+    col_idx = pf.schema_arrow.names.index("doc_id")
+    base_max = max(pf.metadata.row_group(i).column(col_idx).statistics.max
+                   for i in range(pf.metadata.num_row_groups))
+    return int(base_max), n_rows // 20
+
+
 def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     """SNAPSHOT DIFF / CDC between two table versions — the ingest
     reconciliation operator: classify every doc_id as 'added' (only in
@@ -1581,21 +1598,9 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     driver-side list).  This is the canonical delta-reconcile: one
     content-hash scan per snapshot + one id-keyed exchange of 32-byte
     digests."""
-    import os as _os
-
-    import pyarrow.parquet as _pq
-
     from .common import bucket_of, md5_hex, task_hash_exchange
 
-    # max id + row count from parquet METADATA (row-group statistics):
-    # zero data read — a 100-TB table's doc_id column must not visit the
-    # driver just to learn its max
-    pf = _pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet"))
-    n_rows = pf.metadata.num_rows
-    col_idx = pf.schema_arrow.names.index("doc_id")
-    base_max = max(pf.metadata.row_group(i).column(col_idx).statistics.max
-                   for i in range(pf.metadata.num_row_groups))
-    n_new = n_rows // 20
+    base_max, n_new = _doc_snapshot_meta(sf_dir)
 
     a = load(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1659,8 +1664,10 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                               classify, num_buckets)
 
 
-SNAPSHOT_DIFF_SQL = """
-    WITH v2 AS (
+# the derived-v2 snapshot CTE body — ONE definition shared by the
+# snapshot-diff oracle and the MERGE-apply oracle so the CDC transform
+# can't drift between them
+_V2_SQL = """
         SELECT doc_id,
                CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
                     ELSE text END AS text
@@ -1671,6 +1678,11 @@ SNAPSHOT_DIFF_SQL = """
                    || ' for snapshot two'
         FROM (SELECT unnest(range(1,
                  (SELECT count(*) FROM documents) // 20 + 1)) AS i)
+"""
+
+SNAPSHOT_DIFF_SQL = f"""
+    WITH v2 AS (
+{_V2_SQL}
     ),
     a AS (SELECT doc_id, md5(text) AS h FROM documents),
     b AS (SELECT doc_id, md5(text) AS h FROM v2)
@@ -1680,6 +1692,102 @@ SNAPSHOT_DIFF_SQL = """
                 ELSE 'modified' END AS change
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+"""
+
+
+def merge_upsert_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """MERGE INTO / CDC-APPLY — the other half of
+    :func:`snapshot_diff_docs`: a base table plus a stream of typed
+    change rows (delete / update / insert) is reconciled into the next
+    snapshot by one id-keyed exchange — the Delta-Lake/Iceberg MERGE
+    execution shape.  The output is (doc_id, md5(text)) of the MERGED
+    table; the oracle builds v2 DIRECTLY from the shared derived
+    transform, so the value hash certifies apply(base, delta) ==
+    rebuild(v2) row for row.
+
+    The delta derives from the same deterministic rule as the snapshot
+    diff (every 17th id deleted, every 10th updated with a ' [rev2]'
+    suffix, one insert per 20 base rows) but is read in a SEPARATE scan
+    — delta rows arrive in their own blocks, arbitrarily partitioned
+    relative to the base, exactly like an external CDC feed; co-location
+    happens only through the exchange, which is the property a MERGE
+    executor must provide.  Per bucket (complete doc_id groups):
+    anti-join deletes, overlay updates, append inserts — all vectorized.
+
+    Scale shape: two column-pruned scans + ONE hash exchange keyed by
+    doc_id; delete/update rows carry a 32-byte digest-sized payload
+    (update text here, bounded by doc size); no driver materialization
+    — the merged digests stream out as a Dataset."""
+    from .common import bucket_of, md5_hex, task_hash_exchange
+
+    base_max, n_new = _doc_snapshot_meta(sf_dir)
+
+    base = load(sf_dir, "documents", ["doc_id", "text"])
+    delta_src = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "text": df["text"].astype("string"),
+            "op": pd.Series("base", index=df.index, dtype="string")})
+
+    def make_delta(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        dl = ids % 17 == 0
+        up = (ids % 10 == 0) & ~dl
+        new_text = (df["text"].astype("string") + " [rev2]").to_numpy()
+        dels = pd.DataFrame({
+            "doc_id": ids[dl],
+            "text": pd.Series([""] * int(dl.sum()), dtype="string"),
+            "op": pd.Series(["del"] * int(dl.sum()), dtype="string")})
+        upds = pd.DataFrame({
+            "doc_id": ids[up],
+            "text": pd.Series(new_text[up], dtype="string"),
+            "op": pd.Series(["upd"] * int(up.sum()), dtype="string")})
+        return pd.concat([dels, upds], ignore_index=True)
+
+    def make_inserts(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["id"].to_numpy(np.int64) + 1
+        return pd.DataFrame({
+            "doc_id": base_max + i,
+            "text": pd.Series([f"new document {j} for snapshot two"
+                               for j in (i - 1)], dtype="string"),
+            "op": pd.Series("ins", index=df.index, dtype="string")})
+
+    rows = (base.map_batches(tag_base, batch_format="pandas")
+            .union(delta_src.map_batches(make_delta, batch_format="pandas"))
+            .union(rd.range(n_new).map_batches(make_inserts,
+                                               batch_format="pandas")))
+
+    def apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "h": pd.Series([], dtype="string")})
+        if not len(g):
+            return empty
+        b = g[g["op"] == "base"]
+        dl = g.loc[g["op"] == "del", "doc_id"]
+        up = g[g["op"] == "upd"].set_index("doc_id")["text"]
+        keep = b[~b["doc_id"].isin(dl).to_numpy()]
+        text = up.reindex(keep["doc_id"]).reset_index(drop=True)
+        text = text.fillna(keep["text"].reset_index(drop=True))
+        merged = pd.DataFrame({
+            "doc_id": keep["doc_id"].to_numpy(np.int64), "text": text})
+        ins = g[g["op"] == "ins"][["doc_id", "text"]]
+        merged = pd.concat([merged, ins], ignore_index=True)
+        return pd.DataFrame({
+            "doc_id": merged["doc_id"].to_numpy(np.int64),
+            "h": pd.Series(md5_hex(merged["text"]), dtype="string")})
+
+    return task_hash_exchange(
+        rows, lambda df: bucket_of(df["doc_id"], num_buckets),
+        apply_merge, num_buckets)
+
+
+MERGE_UPSERT_SQL = f"""
+    WITH v2 AS (
+{_V2_SQL}
+    )
+    SELECT doc_id, md5(text) AS h FROM v2
 """
 
 
