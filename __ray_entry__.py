@@ -468,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_shortest_paths": pagerank.host_shortest_paths,
         # k-core coreness via the h-index fixed point (Lü et al. 2016)
         "host_kcore": pagerank.host_kcore,
+        # synchronous label-propagation communities (fixed rounds) over
+        # the undirected page graph — integer majority + min-label tie
+        "page_communities": pagerank.page_communities,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -2820,6 +2823,10 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import host_kcore_sql
 
     d["host_kcore"] = host_kcore_sql()
+    # LPA communities: the synchronous majority update unrolled per round
+    from weaver_ray.pipelines.pagerank import page_communities_sql
+
+    d["page_communities"] = page_communities_sql()
     # consensus dedup: DERIVED from the two registered leg oracles (one
     # source of truth — band/threshold constants live only in the legs)
     d["consensus_dup_pairs"] = f"""

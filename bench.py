@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "basket_rules_brands",
     "source_minhash_overlap",
     "merge_upsert_docs",
+    "page_communities",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

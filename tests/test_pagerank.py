@@ -179,3 +179,39 @@ def test_host_kcore_matches_sequential_peeling(ray_session):
     assert dict(eng) == core
     # non-degenerate: the fixture graph has at least two coreness levels
     assert eng.nunique() >= 2
+
+
+def test_page_communities_matches_sequential_lpa(ray_session):
+    """Engine LPA == an independent sequential synchronous label
+    propagation over the same fixture graph (4 rounds, neighbor
+    majority, (count desc, label asc) tie), and the partition is
+    non-degenerate (more than one community)."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.pagerank import (LPA_ROUNDS,
+                                               generate_page_edges,
+                                               page_communities)
+
+    e = pq.read_table(
+        generate_page_edges(1000) + "/part-00000.parquet").to_pandas()
+    adj = defaultdict(set)
+    for s, d in zip(e["src_id"], e["dst_id"]):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    lab = {v: v for v in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            c = Counter(lab[u] for u in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+
+    out = page_communities("/root/testdata/sf0.001").set_index("page_id")
+    assert len(out) == len(adj)
+    for v, l in lab.items():
+        assert out.loc[v, "community"] == l
+    assert out["community"].nunique() > 1

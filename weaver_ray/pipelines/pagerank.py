@@ -216,20 +216,19 @@ def pagerank_sql(n_base: int = 1000, n_iters: int = 5, d: float = 0.85) -> str:
 # ------------------------------------------------------- triangle counting
 
 
-def _undirected_simple_edges(n_base: int) -> "rd.Dataset":
-    """Distinct undirected simple edges (a < b) of the host graph, as a
-    lazy Dataset: self-loops dropped, direction collapsed via (min, max),
-    distributed dedup through count partials (keys only) — the one
-    edge-normalization contract shared by every undirected graph
-    operator (triangles, k-core), so dedup/dtype semantics can't drift
-    between them."""
-    files = sorted(str(p) for p in
-                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+def _undirected_edges_from(files: list[str], src: str,
+                           dst: str) -> "rd.Dataset":
+    """Distinct undirected simple edges (a < b) from a directed edge
+    parquet, as a lazy Dataset: self-loops dropped, direction collapsed
+    via (min, max), distributed dedup through count partials (keys only)
+    — the one edge-normalization contract shared by every undirected
+    graph operator (triangles, k-core, label propagation), so
+    dedup/dtype semantics can't drift between them."""
     raw = rd.read_parquet(files)
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src_host"].to_numpy(np.int64)
-        d_ = df["dst_host"].to_numpy(np.int64)
+        s = df[src].to_numpy(np.int64)
+        d_ = df[dst].to_numpy(np.int64)
         keep = s != d_  # self-loops are never simple-graph edges
         a = np.minimum(s, d_)[keep]
         b = np.maximum(s, d_)[keep]
@@ -237,6 +236,13 @@ def _undirected_simple_edges(n_base: int) -> "rd.Dataset":
 
     return partial_groupby(raw, ["a", "b"], {"n": ("a", "count")},
                            prep=norm, many_groups=True)
+
+
+def _undirected_simple_edges(n_base: int) -> "rd.Dataset":
+    """The host-graph instance of the shared edge normalization."""
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    return _undirected_edges_from(files, "src_host", "dst_host")
 
 
 def host_triangles(sf_dir: str, n_base: int = 1000) -> rd.Dataset:
@@ -740,4 +746,116 @@ def host_sssp_sql(n_base: int = 1000, n_rounds: int = 10) -> str:
     parts.append(f"""
         SELECT host, CAST(dist AS BIGINT) AS dist FROM d{n_rounds}
         WHERE dist < {inf} ORDER BY host""")
+    return "".join(parts)
+
+
+# LPA contract shared by the engine and the SQL oracle: synchronous rounds
+LPA_ROUNDS = 4
+
+
+def page_communities(sf_dir: str, n_base: int = 1000,
+                     n_rounds: int = LPA_ROUNDS) -> pd.DataFrame:
+    """COMMUNITY DETECTION via synchronous LABEL PROPAGATION (Raghavan,
+    Albert & Kumara 2007) over the undirected simple page graph: every
+    node starts as its own label; each round, every node adopts the most
+    frequent label among its NEIGHBORS, ties broken to the smallest
+    label — run for a FIXED ``n_rounds`` so the DuckDB oracle can unroll
+    the identical update (the pagerank/kcore/SSSP precedent; synchronous
+    LPA need not converge, so the fixed count IS the contract, not an
+    approximation of a fixed point).
+
+    Scale shape (the k-core budget): the symmetrized edge list is
+    node-partitioned ONCE and reused every round; each round broadcasts
+    the O(nodes) label vector and computes per-node majority labels
+    vectorized inside each bucket (one groupby-count + one
+    sort-drop_duplicates — never a per-node loop); NO per-round shuffle.
+    Parity is pure integers: counts and labels, (count desc, label asc)
+    total tiebreak."""
+    from .common import keyed_map_groups
+
+    files = sorted(str(p) for p in
+                   Path(generate_page_edges(n_base)).glob("part-*.parquet"))
+    und = _undirected_edges_from(files, "src_id", "dst_id")
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
+
+    parted = keyed_map_groups(und.map_batches(sym, batch_format="pandas"),
+                              "node", lambda g: g).materialize()
+    node_df = partial_groupby(parted, ["node"], {"d": ("node", "count")},
+                              many_groups=True).to_pandas()
+    if not len(node_df):
+        return pd.DataFrame({"page_id": pd.Series([], dtype=np.int64),
+                             "community": pd.Series([], dtype=np.int64)})
+    H = int(node_df["node"].max()) + 1
+    lab = np.arange(H, dtype=np.int64)  # l0: every node is its own label
+
+    def one_round(lv: np.ndarray) -> np.ndarray:
+        ref = ray.put(lv)
+
+        def majority(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                  "lab": pd.Series([], dtype=np.int64)})
+            if not len(g):
+                return empty
+            from .common import _cached_get
+
+            nl = _cached_get(ref)[g["nbr"].to_numpy(np.int64)]
+            d = (pd.DataFrame({"node": g["node"].to_numpy(np.int64),
+                               "lab": nl})
+                 .groupby(["node", "lab"], sort=False)
+                 .size().rename("n").reset_index()
+                 .sort_values(["node", "n", "lab"],
+                              ascending=[True, False, True]))
+            return d.drop_duplicates("node")[["node", "lab"]]
+
+        out = parted.map_batches(majority, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+        nxt = lv.copy()
+        nxt[out["node"].to_numpy(np.int64)] = out["lab"].to_numpy(np.int64)
+        return nxt
+
+    for _ in range(n_rounds):
+        lab = one_round(lab)
+    nodes = np.sort(node_df["node"].to_numpy(np.int64))
+    return pd.DataFrame({"page_id": nodes, "community": lab[nodes]})
+
+
+def page_communities_sql(n_base: int = 1000,
+                         n_rounds: int = LPA_ROUNDS) -> str:
+    """DuckDB oracle: the identical synchronous majority update unrolled
+    one MATERIALIZED CTE per round (each round references its
+    predecessor through the join — the SSSP CTE-inlining lesson)."""
+    glob = generate_page_edges(n_base) + "/part-*.parquet"
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS a,
+                            greatest(src_id, dst_id) AS b
+            FROM read_parquet('{glob}') WHERE src_id <> dst_id
+        ),
+        sym AS MATERIALIZED (
+            SELECT a AS node, b AS nbr FROM e
+            UNION ALL SELECT b, a FROM e
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT node, node AS lab FROM sym
+        )"""]
+    for t in range(n_rounds):
+        parts.append(f""",
+        l{t + 1} AS MATERIALIZED (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, lab) AS rn
+                FROM (SELECT s.node, p.lab, count(*)::BIGINT AS n
+                      FROM sym s JOIN l{t} p ON p.node = s.nbr
+                      GROUP BY s.node, p.lab)
+            ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT node AS page_id, CAST(lab AS BIGINT) AS community
+        FROM l{n_rounds}""")
     return "".join(parts)
