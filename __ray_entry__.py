@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from weaver_ray.pipelines import (analytics, audio, dedup, images,
                                       pagerank, relational, similarity,
                                       temporal, textops, video)
+    from weaver_ray.sources.csvstore import events_csv_roundtrip as \
+        _csv_roundtrip
 
     return {
         # iterative graph ranking over the crawl's host link graph
@@ -601,6 +603,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_neardup_pairs": textops.contamination_neardup_pairs,
         # snapshot diff / CDC vs a deterministically-derived v2 snapshot
         "snapshot_diff_docs": textops.snapshot_diff_docs,
+        # CSV source/sink round trip: write_csv -> read_csv -> aggregate
+        # touching EVERY column; the parquet-view oracle certifies the
+        # text interchange was lossless
+        "events_csv_roundtrip": _csv_roundtrip,
         # MERGE INTO / CDC-apply: base + typed delta rows reconciled by
         # one id-keyed exchange (delete/update/insert precedence)
         "merge_upsert_docs": textops.merge_upsert_docs,
@@ -2806,6 +2812,11 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.textops import MERGE_UPSERT_SQL
 
     d["merge_upsert_docs"] = MERGE_UPSERT_SQL
+    # CSV round trip: the oracle aggregates the PARQUET view — equality
+    # certifies the text interchange preserved every column
+    from weaver_ray.sources.csvstore import EVENTS_CSV_ROUNDTRIP_SQL
+
+    d["events_csv_roundtrip"] = EVENTS_CSV_ROUNDTRIP_SQL
     # Morton interleave unrolled to 2*bits integer terms
     from weaver_ray.pipelines.analytics import zorder_events_sql
 

@@ -67,6 +67,7 @@ QUERY_NAMES = [
     "source_minhash_overlap",
     "merge_upsert_docs",
     "page_communities",
+    "events_csv_roundtrip",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

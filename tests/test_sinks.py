@@ -2,6 +2,7 @@
 semantics (torn writes invisible to readers)."""
 
 import os
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -139,3 +140,33 @@ def test_sink_carries_neardup_output(tmp_path, dup_docs_dir):
     pd.testing.assert_frame_equal(
         back[["doc_id", "cluster_id"]].astype(np.int64),
         direct[["doc_id", "cluster_id"]].astype(np.int64))
+
+
+def test_events_csv_roundtrip_lossless(ray_session, tmp_path):
+    """The CSV export memoizes (second call rewrites nothing) and the
+    round-tripped rows equal the parquet rows column-for-column."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow.csv as pc
+    import pyarrow.parquet as pq
+
+    from weaver_ray.sources.csvstore import export_events_csv
+
+    src = "/root/testdata/sf0.001"
+    root = str(tmp_path / "csvroot")
+    d = export_events_csv(src, root=root)
+    files = sorted(Path(d).glob("*.csv"))
+    assert files, "CSV export produced no part files"
+    stamps = [f.stat().st_mtime_ns for f in files]
+    assert export_events_csv(src, root=root) == d  # memoized: no rewrite
+    assert [f.stat().st_mtime_ns for f in sorted(Path(d).glob("*.csv"))] \
+        == stamps
+
+    a = (pq.read_table(src + "/events.parquet").to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (pd.concat([pc.read_csv(str(f)).to_pandas() for f in files])
+         .sort_values("event_id").reset_index(drop=True))
+    b["ts"] = b["ts"].astype(a["ts"].dtype)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+    shutil.rmtree(root)
