@@ -710,6 +710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_format_stats": images.corpus_format_stats,
         # per-image Shannon entropy of the stored bytes (corrupt/flat gate)
         "image_byte_entropy": images.image_byte_entropy,
+        # content-store chunk dedup stats over the stored blobs (fixed
+        # 64-byte chunks, md5-of-hex ids, shared-with-any-other flag)
+        "image_chunk_dedup": images.image_chunk_dedup,
         "caption_stats_by_fmt": images.caption_stats_by_fmt,
         # cross-modal Pearson r: caption tokens vs pixel area, per fmt
         "caption_pixels_corr": images.caption_pixels_corr,
@@ -1095,6 +1098,7 @@ def _image_sql() -> dict[str, str]:
         ASPECT_BUCKETS,
         generate_dups,
         generate_variants,
+        image_chunk_dedup_sql,
     )
     from weaver_ray.pipelines.video import generate_video_corpus
     from weaver_ray.sources.corpus import generate_corpus
@@ -1260,6 +1264,9 @@ def _image_sql() -> dict[str, str]:
         # per-image byte entropy: the SQL replays the histogram via a
         # hex-pair explode of every blob (2 chars per byte), then the
         # identical H = log2(n) - sum(c*log2 c)/n integer-count form
+        # chunk dedup: hex substr explode into 128-char chunks, identical
+        # md5-of-hex ids, global per-chunk image counts
+        "image_chunk_dedup": image_chunk_dedup_sql(base, dup),
         "image_byte_entropy": f"""
             WITH b AS (
                 SELECT image_id, fmt, octet_length(bytes) AS n,

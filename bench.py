@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "merge_upsert_docs",
     "page_communities",
     "events_csv_roundtrip",
+    "image_chunk_dedup",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

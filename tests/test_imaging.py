@@ -427,3 +427,48 @@ def test_caption_pixels_corr_matches_numpy(ray_session):
                              sub["y"].to_numpy(np.float64))[0, 1]
         assert abs(r.corr_tokens_pixels - expect) < 1e-6
         assert -1.0 <= r.corr_tokens_pixels <= 1.0
+
+
+def test_image_chunk_dedup_sequential_replay(ray_session):
+    """Engine chunk stats == a sequential hashlib/Counter replay over the
+    same blobs, and every planted byte-identical copy (and its base)
+    scores dup_fraction 1.0."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.images import (CHUNK_BYTES, generate_dups,
+                                             image_chunk_dedup)
+    from weaver_ray.sources.corpus import generate_corpus
+
+    base = pq.read_table(generate_corpus(1000) + "/part-00000.parquet",
+                         columns=["image_id", "bytes"]).to_pandas()
+    dup = pq.read_table(generate_dups(1000) + "/part-00000.parquet",
+                        columns=["image_id", "bytes"]).to_pandas()
+    import pandas as pd
+    blobs = pd.concat([base, dup], ignore_index=True)
+
+    step = 2 * CHUNK_BYTES
+    per_img = {}
+    owners = Counter()
+    for iid, blob in zip(blobs["image_id"], blobs["bytes"]):
+        hx = bytes(blob).hex().upper()
+        chunks = {hashlib.md5(hx[p:p + step].encode()).hexdigest()
+                  for p in range(0, len(hx), step)}
+        per_img[iid] = chunks
+        owners.update(chunks)
+
+    out = (image_chunk_dedup("/root/testdata/sf0.001").to_pandas()
+           .set_index("image_id"))
+    assert len(out) == len(per_img)
+    for iid, chunks in per_img.items():
+        shared = sum(owners[c] > 1 for c in chunks)
+        assert out.loc[iid, "n_chunks"] == len(chunks)
+        assert out.loc[iid, "n_shared"] == shared
+    # the planted copies and their bases dedup completely
+    for iid in dup["image_id"]:
+        assert out.loc[iid, "dup_fraction"] == 1.0
+    # and the fraction is non-trivial in between (format headers shared)
+    assert out["dup_fraction"].between(0, 1).all()
+    assert (out["dup_fraction"] < 1.0).any()

@@ -952,3 +952,115 @@ def contrastive_negative_pairs_sql(n_base: int = 1000, k: int = 2) -> str:
                r2.image_id AS neg_image_id, r2.caption AS neg_caption
         FROM t JOIN r r2 ON r2.rank = t.tgt
     """
+
+
+# chunk-dedup contract shared by the engine and the SQL oracle: fixed
+# chunk size in bytes (128 hex chars oracle-side)
+CHUNK_BYTES = 64
+
+
+def image_chunk_dedup(sf_dir: str, n_base: int = 1000,
+                      num_buckets: int = 16) -> rd.Dataset:
+    """CONTENT-STORE CHUNK DEDUP statistics over the stored blobs — the
+    backup/blob-store dedup shape (fixed-size chunking, the CDC
+    baseline) applied to the image column: every blob splits into
+    ``CHUNK_BYTES`` chunks; per image, the count of DISTINCT chunks and
+    how many of them appear in ANY other image, plus the dup fraction —
+    :func:`textops.duplicated_span_docs`'s exact-substring signal on the
+    binary axis.  Planted byte-identical copies score 1.0; unrelated
+    images share only constant format headers (the realistic dedup
+    floor a chunk store exploits).
+
+    Input: base corpus ∪ planted byte-identical copies (noisy variants
+    are the NEAR-dup family's input, not a chunk store's).  Scale
+    shape: blobs chunk per batch — only 32-char chunk hashes ever
+    shuffle (ONE chunk-keyed exchange where a chunk's image list is
+    complete per bucket, so the shared flag is global), then one tiny
+    image-keyed reduce.  The chunk hash is md5 of the HEX spelling so
+    DuckDB's VARCHAR-only md5 reconstructs it verbatim; the oracle pays
+    the 128-char substr explode the engine never materializes."""
+    import hashlib
+
+    from .common import keyed_map_groups, partial_groupby
+
+    cols = ["image_id", "bytes"]
+    ds = (read_corpus(generate_corpus(n_base), cols)
+          .union(read_dups(generate_dups(n_base), cols)))
+
+    hx_per_chunk = 2 * CHUNK_BYTES
+
+    def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, chs = [], []
+        for iid, blob in zip(df["image_id"], df["bytes"]):
+            hx = bytes(blob).hex().upper()  # DuckDB hex() is uppercase
+            if not hx:
+                continue
+            seen = {hashlib.md5(
+                hx[p:p + hx_per_chunk].encode()).hexdigest()
+                for p in range(0, len(hx), hx_per_chunk)}
+            ids.extend([iid] * len(seen))
+            chs.extend(sorted(seen))
+        return pd.DataFrame({"image_id": pd.Series(ids, dtype="string"),
+                             "ch": pd.Series(chs, dtype="string")})
+
+    pairs = ds.map_batches(chunk_rows, batch_format="pandas",
+                           batch_size=64)
+
+    def flag_shared(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"image_id": pd.Series([], dtype="string"),
+                              "one": pd.Series([], dtype=np.int64),
+                              "shared": pd.Series([], dtype=np.int64)})
+        if not len(bucket):
+            return empty
+        nimg = bucket.groupby("ch", sort=False)["image_id"].transform("size")
+        return pd.DataFrame({
+            "image_id": bucket["image_id"].to_numpy(),
+            "one": np.ones(len(bucket), np.int64),
+            "shared": (nimg.to_numpy(np.int64) > 1).astype(np.int64)})
+
+    flags = keyed_map_groups(pairs, "ch", flag_shared, num_buckets)
+    per = partial_groupby(flags, ["image_id"],
+                          {"n_chunks": ("one", "sum"),
+                           "n_shared": ("shared", "sum")}, many_groups=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("n_chunks", "n_shared"):
+            df[c] = df[c].astype(np.int64)
+        df["dup_fraction"] = sql_round(
+            df["n_shared"].to_numpy(np.float64)
+            / df["n_chunks"].to_numpy(np.float64), 4)
+        return df
+
+    return per.map_batches(finish, batch_format="pandas")
+
+
+def image_chunk_dedup_sql(base_glob: str, dup_glob: str) -> str:
+    """The DuckDB oracle: hex substr explode into 128-char chunks, the
+    identical md5-of-hex chunk ids, global image counts per chunk."""
+    return f"""
+        WITH u AS (
+            SELECT image_id, bytes FROM read_parquet('{base_glob}')
+            UNION ALL
+            SELECT image_id, bytes FROM read_parquet('{dup_glob}')
+        ),
+        b AS (
+            SELECT image_id, hex(bytes) AS hx, octet_length(bytes) AS n
+            FROM u WHERE octet_length(bytes) > 0
+        ),
+        ch AS (
+            SELECT DISTINCT image_id,
+                   md5(substr(hx, {2 * CHUNK_BYTES} * (i - 1) + 1,
+                              {2 * CHUNK_BYTES})) AS ch
+            FROM b, UNNEST(range(1, (n + {CHUNK_BYTES - 1})
+                                    // {CHUNK_BYTES} + 1)) r(i)
+        ),
+        gc AS (SELECT ch, count(*)::BIGINT AS nimg FROM ch GROUP BY ch)
+        SELECT c.image_id, count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN gc.nimg > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_shared,
+               round(sum(CASE WHEN gc.nimg > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS dup_fraction
+        FROM ch c JOIN gc USING (ch)
+        GROUP BY c.image_id
+    """
