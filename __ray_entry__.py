@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synchronous label-propagation communities (fixed rounds) over
         # the undirected page graph — integer majority + min-label tie
         "page_communities": pagerank.page_communities,
+        # HITS hubs/authorities (fixed mutual-reinforcement rounds, L1
+        # normalization per half-step, 6 dp round — pagerank precedent)
+        "host_hits": pagerank.host_hits,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -2845,6 +2848,10 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import page_communities_sql
 
     d["page_communities"] = page_communities_sql()
+    # HITS: alternating normalized half-steps unrolled per round
+    from weaver_ray.pipelines.pagerank import host_hits_sql
+
+    d["host_hits"] = host_hits_sql()
     # consensus dedup: DERIVED from the two registered leg oracles (one
     # source of truth — band/threshold constants live only in the legs)
     d["consensus_dup_pairs"] = f"""

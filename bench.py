@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "page_communities",
     "events_csv_roundtrip",
     "image_chunk_dedup",
+    "host_hits",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

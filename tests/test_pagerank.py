@@ -215,3 +215,38 @@ def test_page_communities_matches_sequential_lpa(ray_session):
     for v, l in lab.items():
         assert out.loc[v, "community"] == l
     assert out["community"].nunique() > 1
+
+
+def test_host_hits_matches_dense_reference(ray_session):
+    """Engine HITS == an independent dense numpy power iteration with
+    the same normalization schedule, and the scores are meaningful
+    (positive mass, non-uniform ranking)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.pagerank import (HITS_ITERS,
+                                               generate_host_edges,
+                                               host_hits)
+
+    e = pq.read_table(
+        generate_host_edges(1000) + "/part-00000.parquet").to_pandas()
+    w = (e.groupby(["src_host", "dst_host"]).size().reset_index(name="w"))
+    nodes = np.union1d(w["src_host"].unique(), w["dst_host"].unique())
+    H = int(nodes.max()) + 1
+    W = np.zeros((H, H))
+    W[w["src_host"], w["dst_host"]] = w["w"]
+    h = np.zeros(H)
+    h[nodes] = 1.0 / len(nodes)
+    for _ in range(HITS_ITERS):
+        a = W.T @ h
+        a /= a.sum()
+        h = W @ a
+        h /= h.sum()
+
+    out = host_hits("/root/testdata/sf0.001").set_index("host")
+    assert len(out) == len(nodes)
+    for v in nodes:
+        assert abs(out.loc[v, "authority"] - a[v]) < 1e-6
+        assert abs(out.loc[v, "hub"] - h[v]) < 1e-6
+    assert out["authority"].sum() > 0.99  # L1-normalized mass
+    assert out["hub"].nunique() > 10      # a real ranking, not uniform

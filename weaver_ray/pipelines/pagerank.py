@@ -859,3 +859,116 @@ def page_communities_sql(n_base: int = 1000,
         SELECT node AS page_id, CAST(lab AS BIGINT) AS community
         FROM l{n_rounds}""")
     return "".join(parts)
+
+
+# HITS contract shared by the engine and the SQL oracle
+HITS_ITERS = 5
+
+
+def host_hits(sf_dir: str, n_base: int = 1000,
+              n_iters: int = HITS_ITERS) -> pd.DataFrame:
+    """HITS HUBS & AUTHORITIES (Kleinberg 1999) over the weighted
+    directed host graph — the link-analysis complement to
+    :func:`host_pagerank`: authorities are hosts that heavily-linking
+    hubs point at; hubs are hosts that point at strong authorities.
+    Fixed ``n_iters`` mutual-reinforcement rounds with L1 normalization
+    after every half-step, exactly as the oracle unrolls them (the
+    pagerank precedent); final scores rounded 6 dp.
+
+    Scale shape per round (the pagerank budget): the O(nodes) score
+    vector broadcasts via ``ray.put``; each half-step is ONE map_batches
+    pass over the distributed weighted edge Dataset emitting per-batch
+    contribution partials + a tiny reduce; normalization folds on the
+    O(nodes) driver vector.  Two passes per round are inherent to HITS
+    (authority needs hubs, hub needs fresh authorities)."""
+    from .common import _cached_get
+
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    edges = rd.read_parquet(files)
+    ew = partial_groupby(edges, ["src_host", "dst_host"],
+                         {"w": ("dst_host", "count")},
+                         many_groups=True).materialize()
+
+    od = partial_groupby(ew, ["src_host"], {"n": ("w", "count")},
+                         many_groups=True).to_pandas()
+    idg = partial_groupby(ew, ["dst_host"], {"n": ("w", "count")},
+                          many_groups=True).to_pandas()
+    nodes = np.union1d(od["src_host"].to_numpy(np.int64),
+                       idg["dst_host"].to_numpy(np.int64))
+    if not len(nodes):
+        return pd.DataFrame({"host": pd.Series([], dtype=np.int64),
+                             "hub": pd.Series([], dtype=np.float64),
+                             "authority": pd.Series([], dtype=np.float64)})
+    H = int(nodes.max()) + 1
+
+    def half_step(vec: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
+        """sum_{edges} w * vec[key_in] grouped by key_out, L1-normalized."""
+        ref = ray.put(vec)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            v = _cached_get(ref)
+            c = df["w"].to_numpy(np.float64) * v[df[key_in].to_numpy(np.int64)]
+            return (pd.DataFrame({"host": df[key_out].to_numpy(np.int64),
+                                  "c": c})
+                    .groupby("host", sort=False)["c"].sum().reset_index())
+
+        s = partial_groupby(ew.map_batches(contrib, batch_format="pandas"),
+                            ["host"], {"c": ("c", "sum")},
+                            many_groups=True).to_pandas()
+        dense = np.zeros(H)
+        dense[s["host"].to_numpy(np.int64)] = s["c"].to_numpy(np.float64)
+        return dense / dense.sum()
+
+    h = np.zeros(H)
+    h[nodes] = 1.0 / len(nodes)
+    for _ in range(n_iters):
+        a = half_step(h, "src_host", "dst_host")   # authorities from hubs
+        h = half_step(a, "dst_host", "src_host")   # hubs from authorities
+    return pd.DataFrame({"host": nodes.astype(np.int64),
+                         "hub": sql_round(pd.Series(h[nodes]), 6),
+                         "authority": sql_round(pd.Series(a[nodes]), 6)})
+
+
+def host_hits_sql(n_base: int = 1000, n_iters: int = HITS_ITERS) -> str:
+    """DuckDB oracle: the identical alternating half-steps unrolled as
+    MATERIALIZED CTE pairs (each normalized by its own sum); hosts with
+    no in-edges (or out-edges) coalesce to 0 in the final projection."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT src_host, dst_host, count(*)::DOUBLE AS w
+            FROM read_parquet('{glob}') GROUP BY src_host, dst_host
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM e
+                UNION ALL SELECT dst_host FROM e)
+        ),
+        h0 AS MATERIALIZED (
+            SELECT host, 1.0 / (SELECT count(*) FROM nodes) AS v FROM nodes
+        )"""]
+    for t in range(n_iters):
+        parts.append(f""",
+        a{t + 1}r AS MATERIALIZED (
+            SELECT e.dst_host AS host, sum(e.w * p.v) AS v
+            FROM e JOIN h{t} p ON p.host = e.src_host GROUP BY e.dst_host
+        ),
+        a{t + 1} AS MATERIALIZED (
+            SELECT host, v / (SELECT sum(v) FROM a{t + 1}r) AS v FROM a{t + 1}r
+        ),
+        h{t + 1}r AS MATERIALIZED (
+            SELECT e.src_host AS host, sum(e.w * p.v) AS v
+            FROM e JOIN a{t + 1} p ON p.host = e.dst_host GROUP BY e.src_host
+        ),
+        h{t + 1} AS MATERIALIZED (
+            SELECT host, v / (SELECT sum(v) FROM h{t + 1}r) AS v FROM h{t + 1}r
+        )""")
+    parts.append(f"""
+        SELECT n.host,
+               round(coalesce(h.v, 0), 6) AS hub,
+               round(coalesce(a.v, 0), 6) AS authority
+        FROM nodes n
+        LEFT JOIN h{n_iters} h ON h.host = n.host
+        LEFT JOIN a{n_iters} a ON a.host = n.host""")
+    return "".join(parts)
