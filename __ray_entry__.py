@@ -504,6 +504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_assign": relational.rendezvous_assign,
         # sketch -> clip -> aggregate composition (outlier-robust mean)
         "winsorized_value_stats": relational.winsorized_value_stats,
+        # grouped robust outliers: sketch median + MAD per type with an
+        # integer-bin outlier bound (no float grid anywhere)
+        "value_mad_outliers": relational.value_mad_outliers,
         # incremental view maintenance: checkpointed pre-cutoff partials +
         # delta-only scan; oracle = full recompute over all events
         "incremental_event_stats": relational.incremental_event_stats,
@@ -1395,7 +1398,7 @@ def oracle_sql() -> dict[str, str]:
     _rendezvous_sql = rendezvous_assign_sql()
     _pmi_sql = textops.token_pmi_pairs_sql()
     _bigram_sql = textops.bigram_logprob_sql()
-    from weaver_ray.pipelines import analytics
+    from weaver_ray.pipelines import analytics, relational
     _basket_sql = analytics.basket_rules_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
@@ -1751,6 +1754,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
         # from the identical bucket arithmetic, then least/greatest clip
+        # robust MAD outliers: identical two-level bucket arithmetic,
+        # integer ceil-rank medians, integer-bin outlier bound
+        "value_mad_outliers": relational.value_mad_outliers_sql(),
         "winsorized_value_stats": """
             WITH b AS (
                 SELECT least(greatest(CAST(floor(value * 8192.0 / 500.0)

@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "events_csv_roundtrip",
     "image_chunk_dedup",
     "host_hits",
+    "value_mad_outliers",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -451,3 +451,47 @@ def test_top_event_sequences_hand_stream(ray_session, tmp_path):
            for r in out.itertuples(index=False)]
     assert got == [("A", "B", "A", 3, 1), ("B", "A", "B", 2, 2),
                    ("C", "C", "C", 2, 3)]
+
+
+def test_value_mad_outliers_sequential_replay(ray_session, tmp_path):
+    """Engine robust stats == an independent sequential replay of the
+    two-level bucket arithmetic on a planted corpus where the outliers
+    are known: a tight cluster at ~30 plus a handful at 400+."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import (MAD_K, SKETCH_BINS,
+                                                 SKETCH_VMAX,
+                                                 value_mad_outliers)
+
+    vals = [30.0 + 0.01 * i for i in range(50)] + [400.0, 450.0, 499.0]
+    types = ["t"] * len(vals)
+    pq.write_table(pa.table({
+        "event_type": pa.array(types),
+        "value": pa.array(vals, pa.float64())}),
+        tmp_path / "events.parquet")
+    out = value_mad_outliers(str(tmp_path)).set_index("event_type")
+
+    def binof(v):
+        return int(min(max(np.floor(v * SKETCH_BINS / SKETCH_VMAX), 0),
+                       SKETCH_BINS - 1))
+
+    def rank_bin(bins):
+        bins = sorted(bins)
+        return bins[(len(bins) + 1) // 2 - 1]
+
+    b1 = [binof(v) for v in vals]
+    mb = rank_bin(b1)
+    med = mb * SKETCH_VMAX / SKETCH_BINS
+    b2 = [binof(abs(v - med)) for v in vals]
+    db = rank_bin(b2)
+    n_out = sum(b > MAD_K * db for b in b2)
+
+    row = out.loc["t"]
+    assert row["n"] == len(vals)
+    assert row["med_est"] == med
+    assert row["mad_est"] == db * SKETCH_VMAX / SKETCH_BINS
+    assert row["n_outliers"] == n_out
+    assert n_out == 3          # exactly the planted far values
+    assert abs(med - 30.25) < 0.1   # median sits in the cluster

@@ -899,3 +899,142 @@ def incremental_event_stats(sf_dir: str,
         "n_events": merged["n"].astype(np.int64),
         "sum_value": sql_round(merged["s"], 4),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+# robust-outlier contract shared with the SQL oracle: MAD multiplier
+MAD_K = 3
+
+
+def value_mad_outliers(sf_dir: str, n_bins: int = SKETCH_BINS,
+                       vmax: float = SKETCH_VMAX,
+                       k_mad: int = MAD_K) -> pd.DataFrame:
+    """GROUPED ROBUST OUTLIER statistics — per event_type: the sketch
+    median of ``value``, the sketch MAD (median absolute deviation, the
+    robust dispersion every anomaly gate wants when stddev is poisoned
+    by the outliers it hunts), and the count of values deviating more
+    than ``k_mad`` MADs.
+
+    Everything derives from the deterministic fixed-width histogram
+    (:func:`value_quantile_sketch`'s machinery, now PER GROUP): median =
+    left edge of the ceil-rank bin with k = (n+1)//2 in pure integers;
+    deviations re-bin against that exact dyadic edge (vmax/n_bins is a
+    power-of-two quotient, so edge values and the |v - med| subtraction
+    are the same IEEE doubles on both engines); the outlier threshold is
+    the INTEGER bin bound k_mad * mad_bin (never a float multiple —
+    3*mad re-binned could land one ulp across a bin edge), so outliers =
+    deviations in bins strictly greater.  Fully SQL-replayable with no
+    rounding grid.  Two one-pass mergeable-partial scans, per-(type,
+    bin) sparse partials; driver state O(types x occupied bins)."""
+    ds = load(sf_dir, "events", ["event_type", "value"])
+
+    def hist1(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(np.floor(df["value"].to_numpy(np.float64)
+                             * float(n_bins) / vmax).astype(np.int64),
+                    0, n_bins - 1)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                           "bin": b})
+             .groupby(["event_type", "bin"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    h1 = partial_groupby(ds.map_batches(hist1, batch_format="pandas"),
+                         ["event_type", "bin"], {"n": ("n", "sum")},
+                         many_groups=True).to_pandas()
+    h1["n"] = h1["n"].astype(np.int64)
+
+    def rank_bin(h: pd.DataFrame) -> dict:
+        """Per type: the bin holding integer rank (n+1)//2 (ceil-median)."""
+        out = {}
+        for t, g in h.groupby("event_type", sort=False):
+            g = g.sort_values("bin")
+            cum = g["n"].cumsum().to_numpy(np.int64)
+            k = (int(cum[-1]) + 1) // 2
+            out[t] = int(g["bin"].to_numpy(np.int64)[
+                np.searchsorted(cum, k)])
+        return out
+
+    med_bin = rank_bin(h1)
+    med = {t: b * vmax / float(n_bins) for t, b in med_bin.items()}
+
+    def hist2(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med).to_numpy(np.float64)
+        dev = np.abs(df["value"].to_numpy(np.float64) - m)
+        b = np.clip(np.floor(dev * float(n_bins) / vmax).astype(np.int64),
+                    0, n_bins - 1)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                           "bin": b})
+             .groupby(["event_type", "bin"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    h2 = partial_groupby(ds.map_batches(hist2, batch_format="pandas"),
+                         ["event_type", "bin"], {"n": ("n", "sum")},
+                         many_groups=True).to_pandas()
+    h2["n"] = h2["n"].astype(np.int64)
+    mad_bin = rank_bin(h2)
+
+    rows = []
+    for t in sorted(med_bin):
+        g = h2[h2["event_type"] == t]
+        n = int(g["n"].sum())
+        thr = k_mad * mad_bin[t]  # INTEGER bin bound, never a float
+        n_out = int(g.loc[g["bin"] > thr, "n"].sum())
+        rows.append((t, n, med[t], mad_bin[t] * vmax / float(n_bins),
+                     n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "med_est",
+                                      "mad_est", "n_outliers"])
+    out["n"] = out["n"].astype(np.int64)
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    return out
+
+
+def value_mad_outliers_sql(n_bins: int = SKETCH_BINS,
+                           vmax: float = SKETCH_VMAX,
+                           k_mad: int = MAD_K) -> str:
+    """DuckDB oracle: the identical two-level bucket arithmetic —
+    per-type cumulative bins, integer ceil-rank medians, deviation
+    re-bin against the exact dyadic edge, integer-bin outlier bound."""
+    return f"""
+        WITH b1 AS (
+            SELECT event_type,
+                   least(greatest(floor(value * {n_bins} / {vmax})::BIGINT,
+                                  0), {n_bins - 1}) AS bin
+            FROM events
+        ),
+        h1 AS (SELECT event_type, bin, count(*)::BIGINT AS n
+               FROM b1 GROUP BY event_type, bin),
+        c1 AS (SELECT event_type, bin, n,
+                      sum(n) OVER (PARTITION BY event_type ORDER BY bin)
+                          AS cum,
+                      sum(n) OVER (PARTITION BY event_type) AS tot
+               FROM h1),
+        m AS (SELECT event_type, min(bin) AS mb, any_value(tot) AS n
+              FROM c1 WHERE cum >= (tot + 1) // 2 GROUP BY event_type),
+        b2 AS (
+            SELECT e.event_type,
+                   least(greatest(floor(abs(e.value - m.mb * {vmax}
+                                            / {n_bins})
+                                        * {n_bins} / {vmax})::BIGINT,
+                                  0), {n_bins - 1}) AS bin
+            FROM events e JOIN m ON m.event_type = e.event_type
+        ),
+        h2 AS (SELECT event_type, bin, count(*)::BIGINT AS n
+               FROM b2 GROUP BY event_type, bin),
+        c2 AS (SELECT event_type, bin, n,
+                      sum(n) OVER (PARTITION BY event_type ORDER BY bin)
+                          AS cum,
+                      sum(n) OVER (PARTITION BY event_type) AS tot
+               FROM h2),
+        d AS (SELECT event_type, min(bin) AS db
+              FROM c2 WHERE cum >= (tot + 1) // 2 GROUP BY event_type)
+        SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+               m.mb * {vmax} / {n_bins} AS med_est,
+               d.db * {vmax} / {n_bins} AS mad_est,
+               coalesce((SELECT sum(h2.n) FROM h2
+                         WHERE h2.event_type = m.event_type
+                           AND h2.bin > {k_mad} * d.db), 0)::BIGINT
+                   AS n_outliers
+        FROM m JOIN d ON d.event_type = m.event_type
+    """
