@@ -1270,9 +1270,6 @@ def _image_sql() -> dict[str, str]:
         # per-image byte entropy: the SQL replays the histogram via a
         # hex-pair explode of every blob (2 chars per byte), then the
         # identical H = log2(n) - sum(c*log2 c)/n integer-count form
-        # chunk dedup: hex substr explode into 128-char chunks, identical
-        # md5-of-hex ids, global per-chunk image counts
-        "image_chunk_dedup": image_chunk_dedup_sql(base, dup),
         "image_byte_entropy": f"""
             WITH b AS (
                 SELECT image_id, fmt, octet_length(bytes) AS n,
@@ -1294,6 +1291,9 @@ def _image_sql() -> dict[str, str]:
                    round(log2(d.n) - d.clogc / d.n, 4) AS byte_entropy
             FROM d JOIN b USING (image_id)
         """,
+        # chunk dedup: hex substr explode into 128-char chunks, identical
+        # md5-of-hex ids, global per-chunk image counts
+        "image_chunk_dedup": image_chunk_dedup_sql(base, dup),
         "corpus_format_stats": f"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
                    CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels,
@@ -1752,11 +1752,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
         """,
-        # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
-        # from the identical bucket arithmetic, then least/greatest clip
         # robust MAD outliers: identical two-level bucket arithmetic,
         # integer ceil-rank medians, integer-bin outlier bound
         "value_mad_outliers": relational.value_mad_outliers_sql(),
+        # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
+        # from the identical bucket arithmetic, then least/greatest clip
         "winsorized_value_stats": """
             WITH b AS (
                 SELECT least(greatest(CAST(floor(value * 8192.0 / 500.0)

@@ -1560,6 +1560,26 @@ def contamination_neardup_pairs(sf_dir: str, modulus: int = 53,
     return ds.map_batches(probe, batch_format="pandas")
 
 
+# derived-v2 CDC transform contract — ONE set of constants shared by
+# snapshot_diff_docs, merge_upsert_docs and (as literals) _V2_SQL, so the
+# two engine implementations and the oracle can't drift apart
+CDC_DEL_MOD = 17     # every CDC_DEL_MOD-th doc is deleted in v2
+CDC_UPD_MOD = 10     # every CDC_UPD_MOD-th surviving doc is modified
+CDC_INS_PER = 20     # one synthetic insert per CDC_INS_PER base rows
+CDC_SUFFIX = " [rev2]"
+
+
+def _cdc_new_doc_frame(base_max: int, ids1: np.ndarray) -> pd.DataFrame:
+    """The synthetic v2 inserts for 1-based indices ``ids1`` (matching
+    the oracle's ``range(1, n//20 + 1)``) — one spelling for both the
+    snapshot diff and the MERGE apply."""
+    return pd.DataFrame({
+        "doc_id": base_max + ids1,
+        "text": pd.Series([f"new document {j} for snapshot two"
+                           for j in (ids1 - 1)], dtype="string"),
+    })
+
+
 def _doc_snapshot_meta(sf_dir: str) -> tuple[int, int]:
     """(max doc_id, synthetic-new-doc count) for the derived-v2 snapshot,
     from parquet METADATA (row-group statistics): zero data read — a
@@ -1574,7 +1594,7 @@ def _doc_snapshot_meta(sf_dir: str) -> tuple[int, int]:
     col_idx = pf.schema_arrow.names.index("doc_id")
     base_max = max(pf.metadata.row_group(i).column(col_idx).statistics.max
                    for i in range(pf.metadata.num_row_groups))
-    return int(base_max), n_rows // 20
+    return int(base_max), n_rows // CDC_INS_PER
 
 
 def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
@@ -1607,9 +1627,9 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     def digest(side: str, v2_transform: bool):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             if v2_transform:
-                df = df[(df["doc_id"] % 17 != 0).to_numpy()].copy()
-                mod = (df["doc_id"] % 10 == 0).to_numpy()
-                df.loc[mod, "text"] = df.loc[mod, "text"] + " [rev2]"
+                df = df[(df["doc_id"] % CDC_DEL_MOD != 0).to_numpy()].copy()
+                mod = (df["doc_id"] % CDC_UPD_MOD == 0).to_numpy()
+                df.loc[mod, "text"] = df.loc[mod, "text"] + CDC_SUFFIX
             out = pd.DataFrame({
                 "doc_id": df["doc_id"].to_numpy(np.int64),
                 "h": pd.Series(md5_hex(df["text"]), dtype="string",
@@ -1621,12 +1641,8 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         return fn
 
     def synth_new(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["id"].to_numpy(np.int64) + 1  # 1-based like the oracle range
-        return pd.DataFrame({
-            "doc_id": base_max + i,
-            "text": pd.Series([f"new document {j} for snapshot two"
-                               for j in (i - 1)], dtype="string"),
-        })
+        # 1-based like the oracle range
+        return _cdc_new_doc_frame(base_max, df["id"].to_numpy(np.int64) + 1)
 
     def both_sides(df: pd.DataFrame) -> pd.DataFrame:
         # ONE scan of the text column emits both snapshots' digests — the
@@ -1733,9 +1749,9 @@ def merge_upsert_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
     def make_delta(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
-        dl = ids % 17 == 0
-        up = (ids % 10 == 0) & ~dl
-        new_text = (df["text"].astype("string") + " [rev2]").to_numpy()
+        dl = ids % CDC_DEL_MOD == 0
+        up = (ids % CDC_UPD_MOD == 0) & ~dl
+        new_text = (df["text"].astype("string") + CDC_SUFFIX).to_numpy()
         dels = pd.DataFrame({
             "doc_id": ids[dl],
             "text": pd.Series([""] * int(dl.sum()), dtype="string"),
@@ -1747,12 +1763,9 @@ def merge_upsert_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         return pd.concat([dels, upds], ignore_index=True)
 
     def make_inserts(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["id"].to_numpy(np.int64) + 1
-        return pd.DataFrame({
-            "doc_id": base_max + i,
-            "text": pd.Series([f"new document {j} for snapshot two"
-                               for j in (i - 1)], dtype="string"),
-            "op": pd.Series("ins", index=df.index, dtype="string")})
+        out = _cdc_new_doc_frame(base_max, df["id"].to_numpy(np.int64) + 1)
+        out["op"] = pd.Series(["ins"] * len(out), dtype="string")
+        return out
 
     rows = (base.map_batches(tag_base, batch_format="pandas")
             .union(delta_src.map_batches(make_delta, batch_format="pandas"))

@@ -37,16 +37,23 @@ def _csv_events_dir(sf_dir: str, root: str = "/tmp/weaver_corpus") -> str:
 def export_events_csv(sf_dir: str, root: str = "/tmp/weaver_corpus") -> str:
     """Memoized CSV export of the events table (Ray Data ``write_csv``,
     one part per block; ``_DONE`` sentinel, stale parts cleared — the
-    edge-fixture protocol)."""
+    edge-fixture protocol).  The sentinel records the SOURCE identity
+    (absolute path + mtime + size, the incremental_event_stats
+    staleness rule) and a mismatch regenerates — a rewritten corpus or
+    a different sf_dir sharing the basename must never serve a stale
+    CSV."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}\n"
     d = Path(_csv_events_dir(sf_dir, root))
     done = d / "_DONE"
-    if done.exists():
+    if done.exists() and done.read_text() == stamp:
         return str(d)
     d.mkdir(parents=True, exist_ok=True)
     for old in d.glob("*"):
         old.unlink()
     load(sf_dir, "events").write_csv(str(d))
-    done.write_text(f"sf_dir={sf_dir}\n")
+    done.write_text(stamp)
     return str(d)
 
 
