@@ -583,6 +583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": textops.doc_token_entropy,
         "exact_dedup_docs": textops.exact_dedup_docs,
         "langid_counts": textops.langid_counts,
+        # classifier-eval confusion matrix of the langid scorer vs the
+        # labeled lang column (row-normalized recall shares)
+        "langid_confusion": textops.langid_confusion,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -860,12 +863,13 @@ def _hybrid_rrf_sql(k: int = 20, c: int = 60, n_leg: int = 50) -> str:
     """
 
 
-def _langid_sql() -> str:
-    """DuckDB reconstruction of the n-gram-overlap language scorer: a
-    profile trigram is 'present' iff it is a substring of lower(text)
-    (trigram-set membership == substring containment for length-3 grams);
-    prediction = alphabetically-first argmax, same tie rule as the Python
-    scorer's strict-greater loop over sorted languages."""
+def _langid_case() -> tuple[str, str]:
+    """The shared DuckDB spelling of the n-gram-overlap scorer: a profile
+    trigram is 'present' iff it is a substring of lower(text) (trigram-set
+    membership == substring containment for length-3 grams); prediction =
+    alphabetically-first argmax, same tie rule as the Python scorer's
+    strict-greater loop over sorted languages.  Returns (score columns,
+    argmax CASE) — ONE predictor spelling for counts AND confusion."""
     from weaver_ray.pipelines.textops import _LANG_PROFILES
 
     langs = sorted(_LANG_PROFILES)
@@ -882,12 +886,32 @@ def _langid_sql() -> str:
             whens.append(f"WHEN {cond} THEN '{lang}'")
         else:
             whens.append(f"ELSE '{lang}'")
-    case = "CASE " + " ".join(whens) + " END"
+    return scores, "CASE " + " ".join(whens) + " END"
+
+
+def _langid_sql() -> str:
+    scores, case = _langid_case()
     return f"""
         SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
             SELECT {case} AS pred_lang FROM (
                 SELECT {scores} FROM documents))
         GROUP BY pred_lang
+    """
+
+
+def _langid_confusion_sql() -> str:
+    """Confusion matrix: the identical predictor CASE with the labeled
+    lang carried through; recall share via a per-true-class window."""
+    scores, case = _langid_case()
+    return f"""
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+               round(count(*)::DOUBLE
+                     / sum(count(*)) OVER (PARTITION BY lang), 6)
+                   AS recall_share
+        FROM (
+            SELECT lang, {case} AS pred_lang FROM (
+                SELECT lang, {scores} FROM documents))
+        GROUP BY lang, pred_lang
     """
 
 
@@ -1412,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         # overflow), md5 token hashes, seeds inlined — exact engine parity
         "minhash_lsh_pairs": _minhash_sql(),
         "langid_counts": _langid_sql(),
+        "langid_confusion": _langid_confusion_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

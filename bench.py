@@ -71,6 +71,7 @@ QUERY_NAMES = [
     "image_chunk_dedup",
     "host_hits",
     "value_mad_outliers",
+    "langid_confusion",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

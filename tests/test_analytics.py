@@ -861,3 +861,37 @@ def test_merge_upsert_sequential_replay(ray_session, tmp_path):
         assert out.loc[i, "h"] == hashlib.md5(text.encode()).hexdigest()
     assert 170 not in out.index    # the doubly-divisible id was deleted
     assert 171 in out.index and 172 in out.index  # inserts landed
+
+
+def test_langid_confusion_hand_corpus(ray_session, tmp_path):
+    """Confusion cells == an independent scorer replay on a hand corpus
+    with one deliberately mislabeled row, and recall shares sum to 1
+    per true class."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import LangId, langid_confusion
+
+    docs = [
+        ("en", "the thing and the other thing"),     # en-profiled
+        ("en", "der einber schung ich"),             # labeled en, looks de
+        ("de", "der ein schung ich"),                # de-profiled
+        ("es", "de la nacion de los"),               # es-profiled
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "lang": pa.array([l for l, _ in docs]),
+        "text": pa.array([t for _, t in docs])}),
+        tmp_path / "documents.parquet")
+    out = langid_confusion(str(tmp_path))
+
+    scorer = LangId()
+    from collections import Counter
+    expect = Counter((l, scorer._score(t)) for l, t in docs)
+    assert len(out) == len(expect)
+    for _, row in out.iterrows():
+        assert expect[(row["lang"], row["pred_lang"])] == row["n"]
+    shares = out.groupby("lang")["recall_share"].sum()
+    assert (abs(shares - 1.0) < 1e-9).all()
+    # the mislabeled row produces an off-diagonal cell
+    assert ((out["lang"] != out["pred_lang"]) & (out["n"] > 0)).any()

@@ -587,12 +587,13 @@ class LangId:
         return best_lang
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "pred_lang": [self._score(t) for t in df["text"]],
-            }
-        )
+        out = {
+            "doc_id": df["doc_id"].to_numpy(),
+            "pred_lang": [self._score(t) for t in df["text"]],
+        }
+        if "lang" in df.columns:  # true label passthrough (confusion matrix)
+            out["lang"] = df["lang"].to_numpy()
+        return pd.DataFrame(out)
 
 
 def langid_counts(sf_dir: str) -> pd.DataFrame:
@@ -601,6 +602,27 @@ def langid_counts(sf_dir: str) -> pd.DataFrame:
     out = partial_groupby(pred, ["pred_lang"], {"n_docs": ("doc_id", "count")}).to_pandas()
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out
+
+
+def langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """CLASSIFIER-EVAL confusion matrix of the n-gram language scorer vs
+    the table's labeled ``lang`` — the quality-report shape every
+    model-scored column needs before it gates data: one cell per (true,
+    predicted) pair with the count and its share of the true class (the
+    row-normalized recall view).  Same actor-pool scorer as
+    :func:`langid_counts` with the label passed through; one tiny
+    (true x predicted)-bounded reduce; share = one rounded division."""
+    ds = load(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    cells = partial_groupby(pred, ["lang", "pred_lang"],
+                            {"n": ("doc_id", "count")},
+                            many_groups=True).to_pandas()
+    cells["n"] = cells["n"].astype(np.int64)
+    tot = cells.groupby("lang")["n"].transform("sum")
+    cells["recall_share"] = sql_round(
+        cells["n"].to_numpy(np.float64) / tot.to_numpy(np.float64), 6)
+    return (cells.sort_values(["lang", "pred_lang"])
+            .reset_index(drop=True))
 
 
 # ------------------------------------------------------------------ fingerprinting
