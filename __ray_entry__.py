@@ -586,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classifier-eval confusion matrix of the langid scorer vs the
         # labeled lang column (row-normalized recall shares)
         "langid_confusion": textops.langid_confusion,
+        # Zipf-law rank-frequency OLS fit over the top-k vocabulary
+        "vocab_zipf_slope": textops.vocab_zipf_slope,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1437,6 +1439,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "langid_counts": _langid_sql(),
         "langid_confusion": _langid_confusion_sql(),
+        # Zipf fit: window-ranked wordcount + identical OLS closed form
+        "vocab_zipf_slope": textops.vocab_zipf_slope_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

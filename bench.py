@@ -72,6 +72,7 @@ QUERY_NAMES = [
     "host_hits",
     "value_mad_outliers",
     "langid_confusion",
+    "vocab_zipf_slope",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

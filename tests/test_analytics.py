@@ -895,3 +895,34 @@ def test_langid_confusion_hand_corpus(ray_session, tmp_path):
     assert (abs(shares - 1.0) < 1e-9).all()
     # the mislabeled row produces an off-diagonal cell
     assert ((out["lang"] != out["pred_lang"]) & (out["n"] > 0)).any()
+
+
+def test_vocab_zipf_slope_polyfit_golden(ray_session, tmp_path):
+    """Engine OLS == numpy.polyfit on a planted power-law corpus, and a
+    perfect power law fits with r2 ~ 1 and the planted slope."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import vocab_zipf_slope
+
+    # token w{r} appears floor(1024 / r) times -> slope exactly -1 in
+    # the infinite-precision limit (floor noise keeps it near -1)
+    texts = []
+    for r in range(1, 31):
+        texts.extend([f"w{r:02d}"] * (1024 // r))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}),
+        tmp_path / "documents.parquet")
+    out = vocab_zipf_slope(str(tmp_path), k=30)
+
+    counts = sorted((1024 // r for r in range(1, 31)), reverse=True)
+    x = np.log2(np.arange(1, 31, dtype=float))
+    y = np.log2(np.asarray(counts, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert out.loc[0, "n_tokens"] == 30
+    assert abs(out.loc[0, "slope"] - slope) < 1e-3
+    assert abs(out.loc[0, "intercept"] - intercept) < 1e-3
+    assert out.loc[0, "r2"] > 0.999
+    assert abs(out.loc[0, "slope"] + 1.0) < 0.02

@@ -2179,3 +2179,66 @@ def source_minhash_overlap_sql(n: int = 4,
         FROM m a JOIN m b ON b.s = a.s AND b.source > a.source
         GROUP BY a.source, b.source
     """
+
+
+# Zipf-fit contract shared with the SQL oracle: the top-k cut
+ZIPF_K = 50
+
+
+def vocab_zipf_slope(sf_dir: str, k: int = ZIPF_K) -> pd.DataFrame:
+    """ZIPF-LAW FIT over the token rank-frequency curve — the corpus
+    health diagnostic (natural text slopes near -1; a flat or cliffed
+    curve marks templated/boilerplate feeds): OLS of log2(freq) on
+    log2(rank) over the top-``k`` tokens, reporting slope, intercept and
+    r2 (the segment_order_trend closed form on the rank axis).
+
+    Scale shape: everything reuses :func:`vocab_top_tokens`'s
+    distributed wordcount (partial counts, many_groups reduce,
+    sort+limit); the fit itself folds on the k-row driver table.
+    Parity: ranks are the same (n desc, token asc) order on both
+    engines; the closed form evaluates from the same sums, rounded 4 dp
+    (FP summation-order ulps absorbed — the OLS precedent)."""
+    top = vocab_top_tokens(sf_dir, k)
+    r = np.arange(1, len(top) + 1, dtype=np.float64)
+    x = np.log2(r)
+    y = np.log2(top["n"].to_numpy(np.float64))
+    kk = float(len(top))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    slope = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    intercept = (sy - slope * sx) / kk
+    r2 = ((kk * sxy - sx * sy) ** 2
+          / ((kk * sxx - sx * sx) * (kk * syy - sy * sy)))
+    return pd.DataFrame({
+        "n_tokens": pd.Series([len(top)], dtype=np.int64),
+        "slope": [float(sql_round(slope, 4))],
+        "intercept": [float(sql_round(intercept, 4))],
+        "r2": [float(sql_round(r2, 4))]})
+
+
+def vocab_zipf_slope_sql(k: int = ZIPF_K) -> str:
+    """DuckDB oracle: window-ranked wordcount, the identical OLS closed
+    form from SQL sums, 4 dp."""
+    return f"""
+        WITH v AS (
+            SELECT token, count(*)::BIGINT AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, token) AS r
+            FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS token
+                  FROM documents)
+            GROUP BY token QUALIFY r <= {k}
+        ),
+        t AS (SELECT log2(r::DOUBLE) AS x, log2(n::DOUBLE) AS y FROM v),
+        s AS (SELECT count(*)::DOUBLE AS kk, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+              FROM t)
+        SELECT kk::BIGINT AS n_tokens,
+               round((kk * sxy - sx * sy) / (kk * sxx - sx * sx), 4)
+                   AS slope,
+               round((sy - (kk * sxy - sx * sy) / (kk * sxx - sx * sx) * sx)
+                     / kk, 4) AS intercept,
+               round(pow(kk * sxy - sx * sy, 2)
+                     / ((kk * sxx - sx * sx) * (kk * syy - sy * sy)), 4)
+                   AS r2
+        FROM s
+    """
