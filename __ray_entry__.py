@@ -476,6 +476,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities (fixed mutual-reinforcement rounds, L1
         # normalization per half-step, 6 dp round — pagerank precedent)
         "host_hits": pagerank.host_hits,
+        # exact weakly-connected components of the page graph via the
+        # shared task-based min-label CC machinery
+        "page_components": pagerank.page_components,
+        # local clustering coefficient (2T / d(d-1)) per host
+        "host_clustering": pagerank.host_clustering,
         # relational / reference-operator parity (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue": relational.q6_revenue,
@@ -2887,6 +2892,13 @@ def oracle_sql() -> dict[str, str]:
     from weaver_ray.pipelines.pagerank import host_hits_sql
 
     d["host_hits"] = host_hits_sql()
+    # page WCC: recursive min-label closure (the neardup_clusters
+    # pattern on a graph table); clustering: degree + nested triangles
+    from weaver_ray.pipelines.pagerank import (host_clustering_sql,
+                                               page_components_sql)
+
+    d["page_components"] = page_components_sql()
+    d["host_clustering"] = host_clustering_sql()
     # consensus dedup: DERIVED from the two registered leg oracles (one
     # source of truth — band/threshold constants live only in the legs)
     d["consensus_dup_pairs"] = f"""

@@ -73,6 +73,8 @@ QUERY_NAMES = [
     "value_mad_outliers",
     "langid_confusion",
     "vocab_zipf_slope",
+    "page_components",
+    "host_clustering",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -250,3 +250,73 @@ def test_host_hits_matches_dense_reference(ray_session):
         assert abs(out.loc[v, "hub"] - h[v]) < 1e-6
     assert out["authority"].sum() > 0.99  # L1-normalized mass
     assert out["hub"].nunique() > 10      # a real ranking, not uniform
+
+
+def test_page_components_matches_union_find(ray_session):
+    """Engine WCC == a sequential union-find over the same fixture
+    edges."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.pagerank import (generate_page_edges,
+                                               page_components)
+
+    e = pq.read_table(
+        generate_page_edges(1000) + "/part-00000.parquet").to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(e["src_id"], e["dst_id"]):
+        if s == d:
+            continue
+        a, b = find(int(s)), find(int(d))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # canonical representative = min node id per component
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    label = {v: min(vs) for r, vs in comp.items() for v in vs}
+
+    out = page_components("/root/testdata/sf0.001").set_index("page_id")
+    assert len(out) == len(label)
+    for v, l in label.items():
+        assert out.loc[v, "component_id"] == l
+
+
+def test_host_clustering_matches_bruteforce(ray_session):
+    """Clustering coefficients == brute-force adjacency-set computation
+    on the fixture host graph, with the degree>=2 exclusion and a
+    non-trivial coefficient spread."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.pagerank import (generate_host_edges,
+                                               host_clustering)
+    from weaver_ray.pipelines.common import sql_round
+
+    e = pq.read_table(
+        generate_host_edges(1000) + "/part-00000.parquet").to_pandas()
+    adj = defaultdict(set)
+    for s, d in zip(e["src_host"], e["dst_host"]):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+
+    out = host_clustering("/root/testdata/sf0.001").set_index("host")
+    expect = {v: n for v, n in adj.items() if len(n) >= 2}
+    assert len(out) == len(expect)
+    for v, nbrs in expect.items():
+        tri = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        d = len(nbrs)
+        assert out.loc[v, "degree"] == d
+        assert out.loc[v, "n_triangles"] == tri
+        assert out.loc[v, "clustering"] == float(
+            sql_round(2.0 * tri / (d * (d - 1.0)), 6))
+    assert out["clustering"].nunique() > 5

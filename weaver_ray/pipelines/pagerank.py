@@ -972,3 +972,123 @@ def host_hits_sql(n_base: int = 1000, n_iters: int = HITS_ITERS) -> str:
         LEFT JOIN h{n_iters} h ON h.host = n.host
         LEFT JOIN a{n_iters} a ON a.host = n.host""")
     return "".join(parts)
+
+
+def page_components(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """Weakly-CONNECTED COMPONENTS of the undirected page graph —
+    component_id = smallest reachable page id, computed by the SAME
+    task-based min-label-propagation-with-pointer-jumping machinery the
+    near-dup dedup family uses (dedup.connected_components_ds), here on
+    a graph table instead of a similarity pair set.  One stacked
+    distinct pass enumerates the node universe (the SSSP lesson);
+    isolated pages (no edges) are excluded on both engines."""
+    from .common import keyed_map_groups
+    from .dedup import connected_components_ds
+
+    files = sorted(str(p) for p in
+                   Path(generate_page_edges(n_base)).glob("part-*.parquet"))
+    und = _undirected_edges_from(files, "src_id", "dst_id")
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["a"].to_numpy(np.int64),
+                             "dst": df["b"].to_numpy(np.int64)})
+
+    def stack_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.unique(np.concatenate(
+            [df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]))})
+
+    edges = und.map_batches(as_edges, batch_format="pandas")
+    nodes = partial_groupby(und.map_batches(stack_nodes,
+                                            batch_format="pandas"),
+                            ["doc_id"], {"n": ("doc_id", "count")},
+                            many_groups=True)
+    cc = connected_components_ds(nodes, edges).to_pandas()
+    return (pd.DataFrame({
+        "page_id": cc["doc_id"].to_numpy(np.int64),
+        "component_id": cc["cluster_id"].to_numpy(np.int64)})
+        .sort_values("page_id").reset_index(drop=True))
+
+
+def page_components_sql(n_base: int = 1000) -> str:
+    """DuckDB oracle: recursive min-label transitive closure over the
+    identical symmetrized edge set (the neardup_clusters pattern on a
+    graph table)."""
+    glob = generate_page_edges(n_base) + "/part-*.parquet"
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT least(src_id, dst_id) AS a,
+                            greatest(src_id, dst_id) AS b
+            FROM read_parquet('{glob}') WHERE src_id <> dst_id
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+        ),
+        n AS (SELECT DISTINCT src AS page_id FROM edges),
+        reach AS (
+            SELECT page_id, page_id AS r FROM n
+            UNION
+            SELECT e.dst AS page_id, reach.r
+            FROM reach JOIN edges e ON e.src = reach.page_id
+        )
+        SELECT page_id, CAST(min(r) AS BIGINT) AS component_id
+        FROM reach GROUP BY page_id
+    """
+
+
+def host_clustering(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """Local CLUSTERING COEFFICIENT per host — c(v) = 2*T(v) /
+    (d(v)*(d(v)-1)) over the undirected simple host graph, the
+    triangle-density complement to coreness: how tightly each host's
+    neighborhood interlinks.  Reuses :func:`host_triangles` (compact
+    -forward wedge join) for T and the shared edge normalization for
+    degrees; the join folds on the O(nodes) driver table (the pagerank
+    budget).  Hosts with degree < 2 are excluded (coefficient
+    undefined); triangle-free hosts report 0.  Parity: T and d are
+    exact integers, the coefficient is one rounded float64 division
+    with factors cast before multiplying."""
+    tri = host_triangles(sf_dir, n_base).to_pandas()
+    und = _undirected_simple_edges(n_base)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": np.concatenate(
+            [df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)])})
+
+    deg = partial_groupby(und.map_batches(sym, batch_format="pandas"),
+                          ["host"], {"d": ("host", "count")},
+                          many_groups=True).to_pandas()
+    deg["d"] = deg["d"].astype(np.int64)
+    out = deg[deg["d"] >= 2].merge(tri, on="host", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype(np.int64)
+    t = out["n_triangles"].to_numpy(np.float64)
+    d = out["d"].to_numpy(np.float64)
+    out["clustering"] = sql_round(2.0 * t / (d * (d - 1.0)), 6)
+    return (out[["host", "d", "n_triangles", "clustering"]]
+            .rename(columns={"d": "degree"})
+            .sort_values("host").reset_index(drop=True))
+
+
+def host_clustering_sql(n_base: int = 1000) -> str:
+    """DuckDB oracle: degrees from the symmetrized distinct edge set,
+    triangle counts by NESTING host_triangles_sql verbatim (one source
+    of truth — the consensus-oracle rule), identical rounded
+    coefficient."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    return f"""
+        WITH ec AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        ),
+        sym AS (SELECT a AS host, b AS nbr FROM ec
+                UNION ALL SELECT b, a FROM ec),
+        deg AS (SELECT host, count(*)::BIGINT AS degree FROM sym
+                GROUP BY host),
+        tri AS ({host_triangles_sql(n_base)})
+        SELECT d.host, d.degree,
+               coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+               round(2.0 * coalesce(t.n_triangles, 0)::DOUBLE
+                     / (d.degree::DOUBLE * (d.degree - 1)::DOUBLE), 6)
+                   AS clustering
+        FROM deg d LEFT JOIN tri t ON t.host = d.host
+        WHERE d.degree >= 2
+    """
