@@ -116,6 +116,16 @@ def _crawl_curated_shards(sf_dir: str):
     return curated_crawl_shards(res.records_dir)
 
 
+def _crawl_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round trip over the memoized query crawl's
+    records (sources/jsonstore.py:records_jsonl_roundtrip) — the
+    reference's own interchange format driven end to end."""
+    from weaver_ray.sources.jsonstore import records_jsonl_roundtrip
+
+    res = _crawl_result(sf_dir)
+    return records_jsonl_roundtrip(res.records_dir)
+
+
 def _crawl_records_glob() -> str:
     """Parquet glob of the memoized query crawl's records.  The path is
     DERIVED (the checkpoint dir is a deterministic function of the corpus
@@ -705,6 +715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_skew_stats": _crawl_skew_stats,
         "crawl_gather_merge": _crawl_gather_merge,
         "crawl_round_stats": _crawl_round_stats,
+        # JSONL source/sink round trip over the crawl records (the
+        # reference's own interchange format, S10/S11)
+        "crawl_jsonl_roundtrip": _crawl_jsonl_roundtrip,
         "crawl_oracle_parity": _crawl_oracle_parity,
         # capped-crawl parity: per-host budget vs the simulator (verdicts
         # in-row; stateful, so rows-only like the other crawl_* entries)
@@ -2849,6 +2862,12 @@ def oracle_sql() -> dict[str, str]:
                           hive_partitioning = false)
         GROUP BY round
     """
+    # JSONL round trip: the oracle aggregates the records PARQUET —
+    # equality certifies the JSON interchange preserved every column
+    from weaver_ray.sources.jsonstore import records_jsonl_roundtrip_sql
+
+    d["crawl_jsonl_roundtrip"] = records_jsonl_roundtrip_sql(
+        _crawl_records_glob())
     # md5-rank + modular-stride negative pairing over the same corpus
     from weaver_ray.pipelines.images import contrastive_negative_pairs_sql
 
