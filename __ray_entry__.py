@@ -522,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped robust outliers: sketch median + MAD per type with an
         # integer-bin outlier bound (no float grid anywhere)
         "value_mad_outliers": relational.value_mad_outliers,
+        # KMV distinct-count sketch — the ORACLED approximate-distinct
+        # (exact-dyadic estimate), with the exact count as certificate
+        "kmv_distinct_users": relational.kmv_distinct_users,
         # incremental view maintenance: checkpointed pre-cutoff partials +
         # delta-only scan; oracle = full recompute over all events
         "incremental_event_stats": relational.incremental_event_stats,
@@ -1802,6 +1805,9 @@ def oracle_sql() -> dict[str, str]:
         # robust MAD outliers: identical two-level bucket arithmetic,
         # integer ceil-rank medians, integer-bin outlier bound
         "value_mad_outliers": relational.value_mad_outliers_sql(),
+        # KMV sketch: k-th smallest md5 via window rank, exact-dyadic
+        # estimate (first 13 hex chars over 16^13)
+        "kmv_distinct_users": relational.kmv_distinct_users_sql(),
         # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
         # from the identical bucket arithmetic, then least/greatest clip
         "winsorized_value_stats": """

@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "vocab_zipf_slope",
     "page_components",
     "host_clustering",
+    "kmv_distinct_users",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -495,3 +495,44 @@ def test_value_mad_outliers_sequential_replay(ray_session, tmp_path):
     assert row["n_outliers"] == n_out
     assert n_out == 3          # exactly the planted far values
     assert abs(med - 30.25) < 0.1   # median sits in the cluster
+
+
+def test_kmv_distinct_users_sequential_replay(ray_session, tmp_path):
+    """KMV estimate == an independent hashlib replay; a type below the
+    signature size reports the exact count; the saturated estimate is
+    within 30% of truth at 64 minima."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import (KMV_K, _HEX13,
+                                                 kmv_distinct_users)
+    from weaver_ray.pipelines.common import sql_round
+
+    users_big = list(range(1, 1001))      # 1000 distinct (> k)
+    users_small = list(range(1, 11))      # 10 distinct (< k)
+    rows_t, rows_u = [], []
+    for u in users_big * 2:               # duplicates must not matter
+        rows_t.append("big")
+        rows_u.append(u)
+    for u in users_small * 3:
+        rows_t.append("small")
+        rows_u.append(u)
+    pq.write_table(pa.table({
+        "event_type": pa.array(rows_t),
+        "user_id": pa.array(rows_u, pa.int64())}),
+        tmp_path / "events.parquet")
+    out = kmv_distinct_users(str(tmp_path)).set_index("event_type")
+
+    hs = sorted(hashlib.md5(str(u).encode()).hexdigest()
+                for u in set(users_big))
+    hk = int(hs[KMV_K - 1][:13], 16)
+    est = float(sql_round((KMV_K - 1) * float(_HEX13) / hk, 4))
+    assert out.loc["big", "exact_distinct"] == 1000
+    assert out.loc["big", "est_distinct"] == est
+    assert abs(est - 1000) / 1000 < 0.30   # the k=64 accuracy regime
+    assert out.loc["small", "exact_distinct"] == 10
+    assert out.loc["small", "est_distinct"] == 10.0  # saturates to exact
+    assert out.loc["small", "rel_err"] == 0.0

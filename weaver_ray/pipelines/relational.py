@@ -1038,3 +1038,105 @@ def value_mad_outliers_sql(n_bins: int = SKETCH_BINS,
                    AS n_outliers
         FROM m JOIN d ON d.event_type = m.event_type
     """
+
+
+# KMV sketch contract shared with the SQL oracle: signature size
+KMV_K = 64
+_HEX13 = 4503599627370496  # 16^13 == 2^52: the exact dyadic hash scale
+
+
+def kmv_distinct_users(sf_dir: str, k: int = KMV_K,
+                       num_buckets: int = 16) -> pd.DataFrame:
+    """K-MINIMUM-VALUES distinct-count sketch (Bar-Yossef et al. 2002)
+    per event_type — the ORACLED approximate-distinct: unlike HLL
+    (register max under arbitrary merge order is deterministic but its
+    bias-corrected estimate was left rows-only), KMV's estimate is a
+    pure function of the k smallest md5 values, so DuckDB replays it
+    bit for bit: est = (k-1) / frac(h_k) with frac = first 13 hex chars
+    over 16^13 (an EXACT dyadic divisor).  Types with fewer than k
+    distinct users report the exact count (the sketch saturates to
+    truth below k on both engines).  The exact distinct count rides
+    along as the in-row certificate, with the relative error.
+
+    Scale shape: per-batch k-smallest partials (≤ k rows per (type,
+    batch) — mergeable minima, the sketch property), one type-keyed
+    fold; the EXACT column pays the one (type, user) distinct exchange
+    that the sketch exists to avoid — kept here as the certificate, at
+    production scale you run the sketch alone."""
+    from .common import keyed_map_groups, md5_hex, sql_round
+
+    ds = load(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["event_type", "user_id"]].drop_duplicates()
+        d = d.assign(h=md5_hex(str(int(u)) for u in d["user_id"]))
+        d = d.sort_values(["event_type", "h"])
+        return d.groupby("event_type", sort=False).head(k)[
+            ["event_type", "h"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "hk": pd.Series([], dtype=object),
+                              "n_sig": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        u = g.drop_duplicates().sort_values(["event_type", "h"])
+        u = u.groupby("event_type", sort=False).head(k)
+        agg = u.groupby("event_type", sort=False)["h"].agg(["max", "size"])
+        return pd.DataFrame({"event_type": agg.index.to_numpy(object),
+                             "hk": agg["max"].to_numpy(object),
+                             "n_sig": agg["size"].to_numpy(np.int64)})
+
+    sig = keyed_map_groups(ds.map_batches(partials, batch_format="pandas"),
+                           "event_type", fold, num_buckets).to_pandas()
+
+    # the exact certificate: one (type, user) distinct exchange
+    pairs = partial_groupby(ds, ["event_type", "user_id"],
+                            {"n": ("user_id", "count")},
+                            many_groups=True, num_buckets=num_buckets)
+    exact = partial_groupby(pairs, ["event_type"],
+                            {"nd": ("user_id", "count")}).to_pandas()
+    exact["nd"] = exact["nd"].astype(np.int64)
+
+    out = exact.merge(sig, on="event_type")
+    nd = out["nd"].to_numpy(np.int64)
+    hk = np.array([int(h[:13], 16) for h in out["hk"]], dtype=np.int64)
+    est = np.where(
+        nd < k, nd.astype(np.float64),
+        sql_round(float(k - 1) * float(_HEX13) / hk.astype(np.float64), 4))
+    rel = sql_round(np.abs(est - nd) / nd.astype(np.float64), 4)
+    return (pd.DataFrame({"event_type": out["event_type"],
+                          "exact_distinct": nd,
+                          "est_distinct": est, "rel_err": rel})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def kmv_distinct_users_sql(k: int = KMV_K) -> str:
+    """DuckDB oracle: distinct (type, md5) hashes, the k-th smallest via
+    a window rank, the identical exact-dyadic estimate."""
+    return f"""
+        WITH uh AS (
+            SELECT DISTINCT event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events
+        ),
+        ex AS (SELECT event_type, count(*)::BIGINT AS nd FROM uh
+               GROUP BY event_type),
+        rk AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY h) AS r
+               FROM uh),
+        kth AS (SELECT event_type, max(h) AS hk
+                FROM rk WHERE r <= {k} GROUP BY event_type),
+        s AS (
+            SELECT ex.event_type, ex.nd,
+                   CASE WHEN ex.nd < {k} THEN ex.nd::DOUBLE
+                        ELSE round({k - 1}::DOUBLE * {_HEX13}
+                                   / CAST(concat('0x', substr(kth.hk, 1, 13))
+                                          AS BIGINT), 4) END AS est
+            FROM ex JOIN kth ON kth.event_type = ex.event_type
+        )
+        SELECT event_type, nd AS exact_distinct, est AS est_distinct,
+               round(abs(est - nd) / nd::DOUBLE, 4) AS rel_err
+        FROM s
+    """

@@ -2123,19 +2123,25 @@ def source_minhash_overlap(sf_dir: str, n: int = 4,
         if not len(src):
             return empty
         d = pd.DataFrame({"source": src, "g": grams}).drop_duplicates()
+        # hash each DISTINCT gram once per seed, then map: the gram
+        # vocabulary is far smaller than the (source, gram) row count,
+        # so this cuts the md5 work by the sharing factor
+        uniq = pd.unique(d["g"])
         outs = []
         for s in range(n_seeds):
-            t = pd.DataFrame({
-                "source": d["source"],
-                "h": pd.Series(md5_hex(f"{s}|{g}" for g in d["g"]),
-                               index=d.index)})
+            hmap = pd.Series(md5_hex(f"{s}|{g}" for g in uniq), index=uniq)
+            t = pd.DataFrame({"source": d["source"],
+                              "h": d["g"].map(hmap)})
             m = t.groupby("source", sort=False)["h"].min().reset_index()
             m["seed"] = np.int64(s)
             outs.append(m)
         return pd.concat(outs, ignore_index=True)[["source", "seed", "h"]]
 
+    # batch_size: the documents table arrives as ONE block at bench scale,
+    # and 16 md5 passes over a mostly-unique gram set are the cost — cap
+    # the batch so the hashing parallelizes across the pool
     agg = partial_groupby(
-        ds.map_batches(partial_mins, batch_format="pandas"),
+        ds.map_batches(partial_mins, batch_format="pandas", batch_size=512),
         ["source", "seed"], {"h": ("h", "min")}, many_groups=True,
         num_buckets=num_buckets).to_pandas()
     sig = agg.pivot(index="seed", columns="source", values="h")
