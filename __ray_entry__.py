@@ -525,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV distinct-count sketch — the ORACLED approximate-distinct
         # (exact-dyadic estimate), with the exact count as certificate
         "kmv_distinct_users": relational.kmv_distinct_users,
+        # OHLC candles: the ordered arg-min/arg-max aggregate shape
+        # (mergeable open/close partials, keys ride with values)
+        "type_daily_ohlc": temporal.type_daily_ohlc,
         # incremental view maintenance: checkpointed pre-cutoff partials +
         # delta-only scan; oracle = full recompute over all events
         "incremental_event_stats": relational.incremental_event_stats,
@@ -1445,7 +1448,7 @@ def oracle_sql() -> dict[str, str]:
     _rendezvous_sql = rendezvous_assign_sql()
     _pmi_sql = textops.token_pmi_pairs_sql()
     _bigram_sql = textops.bigram_logprob_sql()
-    from weaver_ray.pipelines import analytics, relational
+    from weaver_ray.pipelines import analytics, relational, temporal
     _basket_sql = analytics.basket_rules_sql()
     BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     STOP = r"\b(?:the|a|and|of|to)\b"
@@ -1808,6 +1811,9 @@ def oracle_sql() -> dict[str, str]:
         # KMV sketch: k-th smallest md5 via window rank, exact-dyadic
         # estimate (first 13 hex chars over 16^13)
         "kmv_distinct_users": relational.kmv_distinct_users_sql(),
+        # OHLC: double row_number windows over the identical
+        # (epoch-us, event_id) order; exact stored float64 copies
+        "type_daily_ohlc": temporal.type_daily_ohlc_sql(),
         # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
         # from the identical bucket arithmetic, then least/greatest clip
         "winsorized_value_stats": """

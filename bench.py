@@ -76,6 +76,7 @@ QUERY_NAMES = [
     "page_components",
     "host_clustering",
     "kmv_distinct_users",
+    "type_daily_ohlc",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

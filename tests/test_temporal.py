@@ -536,3 +536,41 @@ def test_kmv_distinct_users_sequential_replay(ray_session, tmp_path):
     assert out.loc["small", "exact_distinct"] == 10
     assert out.loc["small", "est_distinct"] == 10.0  # saturates to exact
     assert out.loc["small", "rel_err"] == 0.0
+
+
+def test_type_daily_ohlc_sequential_replay(ray_session, tmp_path):
+    """OHLC candles == a sequential replay on a hand stream, including
+    the (ts, event_id) tiebreak for open/close when timestamps collide
+    and cross-batch merge correctness (single-row batches force every
+    partial through the fold)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import type_daily_ohlc
+
+    day0 = 1_700_000_000_000_000 // 86_400_000_000 * 86_400_000_000
+    rows = [  # (event_id, ts_us, type, value)
+        (5, day0 + 1000, "t", 10.0),   # same ts as eid 2: eid order decides
+        (2, day0 + 1000, "t", 99.0),   # open (smaller eid at min ts)
+        (7, day0 + 5000, "t", 3.5),
+        (9, day0 + 9000, "t", 42.0),   # close
+        (1, day0 + 86_400_000_000 + 5, "t", 7.0),   # next day: open==close
+        (3, day0 + 2000, "u", 1.25),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([r[3] for r in rows], pa.float64())}),
+        tmp_path / "events.parquet")
+    out = (type_daily_ohlc(str(tmp_path))
+           .set_index(["event_type", "day"]).sort_index())
+
+    d0 = day0 // 86_400_000_000
+    r = out.loc[("t", d0)]
+    assert (r["open"], r["close"]) == (99.0, 42.0)
+    assert (r["high"], r["low"], r["n"]) == (99.0, 3.5, 4)
+    r1 = out.loc[("t", d0 + 1)]
+    assert (r1["open"], r1["close"], r1["n"]) == (7.0, 7.0, 1)
+    assert out.loc[("u", d0)]["n"] == 1

@@ -910,3 +910,98 @@ def top_event_sequences_sql(seq_len: int = SEQ_LEN, k: int = SEQ_K) -> str:
                    ORDER BY n DESC, {cols}) AS BIGINT) AS rank
         FROM c QUALIFY rank <= {k}
     """
+
+
+_US_PER_DAY_OHLC = 86_400_000_000
+
+
+def type_daily_ohlc(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """OHLC CANDLES per (event_type, day) — the ordered ARG-MIN/ARG-MAX
+    aggregate shape (open = value at the earliest (ts, event_id), close
+    = at the latest, plus high/low/n): metrics rollups, finance bars
+    and "first/last state of the day" all reduce to this.
+
+    Scale shape: per-batch MERGEABLE candle partials — each batch emits
+    one row per (type, day) carrying its local (open key, open), (close
+    key, close), high, low, n — then one (type, day)-keyed fold picks
+    the globally earliest/latest partials (argmin/argmax are mergeable
+    because the key rides with the value).  Rows moved = partials, not
+    events.  Parity: keys are exact integer (epoch-us, event_id) pairs;
+    open/close/high/low are EXACT copies of stored float64 values (no
+    arithmetic, no rounding grid anywhere)."""
+    from .common import task_hash_exchange, bucket_of
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "tu": _ts_us(df["ts"]),
+            "eid": df["event_id"].to_numpy(np.int64),
+            "value": df["value"].to_numpy(np.float64)})
+        d["day"] = d["tu"] // _US_PER_DAY_OHLC
+        d = d.sort_values(["event_type", "day", "tu", "eid"])
+        g = d.groupby(["event_type", "day"], sort=False)
+        out = g.agg(otu=("tu", "first"), oeid=("eid", "first"),
+                    open=("value", "first"), ctu=("tu", "last"),
+                    ceid=("eid", "last"), close=("value", "last"),
+                    high=("value", "max"), low=("value", "min"),
+                    n=("value", "size")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": object, "day": np.int64, "open": np.float64,
+                "high": np.float64, "low": np.float64,
+                "close": np.float64, "n": np.int64}
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        keys = ["event_type", "day"]
+        first = (g.sort_values(keys + ["otu", "oeid"])
+                 .drop_duplicates(keys))[keys + ["open"]]
+        last = (g.sort_values(keys + ["ctu", "ceid"],
+                              ascending=[True, True, False, False])
+                .drop_duplicates(keys))[keys + ["close"]]
+        hl = g.groupby(keys, sort=False).agg(
+            high=("high", "max"), low=("low", "min"),
+            n=("n", "sum")).reset_index()
+        out = first.merge(last, on=keys).merge(hl, on=keys)
+        out["n"] = out["n"].astype(np.int64)
+        return out[list(cols)]
+
+    def key_of(df: pd.DataFrame) -> np.ndarray:
+        return bucket_of(df["event_type"].astype(str) + "|"
+                         + df["day"].astype(str), num_buckets)
+
+    out = task_hash_exchange(parts, key_of, fold, num_buckets).to_pandas()
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
+def type_daily_ohlc_sql() -> str:
+    """DuckDB oracle: double row_number windows over the identical
+    (epoch-us, event_id) order; values are exact stored float64 copies."""
+    return f"""
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) // {_US_PER_DAY_OHLC} AS day,
+                   epoch_us(ts) AS tu, event_id, value
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, day
+                                      ORDER BY tu, event_id) AS ra,
+                   row_number() OVER (PARTITION BY event_type, day
+                                      ORDER BY tu DESC, event_id DESC) AS rd
+            FROM e
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               count(*)::BIGINT AS n
+        FROM r GROUP BY event_type, day
+    """
