@@ -528,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
+        # Hilbert-curve layout index (locality-preserving zorder sibling)
+        "hilbert_events": analytics.hilbert_events,
         # incremental view maintenance: checkpointed pre-cutoff partials +
         # delta-only scan; oracle = full recompute over all events
         "incremental_event_stats": relational.incremental_event_stats,
@@ -1814,6 +1816,9 @@ def oracle_sql() -> dict[str, str]:
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),
+        # Hilbert: the state-mutating per-level update unrolled as a
+        # MATERIALIZED CTE chain
+        "hilbert_events": analytics.hilbert_events_sql(),
         # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
         # from the identical bucket arithmetic, then least/greatest clip
         "winsorized_value_stats": """

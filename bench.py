@@ -77,6 +77,7 @@ QUERY_NAMES = [
     "host_clustering",
     "kmv_distinct_users",
     "type_daily_ohlc",
+    "hilbert_events",
     "neardup_clusters",
     "asof_purchase_attribution",
     "sliding_window_stats",

@@ -926,3 +926,50 @@ def test_vocab_zipf_slope_polyfit_golden(ray_session, tmp_path):
     assert abs(out.loc[0, "intercept"] - intercept) < 1e-3
     assert out.loc[0, "r2"] > 0.999
     assert abs(out.loc[0, "slope"] + 1.0) < 0.02
+
+
+def test_hilbert_events_is_a_true_hilbert_curve(ray_session, tmp_path):
+    """Exhaustive 16x16 grid at bits=4: the index is a permutation of
+    0..255 AND consecutive positions are Manhattan-adjacent cells (the
+    defining Hilbert locality property Morton order lacks), and it
+    matches a per-row transcription of the public xy2d algorithm."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.analytics import hilbert_events
+
+    bits, n = 4, 16
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    ts = (ys.astype("int64") * 3_600_000_000).astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(xs)), pa.int64()),
+        "user_id": pa.array(xs, pa.int64()),
+        "ts": pa.array(ts)}),
+        tmp_path / "events.parquet")
+    out = (hilbert_events(str(tmp_path), bits=bits).to_pandas()
+           .set_index("event_id").sort_index())
+    d = out["hilbert"].to_numpy()
+
+    def xy2d(x, y):
+        rx = ry = 0
+        dd = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            dd += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return dd
+
+    assert all(d[i] == xy2d(int(xs[i]), int(ys[i])) for i in range(len(xs)))
+    assert sorted(d) == list(range(n * n))       # a permutation: space-filling
+    pos = np.empty((n * n, 2), dtype=np.int64)   # cell of each curve step
+    pos[d] = np.stack([xs, ys], axis=1)
+    steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (steps == 1).all()                    # always adjacent cells

@@ -851,3 +851,82 @@ def basket_rules_sql(min_count: int = BASKET_MIN_COUNT,
                     AS BIGINT) AS rank
         FROM s QUALIFY rank <= {k}
     """
+
+
+def hilbert_events(sf_dir: str, bits: int = 16) -> rd.Dataset:
+    """HILBERT-CURVE layout index over (user_id, epoch_hour) — the
+    locality-preserving sibling of :func:`zorder_events`: unlike Morton
+    order, consecutive Hilbert positions are always ADJACENT cells, so
+    range scans over the sorted table touch tighter (user, time)
+    neighborhoods (the layout-optimization trade documented in every
+    lakehouse OPTIMIZE discussion).  Standard public xy2d bit algorithm
+    (quadrant digit + gray-code rotation per level; the flip is the
+    full-width complement (2^bits)-1 - v, which keeps intermediate
+    coordinates in range).
+
+    Engine: one embarrassingly-parallel map_batches, each level a
+    vectorized numpy where/xor over the batch (no per-row Python); the
+    oracle unrolls the identical per-level update as a MATERIALIZED CTE
+    chain, making the state-mutating loop fully SQL-checkable.  Both
+    keys quantize mod 2^bits (the zorder wraparound trade)."""
+    ds = load(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n = 1 << bits
+    mask = n - 1
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["user_id"].to_numpy(np.int64) & mask).astype(np.int64)
+        y = ((df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000) & mask).astype(np.int64)
+        d = np.zeros(len(df), dtype=np.int64)
+        s = n >> 1
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            flip = ry == 0
+            fx = np.where(rx == 1, n - 1 - x, x)
+            fy = np.where(rx == 1, n - 1 - y, y)
+            x, y = (np.where(flip, fy, x).astype(np.int64),
+                    np.where(flip, fx, y).astype(np.int64))
+            s >>= 1
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(np.int64),
+                             "hilbert": d})
+
+    return ds.map_batches(h, batch_format="pandas")
+
+
+def hilbert_events_sql(bits: int = 16) -> str:
+    """Unrolled Hilbert oracle: one MATERIALIZED CTE per level, each
+    computing the identical (x, y, d) update."""
+    n = 1 << bits
+    parts = [f"""
+        WITH l0 AS MATERIALIZED (
+            SELECT event_id,
+                   (user_id & {n - 1}) AS x,
+                   ((epoch_us(ts) // 3600000000) & {n - 1}) AS y,
+                   0::BIGINT AS d
+            FROM events
+        )"""]
+    s = n >> 1
+    t = 0
+    while s > 0:
+        parts.append(f""",
+        l{t + 1} AS MATERIALIZED (
+            SELECT event_id,
+                   CASE WHEN ry = 0 THEN
+                        CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END
+                   ELSE x END AS x,
+                   CASE WHEN ry = 0 THEN
+                        CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END
+                   ELSE y END AS y,
+                   d + {s * s} * xor(3 * rx, ry) AS d
+            FROM (SELECT event_id, x, y, d,
+                         CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                         CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+                  FROM l{t})
+        )""")
+        s >>= 1
+        t += 1
+    parts.append(f"""
+        SELECT event_id, CAST(d AS BIGINT) AS hilbert FROM l{t}""")
+    return "".join(parts)
