@@ -541,8 +541,8 @@ def test_kmv_distinct_users_sequential_replay(ray_session, tmp_path):
 def test_type_daily_ohlc_sequential_replay(ray_session, tmp_path):
     """OHLC candles == a sequential replay on a hand stream, including
     the (ts, event_id) tiebreak for open/close when timestamps collide
-    and cross-batch merge correctness (single-row batches force every
-    partial through the fold)."""
+    (cross-partial merging is covered by the dedicated fold unit test
+    below — this 6-row table arrives as one block)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -574,3 +574,41 @@ def test_type_daily_ohlc_sequential_replay(ray_session, tmp_path):
     r1 = out.loc[("t", d0 + 1)]
     assert (r1["open"], r1["close"], r1["n"]) == (7.0, 7.0, 1)
     assert out.loc[("u", d0)]["n"] == 1
+
+
+def test_ohlc_fold_merges_conflicting_partials():
+    """The cross-batch merge path in isolation: two partials for the
+    same (type, day) where the LATER batch holds the earlier open and
+    the earlier batch holds the later close — the fold must pick by
+    key, not by row order, and fold high/low/n componentwise."""
+    import numpy as np
+    import pandas as pd
+
+    from weaver_ray.pipelines.temporal import _ohlc_fold
+
+    partials = pd.DataFrame({
+        "event_type": ["t", "t"], "day": np.array([5, 5], np.int64),
+        # batch A: covers the MIDDLE of the day
+        # batch B: holds both the true open (earliest key) and close
+        "otu": np.array([100, 50], np.int64),
+        "oeid": np.array([1, 9], np.int64),
+        "open": np.array([11.0, 77.0]),
+        "ctu": np.array([200, 900], np.int64),
+        "ceid": np.array([2, 3], np.int64),
+        "close": np.array([22.0, 88.0]),
+        "high": np.array([30.0, 90.0]),
+        "low": np.array([5.0, 40.0]),
+        "n": np.array([4, 2], np.int64),
+    })
+    out = _ohlc_fold(partials)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["open"] == 77.0    # otu=50 beats otu=100
+    assert r["close"] == 88.0   # ctu=900 beats ctu=200
+    assert (r["high"], r["low"], r["n"]) == (90.0, 5.0, 6)
+    # same-ctu tie resolves on the event_id component
+    partials.loc[0, ["ctu", "ceid", "close"]] = [900, 7, 33.0]
+    r2 = _ohlc_fold(partials).iloc[0]
+    assert r2["close"] == 33.0  # ceid=7 beats ceid=3 at equal ctu
+    # empty bucket returns the typed empty frame
+    assert len(_ohlc_fold(partials.iloc[0:0])) == 0

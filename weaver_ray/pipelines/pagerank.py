@@ -979,10 +979,12 @@ def page_components(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     component_id = smallest reachable page id, computed by the SAME
     task-based min-label-propagation-with-pointer-jumping machinery the
     near-dup dedup family uses (dedup.connected_components_ds), here on
-    a graph table instead of a similarity pair set.  One stacked
-    distinct pass enumerates the node universe (the SSSP lesson);
+    a graph table instead of a similarity pair set.  The node universe
+    comes free from the CC machinery itself (it absorbs every edge
+    endpoint — a separate node-enumeration shuffle would be pure waste);
     isolated pages (no edges) are excluded on both engines."""
-    from .common import keyed_map_groups
+    import pyarrow as _pa
+
     from .dedup import connected_components_ds
 
     files = sorted(str(p) for p in
@@ -993,16 +995,10 @@ def page_components(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
         return pd.DataFrame({"src": df["a"].to_numpy(np.int64),
                              "dst": df["b"].to_numpy(np.int64)})
 
-    def stack_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": np.unique(np.concatenate(
-            [df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]))})
-
     edges = und.map_batches(as_edges, batch_format="pandas")
-    nodes = partial_groupby(und.map_batches(stack_nodes,
-                                            batch_format="pandas"),
-                            ["doc_id"], {"n": ("doc_id", "count")},
-                            many_groups=True)
-    cc = connected_components_ds(nodes, edges).to_pandas()
+    no_extra_nodes = rd.from_arrow(
+        _pa.table({"doc_id": _pa.array([], _pa.int64())}))
+    cc = connected_components_ds(no_extra_nodes, edges).to_pandas()
     return (pd.DataFrame({
         "page_id": cc["doc_id"].to_numpy(np.int64),
         "component_id": cc["cluster_id"].to_numpy(np.int64)})

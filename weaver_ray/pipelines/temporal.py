@@ -952,33 +952,40 @@ def type_daily_ohlc(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     parts = ds.map_batches(partials, batch_format="pandas")
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_type": object, "day": np.int64, "open": np.float64,
-                "high": np.float64, "low": np.float64,
-                "close": np.float64, "n": np.int64}
-        if not len(g):
-            return pd.DataFrame({c: pd.Series([], dtype=t)
-                                 for c, t in cols.items()})
-        keys = ["event_type", "day"]
-        first = (g.sort_values(keys + ["otu", "oeid"])
-                 .drop_duplicates(keys))[keys + ["open"]]
-        last = (g.sort_values(keys + ["ctu", "ceid"],
-                              ascending=[True, True, False, False])
-                .drop_duplicates(keys))[keys + ["close"]]
-        hl = g.groupby(keys, sort=False).agg(
-            high=("high", "max"), low=("low", "min"),
-            n=("n", "sum")).reset_index()
-        out = first.merge(last, on=keys).merge(hl, on=keys)
-        out["n"] = out["n"].astype(np.int64)
-        return out[list(cols)]
-
     def key_of(df: pd.DataFrame) -> np.ndarray:
         return bucket_of(df["event_type"].astype(str) + "|"
                          + df["day"].astype(str), num_buckets)
 
-    out = task_hash_exchange(parts, key_of, fold, num_buckets).to_pandas()
+    out = task_hash_exchange(parts, key_of, _ohlc_fold,
+                             num_buckets).to_pandas()
     return (out.sort_values(["event_type", "day"])
             .reset_index(drop=True))
+
+
+def _ohlc_fold(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge candle PARTIALS within one (type, day) bucket: open = the
+    partial with the globally smallest (otu, oeid), close = the largest
+    (ctu, ceid), high/low/n fold componentwise.  Module-level so the
+    cross-partial merge is unit-testable in isolation (a single-block
+    test input never exercises it end to end)."""
+    cols = {"event_type": object, "day": np.int64, "open": np.float64,
+            "high": np.float64, "low": np.float64,
+            "close": np.float64, "n": np.int64}
+    if not len(g):
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+    keys = ["event_type", "day"]
+    first = (g.sort_values(keys + ["otu", "oeid"])
+             .drop_duplicates(keys))[keys + ["open"]]
+    last = (g.sort_values(keys + ["ctu", "ceid"],
+                          ascending=[True, True, False, False])
+            .drop_duplicates(keys))[keys + ["close"]]
+    hl = g.groupby(keys, sort=False).agg(
+        high=("high", "max"), low=("low", "min"),
+        n=("n", "sum")).reset_index()
+    out = first.merge(last, on=keys).merge(hl, on=keys)
+    out["n"] = out["n"].astype(np.int64)
+    return out[list(cols)]
 
 
 def type_daily_ohlc_sql() -> str:
