@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": textops.langid_confusion,
         # Zipf-law rank-frequency OLS fit over the top-k vocabulary
         "vocab_zipf_slope": textops.vocab_zipf_slope,
+        # Count-Min frequency sketch probed at the exact top-k tokens
+        # (overcount certificate in-row, all-integer parity)
+        "token_cm_sketch": textops.token_cm_sketch,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1467,6 +1470,9 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": _langid_confusion_sql(),
         # Zipf fit: window-ranked wordcount + identical OLS closed form
         "vocab_zipf_slope": textops.vocab_zipf_slope_sql(),
+        # Count-Min: identical md5-prefix row hashes, integer counters,
+        # min-over-rows probes
+        "token_cm_sketch": textops.token_cm_sketch_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

@@ -973,3 +973,43 @@ def test_hilbert_events_is_a_true_hilbert_curve(ray_session, tmp_path):
     pos[d] = np.stack([xs, ys], axis=1)
     steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
     assert (steps == 1).all()                    # always adjacent cells
+
+
+def test_token_cm_sketch_sequential_replay(ray_session, tmp_path):
+    """CM estimates == an independent hashlib/array replay, every
+    estimate >= truth (the one-sided CM guarantee), and a planted
+    collision-free regime where estimates are exact."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import (CM_D, CM_W,
+                                              token_cm_sketch)
+
+    docs = (["alpha"] * 30 + ["beta beta"] * 10 + ["gamma delta"] * 5
+            + ["epsilon"] * 2)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}),
+        tmp_path / "documents.parquet")
+    out = token_cm_sketch(str(tmp_path)).set_index("token")
+
+    cm = np.zeros((CM_D, CM_W), dtype=np.int64)
+    exact = {"alpha": 30, "beta": 20, "gamma": 5, "delta": 5,
+             "epsilon": 2}
+    for t, n in exact.items():
+        for r in range(CM_D):
+            cm[r, int(hashlib.md5(f"{r}|{t}".encode())
+                      .hexdigest()[:13], 16) % CM_W] += n
+    for t, n in exact.items():
+        e = min(cm[r, int(hashlib.md5(f"{r}|{t}".encode())
+                          .hexdigest()[:13], 16) % CM_W]
+                for r in range(CM_D))
+        assert out.loc[t, "n_exact"] == n
+        assert out.loc[t, "n_est"] == e
+        assert out.loc[t, "overcount"] == e - n
+        assert e >= n                      # one-sided guarantee
+    # 5 tokens in 4x1024 cells: no collisions, estimates are exact
+    assert (out["overcount"] == 0).all()

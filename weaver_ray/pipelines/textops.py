@@ -2248,3 +2248,105 @@ def vocab_zipf_slope_sql(k: int = ZIPF_K) -> str:
                    AS r2
         FROM s
     """
+
+
+# Count-Min contract shared with the SQL oracle: depth, width, probe cut
+CM_D = 4
+CM_W = 1024
+CM_PROBE_K = 20
+
+
+def token_cm_sketch(sf_dir: str, d: int = CM_D, w: int = CM_W,
+                    k: int = CM_PROBE_K,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """COUNT-MIN SKETCH point queries (Cormode & Muthukrishnan 2005)
+    over the token stream — the other canonical frequency summary next
+    to the Misra-Gries heavy hitters: d hash rows of w counters, point
+    estimate = min over rows, GUARANTEED >= truth.  The probes are the
+    exact top-``k`` tokens (the shared distributed wordcount), so every
+    output row carries exact count, sketch estimate and the overcount —
+    the sketch-quality certificate in-row, fully SQL-oracled because
+    the row hashes are md5 prefixes on an exact integer grid (the KMV
+    parsing rule) and every counter is an integer.
+
+    Scale shape: per-batch sparse counter partials (≤ d*w rows per
+    batch regardless of batch size — the mergeable-sketch property),
+    one tiny (row, col) reduce, probing folds on the d*w driver table.
+    Parity needs NO rounding grid anywhere — counts, hashes and minima
+    are all integers."""
+    import hashlib
+
+    ds = load(sf_dir, "documents", ["text"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.findall(TOKEN_RE).explode().value_counts()
+        if not len(vc):
+            return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                                 "col": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        toks = vc.index.astype(str)
+        n = vc.to_numpy(np.int64)
+        outs = []
+        for r in range(d):
+            col = np.array([int(hashlib.md5(f"{r}|{t}".encode())
+                                .hexdigest()[:13], 16) % w for t in toks],
+                           dtype=np.int64)
+            g = (pd.DataFrame({"col": col, "n": n})
+                 .groupby("col", sort=False)["n"].sum().reset_index())
+            g["r"] = np.int64(r)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)[["r", "col", "n"]]
+
+    agg = partial_groupby(ds.map_batches(cells, batch_format="pandas"),
+                          ["r", "col"], {"n": ("n", "sum")},
+                          many_groups=True, num_buckets=num_buckets
+                          ).to_pandas()
+    cm = np.zeros((d, w), dtype=np.int64)
+    cm[agg["r"].to_numpy(np.int64), agg["col"].to_numpy(np.int64)] = \
+        agg["n"].to_numpy(np.int64)
+
+    top = vocab_top_tokens(sf_dir, k)  # exact probes, same tokenizer
+    est = np.array([
+        min(cm[r, int(hashlib.md5(f"{r}|{t}".encode())
+                      .hexdigest()[:13], 16) % w] for r in range(d))
+        for t in top["token"]], dtype=np.int64)
+    n_exact = top["n"].to_numpy(np.int64)
+    return pd.DataFrame({"token": top["token"].to_numpy(object),
+                         "n_exact": n_exact, "n_est": est,
+                         "overcount": est - n_exact})
+
+
+def token_cm_sketch_sql(d: int = CM_D, w: int = CM_W,
+                        k: int = CM_PROBE_K) -> str:
+    """DuckDB oracle: the identical md5-prefix row hashes, grouped
+    integer counters, min-over-rows probe of the exact top-k."""
+    hash_expr = ("CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) "
+                 "|| '|' || {t}), 1, 13)) AS BIGINT) % " + str(w))
+    return f"""
+        WITH cnt AS (
+            SELECT t, count(*)::BIGINT AS n FROM (
+                SELECT unnest(regexp_extract_all(text, '\\w+')) AS t
+                FROM documents)
+            GROUP BY t
+        ),
+        cells AS (
+            SELECT q.r, {hash_expr.format(r='q.r', t='cnt.t')} AS col,
+                   sum(cnt.n)::BIGINT AS c
+            FROM cnt, UNNEST(range(0, {d})) q(r)
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rk
+            FROM cnt QUALIFY rk <= {k}
+        ),
+        probe AS (
+            SELECT top.t, top.n, q.r,
+                   {hash_expr.format(r='q.r', t='top.t')} AS col
+            FROM top, UNNEST(range(0, {d})) q(r)
+        )
+        SELECT p.t AS token, any_value(p.n) AS n_exact,
+               min(c.c)::BIGINT AS n_est,
+               (min(c.c) - any_value(p.n))::BIGINT AS overcount
+        FROM probe p JOIN cells c ON c.r = p.r AND c.col = p.col
+        GROUP BY p.t
+    """
