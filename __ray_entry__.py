@@ -530,6 +530,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_daily_ohlc": temporal.type_daily_ohlc,
         # Hilbert-curve layout index (locality-preserving zorder sibling)
         "hilbert_events": analytics.hilbert_events,
+        # Pareto frontier: block-local skyline + tiny merge sweep
+        "skyline_orders": analytics.skyline_orders,
+        # zone maps + prune plan with the lossless-skipping certificate
+        "zonemap_prune_events": analytics.zonemap_prune_events,
+        # segmented run-length stats with boundary stitching flags
+        "rle_events_blocks": analytics.rle_events_blocks,
+        # chi-square independence (lang x source) from count partials
+        "chi2_lang_source": analytics.chi2_lang_source,
         # incremental view maintenance: checkpointed pre-cutoff partials +
         # delta-only scan; oracle = full recompute over all events
         "incremental_event_stats": relational.incremental_event_stats,
@@ -698,6 +706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         # full exact kNN graph (every vector's top-k neighbor edge set)
         "knn_graph": similarity.knn_graph,
+        # reciprocal-neighbor pairs (the hubness filter over knn_graph)
+        "mutual_knn_pairs": similarity.mutual_knn_pairs,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -1825,6 +1835,14 @@ def oracle_sql() -> dict[str, str]:
         # Hilbert: the state-mutating per-level update unrolled as a
         # MATERIALIZED CTE chain
         "hilbert_events": analytics.hilbert_events_sql(),
+        # skyline: the same price-group running-min characterization
+        "skyline_orders": analytics.skyline_orders_sql(),
+        # zone maps: identical block spans, predicate and prune rule
+        "zonemap_prune_events": analytics.zonemap_prune_events_sql(),
+        # segmented RLE: one lag() window over the full event_id order
+        "rle_events_blocks": analytics.rle_events_blocks_sql(),
+        # chi-square: full cross product incl. zero cells, shared grid
+        "chi2_lang_source": analytics.chi2_lang_source_sql(),
         # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
         # from the identical bucket arithmetic, then least/greatest clip
         "winsorized_value_stats": """
@@ -2957,10 +2975,14 @@ def oracle_sql() -> dict[str, str]:
     # per unrolled step over the same embeddings view
     from weaver_ray.pipelines.similarity import (ann_ivf_sql, ann_ivfpq_sql,
                                                   kmeans_label_ari_sql,
-                                                  kmeans_sql, pq_adc_sql,
-                                                  pq_sql, semantic_dedup_sql)
+                                                  kmeans_sql,
+                                                  mutual_knn_pairs_sql,
+                                                  pq_adc_sql, pq_sql,
+                                                  semantic_dedup_sql)
 
     d["kmeans_clusters"] = kmeans_sql()
+    # mutual kNN: the knn window CTE self-joined on reversed edges
+    d["mutual_knn_pairs"] = mutual_knn_pairs_sql()
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()

@@ -1013,3 +1013,140 @@ def test_token_cm_sketch_sequential_replay(ray_session, tmp_path):
         assert e >= n                      # one-sided guarantee
     # 5 tokens in 4x1024 cells: no collisions, estimates are exact
     assert (out["overcount"] == 0).all()
+
+
+def test_skyline_orders_matches_bruteforce_dominance(ray_session):
+    """The two-phase skyline equals O(n^2) brute-force dominance on the
+    real sf0.001 orders table, and every excluded row IS dominated."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.analytics import skyline_orders
+
+    out = skyline_orders(SF)
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    price = t["o_totalprice"].to_numpy()
+    date = t["o_orderdate"].to_numpy()
+    dominated = np.zeros(len(price), dtype=bool)
+    for i in range(len(price)):           # 1500 rows: fine
+        d = ((price >= price[i]) & (date <= date[i])
+             & ((price > price[i]) | (date < date[i])))
+        dominated[i] = d.any()
+    expect = set(t["o_orderkey"].to_numpy()[~dominated])
+    assert set(out["o_orderkey"]) == expect
+    assert len(out) > 0
+
+
+def test_zonemap_prune_certificate(ray_session):
+    """Prune flags are lossless (pruned block => zero matches), the match
+    total equals the exact predicate count, block stats tile the table,
+    and the time-clustered layout actually prunes most blocks."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from weaver_ray.pipelines.analytics import (ZM_NBLOCKS, ZM_TS_HI,
+                                                ZM_TS_LO, ZM_VAL_LO,
+                                                zonemap_prune_events)
+
+    plan = zonemap_prune_events(SF)
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "value"])
+    span = (t.num_rows - 1) // ZM_NBLOCKS + 1
+    assert len(plan) == (t.num_rows - 1) // span + 1
+    assert (plan.loc[plan["pruned"] == 1, "rows_matched"] == 0).all()
+
+    lo, hi = pd.Timestamp(ZM_TS_LO), pd.Timestamp(ZM_TS_HI)
+    exact = pc.sum(pc.and_(pc.and_(
+        pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi)),
+        pc.greater_equal(t["value"], ZM_VAL_LO))).as_py()
+    assert plan["rows_matched"].sum() == exact
+    assert plan["n_rows"].sum() == t.num_rows
+    # 3 days of a 30-day clustered stream: >2/3 of blocks must prune
+    assert plan["pruned"].sum() > len(plan) * 2 // 3
+
+
+def test_rle_blocks_sequential_replay(ray_session, tmp_path):
+    """Block run counts + boundary flags replayed by a plain sequential
+    scan; global runs reconstruct from the in-row stitching flags."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.analytics import rle_events_blocks
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    types = np.array(["a", "b", "c"], dtype=object)[
+        rng.integers(0, 3, n)]
+    # long runs so blocks actually merge across boundaries sometimes
+    types[200:400] = "a"
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(types),
+        "ts": pa.array([0] * n, pa.int64()),
+        "value": pa.array([0.0] * n)}), tmp_path / "events.parquet")
+
+    out = rle_events_blocks(str(tmp_path), nblocks=16)
+    span = (n - 1) // 16 + 1
+    seq_runs = {}
+    for b in range(16):
+        seg = types[b * span:(b + 1) * span]
+        seq_runs[b] = 1 + int((seg[1:] != seg[:-1]).sum())
+    assert dict(zip(out["block_id"], out["n_runs"])) == seq_runs
+    global_runs = 1 + int((types[1:] != types[:-1]).sum())
+    assert out["n_runs"].sum() - out["merged_with_prev"].sum() == global_runs
+    assert (out["first_type"] == [types[b * span] for b in range(16)]).all()
+
+
+def test_chi2_lang_source_known_tables(ray_session, tmp_path):
+    """Perfect dependence gives Cramer's V == 1; an exactly independent
+    2x2 table gives chi2 == 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.analytics import chi2_lang_source
+
+    def write(docs, d):
+        d.mkdir(exist_ok=True)
+        lang, src = zip(*docs)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(["x"] * len(docs)),
+            "lang": pa.array(list(lang)), "source": pa.array(list(src)),
+            "n_chars": pa.array([1] * len(docs), pa.int64())}),
+            d / "documents.parquet")
+        return str(d)
+
+    dep = write([("en", "s1")] * 10 + [("de", "s2")] * 10,
+                tmp_path / "dep")
+    r = chi2_lang_source(dep)
+    assert r.loc[0, "cramers_v"] == 1.0 and r.loc[0, "dof"] == 1
+    ind = write(([("en", "s1")] * 6 + [("en", "s2")] * 6
+                 + [("de", "s1")] * 3 + [("de", "s2")] * 3),
+                tmp_path / "ind")
+    r2 = chi2_lang_source(ind)
+    assert r2.loc[0, "chi2"] == 0.0
+
+
+def test_mutual_knn_pairs_bruteforce(ray_session):
+    """Mutual pairs == brute-force reciprocal top-k over the real
+    embeddings (exact cosine, (cos desc, id asc) tiebreak)."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.similarity import mutual_knn_pairs
+
+    out = to_table(mutual_knn_pairs(SF, k=5)).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    E = np.stack(t["embedding"].to_pylist())[order].astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ En.T
+    np.fill_diagonal(cos, -np.inf)
+    top = np.argsort(-cos, axis=1, kind="stable")[:, :5]
+    nbrs = {ids[i]: set(ids[top[i]]) for i in range(len(ids))}
+    expect = {(int(min(a, b)), int(max(a, b)))
+              for a in nbrs for b in nbrs[a] if a in nbrs[b]}
+    got = set(zip(out["id_lo"].astype(int), out["id_hi"].astype(int)))
+    assert got == expect and len(expect) > 0

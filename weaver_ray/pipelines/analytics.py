@@ -930,3 +930,323 @@ def hilbert_events_sql(bits: int = 16) -> str:
     parts.append(f"""
         SELECT event_id, CAST(d AS BIGINT) AS hilbert FROM l{t}""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — block-local skyline + tiny merge
+# ---------------------------------------------------------------------------
+
+def _sky2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D skyline sweep: keep orders not DOMINATED under
+    (maximize o_totalprice, minimize o_orderdate).  d dominates o iff
+    d.price >= o.price AND d.date <= o.date with at least one strict;
+    ties on BOTH axes survive together (neither strictly dominates).
+
+    One groupby(price) + two running mins over descending price:
+    a row survives iff its date equals the running min date over all
+    prices >= its own (condition B: nothing weakly-better-priced is
+    strictly earlier) AND is strictly earlier than the running min over
+    prices > its own (condition A: nothing strictly better-priced is at
+    least as early)."""
+    if not len(df):
+        return df
+    g = (df.groupby("o_totalprice")["o_orderdate"].min()
+         .sort_index(ascending=False))
+    m_incl = g.cummin()          # min date over prices >= this price
+    m_excl = m_incl.shift(1)     # min date over prices  > this price
+    mi = df["o_totalprice"].map(m_incl)
+    me = df["o_totalprice"].map(m_excl)
+    keep = (df["o_orderdate"] == mi) & (me.isna() | (df["o_orderdate"] < me))
+    return df[keep]
+
+
+def skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE QUERY (Borzsony/Kossmann/Stocker 2001): the Pareto frontier
+    of orders under (max o_totalprice, min o_orderdate) — "the best price
+    achievable by any given date".  The canonical two-phase distributed
+    shape: a block-LOCAL skyline inside map_batches (each block shrinks to
+    ~O(log n) survivors because local dominance is a superset-filter of
+    global dominance), then one merge sweep over the union of local
+    skylines.  The merge input is bounded by sum-of-local-skylines — for
+    random data ~blocks x log(block) rows — so the final collect is a
+    top-k-style small result, never the input."""
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    local = ds.map_batches(_sky2d, batch_format="pandas")
+    cand = local.to_pandas()     # union of local skylines: provably small
+    return (_sky2d(cand).sort_values("o_orderkey").reset_index(drop=True)
+            [["o_orderkey", "o_totalprice", "o_orderdate"]])
+
+
+def skyline_orders_sql() -> str:
+    """Oracle via the same price-group running-min characterization (an
+    NOT EXISTS anti-join is quadratic; this is the O(n log n) form the
+    engine's sweep implements — pytest cross-checks it against brute-force
+    dominance on a small table)."""
+    return """
+        WITH g AS (
+            SELECT o_totalprice AS price, min(o_orderdate) AS gmin
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT price,
+                   min(gmin) OVER (ORDER BY price DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS m_incl,
+                   min(gmin) OVER (ORDER BY price DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS m_excl
+            FROM g
+        )
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+        FROM orders o JOIN r ON o.o_totalprice = r.price
+        WHERE o.o_orderdate = r.m_incl
+          AND (r.m_excl IS NULL OR o.o_orderdate < r.m_excl)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning — data skipping with a lossless-prune certificate
+# ---------------------------------------------------------------------------
+
+# the shared prune-plan contract: block count and the range predicate
+ZM_NBLOCKS = 64
+ZM_TS_LO = "2024-01-10"    # ts >= lo AND ts < hi AND value >= val_lo
+ZM_TS_HI = "2024-01-13"
+ZM_VAL_LO = 100.0
+
+
+def zonemap_prune_events(sf_dir: str, nblocks: int = ZM_NBLOCKS) -> pd.DataFrame:
+    """ZONE MAPS (data skipping): per-block min/max statistics over the
+    events table laid out in event_id order, plus the PRUNE DECISION for a
+    conjunctive range predicate (ts window AND value floor) and the
+    per-block exact match count as the lossless-prune certificate
+    (pruned == 1 implies rows_matched == 0 in-row).  Because the event
+    stream is time-clustered (ts rises with event_id), the ts zone maps
+    skip ~90% of blocks for a 3-day window — the read-pruning story a
+    100 TB scan lives on: at scale these rows are what a planner consults
+    INSTEAD of opening parquet row groups.
+
+    Engine shape: block stats are mergeable min/max/count partials
+    (partial_groupby over block_id), one 64-row reduce; the prune flags
+    fold on the driver over the tiny plan table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    span = (n - 1) // nblocks + 1     # event_ids are contiguous 0..n-1
+    lo, hi = pd.Timestamp(ZM_TS_LO), pd.Timestamp(ZM_TS_HI)
+
+    ds = load(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["ts"] >= lo) & (b["ts"] < hi)
+             & (b["value"] >= ZM_VAL_LO)).to_numpy()
+        return b.assign(block_id=b["event_id"].to_numpy(np.int64) // span,
+                        match=m.astype(np.int64))
+
+    plan = partial_groupby(
+        ds, ["block_id"],
+        {"n_rows": ("value", "count"),
+         "ts_min": ("ts", "min"), "ts_max": ("ts", "max"),
+         "v_min": ("value", "min"), "v_max": ("value", "max"),
+         "rows_matched": ("match", "sum")},
+        prep=prep, many_groups=True, num_buckets=8,
+    ).to_pandas()
+
+    pruned = ((plan["ts_max"] < lo) | (plan["ts_min"] >= hi)
+              | (plan["v_max"] < ZM_VAL_LO))
+    plan = plan.assign(pruned=pruned.to_numpy().astype(np.int64))
+    return (plan.sort_values("block_id").reset_index(drop=True)
+            [["block_id", "n_rows", "ts_min", "ts_max", "v_min", "v_max",
+              "rows_matched", "pruned"]])
+
+
+def zonemap_prune_events_sql(nblocks: int = ZM_NBLOCKS) -> str:
+    return f"""
+        WITH b AS (
+            SELECT event_id // ((SELECT max(event_id) FROM events) // {nblocks} + 1)
+                       AS block_id,
+                   count(*)::BIGINT AS n_rows,
+                   min(ts) AS ts_min, max(ts) AS ts_max,
+                   min(value) AS v_min, max(value) AS v_max,
+                   sum(CASE WHEN ts >= TIMESTAMP '{ZM_TS_LO}'
+                             AND ts <  TIMESTAMP '{ZM_TS_HI}'
+                             AND value >= {ZM_VAL_LO}
+                            THEN 1 ELSE 0 END)::BIGINT AS rows_matched
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(block_id AS BIGINT) AS block_id, n_rows, ts_min, ts_max,
+               v_min, v_max, rows_matched,
+               CAST(CASE WHEN ts_max < TIMESTAMP '{ZM_TS_LO}'
+                          OR ts_min >= TIMESTAMP '{ZM_TS_HI}'
+                          OR v_max < {ZM_VAL_LO}
+                         THEN 1 ELSE 0 END AS BIGINT) AS pruned
+        FROM b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Segmented run-length stats — per-block RLE with boundary stitching
+# ---------------------------------------------------------------------------
+
+RLE_NBLOCKS = 64
+
+
+def rle_events_blocks(sf_dir: str, nblocks: int = RLE_NBLOCKS,
+                      num_parts: int = 16) -> pd.DataFrame:
+    """RUN-LENGTH layout statistics of the event_type column in event_id
+    (physical) order, segmented into fixed blocks: per block the run
+    count, row count, and the block's FIRST/LAST values — the sufficient
+    statistics for stitching blocks back into a global run count (the
+    classic segmented-scan merge: global runs = sum of block runs minus
+    the boundaries where last(block i) == first(block i+1), emitted
+    in-row as merged_with_prev).  This is what a columnar writer consults
+    to size RLE pages, computed without any global sort: blocks are
+    routed by block_id hash (each block lands whole in one partition),
+    runs are one vectorized shift-compare per partition.
+
+    The driver folds only the 64-row plan table for the boundary flags."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .common import task_hash_exchange
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    span = (n - 1) // nblocks + 1     # event_ids are contiguous 0..n-1
+
+    ds = load(sf_dir, "events", ["event_id", "event_type"])
+
+    def part_of(df: pd.DataFrame) -> np.ndarray:
+        return (df["event_id"].to_numpy(np.int64) // span) % num_parts
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "block_id": pd.Series([], dtype=np.int64),
+                "n_rows": pd.Series([], dtype=np.int64),
+                "n_runs": pd.Series([], dtype=np.int64),
+                "first_type": pd.Series([], dtype=object),
+                "last_type": pd.Series([], dtype=object)})
+        df = df.sort_values("event_id")
+        blk = df["event_id"].to_numpy(np.int64) // span
+        t = df["event_type"].to_numpy(object)
+        new_run = np.ones(len(df), dtype=np.int64)
+        same_blk = blk[1:] == blk[:-1]
+        new_run[1:] = np.where(same_blk & (t[1:] == t[:-1]), 0, 1)
+        g = pd.DataFrame({"block_id": blk, "new_run": new_run,
+                          "event_type": t}).groupby("block_id", sort=True)
+        return pd.DataFrame({
+            "block_id": np.fromiter(g.groups.keys(), dtype=np.int64),
+            "n_rows": g.size().to_numpy(np.int64),
+            "n_runs": g["new_run"].sum().to_numpy(np.int64),
+            "first_type": g["event_type"].first().to_numpy(object),
+            "last_type": g["event_type"].last().to_numpy(object)})
+
+    plan = (task_hash_exchange(ds, part_of, block_stats, num_parts)
+            .to_pandas().sort_values("block_id").reset_index(drop=True))
+    merged = np.zeros(len(plan), dtype=np.int64)
+    if len(plan) > 1:
+        adj = (plan["block_id"].to_numpy()[1:]
+               == plan["block_id"].to_numpy()[:-1] + 1)
+        merged[1:] = (adj & (plan["first_type"].to_numpy(object)[1:]
+                             == plan["last_type"].to_numpy(object)[:-1])
+                      ).astype(np.int64)
+    return plan.assign(merged_with_prev=merged)[
+        ["block_id", "n_rows", "n_runs", "first_type", "last_type",
+         "merged_with_prev"]]
+
+
+def rle_events_blocks_sql(nblocks: int = RLE_NBLOCKS) -> str:
+    """Oracle: one lag() window over the full event_id order; a block's
+    first row opens a run, any value change opens a run; merged_with_prev
+    is the boundary row whose previous-block last value matches."""
+    return f"""
+        WITH s AS (
+            SELECT event_id, event_type,
+                   event_id // ((SELECT max(event_id) FROM events) // {nblocks} + 1)
+                       AS blk,
+                   lag(event_type) OVER (ORDER BY event_id) AS prev_t,
+                   lag(event_id // ((SELECT max(event_id) FROM events) // {nblocks} + 1))
+                       OVER (ORDER BY event_id) AS prev_b
+            FROM events
+        )
+        SELECT CAST(blk AS BIGINT) AS block_id,
+               count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN prev_b IS NULL OR prev_b <> blk
+                         OR prev_t <> event_type THEN 1 ELSE 0 END)::BIGINT
+                   AS n_runs,
+               arg_min(event_type, event_id) AS first_type,
+               arg_max(event_type, event_id) AS last_type,
+               max(CASE WHEN prev_b = blk - 1 AND prev_t = event_type
+                        THEN 1 ELSE 0 END)::BIGINT AS merged_with_prev
+        FROM s GROUP BY blk
+    """
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — contingency table from count partials
+# ---------------------------------------------------------------------------
+
+def chi2_lang_source(sf_dir: str) -> pd.DataFrame:
+    """PEARSON CHI-SQUARE test of independence between document lang and
+    source: the full contingency table reduces from per-batch count
+    partials (one shuffle of (lang, source, n) triples), then the
+    statistic folds on the driver over the ~100-cell table — including
+    the ZERO cells the cross product implies, whose terms contribute
+    their full expected counts.  Emits the statistic, degrees of freedom
+    and Cramer's V effect size; both sides round to the shared grid
+    because the 100-term float sum is order-sensitive in the last ulps."""
+    counts = partial_groupby(
+        load(sf_dir, "documents", ["lang", "source"]),
+        ["lang", "source"], {"n": ("lang", "count")},
+    ).to_pandas()
+    pivot = (counts.pivot_table(index="lang", columns="source", values="n",
+                                fill_value=0, aggfunc="sum")
+             .sort_index(axis=0).sort_index(axis=1))
+    obs = pivot.to_numpy(np.float64)
+    nl = obs.sum(axis=1, keepdims=True)
+    ns = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = nl * ns / n
+    terms = (obs - exp) ** 2 / exp
+    chi2 = float(terms.ravel().sum())
+    r, c = obs.shape
+    dof = (r - 1) * (c - 1)
+    cramers_v = float(np.sqrt(chi2 / (n * min(r - 1, c - 1))))
+    return pd.DataFrame({
+        "n_docs": [np.int64(n)], "n_langs": [np.int64(r)],
+        "n_sources": [np.int64(c)], "dof": [np.int64(dof)],
+        "chi2": sql_round([chi2], 4),
+        "cramers_v": sql_round([cramers_v], 6)})
+
+
+def chi2_lang_source_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT lang, source, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        l AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1),
+        s AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+        t AS (SELECT sum(n)::DOUBLE AS nt FROM c),
+        cell AS (
+            SELECT coalesce(c.n, 0)::DOUBLE AS obs,
+                   CAST(l.nl AS DOUBLE) * s.ns / t.nt AS exp
+            FROM l CROSS JOIN s CROSS JOIN t
+            LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+        )
+        SELECT CAST((SELECT nt FROM t) AS BIGINT) AS n_docs,
+               (SELECT count(*) FROM l)::BIGINT AS n_langs,
+               (SELECT count(*) FROM s)::BIGINT AS n_sources,
+               ((SELECT count(*) FROM l) - 1)::BIGINT
+                   * ((SELECT count(*) FROM s) - 1)::BIGINT AS dof,
+               round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+               round(sqrt(sum((obs - exp) * (obs - exp) / exp)
+                          / ((SELECT nt FROM t)
+                             * least((SELECT count(*) FROM l) - 1,
+                                     (SELECT count(*) FROM s) - 1))), 6)
+                   AS cramers_v
+        FROM cell
+    """

@@ -1618,3 +1618,56 @@ def embedding_sq8_stats(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
         "mse": sql_round(agg["sse"].to_numpy() / agg["n"].to_numpy(), 6),
         "n": agg["n"].to_numpy(np.int64),
     }).reset_index(drop=True)
+
+
+def mutual_knn_pairs(sf_dir: str, k: int = 5,
+                     num_buckets: int = 8) -> rd.Dataset:
+    """MUTUAL k-NN pairs: (a, b) where each vector is in the OTHER's exact
+    top-k cosine neighborhood — the reciprocal-neighbor criterion that
+    semantic-dedup and coreset pipelines prefer over one-sided kNN edges
+    (one-sided edges over-connect hubs; mutuality is the standard
+    hubness filter).
+
+    Engine shape: the knn_graph edge stream is folded to UNORDERED pair
+    keys inside the same batch pass, then one bucketed count-reduce —
+    a pair is mutual iff its unordered key appears exactly twice (each
+    direction contributes one edge; neighbor lists cannot repeat an id).
+    No driver materialization: the result stays a Dataset."""
+    from .common import partial_groupby
+
+    edges = knn_graph(sf_dir, k)
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["vec_id"].to_numpy(np.int64)
+        c = b["neighbor_id"].to_numpy(np.int64)
+        return pd.DataFrame({"id_lo": np.minimum(a, c),
+                             "id_hi": np.maximum(a, c)})
+
+    cnt = partial_groupby(
+        edges, ["id_lo", "id_hi"], {"n_dir": ("id_lo", "count")},
+        prep=undirect, many_groups=True, num_buckets=num_buckets)
+    return cnt.map_batches(
+        lambda df: df.loc[df["n_dir"] == 2, ["id_lo", "id_hi"]],
+        batch_format="pandas")
+
+
+def mutual_knn_pairs_sql(k: int = 5) -> str:
+    """Oracle: the knn_graph all-pairs window CTE joined against its own
+    reversed edges."""
+    return f"""
+        WITH knn AS (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT q.vec_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding,
+                                                           e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e
+                     ON e.vec_id <> q.vec_id) t
+            WHERE rn <= {k}
+        )
+        SELECT a.vec_id AS id_lo, a.neighbor_id AS id_hi
+        FROM knn a JOIN knn b ON a.vec_id = b.neighbor_id
+                             AND a.neighbor_id = b.vec_id
+        WHERE a.vec_id < a.neighbor_id
+    """
