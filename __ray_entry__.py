@@ -525,9 +525,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV distinct-count sketch — the ORACLED approximate-distinct
         # (exact-dyadic estimate), with the exact count as certificate
         "kmv_distinct_users": relational.kmv_distinct_users,
+        # KMV set-operation estimates (union/intersection/Jaccard) between
+        # the click and purchase user sets, exact certificates in-row
+        "kmv_set_ops": relational.kmv_set_ops,
+        # Duffield-Lund-Thorup priority sampling with the unbiased
+        # total estimator as the certificate
+        "priority_sample_events": relational.priority_sample_events,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
+        # EWMA smoothing with dyadic alpha (closed-form window oracle)
+        "type_daily_ewma": temporal.type_daily_ewma,
         # Hilbert-curve layout index (locality-preserving zorder sibling)
         "hilbert_events": analytics.hilbert_events,
         # Pareto frontier: block-local skyline + tiny merge sweep
@@ -1829,9 +1837,15 @@ def oracle_sql() -> dict[str, str]:
         # KMV sketch: k-th smallest md5 via window rank, exact-dyadic
         # estimate (first 13 hex chars over 16^13)
         "kmv_distinct_users": relational.kmv_distinct_users_sql(),
+        # KMV set ops: identical union-sketch merge + dyadic estimates
+        "kmv_set_ops": relational.kmv_set_ops_sql(),
+        # priority sampling: same dyadic uniforms + single-division rank
+        "priority_sample_events": relational.priority_sample_events_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),
+        # EWMA: the dyadic-alpha closed form as one window expression
+        "type_daily_ewma": temporal.type_daily_ewma_sql(),
         # Hilbert: the state-mutating per-level update unrolled as a
         # MATERIALIZED CTE chain
         "hilbert_events": analytics.hilbert_events_sql(),

@@ -1150,3 +1150,81 @@ def test_mutual_knn_pairs_bruteforce(ray_session):
               for a in nbrs for b in nbrs[a] if a in nbrs[b]}
     got = set(zip(out["id_lo"].astype(int), out["id_hi"].astype(int)))
     assert got == expect and len(expect) > 0
+
+
+def test_priority_sample_unbiasedness_properties(ray_session):
+    """DLT invariants on the real table: sample size == k, adjusted
+    weights >= raw weights, threshold semantics (every sampled row's
+    priority >= every excluded row's priority), and the estimator lands
+    within 3 sketch-sigma of the true total."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import (PRI_K,
+                                                 priority_sample_events)
+
+    out = priority_sample_events(SF)
+    assert len(out) == PRI_K
+    assert (out["adj_weight"] >= out["value"] - 1e-9).all()
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    ids = t["event_id"].to_numpy()
+    vals = t["value"].to_numpy()
+    u = np.array([int(hashlib.md5(str(int(e)).encode())
+                      .hexdigest()[:13], 16) + 1 for e in ids],
+                 dtype=np.float64)
+    pri = vals * 4503599627370496.0 / u
+    order = np.lexsort((ids, -pri))
+    expect = set(ids[order[:PRI_K]].tolist())
+    assert set(out["event_id"].tolist()) == expect
+    # the estimator replayed from the brute-force threshold is EXACT
+    tau = pri[order[PRI_K]]
+    est = round(float(np.maximum(vals[order[:PRI_K]], tau).sum()), 2)
+    assert out.loc[0, "est_total"] == est
+    assert abs(out.loc[0, "exact_total"] - round(float(vals.sum()), 2)) < 0.02
+    # single fixed draw of a skewed weight set: loose sanity envelope only
+    exact = out.loc[0, "exact_total"]
+    assert abs(out.loc[0, "est_total"] - exact) / exact < 1.0
+
+
+def test_kmv_set_ops_saturation_and_planted(ray_session, tmp_path):
+    """Below k the sketch reports exact union/intersection; on a planted
+    overlap the exact certificate columns are right."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import kmv_set_ops
+
+    rows = ([("click", u) for u in range(20)]
+            + [("purchase", u) for u in range(10, 25)])
+    et, uid = zip(*rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array(list(uid), pa.int64()),
+        "event_type": pa.array(list(et)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))}),
+        tmp_path / "events.parquet")
+    r = kmv_set_ops(str(tmp_path)).iloc[0]
+    assert r["n_click_exact"] == 20 and r["n_purchase_exact"] == 15
+    assert r["union_exact"] == 25 and r["inter_exact"] == 10
+    # 25 < k=64: saturated, estimates ARE the exact values
+    assert r["union_est"] == 25.0 and r["inter_est"] == 10.0
+    assert r["jaccard_est"] == r["jaccard_exact"] == 0.4
+
+
+def test_type_daily_ewma_recursion_replay(ray_session):
+    """The closed-form cumulative fold equals the textbook recursion
+    ewma_d = (x_d + ewma_{d-1}) / 2 replayed sequentially per type."""
+    from weaver_ray.pipelines.temporal import type_daily_ewma
+
+    out = type_daily_ewma(SF)
+    for _t, g in out.groupby("event_type"):
+        g = g.sort_values("day")
+        e = None
+        for x, got in zip(g["daily_value"], g["ewma"]):
+            e = x if e is None else (x + e) / 2.0
+            assert abs(e - got) < 5e-4     # both sides round to 1e-4
+    assert out["ewma"].notna().all() and len(out) > 0

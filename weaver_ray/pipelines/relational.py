@@ -1140,3 +1140,248 @@ def kmv_distinct_users_sql(k: int = KMV_K) -> str:
                round(abs(est - nd) / nd::DOUBLE, 4) AS rel_err
         FROM s
     """
+
+
+# priority-sampling contract shared with the SQL oracle
+PRI_K = 32
+
+
+def priority_sample_events(sf_dir: str, k: int = PRI_K) -> pd.DataFrame:
+    """PRIORITY SAMPLING (Duffield, Lund & Thorup 2007): a weighted
+    size-k sample of events with value as the weight, plus the scheme's
+    UNBIASED total estimator as the in-row certificate.  Each row draws
+    the exact-dyadic uniform u = (md5(event_id) 13-hex-prefix + 1) / 2^52
+    and priority q = value * 2^52 / u_int — one IEEE division from exact
+    integer inputs, so the engine and the oracle rank bit-identically.
+    The sample is the top-k by (q desc, event_id); tau is the (k+1)-th
+    priority; each sampled row's adjusted weight is max(value, tau), and
+    sum(adjusted) estimates the full value total without replacement
+    bias — the streaming-aggregation workhorse for weighted telemetry.
+
+    Scale shape: per-batch local top-(k+1) partials (mergeable — the
+    top-k property), one tiny merge; the exact total folds from sum
+    partials.  Nothing driver-side exceeds k+1 rows per block."""
+    from .common import md5_hex, sql_round
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.array([int(h[:13], 16) + 1 for h in
+                      md5_hex(str(int(e)) for e in b["event_id"])],
+                     dtype=np.float64)
+        q = b["value"].to_numpy(np.float64) * 4503599627370496.0 / u
+        d = pd.DataFrame({"event_id": b["event_id"].to_numpy(np.int64),
+                          "value": b["value"].to_numpy(np.float64),
+                          "pri": q, "s": 0.0})
+        d = d.sort_values(["pri", "event_id"],
+                          ascending=[False, True]).head(k + 1)
+        if len(d):   # the batch's sum partial rides along on one row
+            d.iloc[0, d.columns.get_loc("s")] = np.float64(b["value"].sum())
+        return d
+
+    cand = load(sf_dir, "events", ["event_id", "value"]).map_batches(
+        local_top, batch_format="pandas").to_pandas()
+    exact_total = float(sql_round(cand["s"].sum(), 2))
+    cand = cand.sort_values(["pri", "event_id"],
+                            ascending=[False, True]).head(k + 1)
+    tau = float(cand["pri"].iloc[k]) if len(cand) > k else 0.0
+    samp = cand.head(k).copy()
+    adj = np.maximum(samp["value"].to_numpy(np.float64), tau)
+    est_total = float(sql_round(adj.sum(), 2))
+    rel = float(sql_round(abs(est_total - exact_total) / exact_total, 6))
+    return (pd.DataFrame({
+        "event_id": samp["event_id"].to_numpy(np.int64),
+        "value": samp["value"].to_numpy(np.float64),
+        "adj_weight": sql_round(adj, 4),
+        "est_total": np.full(len(samp), est_total),
+        "exact_total": np.full(len(samp), exact_total),
+        "rel_err": np.full(len(samp), rel)})
+        .sort_values("event_id").reset_index(drop=True))
+
+
+def priority_sample_events_sql(k: int = PRI_K) -> str:
+    """Oracle: identical dyadic uniforms, the same single-division
+    priority, window rank, greatest(value, tau) adjusted weights."""
+    return f"""
+        WITH q AS (
+            SELECT event_id, value,
+                   value * 4503599627370496.0
+                       / (CAST(concat('0x',
+                              substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                              AS BIGINT) + 1) AS pri
+            FROM events
+        ),
+        r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, event_id)
+                            AS rk FROM q),
+        tau AS (SELECT coalesce(max(CASE WHEN rk = {k + 1} THEN pri END),
+                                0.0) AS t FROM r),
+        tot AS (SELECT round(sum(value), 2) AS x FROM events),
+        s AS (
+            SELECT event_id, value,
+                   round(greatest(value, (SELECT t FROM tau)), 4)
+                       AS adj_weight,
+                   greatest(value, (SELECT t FROM tau)) AS adj_raw
+            FROM r WHERE rk <= {k}
+        ),
+        est AS (SELECT round(sum(adj_raw), 2) AS e FROM s)
+        SELECT event_id, value, adj_weight,
+               (SELECT e FROM est) AS est_total,
+               (SELECT x FROM tot) AS exact_total,
+               round(abs((SELECT e FROM est) - (SELECT x FROM tot))
+                     / (SELECT x FROM tot), 6) AS rel_err
+        FROM s
+    """
+
+
+def kmv_set_ops(sf_dir: str, k: int = KMV_K,
+                num_buckets: int = 16) -> pd.DataFrame:
+    """KMV SET-OPERATION estimates (theta-sketch style, Beyer et al.
+    2007) between the 'click' and 'purchase' user sets: union distinct,
+    intersection distinct and Jaccard — all from two k-minimum-values
+    signatures, never from the full sets.  The union sketch is the k
+    smallest of the two signatures' union (valid because each signature
+    holds its set's global minima); any member below the union threshold
+    is in set X iff it is in X's signature, so the intersection share
+    rho = |both-flagged rows in the union sketch| / k is exact relative
+    to the sketch, and est_inter = rho * est_union.  Sketches saturate
+    to exact truth below k on both engines.  The exact union /
+    intersection / Jaccard ride along as the in-row certificate.
+
+    Scale shape: two per-batch k-smallest partials + one k-row driver
+    fold; the exact columns pay the one distinct (user, flags) exchange
+    the sketch exists to avoid — the certificate, not the production
+    path."""
+    from .common import keyed_map_groups, md5_hex, sql_round
+
+    ds = load(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("click", "purchase"))]
+        d = df[["event_type", "user_id"]].drop_duplicates()
+        d = d.assign(h=md5_hex(str(int(u)) for u in d["user_id"]))
+        d = d.sort_values(["event_type", "h"])
+        return d.groupby("event_type", sort=False).head(k)[
+            ["event_type", "h", "user_id"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype=object),
+                                 "user_id": pd.Series([], dtype=np.int64)})
+        u = g.drop_duplicates().sort_values(["event_type", "h"])
+        return u.groupby("event_type", sort=False).head(k)
+
+    sig = keyed_map_groups(ds.map_batches(partials, batch_format="pandas"),
+                           "event_type", fold, num_buckets).to_pandas()
+
+    # exact certificate: one distinct (user, inA, inB) exchange
+    def flag_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        return b.assign(
+            a=(b["event_type"] == "click").astype(np.int64),
+            b=(b["event_type"] == "purchase").astype(np.int64))
+
+    flags = partial_groupby(
+        ds, ["user_id"],
+        {"in_a": ("a", "max"), "in_b": ("b", "max")},
+        prep=flag_prep, many_groups=True,
+        num_buckets=num_buckets).to_pandas()
+    na = int(flags["in_a"].sum())
+    nb = int(flags["in_b"].sum())
+    ninter = int((flags["in_a"] & flags["in_b"]).sum())
+    nunion = len(flags)
+
+    a_hashes = set(sig.loc[sig["event_type"] == "click", "h"])
+    b_hashes = set(sig.loc[sig["event_type"] == "purchase", "h"])
+    merged = sorted(a_hashes | b_hashes)[:k]
+    if nunion <= k:
+        est_union, est_inter = float(nunion), float(ninter)
+    else:
+        hk = int(merged[-1][:13], 16)
+        est_union = float(sql_round(
+            float(k - 1) * float(_HEX13) / float(hk), 4))
+        n_both = sum(1 for h in merged if h in a_hashes and h in b_hashes)
+        est_inter = float(sql_round(n_both * est_union / k, 4))
+    est_j = float(sql_round(est_inter / est_union, 4)) if est_union else 0.0
+    return pd.DataFrame({
+        "k": [np.int64(k)],
+        "n_click_exact": [np.int64(na)],
+        "n_purchase_exact": [np.int64(nb)],
+        "union_exact": [np.int64(nunion)],
+        "inter_exact": [np.int64(ninter)],
+        "union_est": [est_union], "inter_est": [est_inter],
+        "jaccard_est": [est_j],
+        "jaccard_exact": sql_round([ninter / nunion], 4)})
+
+
+def kmv_set_ops_sql(k: int = KMV_K) -> str:
+    """Oracle: per-set distinct md5 signatures via window ranks, the
+    identical union-sketch merge, threshold membership flags and the
+    exact-dyadic estimates."""
+    return f"""
+        WITH uh AS (
+            SELECT DISTINCT event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        sig AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS r
+                FROM uh) t
+            WHERE r <= {k}
+        ),
+        m AS (
+            SELECT h,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS in_a,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS in_b,
+                   row_number() OVER (ORDER BY h) AS r
+            FROM sig GROUP BY h
+        ),
+        ex AS (
+            SELECT count(DISTINCT CASE WHEN event_type = 'click'
+                                       THEN user_id END)::BIGINT AS na,
+                   count(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN user_id END)::BIGINT AS nb,
+                   count(DISTINCT user_id)::BIGINT AS nu
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        exi AS (
+            SELECT count(*)::BIGINT AS ni FROM (
+                SELECT user_id FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY user_id
+                HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         = 1
+                   AND max(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) = 1)
+        ),
+        est AS (
+            SELECT CASE WHEN ex.nu <= {k} THEN ex.nu::DOUBLE
+                        ELSE round({k - 1}::DOUBLE * {_HEX13}
+                             / CAST(concat('0x', substr(
+                                   (SELECT max(h) FROM m WHERE r <= {k}),
+                                   1, 13)) AS BIGINT), 4) END AS eu,
+                   CASE WHEN ex.nu <= {k} THEN exi.ni::DOUBLE
+                        ELSE round(
+                            (SELECT sum(in_a * in_b) FROM m WHERE r <= {k})
+                            * CASE WHEN ex.nu <= {k} THEN ex.nu::DOUBLE
+                                   ELSE round({k - 1}::DOUBLE * {_HEX13}
+                                        / CAST(concat('0x', substr(
+                                            (SELECT max(h) FROM m
+                                             WHERE r <= {k}), 1, 13))
+                                            AS BIGINT), 4) END
+                            / {k}, 4) END AS ei,
+                   ex.na, ex.nb, ex.nu, exi.ni
+            FROM ex, exi
+        )
+        SELECT {k}::BIGINT AS k, na AS n_click_exact,
+               nb AS n_purchase_exact, nu AS union_exact,
+               ni AS inter_exact, eu AS union_est, ei AS inter_est,
+               CASE WHEN eu > 0 THEN round(ei / eu, 4) ELSE 0.0 END
+                   AS jaccard_est,
+               round(ni::DOUBLE / nu, 4) AS jaccard_exact
+        FROM est
+    """

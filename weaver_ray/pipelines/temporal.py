@@ -1012,3 +1012,73 @@ def type_daily_ohlc_sql() -> str:
                count(*)::BIGINT AS n
         FROM r GROUP BY event_type, day
     """
+
+
+def type_daily_ewma(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """EXPONENTIALLY-WEIGHTED MOVING AVERAGE of daily value totals per
+    event type with alpha = 1/2 — the time-series smoother every
+    monitoring stack runs, expressed so both engines compute it
+    IDENTICALLY: with a dyadic alpha the recursion
+    ewma_d = (x_d + ewma_{d-1}) / 2, ewma_0 = x_0 has the closed form
+    ewma_d = (x_0 + sum_{i=1..d} x_i * 2^(i-1)) / 2^d over the type's
+    observed-day sequence, i.e. one cumulative weighted sum — no
+    state-carrying loop, so the oracle is a plain window expression.
+
+    Scale shape: daily totals reduce from count/sum partials (the only
+    pass over events); the cumulative fold runs on the tiny
+    (type x day) table driver-side."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(day=b["ts"].dt.floor("D"))
+
+    daily = partial_groupby(
+        load(sf_dir, "events", ["event_type", "ts", "value"]),
+        ["event_type", "day"], {"daily_value": ("value", "sum")},
+        prep=prep, many_groups=True, num_buckets=num_buckets,
+    ).to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
+
+    out = []
+    for _t, g in daily.groupby("event_type", sort=True):
+        x = g["daily_value"].to_numpy(np.float64)
+        # integer-cents grid: every product/sum below stays an integer
+        # < 2^53, so the whole fold is EXACT in float64 on both engines
+        # (no summation-order ulps can flip the output rounding)
+        xc = np.floor(x * 100.0 + 0.5)
+        d = np.arange(len(x), dtype=np.float64)
+        w = np.where(d == 0, 1.0, 2.0 ** (d - 1.0))
+        ewma = np.cumsum(xc * w) / 2.0 ** d / 100.0
+        out.append(g.assign(ewma=ewma))
+    res = pd.concat(out, ignore_index=True)
+    return pd.DataFrame({
+        "event_type": res["event_type"].to_numpy(object),
+        "day": res["day"],
+        "daily_value": sql_round(res["daily_value"].to_numpy(), 2),
+        "ewma": sql_round(res["ewma"].to_numpy(), 4)})
+
+
+def type_daily_ewma_sql() -> str:
+    """Oracle: the identical closed form — cumulative sum of
+    x * 2^(i-1) (x for the first observed day) over the per-type day
+    order, divided by 2^i."""
+    return """
+        WITH d AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(value) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, day, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) - 1 AS i
+            FROM d
+        )
+        SELECT event_type, day, round(x, 2) AS daily_value,
+               round(sum(round(x * 100.0, 0) * CASE WHEN i = 0 THEN 1.0
+                                  ELSE power(2.0, i - 1) END)
+                         OVER (PARTITION BY event_type ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                     / power(2.0, i) / 100.0, 4) AS ewma
+        FROM r
+    """
