@@ -630,6 +630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min frequency sketch probed at the exact top-k tokens
         # (overcount certificate in-row, all-integer parity)
         "token_cm_sketch": textops.token_cm_sketch,
+        # content-defined chunking dedup (Rabin boundary rule) with
+        # content-addressed savings certificate
+        "cdc_chunk_dedup": textops.cdc_chunk_dedup,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1491,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min: identical md5-prefix row hashes, integer counters,
         # min-over-rows probes
         "token_cm_sketch": textops.token_cm_sketch_sql(),
+        # CDC: identical window hash, boundary filter, lead() spans
+        "cdc_chunk_dedup": textops.cdc_chunk_dedup_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

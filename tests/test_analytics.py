@@ -1228,3 +1228,48 @@ def test_type_daily_ewma_recursion_replay(ray_session):
             e = x if e is None else (x + e) / 2.0
             assert abs(e - got) < 5e-4     # both sides round to 1e-4
     assert out["ewma"].notna().all() and len(out) > 0
+
+
+def test_cdc_chunking_shift_invariance(ray_session, tmp_path):
+    """The property that makes CDC worth its hash: after PREPENDING text
+    to a document, the chunk set differs only near the edit — the tail
+    chunks (content-addressed) are shared, unlike fixed-size chunking
+    where one insertion shifts every later chunk.  Also: planted exact
+    duplicates dedup fully."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import (CDC_K, CDC_MOD,
+                                              _rolling_hashes,
+                                              cdc_chunk_dedup)
+
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(list("abcdefgh ")) for _ in range(2000))
+    shifted = "PREPENDED-HEADER-" + base
+
+    def chunk_set(t):
+        h = _rolling_hashes(t, CDC_K)
+        cuts = (np.flatnonzero(h % CDC_MOD == 0) + CDC_K).tolist()
+        starts = [0] + cuts
+        ends = cuts + [len(t)]
+        return [hashlib.md5(t[s:e].encode()).hexdigest()
+                for s, e in zip(starts, ends) if e > s]
+
+    a, b = chunk_set(base), chunk_set(shifted)
+    shared = set(a) & set(b)
+    # all but the first few chunks of the shifted doc must be shared
+    assert len(shared) >= len(a) - 2 and len(a) > 10
+
+    docs = [base, shifted, base]          # one exact duplicate planted
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(docs)}), tmp_path / "documents.parquet")
+    out = cdc_chunk_dedup(str(tmp_path)).iloc[0]
+    # the duplicate doc's chunks all dedup: max_copies >= 2 and savings
+    # at least the duplicate doc's full length
+    assert out["max_copies"] >= 2
+    assert out["chars_saved"] >= len(base)
+    assert out["n_chunks"] - out["n_unique"] == out["dup_chunks"]
+    assert out["chars_total"] == sum(len(d) for d in docs)

@@ -2350,3 +2350,128 @@ def token_cm_sketch_sql(d: int = CM_D, w: int = CM_W,
         FROM probe p JOIN cells c ON c.r = p.r AND c.col = p.col
         GROUP BY p.t
     """
+
+
+# content-defined chunking contract shared with the SQL oracle
+CDC_K = 8          # rolling-hash window (chars)
+CDC_MOD = 64       # boundary rule h % 64 == 0  =>  ~64-char average chunks
+
+
+def cdc_chunk_dedup(sf_dir: str, k: int = CDC_K, modulus: int = CDC_MOD,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup statistics (the Rabin-boundary
+    scheme of LBFS/backup systems and large-corpus text dedup): a chunk
+    boundary falls AFTER every k-char window whose rolling hash is
+    0 mod ``modulus``, so identical passages chunk identically no matter
+    where they sit in a document — unlike fixed-size chunking, an
+    insertion shifts only the chunk it lands in.  Chunks are identified
+    by md5 of their utf-8 text; the summary row reports chunk counts,
+    duplicate-copy counts and the byte-savings a content-addressed store
+    would realize.  (Production CDC adds min/max chunk-size clamps; the
+    unclamped rule is kept so the oracle is a pure window expression.)
+
+    Scale shape: per-doc boundary detection is one vectorized rolling
+    hash + slice per batch; chunk copies reduce via a hash-bucketed
+    (md5 -> copies) exchange; the driver folds only the final scalar
+    summary.  Reference analog: the reference dedups whole products by
+    name (src/storage/main.go:146-151); this dedups sub-document
+    content."""
+    import hashlib
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ls = [], []
+        for t in df["text"]:
+            cp = np.frombuffer(t.encode("utf-32-le", "ignore"),
+                               dtype=np.uint32)
+            if not len(cp):
+                continue
+            h = _rolling_hashes(t, k)
+            cuts = np.flatnonzero(h % modulus == 0) + k
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(cp)]])
+            keep = ends > starts
+            for s, e in zip(starts[keep], ends[keep]):
+                c = cp[s:e].tobytes().decode("utf-32-le")
+                hs.append(hashlib.md5(c.encode()).hexdigest())
+                ls.append(e - s)
+        return pd.DataFrame({"h": pd.Series(hs, dtype=object),
+                             "clen": pd.Series(ls, dtype=np.int64)})
+
+    per_chunk = partial_groupby(
+        ds.map_batches(chunks, batch_format="pandas"),
+        ["h"], {"copies": ("h", "count"), "clen": ("clen", "max")},
+        many_groups=True, num_buckets=num_buckets)
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["copies"].to_numpy(np.int64)
+        ln = b["clen"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_chunks": [c.sum()], "n_unique": [np.int64(len(b))],
+            "chars_total": [(c * ln).sum()],
+            "chars_saved": [((c - 1) * ln).sum()],
+            "max_copies": [c.max() if len(c) else np.int64(0)]})
+
+    parts = (per_chunk.map_batches(summarize, batch_format="pandas")
+             .to_pandas())                 # one partial row per bucket
+    mx = int(parts["max_copies"].max())
+    s = parts.drop(columns="max_copies").sum()
+    n_chunks, n_unique = int(s["n_chunks"]), int(s["n_unique"])
+    chars_total, chars_saved = int(s["chars_total"]), int(s["chars_saved"])
+    return pd.DataFrame({
+        "n_chunks": [np.int64(n_chunks)], "n_unique": [np.int64(n_unique)],
+        "dup_chunks": [np.int64(n_chunks - n_unique)],
+        "chars_total": [np.int64(chars_total)],
+        "chars_saved": [np.int64(chars_saved)],
+        "max_copies": [np.int64(mx)],
+        "avg_chunk_len": sql_round([chars_total / n_chunks], 4),
+        "dedup_ratio": sql_round([chars_saved / chars_total], 6)})
+
+
+def cdc_chunk_dedup_sql(k: int = CDC_K, modulus: int = CDC_MOD) -> str:
+    """Oracle: the identical polynomial window hash (doc_fingerprints
+    constants), boundary filter, lead() spans, substr chunks, md5 group."""
+    terms = " + ".join(
+        f"ascii(substr(text, i + {j + 1}, 1))::BIGINT"
+        f" * {pow(FP_BASE, k - 1 - j, FP_PRIME)}"
+        for j in range(k))
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(greatest(length(text) - {k - 1}, 0))) AS i
+            FROM documents WHERE length(text) > 0
+        ),
+        cuts AS (
+            SELECT doc_id, text, i + {k} AS s FROM pos
+            WHERE ({terms}) % {FP_PRIME} % {modulus} = 0
+        ),
+        starts AS (
+            SELECT doc_id, text, 0 AS s FROM documents
+            WHERE length(text) > 0
+            UNION ALL SELECT doc_id, text, s FROM cuts
+        ),
+        spans AS (
+            SELECT doc_id, text, s,
+                   coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
+                            length(text)) AS e
+            FROM starts
+        ),
+        g AS (
+            SELECT md5(substr(text, s + 1, e - s)) AS h,
+                   count(*)::BIGINT AS copies,
+                   max(e - s)::BIGINT AS clen
+            FROM spans WHERE e > s GROUP BY 1
+        )
+        SELECT sum(copies)::BIGINT AS n_chunks,
+               count(*)::BIGINT AS n_unique,
+               (sum(copies) - count(*))::BIGINT AS dup_chunks,
+               sum(copies * clen)::BIGINT AS chars_total,
+               sum((copies - 1) * clen)::BIGINT AS chars_saved,
+               max(copies)::BIGINT AS max_copies,
+               round(sum(copies * clen)::DOUBLE / sum(copies), 4)
+                   AS avg_chunk_len,
+               round(sum((copies - 1) * clen)::DOUBLE
+                     / sum(copies * clen), 6) AS dedup_ratio
+        FROM g
+    """
