@@ -542,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": analytics.skyline_orders,
         # zone maps + prune plan with the lossless-skipping certificate
         "zonemap_prune_events": analytics.zonemap_prune_events,
+        # layout-vs-skipping payoff: natural vs value-clustered zone maps
+        "zonemap_layout_compare": analytics.zonemap_layout_compare,
         # segmented run-length stats with boundary stitching flags
         "rle_events_blocks": analytics.rle_events_blocks,
         # chi-square independence (lang x source) from count partials
@@ -633,6 +635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-defined chunking dedup (Rabin boundary rule) with
         # content-addressed savings certificate
         "cdc_chunk_dedup": textops.cdc_chunk_dedup,
+        # tokenizer APPLICATION: per-doc BPE token budgets via a
+        # vocabulary-bounded broadcast join (no corpus rescan)
+        "bpe_encode_docs": textops.bpe_encode_docs,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1496,6 +1501,8 @@ def oracle_sql() -> dict[str, str]:
         "token_cm_sketch": textops.token_cm_sketch_sql(),
         # CDC: identical window hash, boundary filter, lead() spans
         "cdc_chunk_dedup": textops.cdc_chunk_dedup_sql(),
+        # BPE encode: same unrolled merge chain + vocabulary join
+        "bpe_encode_docs": textops.bpe_encode_docs_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),
@@ -1858,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "skyline_orders": analytics.skyline_orders_sql(),
         # zone maps: identical block spans, predicate and prune rule
         "zonemap_prune_events": analytics.zonemap_prune_events_sql(),
+        # layout compare: same spans, clustered rank via row_number
+        "zonemap_layout_compare": analytics.zonemap_layout_compare_sql(),
         # segmented RLE: one lag() window over the full event_id order
         "rle_events_blocks": analytics.rle_events_blocks_sql(),
         # chi-square: full cross product incl. zero cells, shared grid

@@ -149,6 +149,19 @@ QUERY_NAMES = [
     "daily_type_anomalies",
     "event_transition_matrix",
     "bpe_merges",
+    # block-25/26 additions: frequency sketch, Pareto frontier, data
+    # skipping, segmented RLE, independence test, reciprocal kNN,
+    # priority sampling, KMV set ops, EWMA, content-defined chunking
+    "token_cm_sketch",
+    "skyline_orders",
+    "zonemap_prune_events",
+    "rle_events_blocks",
+    "chi2_lang_source",
+    "mutual_knn_pairs",
+    "priority_sample_events",
+    "kmv_set_ops",
+    "type_daily_ewma",
+    "cdc_chunk_dedup",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

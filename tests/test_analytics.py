@@ -1273,3 +1273,61 @@ def test_cdc_chunking_shift_invariance(ray_session, tmp_path):
     assert out["chars_saved"] >= len(base)
     assert out["n_chunks"] - out["n_unique"] == out["dup_chunks"]
     assert out["chars_total"] == sum(len(d) for d in docs)
+
+
+def test_bpe_encode_sequential_replay(ray_session, tmp_path):
+    """Per-doc BPE token counts equal a sequential replay that re-trains
+    the merges and re-encodes each document with plain str.replace."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import (TOKEN_RE, bpe_encode_docs,
+                                              bpe_merges)
+
+    docs = ["the cat sat on the mat", "the cat ate the rat",
+            "rats sat on cats", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}), tmp_path / "documents.parquet")
+
+    merges = bpe_merges(str(tmp_path), n_merges=4)
+    out = bpe_encode_docs(str(tmp_path), n_merges=4).set_index("doc_id")
+
+    def enc(word):
+        s = " " + " ".join(word) + " "
+        for _r, a, b, _m, _n in merges.itertuples(index=False):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    for i, d in enumerate(docs):
+        toks = re.findall(TOKEN_RE, d.lower())
+        if not toks:
+            assert i not in out.index     # zero-token docs are absent
+            continue
+        assert out.loc[i, "n_words"] == len(toks)
+        assert out.loc[i, "n_chars_tok"] == sum(len(t) for t in toks)
+        assert out.loc[i, "n_bpe_tokens"] == sum(enc(t) for t in toks)
+        # merges can only shorten: n_bpe <= chars, >= words
+        assert (out.loc[i, "n_words"] <= out.loc[i, "n_bpe_tokens"]
+                <= out.loc[i, "n_chars_tok"])
+
+
+def test_zonemap_layout_compare_clustering_pays(ray_session):
+    """Both layouts see the same matches; the value-clustered layout
+    prunes most blocks while the natural layout prunes none (value is
+    uncorrelated with event_id), and no pruned block hides a match:
+    scan_rows >= rows_matched per layout."""
+    from weaver_ray.pipelines.analytics import zonemap_layout_compare
+
+    out = zonemap_layout_compare(SF).set_index("layout")
+    nat, srt = out.loc["natural"], out.loc["value_sorted"]
+    assert nat["rows_matched"] == srt["rows_matched"] > 0
+    # clustering pays: strictly more pruning than the natural layout
+    # (tiny sf0.001 blocks prune some natural blocks by luck, so the
+    # claim is relative, not "natural prunes zero")
+    assert srt["n_pruned"] > nat["n_pruned"]
+    assert srt["n_pruned"] > srt["n_blocks"] * 2 // 3
+    assert srt["scan_rows"] >= srt["rows_matched"]
+    assert srt["scan_rows"] < nat["scan_rows"]

@@ -1250,3 +1250,97 @@ def chi2_lang_source_sql() -> str:
                    AS cramers_v
         FROM cell
     """
+
+
+ZL_VAL_LO = 150.0    # the layout-compare predicate: value >= 150 (~P95 tail)
+
+
+def zonemap_layout_compare(sf_dir: str, nblocks: int = ZM_NBLOCKS,
+                           num_buckets: int = 8) -> pd.DataFrame:
+    """LAYOUT vs DATA SKIPPING: the same value-range predicate planned
+    against zone maps of two physical layouts of events — the natural
+    event_id order (value is uncorrelated with position: nothing prunes)
+    and a value-CLUSTERED order (the predicate's selectivity becomes the
+    scan fraction).  One summary row per layout: blocks pruned, rows
+    matched, rows a zone-map-aware scan must touch.  This is the
+    quantified version of the layout advice every warehouse doc gives —
+    sort/cluster by your filter column or your zone maps are dead weight
+    (zorder_events / hilbert_events build such layouts; this measures
+    their payoff).
+
+    Engine shape: the clustered layout rank comes from the distributed
+    global_row_number primitive (sort + metadata-only offset exchange);
+    both layouts' block stats are mergeable min/max/count partials; the
+    driver folds two ~64-row plan tables."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .common import global_row_number
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    span = (n - 1) // nblocks + 1
+
+    def plan_of(ds_blocked, layout: str) -> pd.DataFrame:
+        plan = partial_groupby(
+            ds_blocked, ["blk"],
+            {"n_rows": ("value", "count"), "v_max": ("value", "max"),
+             "matched": ("m", "sum")},
+            many_groups=True, num_buckets=num_buckets).to_pandas()
+        pruned = plan["v_max"] < ZL_VAL_LO
+        return pd.DataFrame({
+            "layout": [layout],
+            "n_blocks": [np.int64(len(plan))],
+            "n_pruned": [np.int64(pruned.sum())],
+            "rows_matched": [np.int64(plan["matched"].sum())],
+            "scan_rows": [np.int64(plan.loc[~pruned, "n_rows"].sum())]})
+
+    def nat_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(blk=b["event_id"].to_numpy(np.int64) // span,
+                        m=(b["value"] >= ZL_VAL_LO).to_numpy(np.int64))
+
+    nat = load(sf_dir, "events", ["event_id", "value"]).map_batches(
+        nat_prep, batch_format="pandas")
+
+    ranked, _total = global_row_number(
+        load(sf_dir, "events", ["event_id", "value"]),
+        ["value", "event_id"])
+
+    def srt_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(blk=b["rank"].to_numpy(np.int64) // span,
+                        m=(b["value"] >= ZL_VAL_LO).to_numpy(np.int64))
+
+    srt = ranked.map_batches(srt_prep, batch_format="pandas")
+    return (pd.concat([plan_of(nat, "natural"),
+                       plan_of(srt, "value_sorted")], ignore_index=True)
+            .sort_values("layout").reset_index(drop=True))
+
+
+def zonemap_layout_compare_sql(nblocks: int = ZM_NBLOCKS) -> str:
+    span = f"((SELECT max(event_id) FROM events) // {nblocks} + 1)"
+    return f"""
+        WITH rows_both AS (
+            SELECT 'natural' AS layout, event_id // {span} AS blk, value
+            FROM events
+            UNION ALL
+            SELECT 'value_sorted' AS layout,
+                   (row_number() OVER (ORDER BY value, event_id) - 1)
+                       // {span} AS blk,
+                   value
+            FROM events
+        ),
+        b AS (
+            SELECT layout, blk, count(*)::BIGINT AS n_rows,
+                   max(value) AS v_max,
+                   sum(CASE WHEN value >= {ZL_VAL_LO} THEN 1 ELSE 0 END)
+                       ::BIGINT AS matched
+            FROM rows_both GROUP BY 1, 2
+        )
+        SELECT layout, count(*)::BIGINT AS n_blocks,
+               sum(CASE WHEN v_max < {ZL_VAL_LO} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pruned,
+               sum(matched)::BIGINT AS rows_matched,
+               sum(CASE WHEN v_max < {ZL_VAL_LO} THEN 0 ELSE n_rows END)
+                   ::BIGINT AS scan_rows
+        FROM b GROUP BY layout
+    """

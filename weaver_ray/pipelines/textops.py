@@ -1930,7 +1930,7 @@ def token_typo_pairs(sf_dir: str, min_len: int = 4,
 
 
 def bpe_merges(sf_dir: str, n_merges: int = 6,
-               num_buckets: int = 8) -> pd.DataFrame:
+               num_buckets: int = 8, return_words: bool = False):
     """BPE TOKENIZER TRAINING (the Sennrich et al. 2016 word-frequency
     formulation): starting from character symbols, learn ``n_merges``
     merge rules — each round merges the corpus-wide most frequent
@@ -2014,19 +2014,18 @@ def bpe_merges(sf_dir: str, n_merges: int = 6,
         words = words.map_batches(apply_merge,
                                   batch_format="pandas").materialize()
 
-    return pd.DataFrame(merges, columns=["round", "a", "b", "merged", "n"]
-                        ).astype({"round": np.int64, "n": np.int64})
+    table = pd.DataFrame(merges, columns=["round", "a", "b", "merged", "n"]
+                         ).astype({"round": np.int64, "n": np.int64})
+    if return_words:
+        # the post-merge (word, sym, freq) vocabulary — what encoding needs
+        return table, words
+    return table
 
 
-def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
-    """The DuckDB oracle for :func:`bpe_merges`: the merge loop unrolled
-    one (pair-count, argmax, replace) CTE triple per round — every CTE
-    AS MATERIALIZED (the host_sssp_sql lesson: each round references its
-    predecessor repeatedly and default inlining blows the plan up
-    exponentially).  Pair positions come from a static 1..max_word_len
-    index joined on ``i <= len(s) - 1`` (DuckDB's range() takes only
-    constants); a guard CTE raises a LOUD error() if any token reaches
-    ``max_word_len`` symbols instead of silently under-counting."""
+def _bpe_cte_chain(n_merges: int = 6, max_word_len: int = 256) -> list[str]:
+    """The shared unrolled-merge-loop CTE chain (w0..w{n}, win0..win{n-1},
+    guard) used by both the training oracle (bpe_sql) and the encoding
+    oracle (bpe_encode_docs_sql)."""
     parts = [f"""
         WITH idx AS MATERIALIZED (
             SELECT range AS i FROM range(1, {max_word_len})
@@ -2075,12 +2074,109 @@ def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
                         ELSE 1 END AS chk
             FROM sp0
         )""")
+    return parts
+
+
+def bpe_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
+    """The DuckDB oracle for :func:`bpe_merges`: the merge loop unrolled
+    one (pair-count, argmax, replace) CTE triple per round — every CTE
+    AS MATERIALIZED (the host_sssp_sql lesson: each round references its
+    predecessor repeatedly and default inlining blows the plan up
+    exponentially).  Pair positions come from a static 1..max_word_len
+    index joined on ``i <= len(s) - 1`` (DuckDB's range() takes only
+    constants); a guard CTE raises a LOUD error() if any token reaches
+    ``max_word_len`` symbols instead of silently under-counting."""
+    parts = list(_bpe_cte_chain(n_merges, max_word_len))
     sel = " UNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS round, a, b, a || b AS merged, n "
         f"FROM win{t}" for t in range(n_merges))
     parts.append(f"""
         SELECT * FROM ({sel})
         WHERE (SELECT chk FROM guard) = 1 ORDER BY round""")
+    return "".join(parts)
+
+
+def bpe_encode_docs(sf_dir: str, n_merges: int = 6,
+                    num_buckets: int = 8) -> pd.DataFrame:
+    """TOKENIZER APPLICATION: encode every document with the merge table
+    just trained (bpe_merges' pinned replace contract) and report per-doc
+    token-budget numbers — word count, summed token characters, and the
+    BPE symbol count the doc would cost — the planning pass an LLM-data
+    pipeline runs to size context windows and shard token budgets.
+
+    Engine shape: encoding is a VOCABULARY join, not a corpus rescan —
+    the post-merge (word -> n_symbols) table is vocabulary-bounded (the
+    classic BPE property), collected once and broadcast; each doc batch
+    maps its tokens through the dict vectorized.  All outputs are
+    integers: parity needs no rounding."""
+    import ray
+
+    _merges, words = bpe_merges(sf_dir, n_merges, num_buckets,
+                                return_words=True)
+    wm = words.to_pandas()          # vocabulary-bounded, not corpus-bounded
+    n_sym = {w: np.int64(len(s.split()))
+             for w, s in zip(wm["word"], wm["sym"])}
+    wlen = {w: np.int64(len(w)) for w in wm["word"]}
+    ref = ray.put((n_sym, wlen))
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import _cached_get
+
+        n_sym, wlen = _cached_get(ref)
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        d = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.str.len().to_numpy(np.int64)),
+            "token": toks.explode().dropna().to_numpy(object)})
+        if not len(d):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_words": pd.Series([], dtype=np.int64),
+                "n_chars_tok": pd.Series([], dtype=np.int64),
+                "n_bpe_tokens": pd.Series([], dtype=np.int64)})
+        d["n_sym"] = d["token"].map(n_sym).astype(np.int64)
+        d["wlen"] = d["token"].map(wlen).astype(np.int64)
+        g = d.groupby("doc_id", sort=False)
+        return pd.DataFrame({
+            "n_words": g.size().astype(np.int64),
+            "n_chars_tok": g["wlen"].sum().astype(np.int64),
+            "n_bpe_tokens": g["n_sym"].sum().astype(np.int64),
+        }).reset_index()
+
+    out = partial_groupby(
+        ds.map_batches(encode, batch_format="pandas"), ["doc_id"],
+        {"n_words": ("n_words", "sum"),
+         "n_chars_tok": ("n_chars_tok", "sum"),
+         "n_bpe_tokens": ("n_bpe_tokens", "sum")},
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_words": np.int64,
+                        "n_chars_tok": np.int64, "n_bpe_tokens": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def bpe_encode_docs_sql(n_merges: int = 6, max_word_len: int = 256) -> str:
+    """Oracle: the same unrolled merge chain, then a vocabulary join of
+    each doc's tokens against the final symbol table."""
+    parts = list(_bpe_cte_chain(n_merges, max_word_len))
+    parts.append(f""",
+        wl AS MATERIALIZED (
+            SELECT word, len(str_split(trim(sym), ' '))::BIGINT AS n_sym,
+                   length(word)::BIGINT AS wlen
+            FROM w{n_merges}
+        ),
+        dt AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                     '{TOKEN_RE}')) AS token
+            FROM documents
+        )
+        SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+               sum(wl.wlen)::BIGINT AS n_chars_tok,
+               sum(wl.n_sym)::BIGINT AS n_bpe_tokens
+        FROM dt JOIN wl ON wl.word = dt.token
+        WHERE (SELECT chk FROM guard) = 1
+        GROUP BY dt.doc_id""")
     return "".join(parts)
 
 
