@@ -162,6 +162,8 @@ QUERY_NAMES = [
     "kmv_set_ops",
     "type_daily_ewma",
     "cdc_chunk_dedup",
+    "bpe_encode_docs",
+    "zonemap_layout_compare",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

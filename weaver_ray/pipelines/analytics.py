@@ -1214,7 +1214,10 @@ def chi2_lang_source(sf_dir: str) -> pd.DataFrame:
     chi2 = float(terms.ravel().sum())
     r, c = obs.shape
     dof = (r - 1) * (c - 1)
-    cramers_v = float(np.sqrt(chi2 / (n * min(r - 1, c - 1))))
+    # a single-lang or single-source corpus has dof 0: V is undefined,
+    # pinned to 0.0 on both engines (the oracle's CASE mirrors this)
+    cramers_v = (float(np.sqrt(chi2 / (n * min(r - 1, c - 1))))
+                 if dof > 0 else 0.0)
     return pd.DataFrame({
         "n_docs": [np.int64(n)], "n_langs": [np.int64(r)],
         "n_sources": [np.int64(c)], "dof": [np.int64(dof)],
@@ -1243,11 +1246,13 @@ def chi2_lang_source_sql() -> str:
                ((SELECT count(*) FROM l) - 1)::BIGINT
                    * ((SELECT count(*) FROM s) - 1)::BIGINT AS dof,
                round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
-               round(sqrt(sum((obs - exp) * (obs - exp) / exp)
+               CASE WHEN least((SELECT count(*) FROM l) - 1,
+                           (SELECT count(*) FROM s) - 1) = 0 THEN 0.0
+                    ELSE round(sqrt(sum((obs - exp) * (obs - exp) / exp)
                           / ((SELECT nt FROM t)
                              * least((SELECT count(*) FROM l) - 1,
                                      (SELECT count(*) FROM s) - 1))), 6)
-                   AS cramers_v
+               END AS cramers_v
         FROM cell
     """
 

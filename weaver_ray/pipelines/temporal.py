@@ -1014,6 +1014,9 @@ def type_daily_ohlc_sql() -> str:
     """
 
 
+EWMA_MAX_DAYS = 900   # 2^i weights overflow float64 at ~1015 days
+
+
 def type_daily_ewma(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     """EXPONENTIALLY-WEIGHTED MOVING AVERAGE of daily value totals per
     event type with alpha = 1/2 — the time-series smoother every
@@ -1026,7 +1029,12 @@ def type_daily_ewma(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     Scale shape: daily totals reduce from count/sum partials (the only
     pass over events); the cumulative fold runs on the tiny
-    (type x day) table driver-side."""
+    (type x day) table driver-side.
+
+    Guard: the 2^i weights overflow float64 past ~1015 observed days per
+    type, where BOTH engines would silently emit inf/NaN garbage — the
+    fold raises loudly instead (the bpe_sql max_word_len precedent) and
+    the oracle carries the same error() guard."""
     from .common import sql_round
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -1039,12 +1047,18 @@ def type_daily_ewma(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     ).to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
 
     out = []
-    for _t, g in daily.groupby("event_type", sort=True):
+    for t, g in daily.groupby("event_type", sort=True):
+        if len(g) >= EWMA_MAX_DAYS:
+            raise ValueError(
+                f"type_daily_ewma: {len(g)} observed days for {t!r} — the "
+                f"2^i closed form overflows float64 past {EWMA_MAX_DAYS}; "
+                "window the input or switch to the banded form")
         x = g["daily_value"].to_numpy(np.float64)
-        # integer-cents grid: every product/sum below stays an integer
-        # < 2^53, so the whole fold is EXACT in float64 on both engines
-        # (no summation-order ulps can flip the output rounding)
-        xc = np.floor(x * 100.0 + 0.5)
+        # integer-cents grid (half AWAY FROM ZERO, matching SQL round):
+        # every product/sum below stays an integer < 2^53, so the whole
+        # fold is EXACT in float64 on both engines (no summation-order
+        # ulps can flip the output rounding)
+        xc = np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)
         d = np.arange(len(x), dtype=np.float64)
         w = np.where(d == 0, 1.0, 2.0 ** (d - 1.0))
         ewma = np.cumsum(xc * w) / 2.0 ** d / 100.0
@@ -1060,18 +1074,25 @@ def type_daily_ewma(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 def type_daily_ewma_sql() -> str:
     """Oracle: the identical closed form — cumulative sum of
     x * 2^(i-1) (x for the first observed day) over the per-type day
-    order, divided by 2^i."""
-    return """
+    order, divided by 2^i — with the same loud overflow guard."""
+    return f"""
         WITH d AS (
             SELECT event_type, date_trunc('day', ts) AS day,
                    sum(value) AS x
             FROM events GROUP BY 1, 2
         ),
+        guard AS (
+            SELECT CASE WHEN max(cnt) >= {EWMA_MAX_DAYS}
+                        THEN CAST(error('type_daily_ewma: 2^i weights '
+                                        || 'overflow float64') AS INT)
+                        ELSE 1 END AS chk
+            FROM (SELECT count(*) AS cnt FROM d GROUP BY event_type)
+        ),
         r AS (
             SELECT event_type, day, x,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY day) - 1 AS i
-            FROM d
+            FROM d WHERE (SELECT chk FROM guard) = 1
         )
         SELECT event_type, day, round(x, 2) AS daily_value,
                round(sum(round(x * 100.0, 0) * CASE WHEN i = 0 THEN 1.0

@@ -2116,15 +2116,14 @@ def bpe_encode_docs(sf_dir: str, n_merges: int = 6,
     wm = words.to_pandas()          # vocabulary-bounded, not corpus-bounded
     n_sym = {w: np.int64(len(s.split()))
              for w, s in zip(wm["word"], wm["sym"])}
-    wlen = {w: np.int64(len(w)) for w in wm["word"]}
-    ref = ray.put((n_sym, wlen))
+    ref = ray.put(n_sym)
 
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
         from .common import _cached_get
 
-        n_sym, wlen = _cached_get(ref)
+        n_sym = _cached_get(ref)
         toks = df["text"].str.lower().str.findall(TOKEN_RE)
         d = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
@@ -2137,7 +2136,7 @@ def bpe_encode_docs(sf_dir: str, n_merges: int = 6,
                 "n_chars_tok": pd.Series([], dtype=np.int64),
                 "n_bpe_tokens": pd.Series([], dtype=np.int64)})
         d["n_sym"] = d["token"].map(n_sym).astype(np.int64)
-        d["wlen"] = d["token"].map(wlen).astype(np.int64)
+        d["wlen"] = d["token"].str.len().astype(np.int64)
         g = d.groupby("doc_id", sort=False)
         return pd.DataFrame({
             "n_words": g.size().astype(np.int64),
@@ -2145,12 +2144,9 @@ def bpe_encode_docs(sf_dir: str, n_merges: int = 6,
             "n_bpe_tokens": g["n_sym"].sum().astype(np.int64),
         }).reset_index()
 
-    out = partial_groupby(
-        ds.map_batches(encode, batch_format="pandas"), ["doc_id"],
-        {"n_words": ("n_words", "sum"),
-         "n_chars_tok": ("n_chars_tok", "sum"),
-         "n_bpe_tokens": ("n_bpe_tokens", "sum")},
-        many_groups=True, num_buckets=num_buckets).to_pandas()
+    # each document is ONE input row, so encode() already emits exactly
+    # one output row per doc_id — no reduce needed
+    out = ds.map_batches(encode, batch_format="pandas").to_pandas()
     return (out.astype({"doc_id": np.int64, "n_words": np.int64,
                         "n_chars_tok": np.int64, "n_bpe_tokens": np.int64})
             .sort_values("doc_id").reset_index(drop=True))
@@ -2515,6 +2511,14 @@ def cdc_chunk_dedup(sf_dir: str, k: int = CDC_K, modulus: int = CDC_MOD,
     s = parts.drop(columns="max_copies").sum()
     n_chunks, n_unique = int(s["n_chunks"]), int(s["n_unique"])
     chars_total, chars_saved = int(s["chars_total"]), int(s["chars_saved"])
+    if n_chunks == 0:
+        # all-empty corpus: zeros, not a ZeroDivisionError (the oracle's
+        # coalesce mirrors this)
+        return pd.DataFrame({
+            "n_chunks": [np.int64(0)], "n_unique": [np.int64(0)],
+            "dup_chunks": [np.int64(0)], "chars_total": [np.int64(0)],
+            "chars_saved": [np.int64(0)], "max_copies": [np.int64(0)],
+            "avg_chunk_len": [0.0], "dedup_ratio": [0.0]})
     return pd.DataFrame({
         "n_chunks": [np.int64(n_chunks)], "n_unique": [np.int64(n_unique)],
         "dup_chunks": [np.int64(n_chunks - n_unique)],
@@ -2559,15 +2563,18 @@ def cdc_chunk_dedup_sql(k: int = CDC_K, modulus: int = CDC_MOD) -> str:
                    max(e - s)::BIGINT AS clen
             FROM spans WHERE e > s GROUP BY 1
         )
-        SELECT sum(copies)::BIGINT AS n_chunks,
+        SELECT coalesce(sum(copies), 0)::BIGINT AS n_chunks,
                count(*)::BIGINT AS n_unique,
-               (sum(copies) - count(*))::BIGINT AS dup_chunks,
-               sum(copies * clen)::BIGINT AS chars_total,
-               sum((copies - 1) * clen)::BIGINT AS chars_saved,
-               max(copies)::BIGINT AS max_copies,
-               round(sum(copies * clen)::DOUBLE / sum(copies), 4)
-                   AS avg_chunk_len,
-               round(sum((copies - 1) * clen)::DOUBLE
-                     / sum(copies * clen), 6) AS dedup_ratio
+               (coalesce(sum(copies), 0) - count(*))::BIGINT AS dup_chunks,
+               coalesce(sum(copies * clen), 0)::BIGINT AS chars_total,
+               coalesce(sum((copies - 1) * clen), 0)::BIGINT AS chars_saved,
+               coalesce(max(copies), 0)::BIGINT AS max_copies,
+               CASE WHEN coalesce(sum(copies), 0) = 0 THEN 0.0
+                    ELSE round(sum(copies * clen)::DOUBLE / sum(copies), 4)
+               END AS avg_chunk_len,
+               CASE WHEN coalesce(sum(copies * clen), 0) = 0 THEN 0.0
+                    ELSE round(sum((copies - 1) * clen)::DOUBLE
+                               / sum(copies * clen), 6)
+               END AS dedup_ratio
         FROM g
     """
