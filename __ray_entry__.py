@@ -531,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Duffield-Lund-Thorup priority sampling with the unbiased
         # total estimator as the certificate
         "priority_sample_events": relational.priority_sample_events,
+        # AMS sign-sketch join-size estimate, all-integer parity
+        "ams_join_size": relational.ams_join_size,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -1853,6 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": relational.kmv_set_ops_sql(),
         # priority sampling: same dyadic uniforms + single-division rank
         "priority_sample_events": relational.priority_sample_events_sql(),
+        # AMS: identical md5-parity signs + mean-of-products estimator
+        "ams_join_size": relational.ams_join_size_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

@@ -1331,3 +1331,44 @@ def test_zonemap_layout_compare_clustering_pays(ray_session):
     assert srt["n_pruned"] > srt["n_blocks"] * 2 // 3
     assert srt["scan_rows"] >= srt["rows_matched"]
     assert srt["scan_rows"] < nat["scan_rows"]
+
+
+def test_ams_join_size_replay_and_planted(ray_session, tmp_path):
+    """The sketch replayed sequentially with hashlib equals the engine's
+    estimate exactly (the estimator is deterministic given the hash),
+    and a planted table gives the known exact join size."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import AMS_D, ams_join_size
+
+    # f_click = {u0: 3, u1: 1}, f_purchase = {u0: 2, u2: 5}
+    rows = ([(0, "click")] * 3 + [(1, "click")]
+            + [(0, "purchase")] * 2 + [(2, "purchase")] * 5
+            + [(3, "view")] * 4)
+    uid, et = zip(*rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array(list(uid), pa.int64()),
+        "event_type": pa.array(list(et)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))}),
+        tmp_path / "events.parquet")
+
+    out = ams_join_size(str(tmp_path)).iloc[0]
+    assert out["exact_join_size"] == 3 * 2   # only u0 joins
+
+    f = {0: (3, 2), 1: (1, 0), 2: (0, 5)}
+    prods = []
+    for r in range(AMS_D):
+        sa = sb = 0
+        for u, (fa, fb) in f.items():
+            s = (int(hashlib.md5(f"{r}|{u}".encode()).hexdigest()[:13],
+                     16) % 2) * 2 - 1
+            sa += fa * s
+            sb += fb * s
+        prods.append(sa * sb)
+    assert out["est_join_size"] == sum(prods) / AMS_D

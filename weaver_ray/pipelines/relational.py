@@ -1385,3 +1385,112 @@ def kmv_set_ops_sql(k: int = KMV_K) -> str:
                round(ni::DOUBLE / nu, 4) AS jaccard_exact
         FROM est
     """
+
+
+AMS_D = 16   # independent sign-hash rows; estimate = mean of row products
+
+
+def ams_join_size(sf_dir: str, d: int = AMS_D,
+                  num_buckets: int = 16) -> pd.DataFrame:
+    """AMS JOIN-SIZE SKETCH (Alon, Matias & Szegedy 1996; Alon, Gibbons,
+    Matias & Szegedy 1999): estimate |click JOIN purchase ON user_id| =
+    sum_u f_a(u) * f_b(u) from two tiny sign sketches instead of the
+    join — the classic cardinality estimator a distributed optimizer
+    consults before picking a join strategy.  Each of ``d`` rows keeps
+    one integer per side, S_side[r] = sum_u f_side(u) * s_r(u) with
+    s_r(u) in {-1, +1} from an md5 parity bit; E[S_a * S_b] is exactly
+    the join size, and the estimate is the mean of the d products —
+    all-integer until one exact dyadic division by d, so parity needs
+    no rounding grid.  The exact join size rides along as the in-row
+    certificate.
+
+    Scale shape: the sketch folds from per-batch partials (d integers
+    per side per batch — mergeable by addition); only the exact
+    certificate pays a user-keyed exchange."""
+    from .common import md5_hex, sql_round
+
+    ds = load(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        if not len(b):
+            return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                                 "sa": pd.Series([], dtype=np.int64),
+                                 "sb": pd.Series([], dtype=np.int64)})
+        g = (b.groupby(["user_id", "event_type"], sort=False)
+             .size().unstack(fill_value=0))
+        fa = g.get("click", pd.Series(0, index=g.index)).to_numpy(np.int64)
+        fb = g.get("purchase",
+                   pd.Series(0, index=g.index)).to_numpy(np.int64)
+        users = g.index.to_numpy(np.int64)
+        rows = []
+        for r in range(d):
+            sgn = np.array(
+                [(int(h[:13], 16) % 2) * 2 - 1 for h in
+                 md5_hex(f"{r}|{int(u)}" for u in users)], dtype=np.int64)
+            rows.append((r, int((fa * sgn).sum()), int((fb * sgn).sum())))
+        return pd.DataFrame(rows, columns=["r", "sa", "sb"]).astype(
+            {"r": np.int64, "sa": np.int64, "sb": np.int64})
+
+    s = partial_groupby(
+        ds.map_batches(sketch_partials, batch_format="pandas"),
+        ["r"], {"sa": ("sa", "sum"), "sb": ("sb", "sum")}).to_pandas()
+    est = float((s["sa"].to_numpy(np.int64)
+                 * s["sb"].to_numpy(np.int64)).sum()) / d
+
+    # exact certificate: one user-keyed exchange of (f_a, f_b) counts
+    def flag_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        return b.assign(
+            a=(b["event_type"] == "click").astype(np.int64),
+            b=(b["event_type"] == "purchase").astype(np.int64))
+
+    f = partial_groupby(ds, ["user_id"],
+                        {"fa": ("a", "sum"), "fb": ("b", "sum")},
+                        prep=flag_prep, many_groups=True,
+                        num_buckets=num_buckets).to_pandas()
+    exact = int((f["fa"].to_numpy(np.int64)
+                 * f["fb"].to_numpy(np.int64)).sum())
+    rel = (float(sql_round(abs(est - exact) / exact, 6))
+           if exact else 0.0)
+    return pd.DataFrame({"d": [np.int64(d)], "est_join_size": [est],
+                         "exact_join_size": [np.int64(exact)],
+                         "rel_err": [rel]})
+
+
+def ams_join_size_sql(d: int = AMS_D) -> str:
+    """Oracle: identical md5-parity signs, per-row integer sketches,
+    mean of products, exact join size from the grouped count product."""
+    return f"""
+        WITH f AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       ::BIGINT AS fa,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       ::BIGINT AS fb
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ),
+        s AS (
+            SELECT r, sum(fa * sgn)::BIGINT AS sa,
+                   sum(fb * sgn)::BIGINT AS sb
+            FROM (
+                SELECT f.fa, f.fb, q.r,
+                       ((CAST(concat('0x', substr(md5(CAST(q.r AS VARCHAR)
+                            || '|' || CAST(f.user_id AS VARCHAR)), 1, 13))
+                            AS BIGINT) % 2) * 2 - 1) AS sgn
+                FROM f, UNNEST(range(0, {d})) q(r))
+            GROUP BY r
+        ),
+        e AS (SELECT sum(sa * sb)::DOUBLE / {d} AS est FROM s),
+        x AS (SELECT coalesce(sum(fa * fb), 0)::BIGINT AS exact FROM f)
+        SELECT {d}::BIGINT AS d,
+               (SELECT est FROM e) AS est_join_size,
+               (SELECT exact FROM x) AS exact_join_size,
+               CASE WHEN (SELECT exact FROM x) = 0 THEN 0.0
+                    ELSE round(abs((SELECT est FROM e)
+                                   - (SELECT exact FROM x))
+                               / (SELECT exact FROM x), 6)
+               END AS rel_err
+    """
