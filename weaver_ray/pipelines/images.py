@@ -1064,3 +1064,38 @@ def image_chunk_dedup_sql(base_glob: str, dup_glob: str) -> str:
         FROM ch c JOIN gc USING (ch)
         GROUP BY c.image_id
     """
+
+
+# declared-format magic prefixes (the container signatures a validator
+# checks before trusting a binary column's fmt metadata)
+FMT_MAGICS = {"png": b"\x89PNG", "jpeg": b"\xff\xd8"}
+
+
+def image_magic_check(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """SCHEMA-VS-PAYLOAD validation of the binary column: group images by
+    (declared fmt, actual 4-byte magic prefix) and count how many blobs'
+    leading bytes agree with their declared container format — the
+    cheapest corruption / mislabeled-format triage a multimodal table
+    gets, run BEFORE any decode is attempted (a mislabeled blob fails a
+    decoder slowly; a magic check fails it in one memcmp).
+
+    Engine shape: one map_batches pass slicing 4 bytes per blob (the rest
+    of the payload is never touched), per-batch count partials, a
+    handful-of-groups reduce."""
+    ds = read_corpus(generate_corpus(n_base), ["fmt", "bytes"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        magic = [bytes(b[:4]).hex().upper() for b in df["bytes"]]
+        ok = [int(bytes(b[: len(FMT_MAGICS.get(f, b"\xff" * 5))])
+                  == FMT_MAGICS.get(f, b"\xff" * 5))
+              for f, b in zip(df["fmt"], df["bytes"])]
+        return df.assign(magic_hex=pd.Series(magic, dtype=object,
+                                             index=df.index),
+                         ok=pd.Series(ok, dtype=np.int64, index=df.index))
+
+    out = partial_groupby(
+        ds, ["fmt", "magic_hex"],
+        {"n_images": ("ok", "count"), "n_magic_ok": ("ok", "sum")},
+        prep=prep).to_pandas()
+    return (out.astype({"n_images": np.int64, "n_magic_ok": np.int64})
+            .sort_values(["fmt", "magic_hex"]).reset_index(drop=True))
