@@ -726,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         # reciprocal-neighbor pairs (the hubness filter over knn_graph)
         "mutual_knn_pairs": similarity.mutual_knn_pairs,
+        # farthest-first k-center coreset with coverage-radius trace
+        "kcenter_coreset": similarity.kcenter_coreset,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -3029,6 +3031,9 @@ def oracle_sql() -> dict[str, str]:
     d["kmeans_clusters"] = kmeans_sql()
     # mutual kNN: the knn window CTE self-joined on reversed edges
     d["mutual_knn_pairs"] = mutual_knn_pairs_sql()
+    # k-center: the farthest-first loop unrolled, same 1e-9 grid
+    from weaver_ray.pipelines.similarity import kcenter_coreset_sql
+    d["kcenter_coreset"] = kcenter_coreset_sql()
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()

@@ -1388,3 +1388,40 @@ def test_image_magic_check_flags_corruption(ray_session):
     assert out.loc[out["fmt"] == "png", "magic_hex"].iloc[0] == "89504E47"
     # the corrupted-payload path: declared png, jpeg bytes
     assert int(bytes(b"\xff\xd8rest"[:4]) == FMT_MAGICS["png"]) == 0
+
+
+def test_kcenter_coreset_greedy_replay(ray_session):
+    """The distributed farthest-first trace equals a sequential numpy
+    replay on the real embeddings; radii are non-increasing and the
+    residual radius covers every point."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.similarity import KC_K, kcenter_coreset
+
+    out = kcenter_coreset(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    chosen = [int(ids[0])]
+    trace = [(0, chosen[0], 0.0)]
+    for r in range(1, KC_K + 1):
+        C = X[np.isin(ids, chosen)]
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        mind = sql_round(D, 9).min(axis=1)
+        i = int(np.lexsort((ids, -mind))[0])
+        trace.append((r, int(ids[i]), float(sql_round(mind[i], 6))))
+        if r < KC_K:
+            chosen.append(int(ids[i]))
+    expect = pd.DataFrame(trace,
+                          columns=["sel_round", "vec_id", "radius_sq"])
+    pd.testing.assert_frame_equal(
+        out.astype({"vec_id": np.int64}), expect.astype(
+            {"sel_round": np.int64, "vec_id": np.int64}),
+        check_dtype=False)
+    r = out["radius_sq"].to_numpy()
+    assert (np.diff(r[1:]) <= 1e-12).all()   # non-increasing after seed

@@ -1671,3 +1671,112 @@ def mutual_knn_pairs_sql(k: int = 5) -> str:
                              AND a.neighbor_id = b.vec_id
         WHERE a.vec_id < a.neighbor_id
     """
+
+
+KC_K = 8   # coreset size (selection rounds); row k is the residual radius
+
+
+def kcenter_coreset(sf_dir: str, k: int = KC_K) -> pd.DataFrame:
+    """K-CENTER CORESET by farthest-first traversal (Gonzalez 1985) —
+    the 2-approximation diversity sampler training-data curation uses to
+    pick maximally-spread exemplars: seed with the smallest vec_id, then
+    k-1 times add the vector FARTHEST (squared euclidean) from the
+    chosen set; a final un-added round reports the residual coverage
+    radius, so the output's radius column IS the coverage guarantee
+    (non-increasing, and every point is within radius_sq[k] of some
+    center).  Per-center distances round to the 1e-9 grid before the
+    min/argmax (the kmeans_sql comparison idiom) so FP summation order
+    can't flip a selection; ties break to the smaller vec_id.
+
+    Scale shape: k+1 streamed passes, each one map_batches over the
+    embeddings with the (<= k x 64) center matrix broadcast — per batch
+    one vectorized distance block and ONE candidate row out; the driver
+    folds #batches rows per round.  No shuffle anywhere."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .common import _cached_get, sql_round
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    seed_id = min(pf.metadata.row_group(i).column(0).statistics.min
+                  for i in range(pf.metadata.num_row_groups))
+    seed = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", seed_id)])
+    centers = _matrix(seed.column("embedding").to_pylist()).astype(np.float64)
+    rows = [(0, int(seed_id), 0.0)]
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    for r in range(1, k + 1):
+        ref = ray.put(centers)
+
+        def far(df: pd.DataFrame) -> pd.DataFrame:
+            C = _cached_get(ref)
+            ids = df["vec_id"].to_numpy(np.int64)
+            X = _matrix(df["embedding"].to_numpy()).astype(np.float64)
+            D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            mind = sql_round(D, 9).min(axis=1)
+            i = int(np.lexsort((ids, -mind))[0])
+            return pd.DataFrame({"vec_id": [ids[i]], "mind": [mind[i]],
+                                 "embedding": [X[i].tolist()]})
+
+        w = (ds.map_batches(far, batch_format="pandas").to_pandas()
+             .sort_values(["mind", "vec_id"], ascending=[False, True])
+             .iloc[0])
+        rows.append((r, int(w["vec_id"]), float(w["mind"])))
+        if r < k:     # round k only measures the residual radius
+            centers = np.vstack([centers,
+                                 np.asarray(w["embedding"], np.float64)])
+
+    out = pd.DataFrame(rows, columns=["sel_round", "vec_id", "radius_sq"])
+    return pd.DataFrame({
+        "sel_round": out["sel_round"].to_numpy(np.int64),
+        "vec_id": out["vec_id"].to_numpy(np.int64),
+        "radius_sq": sql_round(out["radius_sq"].to_numpy(), 6)})
+
+
+def kcenter_coreset_sql(k: int = KC_K, dim: int = 64) -> str:
+    """Oracle: the farthest-first loop unrolled — per round a long-form
+    distance sum to every chosen center, the identical round-to-1e-9
+    min, and an (mind desc, vec_id) LIMIT 1 argmax."""
+    parts = [f"""
+        WITH dims AS MATERIALIZED (SELECT range AS d FROM range(1, {dim + 1})),
+        s0 AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 1
+        ),
+        call0 AS MATERIALIZED (
+            SELECT s0.vec_id, dims.d, s0.embedding[dims.d]::DOUBLE AS v
+            FROM s0, dims
+        )"""]
+    for t in range(1, k + 1):
+        parts.append(f""",
+        dd{t} AS MATERIALIZED (
+            SELECT e.vec_id, c.vec_id AS cid,
+                   round(sum((e.embedding[c.d]::DOUBLE - c.v)
+                             * (e.embedding[c.d]::DOUBLE - c.v)), 9)
+                       AS dist
+            FROM embeddings e, call{t - 1} c
+            GROUP BY 1, 2
+        ),
+        w{t} AS MATERIALIZED (
+            SELECT vec_id, min(dist) AS mind FROM dd{t}
+            GROUP BY vec_id ORDER BY mind DESC, vec_id LIMIT 1
+        )""")
+        if t < k:
+            parts.append(f""",
+        call{t} AS MATERIALIZED (
+            SELECT * FROM call{t - 1}
+            UNION ALL
+            SELECT e.vec_id, dims.d, e.embedding[dims.d]::DOUBLE AS v
+            FROM w{t} JOIN embeddings e USING (vec_id), dims
+        )""")
+    sel = " UNION ALL ".join(
+        [f"SELECT 0::BIGINT AS sel_round, (SELECT vec_id FROM s0) AS vec_id, "
+         f"0.0 AS radius_sq"]
+        + [f"SELECT {t}::BIGINT, (SELECT vec_id FROM w{t}), "
+           f"round((SELECT mind FROM w{t}), 6)" for t in range(1, k + 1)])
+    parts.append(f"""
+        SELECT * FROM ({sel}) ORDER BY sel_round""")
+    return "".join(parts)
