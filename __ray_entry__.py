@@ -538,6 +538,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_daily_ohlc": temporal.type_daily_ohlc,
         # EWMA smoothing with dyadic alpha (closed-form window oracle)
         "type_daily_ewma": temporal.type_daily_ewma,
+        # sliding-window COUNT DISTINCT (rolling-MAU shape)
+        "daily_distinct_users_3d": temporal.daily_distinct_users_3d,
+        # population-stability-index drift decomposition over value bins
+        "value_drift_psi": relational.value_drift_psi,
         # Hilbert-curve layout index (locality-preserving zorder sibling)
         "hilbert_events": analytics.hilbert_events,
         # Pareto frontier: block-local skyline + tiny merge sweep
@@ -1878,6 +1882,10 @@ def oracle_sql() -> dict[str, str]:
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),
         # EWMA: the dyadic-alpha closed form as one window expression
         "type_daily_ewma": temporal.type_daily_ewma_sql(),
+        # rolling distinct: dedup -> bounded replicate -> dedup -> count
+        "daily_distinct_users_3d": temporal.daily_distinct_users_3d_sql(),
+        # PSI: integer-edge bins + add-one smoothing, per-bin terms
+        "value_drift_psi": relational.value_drift_psi_sql(),
         # Hilbert: the state-mutating per-level update unrolled as a
         # MATERIALIZED CTE chain
         "hilbert_events": analytics.hilbert_events_sql(),

@@ -1425,3 +1425,56 @@ def test_kcenter_coreset_greedy_replay(ray_session):
         check_dtype=False)
     r = out["radius_sq"].to_numpy()
     assert (np.diff(r[1:]) <= 1e-12).all()   # non-increasing after seed
+
+
+def test_value_drift_psi_known_shift(ray_session, tmp_path):
+    """A planted distribution shift yields a large PSI; identical halves
+    yield ~0 (only smoothing noise).  Terms reconstruct the total."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import value_drift_psi
+
+    def write(vals_a, vals_b, d):
+        d.mkdir(exist_ok=True)
+        ts = ([np.datetime64("2024-01-05", "us")] * len(vals_a)
+              + [np.datetime64("2024-01-20", "us")] * len(vals_b))
+        v = list(vals_a) + list(vals_b)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(v)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([0] * len(v), pa.int64()),
+            "event_type": pa.array(["click"] * len(v)),
+            "value": pa.array(v, pa.float64()),
+            "props": pa.array(["{}"] * len(v))}), d / "events.parquet")
+        return str(d)
+
+    same = value_drift_psi(write([10.0] * 50 + [210.0] * 50,
+                                 [10.0] * 50 + [210.0] * 50,
+                                 tmp_path / "same"))
+    assert same["psi_total"].iloc[0] < 0.01
+    shift = value_drift_psi(write([10.0] * 100, [460.0] * 100,
+                                  tmp_path / "shift"))
+    assert shift["psi_total"].iloc[0] > 1.0
+    assert abs(shift["psi_term"].sum() - shift["psi_total"].iloc[0]) < 1e-4
+
+
+def test_daily_distinct_users_3d_replay(ray_session):
+    """The rolling distinct equals a brute-force per-window set union on
+    the real table, and exceeds any single day's distinct count."""
+    import duckdb
+
+    from weaver_ray.pipelines.temporal import daily_distinct_users_3d
+
+    out = daily_distinct_users_3d(SF).set_index("day")
+    df = duckdb.sql(
+        f"SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+        f"FROM '{SF}/events.parquet'").df()
+    days = sorted(df["day"].unique())
+    by_day = {d: set(df.loc[df["day"] == d, "user_id"]) for d in days}
+    for d in days:
+        win = set()
+        for i in range(3):
+            win |= by_day.get(d - pd.Timedelta(days=i), set())
+        assert out.loc[d, "distinct_users_3d"] == len(win)
+    assert len(out) == len(days)

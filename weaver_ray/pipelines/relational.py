@@ -1494,3 +1494,88 @@ def ams_join_size_sql(d: int = AMS_D) -> str:
                                / (SELECT exact FROM x), 6)
                END AS rel_err
     """
+
+
+PSI_BINS = 10
+PSI_BIN_W = 50.0          # fixed-edge bins over value in [0, 500)
+PSI_SPLIT = "2024-01-16"  # baseline = days before; current = days after
+
+
+def value_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """POPULATION STABILITY INDEX between the first and second half of
+    the event stream's value distribution — the standard drift monitor
+    run between a training snapshot and fresh data before trusting a
+    model or a sampling config.  Fixed integer-edge bins (floor(v/50)
+    capped at 9) keep binning exact on both engines; proportions use
+    add-one smoothing ((n+1)/(N+bins)) so empty bins contribute finite
+    terms deterministically instead of an epsilon convention.  Output is
+    the per-bin PSI decomposition (which bins drifted) plus the total —
+    psi > 0.2 is the textbook re-train trigger.
+
+    Scale shape: one pass of (period, bin) count partials, a 20-row
+    reduce, driver folds the 10-term sum."""
+    from .common import sql_round
+
+    split = pd.Timestamp(PSI_SPLIT)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            period=(b["ts"] >= split).to_numpy(np.int64),
+            bin=np.minimum(np.floor(b["value"].to_numpy(np.float64)
+                                    / PSI_BIN_W),
+                           PSI_BINS - 1).astype(np.int64))
+
+    c = partial_groupby(
+        load(sf_dir, "events", ["ts", "value"]),
+        ["period", "bin"], {"n": ("bin", "count")}, prep=prep,
+    ).to_pandas()
+    full = pd.DataFrame({"bin": np.arange(PSI_BINS, dtype=np.int64)})
+    base = full.merge(c[c["period"] == 0][["bin", "n"]], on="bin",
+                      how="left").fillna(0)["n"].to_numpy(np.int64)
+    cur = full.merge(c[c["period"] == 1][["bin", "n"]], on="bin",
+                     how="left").fillna(0)["n"].to_numpy(np.int64)
+    p = (base + 1.0) / (base.sum() + PSI_BINS)
+    q = (cur + 1.0) / (cur.sum() + PSI_BINS)
+    term = (p - q) * np.log(p / q)
+    return pd.DataFrame({
+        "bin": full["bin"],
+        "n_base": base, "n_cur": cur,
+        "psi_term": sql_round(term, 6),
+        "psi_total": np.full(PSI_BINS, float(sql_round(term.sum(), 6)))})
+
+
+def value_drift_psi_sql() -> str:
+    return f"""
+        WITH e AS (
+            SELECT CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT}'
+                        THEN 1 ELSE 0 END AS period,
+                   least(CAST(floor(value / {PSI_BIN_W}) AS BIGINT),
+                         {PSI_BINS - 1}) AS bin
+            FROM events
+        ),
+        c AS (SELECT period, bin, count(*)::BIGINT AS n FROM e
+              GROUP BY 1, 2),
+        m AS (
+            SELECT b.range AS bin,
+                   coalesce((SELECT n FROM c WHERE period = 0
+                             AND c.bin = b.range), 0) AS n_base,
+                   coalesce((SELECT n FROM c WHERE period = 1
+                             AND c.bin = b.range), 0) AS n_cur
+            FROM range(0, {PSI_BINS}) b
+        ),
+        t AS (SELECT sum(n_base)::DOUBLE AS nb, sum(n_cur)::DOUBLE AS nc
+              FROM m),
+        terms AS (
+            SELECT bin, n_base, n_cur,
+                   ((n_base + 1.0) / (t.nb + {PSI_BINS})
+                    - (n_cur + 1.0) / (t.nc + {PSI_BINS}))
+                   * ln(((n_base + 1.0) / (t.nb + {PSI_BINS}))
+                        / ((n_cur + 1.0) / (t.nc + {PSI_BINS}))) AS term
+            FROM m, t
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n_base::BIGINT AS n_base,
+               n_cur::BIGINT AS n_cur,
+               round(term, 6) AS psi_term,
+               round((SELECT sum(term) FROM terms), 6) AS psi_total
+        FROM terms
+    """

@@ -1103,3 +1103,75 @@ def type_daily_ewma_sql() -> str:
                      / power(2.0, i) / 100.0, 4) AS ewma
         FROM r
     """
+
+
+def daily_distinct_users_3d(sf_dir: str, window_days: int = 3,
+                            num_buckets: int = 16) -> pd.DataFrame:
+    """SLIDING-WINDOW COUNT DISTINCT: for every day, the number of
+    distinct users active in the trailing ``window_days`` window — the
+    rolling-MAU/DAU family, which is NOT a sum of daily distincts
+    (users repeat across days) and so needs its own exchange shape:
+    dedup (user, day) pairs, replicate each pair to the windows it can
+    serve (the window-END days d..d+w-1 — bounded fan-out w, the
+    standard sliding-window trick), dedup (user, window) because a user
+    active on several days of one window must count once, then count
+    rows per window.  Windows whose end day is outside the observed
+    day range are dropped on both engines.
+
+    Scale shape: three bucketed exchanges, each moving one row per
+    (user, day-or-window) pair — never raw events past the first
+    partial; the w-way replication happens AFTER the first dedup, so
+    fan-out applies to the deduped pair count, not the stream."""
+    ds = load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(day=b["ts"].dt.floor("D"))
+
+    ud = partial_groupby(ds, ["user_id", "day"], {"n": ("user_id", "count")},
+                         prep=prep, many_groups=True,
+                         num_buckets=num_buckets)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i in range(window_days):
+            outs.append(pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "wend": b["day"] + pd.Timedelta(days=i)}))
+        return pd.concat(outs, ignore_index=True)
+
+    uw = partial_groupby(
+        ud.map_batches(explode, batch_format="pandas"),
+        ["user_id", "wend"], {"n": ("user_id", "count")},
+        many_groups=True, num_buckets=num_buckets)
+
+    per_day = partial_groupby(
+        uw, ["wend"], {"distinct_users": ("user_id", "count")},
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+
+    # observed-day bounds from the tiny per-day table of the FIRST dedup
+    days = partial_groupby(ud, ["day"], {"n": ("n", "sum")}).to_pandas()
+    lo, hi = days["day"].min(), days["day"].max()
+    out = per_day[(per_day["wend"] >= lo) & (per_day["wend"] <= hi)]
+    return (pd.DataFrame({
+        "day": out["wend"],
+        "distinct_users_3d": out["distinct_users"].to_numpy(np.int64)})
+        .sort_values("day").reset_index(drop=True))
+
+
+def daily_distinct_users_3d_sql(window_days: int = 3) -> str:
+    offs = ", ".join(str(i) for i in range(window_days))
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        w AS (
+            SELECT DISTINCT user_id,
+                   day + to_days(CAST(t.i AS INTEGER)) AS wend
+            FROM ud, UNNEST([{offs}]) t(i)
+        ),
+        lim AS (SELECT min(day) AS lo, max(day) AS hi FROM ud)
+        SELECT w.wend AS day, count(*)::BIGINT AS distinct_users_3d
+        FROM w, lim WHERE w.wend BETWEEN lim.lo AND lim.hi
+        GROUP BY 1
+    """
