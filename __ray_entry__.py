@@ -644,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer APPLICATION: per-doc BPE token budgets via a
         # vocabulary-bounded broadcast join (no corpus rescan)
         "bpe_encode_docs": textops.bpe_encode_docs,
+        # leakage-proof hash split with stratification audit
+        "dataset_split_assign": textops.dataset_split_assign,
+        # CUSUM change-point statistic via the prefix-sum identity
+        "daily_cusum_drift": temporal.daily_cusum_drift,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1525,6 +1529,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": textops.cdc_chunk_dedup_sql(),
         # BPE encode: same unrolled merge chain + vocabulary join
         "bpe_encode_docs": textops.bpe_encode_docs_sql(),
+        # hash split: identical md5 cuts from single float literals
+        "dataset_split_assign": textops.dataset_split_assign_sql(),
+        # CUSUM: same cents grid, cumsum + running-min windows
+        "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

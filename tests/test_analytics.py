@@ -1478,3 +1478,71 @@ def test_daily_distinct_users_3d_replay(ray_session):
             win |= by_day.get(d - pd.Timedelta(days=i), set())
         assert out.loc[d, "distinct_users_3d"] == len(win)
     assert len(out) == len(days)
+
+
+def test_dataset_split_stability_under_growth(ray_session, tmp_path):
+    """The leakage-proof property itself: adding documents never moves
+    an existing doc's split; fractions land near 80/10/10."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import dataset_split_assign
+
+    def write(n, d):
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64())}),
+            d / "documents.parquet")
+        return str(d)
+
+    small = dataset_split_assign(write(500, tmp_path / "a"))
+    big = dataset_split_assign(write(2000, tmp_path / "b"))
+    by = lambda df: df.groupby("split")["n_docs"].sum()
+    s, b = by(small), by(big)
+    # growth keeps every earlier doc in place, so per-split counts can
+    # only grow; fractions sit near the contract
+    for k in ("train", "val", "test"):
+        assert b.get(k, 0) >= s.get(k, 0)
+    assert abs(b["train"] / 2000 - 0.8) < 0.05
+    assert abs(b["val"] / 2000 - 0.1) < 0.03
+
+
+def test_daily_cusum_detects_planted_shift(ray_session, tmp_path):
+    """A mean shift planted mid-stream drives the CUSUM up after the
+    change day and the statistic replays the textbook recursion."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import daily_cusum_drift
+
+    days = 20
+    vals, ts = [], []
+    for d in range(days):
+        for i in range(10):
+            vals.append(10.0 if d < 12 else 30.0)   # shift at day 12
+            ts.append(np.datetime64("2024-01-01", "us")
+                      + np.timedelta64(d, "D") + np.timedelta64(i, "m"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0] * len(vals), pa.int64()),
+        "event_type": pa.array(["click"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals))}), tmp_path / "events.parquet")
+
+    out = daily_cusum_drift(str(tmp_path)).sort_values("day")
+    s = out["cusum_cents"].to_numpy()
+    # replay the recursion S_t = max(0, S_{t-1} + (mc_t - mu))
+    mc = np.where(np.arange(days) < 12, 1000.0, 3000.0)
+    mu = np.floor(mc.mean() + 0.5)
+    acc, expect = 0.0, []
+    for x in mc:
+        acc = max(0.0, acc + (x - mu))
+        expect.append(acc)
+    assert np.array_equal(s, np.array(expect))
+    assert s[-1] > s[11]          # rises after the planted change
+    assert (s[:12] == 0).all()    # below-mean prefix pins to zero

@@ -1175,3 +1175,92 @@ def daily_distinct_users_3d_sql(window_days: int = 3) -> str:
         FROM w, lim WHERE w.wend BETWEEN lim.lo AND lim.hi
         GROUP BY 1
     """
+
+
+CUSUM_K_CENTS = 0     # drift allowance k in cents (0: plain deviation sum)
+
+
+def daily_cusum_drift(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """ONE-SIDED CUSUM change-point statistic over each event type's
+    daily mean value — the classic S_t = max(0, S_{t-1} + (x_t - mu))
+    monitor, computed WITHOUT the stateful recursion via the prefix-sum
+    identity S_t = P_t - min_{i<=t} P_i (P = running sum of deviations):
+    a cumulative sum and a running min are both single window
+    expressions, so the oracle needs no unrolled loop and the engine no
+    sequential fold.  mu is the type's own full-period mean, so S peaks
+    where the daily means run persistently hot — the alarm day is
+    argmax(S).  Deviations are computed on the integer-cents grid
+    (the type_daily_ewma precedent) so every prefix value is exact in
+    float64 on both engines.
+
+    Scale shape: one (type, day) count/sum partial pass; the window
+    fold runs on the tiny daily table driver-side."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        # per-row integer cents (values sit on the cents grid, so the
+        # row-wise rounding is exact): every aggregate below is integer
+        return b.assign(day=b["ts"].dt.floor("D"),
+                        cents=np.floor(b["value"].to_numpy(np.float64)
+                                       * 100.0 + 0.5).astype(np.int64))
+
+    daily = partial_groupby(
+        load(sf_dir, "events", ["event_type", "ts", "value"]),
+        ["event_type", "day"],
+        {"sc": ("cents", "sum"), "n": ("cents", "count")},
+        prep=prep, many_groups=True, num_buckets=num_buckets,
+    ).to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
+
+    out = []
+    for _t, g in daily.groupby("event_type", sort=True):
+        sc = g["sc"].to_numpy(np.float64)        # exact integer cents
+        n = g["n"].to_numpy(np.float64)
+        mc = np.floor(sc / n + 0.5)              # daily mean, cents grid
+        mu = np.floor(mc.sum() / len(mc) + 0.5)  # grand mean of means
+        dev = mc - mu - CUSUM_K_CENTS
+        p = np.cumsum(dev)
+        # S_t = P_t - min(0, P_1..P_t): the CUSUM recursion unrolled
+        m = np.minimum.accumulate(np.concatenate([[0.0], p]))[1:]
+        out.append(g.assign(cusum_cents=p - m))
+    res = pd.concat(out, ignore_index=True)
+    return pd.DataFrame({
+        "event_type": res["event_type"].to_numpy(object),
+        "day": res["day"],
+        "daily_mean": sql_round(res["sc"].to_numpy(np.float64)
+                                / res["n"].to_numpy(np.float64) / 100.0, 4),
+        "cusum_cents": res["cusum_cents"].to_numpy(np.float64)})
+
+
+def daily_cusum_drift_sql() -> str:
+    """Oracle: the identical cents grid and the prefix-sum identity —
+    cumulative sum and running least(0, min(P)) window expressions."""
+    return f"""
+        WITH d AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(round(value * 100.0, 0))::BIGINT AS sc,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, day, sc, n,
+                   round(sc::DOUBLE / n, 0) AS mc
+            FROM d
+        ),
+        g AS (
+            SELECT event_type, round(avg(mc), 0) AS mu FROM m
+            GROUP BY event_type
+        ),
+        p AS (
+            SELECT m.event_type, m.day, m.sc, m.n,
+                   sum(m.mc - g.mu - {CUSUM_K_CENTS}) OVER (PARTITION BY m.event_type
+                       ORDER BY m.day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pf
+            FROM m JOIN g USING (event_type)
+        )
+        SELECT event_type, day,
+               round(sc::DOUBLE / n / 100.0, 4) AS daily_mean,
+               pf - least(0.0, min(pf) OVER (PARTITION BY event_type
+                       ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)) AS cusum_cents
+        FROM p
+    """

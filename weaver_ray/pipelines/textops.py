@@ -2578,3 +2578,72 @@ def cdc_chunk_dedup_sql(k: int = CDC_K, modulus: int = CDC_MOD) -> str:
                END AS dedup_ratio
         FROM g
     """
+
+
+# split-assignment contract: md5 of doc_id on the 16^13 dyadic grid;
+# cumulative thresholds in 2^52 units (80% / 10% / 10%)
+SPLIT_FRACS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_HEX13 = 4503599627370496  # 16^13 == 2^52 (the kmv exact-dyadic scale)
+
+
+def dataset_split_assign(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """DETERMINISTIC TRAIN/VAL/TEST SPLIT by content-stable hash — the
+    canonical leakage-proof splitter: split(doc) is a pure function of
+    doc_id's md5, so re-running the pipeline, adding documents, or
+    resharding NEVER moves an existing doc across splits (random-state
+    splitters do, silently contaminating eval sets).  Output is the
+    per-(split, lang) count/fraction table — the stratification audit
+    that catches a split accidentally starving a language.
+
+    Scale shape: pure per-row hash map + one (split, lang) count
+    reduce; the fraction fold runs on the ~15-row driver table."""
+    from .common import md5_hex, sql_round
+
+    # cuts from SINGLE float literals (0.8, 0.9) — accumulating
+    # 0.8 + 0.1 gives 0.9000000000000001 and a different integer cut
+    # than the oracle's int(0.9 * 2^52)
+    cut1, cut2 = int(0.8 * _HEX13), int(0.9 * _HEX13)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.array([int(h[:13], 16) for h in
+                      md5_hex(str(int(d)) for d in b["doc_id"])],
+                     dtype=np.int64)
+        split = np.where(u < cut1, "train",
+                         np.where(u < cut2, "val", "test"))
+        return b.assign(split=pd.Series(split.astype(object),
+                                        index=b.index))
+
+    counts = partial_groupby(
+        load(sf_dir, "documents", ["doc_id", "lang"]),
+        ["split", "lang"], {"n_docs": ("doc_id", "count")}, prep=prep,
+    ).to_pandas()
+    total = int(counts["n_docs"].sum())
+    return (pd.DataFrame({
+        "split": counts["split"].to_numpy(object),
+        "lang": counts["lang"].to_numpy(object),
+        "n_docs": counts["n_docs"].to_numpy(np.int64),
+        "frac": sql_round(counts["n_docs"].to_numpy(np.float64) / total, 6)})
+        .sort_values(["split", "lang"]).reset_index(drop=True))
+
+
+def dataset_split_assign_sql() -> str:
+    cut1 = int(0.8 * _HEX13)
+    cut2 = int(0.9 * _HEX13)
+    return f"""
+        WITH a AS (
+            SELECT lang,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 13)) AS BIGINT) AS u
+            FROM documents
+        ),
+        s AS (
+            SELECT lang, CASE WHEN u < {cut1} THEN 'train'
+                              WHEN u < {cut2} THEN 'val'
+                              ELSE 'test' END AS split
+            FROM a
+        )
+        SELECT split, lang, count(*)::BIGINT AS n_docs,
+               round(count(*)::DOUBLE
+                     / (SELECT count(*) FROM documents), 6) AS frac
+        FROM s GROUP BY 1, 2
+    """
