@@ -164,6 +164,13 @@ QUERY_NAMES = [
     "cdc_chunk_dedup",
     "bpe_encode_docs",
     "zonemap_layout_compare",
+    "ams_join_size",
+    "image_magic_check",
+    "kcenter_coreset",
+    "value_drift_psi",
+    "daily_distinct_users_3d",
+    "daily_cusum_drift",
+    "dataset_split_assign",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
