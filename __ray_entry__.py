@@ -736,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn_pairs": similarity.mutual_knn_pairs,
         # farthest-first k-center coreset with coverage-radius trace
         "kcenter_coreset": similarity.kcenter_coreset,
+        # sign-random-projection LSH candidates (fixed-point exact)
+        "srp_band_candidates": similarity.srp_band_candidates,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -3048,8 +3050,11 @@ def oracle_sql() -> dict[str, str]:
     # mutual kNN: the knn window CTE self-joined on reversed edges
     d["mutual_knn_pairs"] = mutual_knn_pairs_sql()
     # k-center: the farthest-first loop unrolled, same 1e-9 grid
-    from weaver_ray.pipelines.similarity import kcenter_coreset_sql
+    from weaver_ray.pipelines.similarity import (kcenter_coreset_sql,
+                                                 srp_band_candidates_sql)
     d["kcenter_coreset"] = kcenter_coreset_sql()
+    # SRP: identical parity signs + exact fixed-point projections
+    d["srp_band_candidates"] = srp_band_candidates_sql()
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()

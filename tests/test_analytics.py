@@ -1546,3 +1546,44 @@ def test_daily_cusum_detects_planted_shift(ray_session, tmp_path):
     assert np.array_equal(s, np.array(expect))
     assert s[-1] > s[11]          # rises after the planted change
     assert (s[:12] == 0).all()    # below-mean prefix pins to zero
+
+
+def test_srp_hamming_tracks_cosine(ray_session):
+    """The LSH property on the real embeddings: candidate pairs with
+    small signature hamming have higher cosine on average than pairs
+    with large hamming, and every reported hamming equals a sequential
+    signature replay."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.similarity import (SRP_BITS, SRP_SCALE,
+                                                 srp_band_candidates)
+
+    out = to_table(srp_band_candidates(SF)).to_pandas()
+    assert len(out) > 0
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    sgn = np.array([[1 if int(hashlib.md5(f"{b}|{d}".encode())
+                              .hexdigest()[:13], 16) % 2 == 0 else -1
+                     for d in range(64)] for b in range(SRP_BITS)])
+    XI = np.sign(X) * np.floor(np.abs(X) * SRP_SCALE + 0.5)
+    sig = (((XI @ sgn.T) > 0).astype(np.int64)
+           @ (1 << np.arange(SRP_BITS, dtype=np.int64)))
+    by_id = dict(zip(ids, sig))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    cos = np.array([Xn[pos[a]] @ Xn[pos[b]]
+                    for a, b in zip(out["id_lo"], out["id_hi"])])
+    ham_replay = np.array([bin(by_id[a] ^ by_id[b]).count("1")
+                           for a, b in zip(out["id_lo"], out["id_hi"])])
+    assert np.array_equal(out["hamming"].to_numpy(), ham_replay)
+    lo = cos[out["hamming"] <= 2]
+    hi = cos[out["hamming"] >= 6]
+    if len(lo) and len(hi):
+        assert lo.mean() > hi.mean()

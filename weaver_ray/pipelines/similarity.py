@@ -1780,3 +1780,148 @@ def kcenter_coreset_sql(k: int = KC_K, dim: int = 64) -> str:
     parts.append(f"""
         SELECT * FROM ({sel}) ORDER BY sel_round""")
     return "".join(parts)
+
+
+SRP_BITS = 16      # signature width (two 8-bit bands)
+SRP_SCALE = 10_000  # fixed-point grid: projections are EXACT integers
+
+
+def srp_band_candidates(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """SIGN-RANDOM-PROJECTION LSH (Charikar 2002) over the embedding
+    column — the cosine-similarity sketch that completes the LSH family
+    here (minhash: sets, simhash: token streams, SRP: dense vectors).
+    Each vector gets a 16-bit signature: bit b is the sign of
+    sum_d sgn(b, d) * round(e_d * 10^4), with sgn(b, d) in {-1, +1}
+    from an md5 parity bit.  The FIXED-POINT grid is the parity move:
+    the projection is an exact int64 on both engines, so a sign can
+    never flip on FP summation order (a raw-float dot product would
+    make bucket membership FP-fragile).  Candidates are pairs agreeing
+    on either 8-bit band (the banding trade: agreeing half the
+    signature ~ cosine >= cos(pi/8) whp); each pair carries the full
+    signature hamming distance as its similarity rank.
+
+    Scale shape: signatures are one map_batches pass (16x64 integer
+    matrix broadcast-free — sgn derives from md5 inside the task);
+    candidate generation is a (band_id, band_value)-keyed exchange with
+    within-bucket pair expansion; cross-band dedup is one bucketed
+    min-reduce.  Nothing driver-side beyond the result set."""
+    import hashlib
+
+    from .common import keyed_map_groups, partial_groupby
+
+    half = SRP_BITS // 2
+    sgn = np.array([[1 if int(hashlib.md5(f"{b}|{d}".encode())
+                              .hexdigest()[:13], 16) % 2 == 0 else -1
+                     for d in range(64)] for b in range(SRP_BITS)],
+                   dtype=np.int64)
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def signatures(df: pd.DataFrame) -> pd.DataFrame:
+        from .common import sql_round
+
+        X = _matrix(df["embedding"].to_numpy()).astype(np.float64)
+        XI = (np.sign(X) * np.floor(np.abs(X) * SRP_SCALE + 0.5)
+              ).astype(np.int64)                    # exact fixed-point
+        P = XI @ sgn.T                               # (batch, bits) int64
+        bits = (P > 0).astype(np.int64)
+        weights = (1 << np.arange(SRP_BITS, dtype=np.int64))
+        sig = bits @ weights
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "sig": sig,
+            "band0": sig & ((1 << half) - 1),
+            "band1": sig >> half})
+
+    sigs = ds.map_batches(signatures, batch_format="pandas")
+
+    def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            pd.DataFrame({"band_id": np.int64(0),
+                          "band_val": b["band0"].to_numpy(np.int64),
+                          "vec_id": b["vec_id"].to_numpy(np.int64),
+                          "sig": b["sig"].to_numpy(np.int64)}),
+            pd.DataFrame({"band_id": np.int64(1),
+                          "band_val": b["band1"].to_numpy(np.int64),
+                          "vec_id": b["vec_id"].to_numpy(np.int64),
+                          "sig": b["sig"].to_numpy(np.int64)}),
+        ], ignore_index=True).assign(
+            key=lambda d: d["band_id"] * (1 << half) + d["band_val"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _k, grp in g.groupby("key", sort=False):
+            if len(grp) < 2:
+                continue
+            from ..functions.imaging import _popcount64
+
+            ids = np.sort(grp["vec_id"].to_numpy(np.int64))
+            sig = grp.set_index("vec_id")["sig"]
+            i, j = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(np.bitwise_xor(
+                sig[ids[i]].to_numpy(np.int64),
+                sig[ids[j]].to_numpy(np.int64)))
+            outs.append(pd.DataFrame({"id_lo": ids[i], "id_hi": ids[j],
+                                      "hamming": ham.astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({"id_lo": pd.Series([], dtype=np.int64),
+                                 "id_hi": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = keyed_map_groups(sigs.map_batches(explode_bands,
+                                             batch_format="pandas"),
+                            "key", bucket_pairs, num_buckets)
+    # cross-band dedup: a pair agreeing on both bands appears twice
+    return partial_groupby(cand, ["id_lo", "id_hi"],
+                           {"hamming": ("hamming", "min")},
+                           many_groups=True, num_buckets=num_buckets)
+
+
+def srp_band_candidates_sql() -> str:
+    """Oracle: identical md5-parity sign matrix, fixed-point projection
+    sums (exact integers), band split, band-equality self-join, distinct
+    pairs with the xor-popcount hamming."""
+    half = SRP_BITS // 2
+    return f"""
+        WITH dims AS (SELECT range AS d FROM range(0, 64)),
+        bits AS (SELECT range AS b FROM range(0, {SRP_BITS})),
+        sg AS (
+            SELECT b, d,
+                   CASE WHEN CAST(concat('0x', substr(md5(
+                            CAST(b AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
+                            1, 13)) AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM bits, dims
+        ),
+        proj AS (
+            SELECT e.vec_id, sg.b,
+                   sum(round(e.embedding[sg.d + 1]::DOUBLE * {SRP_SCALE}, 0)
+                       * sg.s)::BIGINT AS p
+            FROM embeddings e, sg
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT vec_id,
+                   sum(CASE WHEN p > 0 THEN 1::BIGINT << b
+                            ELSE 0 END)::BIGINT AS sig
+            FROM proj GROUP BY vec_id
+        ),
+        banded AS (
+            SELECT vec_id, sig, sig & {(1 << half) - 1} AS band0,
+                   sig >> {half} AS band1
+            FROM sig
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM banded a JOIN banded b
+                 ON a.vec_id < b.vec_id AND a.band0 = b.band0
+            UNION
+            SELECT a.vec_id, b.vec_id, bit_count(xor(a.sig, b.sig))::BIGINT
+            FROM banded a JOIN banded b
+                 ON a.vec_id < b.vec_id AND a.band1 = b.band1
+        )
+        SELECT id_lo, id_hi, min(hamming)::BIGINT AS hamming
+        FROM pairs GROUP BY 1, 2
+    """
