@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample_events": relational.priority_sample_events,
         # AMS sign-sketch join-size estimate, all-integer parity
         "ams_join_size": relational.ams_join_size,
+        # V-optimal histogram: DP planner over coarse-bin sufficient
+        # statistics (exact-parity DP, no rounding grid)
+        "voptimal_histogram": relational.voptimal_histogram,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -1887,6 +1890,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_events": relational.priority_sample_events_sql(),
         # AMS: identical md5-parity signs + mean-of-products estimator
         "ams_join_size": relational.ams_join_size_sql(),
+        # V-optimal: the DP unrolled one CTE per segment, same tie order
+        "voptimal_histogram": relational.voptimal_histogram_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

@@ -1587,3 +1587,42 @@ def test_srp_hamming_tracks_cosine(ray_session):
     hi = cos[out["hamming"] >= 6]
     if len(lo) and len(hi):
         assert lo.mean() > hi.mean()
+
+
+def test_voptimal_histogram_optimality(ray_session):
+    """The DP's segmentation on the real table: segments tile [0, 63],
+    total reconstructs from segment SSEs, and the k-segment total SSE
+    beats (or ties) the naive equi-width split into k segments —
+    optimality spot-check against one competitor partition."""
+    import duckdb
+
+    from weaver_ray.pipelines.relational import (VOPT_BINS, VOPT_K,
+                                                 VOPT_VMAX,
+                                                 voptimal_histogram)
+
+    out = voptimal_histogram(SF)
+    assert len(out) == VOPT_K
+    assert out["bin_lo"].iloc[0] == 0
+    assert out["bin_hi"].iloc[-1] == VOPT_BINS - 1
+    assert (out["bin_lo"].to_numpy()[1:]
+            == out["bin_hi"].to_numpy()[:-1] + 1).all()
+    assert abs(out["sse_cents"].sum() - out["total_sse"].iloc[0]) < 0.1
+
+    df = duckdb.sql(f"SELECT value FROM '{SF}/events.parquet'").df()
+    cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5)
+    bins = np.minimum(np.floor(df["value"].to_numpy() * VOPT_BINS
+                               / VOPT_VMAX), VOPT_BINS - 1).astype(int)
+
+    def sse_of(lo, hi):
+        x = cents[(bins >= lo) & (bins <= hi)]
+        return 0.0 if not len(x) else float(
+            (x ** 2).sum() - x.sum() ** 2 / len(x))
+
+    # competitor: equi-width split
+    edges = np.linspace(0, VOPT_BINS, VOPT_K + 1).astype(int)
+    naive = sum(sse_of(edges[i], edges[i + 1] - 1)
+                for i in range(VOPT_K))
+    assert out["total_sse"].iloc[0] <= naive + 0.1
+    # segment SSEs agree with a brute-force recompute
+    for _i, r in out.iterrows():
+        assert abs(sse_of(r["bin_lo"], r["bin_hi"]) - r["sse_cents"]) < 0.5

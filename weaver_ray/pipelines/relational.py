@@ -1579,3 +1579,178 @@ def value_drift_psi_sql() -> str:
                round((SELECT sum(term) FROM terms), 6) AS psi_total
         FROM terms
     """
+
+
+VOPT_BINS = 64   # coarse grid the DP runs on
+VOPT_K = 8       # output segments
+VOPT_VMAX = 500.0
+
+
+def voptimal_histogram(sf_dir: str, nbins: int = VOPT_BINS,
+                       k: int = VOPT_K) -> pd.DataFrame:
+    """V-OPTIMAL HISTOGRAM (Jagadish et al., VLDB'98): the k-segment
+    partition of the value axis minimizing total within-segment SSE —
+    the selectivity-estimation histogram an optimizer actually wants,
+    vs the equi-depth bounds of range_partition_bounds.  Classic
+    two-level shape: the data pass reduces to ``nbins`` coarse
+    (n, sum, sum-of-squares) sufficient statistics on the integer-cents
+    grid (exact in float64), then the O(nbins^2 * k) dynamic program
+    runs on that tiny table.  Parity needs NO rounding grid: every
+    prefix stat is an exact integer, each SSE is the same three-op
+    float expression (ss - s*s/n) on identical doubles, and the DP
+    recursion compares and adds only values built by the identical
+    expression tree — ties break to the smallest split index.
+
+    Output: one row per segment (bin range, rows, segment SSE) plus the
+    replicated total — the planner table a scan would consult."""
+    from .common import sql_round
+
+    w = VOPT_VMAX / nbins
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        cents = np.floor(v * 100.0 + 0.5)
+        return b.assign(
+            bin=np.minimum(np.floor(v * nbins / VOPT_VMAX),
+                           nbins - 1).astype(np.int64),
+            c=cents, c2=cents * cents)
+
+    g = partial_groupby(
+        load(sf_dir, "events", ["value"]), ["bin"],
+        {"n": ("c", "count"), "s": ("c", "sum"), "ss": ("c2", "sum")},
+        prep=prep).to_pandas().set_index("bin").reindex(
+        range(nbins), fill_value=0.0).reset_index()
+
+    n = g["n"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    pn = np.concatenate([[0.0], np.cumsum(n)])
+    ps = np.concatenate([[0.0], np.cumsum(s)])
+    pss = np.concatenate([[0.0], np.cumsum(ss)])
+
+    def sse(i: int, j: int) -> float:
+        # segment = bins (i, j]: identical expression tree as the oracle
+        nn = pn[j + 1] - pn[i + 1 - 1]
+        if nn == 0.0:
+            return 0.0
+        sv = ps[j + 1] - ps[i]
+        sq = pss[j + 1] - pss[i]
+        return sq - sv * sv / nn
+
+    # best[t][j]: min SSE of splitting bins [0..j] into t segments
+    INF = float("inf")
+    best = np.full((k + 1, nbins), INF)
+    arg = np.full((k + 1, nbins), -1, dtype=np.int64)
+    for j in range(nbins):
+        best[1][j] = sse(0, j)
+    for t in range(2, k + 1):
+        for j in range(t - 1, nbins):
+            for i in range(t - 2, j):
+                cand = best[t - 1][i] + sse(i + 1, j)
+                if cand < best[t][j]:
+                    best[t][j], arg[t][j] = cand, i
+    # backtrack boundaries
+    cuts = []
+    j = nbins - 1
+    for t in range(k, 1, -1):
+        i = int(arg[t][j])
+        cuts.append(i)
+        j = i
+    cuts = cuts[::-1]
+    los = [0] + [c + 1 for c in cuts]
+    his = cuts + [nbins - 1]
+    rows = []
+    for sid, (lo, hi) in enumerate(zip(los, his)):
+        rows.append((sid, lo, hi, int(pn[hi + 1] - pn[lo]),
+                     float(sse(lo, hi))))
+    out = pd.DataFrame(rows, columns=["seg_id", "bin_lo", "bin_hi",
+                                      "n_rows", "sse_cents"])
+    total = float(best[k][nbins - 1])
+    return pd.DataFrame({
+        "seg_id": out["seg_id"].astype(np.int64),
+        "bin_lo": out["bin_lo"].astype(np.int64),
+        "bin_hi": out["bin_hi"].astype(np.int64),
+        "n_rows": out["n_rows"].astype(np.int64),
+        "sse_cents": sql_round(out["sse_cents"].to_numpy(), 2),
+        "total_sse": np.full(len(out),
+                             float(sql_round(total, 2)))})
+
+
+def voptimal_histogram_sql(nbins: int = VOPT_BINS, k: int = VOPT_K) -> str:
+    """Oracle: coarse stats via one grouped pass, prefix sums as window
+    expressions, the DP unrolled one CTE per segment count with the
+    identical (cost, split) tie order, scalar-subquery backtracking."""
+    parts = [f"""
+        WITH raw AS MATERIALIZED (
+            SELECT least(floor(value * {nbins} / {VOPT_VMAX}),
+                         {nbins - 1})::BIGINT AS bin,
+                   round(value * 100.0, 0) AS c
+            FROM events
+        ),
+        b AS MATERIALIZED (
+            SELECT g.range AS bin, coalesce(t.n, 0.0) AS n,
+                   coalesce(t.s, 0.0) AS s, coalesce(t.ss, 0.0) AS ss
+            FROM range(0, {nbins}) g LEFT JOIN (
+                SELECT bin, count(*)::DOUBLE AS n, sum(c)::DOUBLE AS s,
+                       sum(c * c)::DOUBLE AS ss
+                FROM raw GROUP BY 1) t ON t.bin = g.range
+        ),
+        p AS MATERIALIZED (
+            SELECT bin,
+                   sum(n) OVER w AS pn, sum(s) OVER w AS ps_,
+                   sum(ss) OVER w AS pss
+            FROM b
+            WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        sseg AS MATERIALIZED (
+            SELECT l.bin AS lo, h.bin AS hi,
+                   h.pn - coalesce(pl.pn, 0.0) AS nn,
+                   CASE WHEN h.pn - coalesce(pl.pn, 0.0) = 0.0 THEN 0.0
+                        ELSE (h.pss - coalesce(pl.pss, 0.0))
+                             - (h.ps_ - coalesce(pl.ps_, 0.0))
+                               * (h.ps_ - coalesce(pl.ps_, 0.0))
+                               / (h.pn - coalesce(pl.pn, 0.0))
+                   END AS e
+            FROM p h JOIN p l ON l.bin <= h.bin
+            LEFT JOIN p pl ON pl.bin = l.bin - 1
+        ),
+        d1 AS MATERIALIZED (
+            SELECT hi AS j, e AS cost, -1::BIGINT AS arg FROM sseg
+            WHERE lo = 0
+        )"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+        d{t} AS MATERIALIZED (
+            SELECT j, cost, arg FROM (
+                SELECT s.hi AS j, d.cost + s.e AS cost,
+                       d.j::BIGINT AS arg,
+                       row_number() OVER (PARTITION BY s.hi
+                           ORDER BY d.cost + s.e, d.j) AS rn
+                FROM d{t - 1} d JOIN sseg s ON s.lo = d.j + 1)
+            WHERE rn = 1
+        )""")
+    parts.append(f""",
+        bt{k} AS MATERIALIZED (
+            SELECT j, arg FROM d{k} WHERE j = {nbins - 1}
+        )""")
+    for t in range(k - 1, 0, -1):
+        parts.append(f""",
+        bt{t} AS MATERIALIZED (
+            SELECT j, arg FROM d{t}
+            WHERE j = (SELECT arg FROM bt{t + 1})
+        )""")
+    sel = " UNION ALL ".join(f"""
+        SELECT {t - 1}::BIGINT AS seg_id,
+               ((SELECT arg FROM bt{t}) + 1)::BIGINT AS bin_lo,
+               (SELECT j FROM bt{t})::BIGINT AS bin_hi,
+               CAST(s.nn AS BIGINT) AS n_rows,
+               round(s.e, 2) AS sse_cents,
+               round((SELECT cost FROM d{k} WHERE j = {nbins - 1}), 2)
+                   AS total_sse
+        FROM sseg s
+        WHERE s.lo = (SELECT arg FROM bt{t}) + 1
+          AND s.hi = (SELECT j FROM bt{t})""" for t in range(1, k + 1))
+    parts.append(f"""
+        SELECT * FROM ({sel}) ORDER BY seg_id""")
+    return "".join(parts)
