@@ -470,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # iterative graph ranking over the crawl's host link graph
         "host_pagerank": pagerank.host_pagerank,
+        # Newman degree assortativity, integer-exact moment sums
+        "host_degree_assortativity": pagerank.host_degree_assortativity,
         # per-host triangle counts (compact-forward wedge join)
         "host_triangles": pagerank.host_triangles,
         # directed BFS depth from the crawl's seed pages (frontier geometry:
@@ -3003,6 +3005,9 @@ def oracle_sql() -> dict[str, str]:
 
     d["zorder_events"] = zorder_events_sql()
     d["host_pagerank"] = pagerank_sql()
+    # assortativity: identical edge normalization + integer moments
+    from weaver_ray.pipelines.pagerank import host_degree_assortativity_sql
+    d["host_degree_assortativity"] = host_degree_assortativity_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list

@@ -171,6 +171,8 @@ QUERY_NAMES = [
     "daily_distinct_users_3d",
     "daily_cusum_drift",
     "dataset_split_assign",
+    "srp_band_candidates",
+    "voptimal_histogram",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

@@ -1626,3 +1626,26 @@ def test_voptimal_histogram_optimality(ray_session):
     # segment SSEs agree with a brute-force recompute
     for _i, r in out.iterrows():
         assert abs(sse_of(r["bin_lo"], r["bin_hi"]) - r["sse_cents"]) < 0.5
+
+
+def test_assortativity_known_graphs(ray_session, tmp_path, monkeypatch):
+    """A star graph is maximally disassortative (r == -1); the engine's
+    moment route equals networkx-free brute-force Pearson on stubs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines import pagerank as pr
+
+    d = tmp_path / "edges"
+    d.mkdir()
+    # star: hub 0 — leaves 1..5
+    pq.write_table(pa.table({
+        "src_host": pa.array([0, 0, 0, 0, 0], pa.int64()),
+        "dst_host": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+        d / "part-00000.parquet")
+    (d / "_DONE").write_text("test\n")
+    monkeypatch.setattr(pr, "generate_host_edges",
+                        lambda n_base=1000, **kw: str(d))
+    out = pr.host_degree_assortativity(SF).iloc[0]
+    assert out["n_edges"] == 5 and out["n_hosts"] == 6
+    assert out["assortativity"] == -1.0

@@ -1088,3 +1088,92 @@ def host_clustering_sql(n_base: int = 1000) -> str:
         FROM deg d LEFT JOIN tri t ON t.host = d.host
         WHERE d.degree >= 2
     """
+
+
+def host_degree_assortativity(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the undirected simple host
+    graph: the Pearson correlation of endpoint degrees over directed
+    edge stubs — positive means hubs link hubs (a crawl can exploit
+    that: hub-first scheduling saturates politeness budgets), negative
+    means hub-and-spoke.  With each undirected edge counted in both
+    orientations the moment sums are symmetric, so
+    r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) with EVERY term an exact
+    integer — one float division at the end (6 dp), no grid anywhere
+    else (the kmeans_label_ari integer-exactness pattern).
+
+    Scale shape: degrees are one endpoint-keyed count exchange; the
+    moment pass joins the node-count-bounded degree table back onto the
+    edge stream (broadcast here — a host table is small by construction;
+    a page-graph variant would swap in the bucketed hash join) and
+    reduces four integers."""
+    from .common import _cached_get, partial_groupby, sql_round
+
+    edges = _undirected_simple_edges(n_base)
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.concatenate([b["a"].to_numpy(np.int64),
+                                 b["b"].to_numpy(np.int64)])})
+
+    deg = partial_groupby(edges.map_batches(endpoints,
+                                            batch_format="pandas"),
+                          ["v"], {"deg": ("v", "count")},
+                          many_groups=True).to_pandas()
+    dmap = dict(zip(deg["v"].to_numpy(np.int64),
+                    deg["deg"].to_numpy(np.int64)))
+    ref = ray.put(dmap)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        dm = _cached_get(ref)
+        da = b["a"].map(dm).to_numpy(np.int64)
+        db = b["b"].map(dm).to_numpy(np.int64)
+        return pd.DataFrame({
+            "m": [np.int64(2 * len(b))],
+            "sx": [(da + db).sum()],
+            "sxx": [(da * da + db * db).sum()],
+            "sxy": [(2 * da * db).sum()]})
+
+    s = (edges.map_batches(moments, batch_format="pandas")
+         .to_pandas().sum())
+    m, sx, sxx, sxy = (int(s["m"]), int(s["sx"]), int(s["sxx"]),
+                       int(s["sxy"]))
+    den = m * sxx - sx * sx
+    r = float(sql_round((m * sxy - sx * sx) / den, 6)) if den else 0.0
+    return pd.DataFrame({
+        "n_edges": [np.int64(m // 2)],
+        "n_hosts": [np.int64(len(deg))],
+        "assortativity": [r]})
+
+
+def host_degree_assortativity_sql(n_base: int = 1000) -> str:
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        ),
+        deg AS (
+            SELECT v, count(*)::BIGINT AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1
+        ),
+        m AS (
+            SELECT da.d AS da, db.d AS db
+            FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+        ),
+        s AS (
+            SELECT 2 * count(*)::BIGINT AS m,
+                   sum(da + db)::BIGINT AS sx,
+                   sum(da * da + db * db)::BIGINT AS sxx,
+                   sum(2 * da * db)::BIGINT AS sxy
+            FROM m
+        )
+        SELECT (m / 2)::BIGINT AS n_edges,
+               (SELECT count(*) FROM deg)::BIGINT AS n_hosts,
+               CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+                    ELSE round((m * sxy - sx * sx)::DOUBLE
+                               / (m * sxx - sx * sx), 6)
+               END AS assortativity
+        FROM s
+    """
