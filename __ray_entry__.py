@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # V-optimal histogram: DP planner over coarse-bin sufficient
         # statistics (exact-parity DP, no rounding grid)
         "voptimal_histogram": relational.voptimal_histogram,
+        # Wasserstein-1 distance, integer CDF fold
+        "click_purchase_value_emd": relational.click_purchase_value_emd,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -1894,6 +1896,9 @@ def oracle_sql() -> dict[str, str]:
         "ams_join_size": relational.ams_join_size_sql(),
         # V-optimal: the DP unrolled one CTE per segment, same tie order
         "voptimal_histogram": relational.voptimal_histogram_sql(),
+        # EMD: cross-multiplied integer CDF difference, one division
+        "click_purchase_value_emd":
+            relational.click_purchase_value_emd_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

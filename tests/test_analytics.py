@@ -1649,3 +1649,36 @@ def test_assortativity_known_graphs(ray_session, tmp_path, monkeypatch):
     out = pr.host_degree_assortativity(SF).iloc[0]
     assert out["n_edges"] == 5 and out["n_hosts"] == 6
     assert out["assortativity"] == -1.0
+
+
+def test_emd_known_shift(ray_session, tmp_path):
+    """W1 between two point masses k bins apart equals k * bin_width;
+    identical distributions give zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import (EMD_BINS, VOPT_VMAX,
+                                                 click_purchase_value_emd)
+
+    w = VOPT_VMAX / EMD_BINS
+
+    def write(cv, pv, d):
+        d.mkdir(exist_ok=True)
+        et = ["click"] * len(cv) + ["purchase"] * len(pv)
+        v = list(cv) + list(pv)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(v)), pa.int64()),
+            "ts": pa.array([0] * len(v), pa.timestamp("us")),
+            "user_id": pa.array([0] * len(v), pa.int64()),
+            "event_type": pa.array(et),
+            "value": pa.array(v, pa.float64()),
+            "props": pa.array(["{}"] * len(v))}), d / "events.parquet")
+        return str(d)
+
+    # click mass at bin 2 (v=18), purchase mass at bin 10 (v=80)
+    r = click_purchase_value_emd(write([18.0] * 40, [80.0] * 40,
+                                       tmp_path / "a")).iloc[0]
+    assert r["emd_value"] == round(8 * w, 6)
+    r0 = click_purchase_value_emd(write([18.0] * 40, [18.0] * 10,
+                                        tmp_path / "b")).iloc[0]
+    assert r0["emd_value"] == 0.0 and r0["emd_numerator"] == 0

@@ -1754,3 +1754,96 @@ def voptimal_histogram_sql(nbins: int = VOPT_BINS, k: int = VOPT_K) -> str:
     parts.append(f"""
         SELECT * FROM ({sel}) ORDER BY seg_id""")
     return "".join(parts)
+
+
+EMD_BINS = 64
+
+
+def click_purchase_value_emd(sf_dir: str, nbins: int = EMD_BINS) -> pd.DataFrame:
+    """1-D EARTH MOVER'S DISTANCE (Wasserstein-1) between the click and
+    purchase value distributions on a fixed integer-edge grid — the
+    distribution-shift metric that, unlike PSI's per-bin ratio terms,
+    respects the ORDER of the value axis (mass moved two bins costs
+    twice one bin).  On a shared grid W1 = sum_bins |CDF_a - CDF_b| *
+    bin_width; cross-multiplying by both totals makes the running CDF
+    difference an exact integer (cum(na*Nb - nb*Na)), so the whole
+    statistic is one integer fold and a single final division — no
+    rounding grid anywhere but the last step.
+
+    Scale shape: one (side, bin) count partial pass; the 64-row CDF
+    fold runs driver-side."""
+    from .common import sql_round
+
+    w = VOPT_VMAX / nbins
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        return b.assign(
+            side=(b["event_type"] == "purchase").astype(np.int64),
+            bin=np.minimum(np.floor(b["value"].to_numpy(np.float64)
+                                    * nbins / VOPT_VMAX),
+                           nbins - 1).astype(np.int64))
+
+    c = partial_groupby(
+        load(sf_dir, "events", ["event_type", "value"]),
+        ["side", "bin"], {"n": ("bin", "count")}, prep=prep,
+    ).to_pandas()
+    full = np.arange(nbins, dtype=np.int64)
+    na = (pd.Series(0, index=full)
+          .add(c[c["side"] == 0].set_index("bin")["n"], fill_value=0)
+          .to_numpy(np.int64))
+    nb = (pd.Series(0, index=full)
+          .add(c[c["side"] == 1].set_index("bin")["n"], fill_value=0)
+          .to_numpy(np.int64))
+    Na, Nb = int(na.sum()), int(nb.sum())
+    diff = np.cumsum(na * Nb - nb * Na)          # exact integers
+    num = int(np.abs(diff[:-1]).sum())           # last entry is 0
+    emd = (float(sql_round(num * w / (Na * Nb), 6))
+           if Na and Nb else 0.0)
+    return pd.DataFrame({
+        "n_click": [np.int64(Na)], "n_purchase": [np.int64(Nb)],
+        "emd_numerator": [np.int64(num)],
+        "emd_value": [emd]})
+
+
+def click_purchase_value_emd_sql(nbins: int = EMD_BINS) -> str:
+    w = VOPT_VMAX / nbins
+    return f"""
+        WITH e AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS side,
+                   least(floor(value * {nbins} / {VOPT_VMAX}),
+                         {nbins - 1})::BIGINT AS bin
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        c AS (SELECT side, bin, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+        g AS (
+            SELECT r.range AS bin,
+                   coalesce((SELECT n FROM c WHERE side = 0
+                             AND c.bin = r.range), 0) AS na,
+                   coalesce((SELECT n FROM c WHERE side = 1
+                             AND c.bin = r.range), 0) AS nb
+            FROM range(0, {nbins}) r
+        ),
+        t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM g),
+        d AS (
+            SELECT bin,
+                   sum(na * (SELECT tb FROM t)
+                       - nb * (SELECT ta FROM t))
+                       OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cd
+            FROM g
+        )
+        SELECT (SELECT ta FROM t) AS n_click,
+               (SELECT tb FROM t) AS n_purchase,
+               sum(CASE WHEN bin < {nbins - 1} THEN abs(cd)
+                        ELSE 0 END)::BIGINT AS emd_numerator,
+               CASE WHEN (SELECT ta FROM t) = 0
+                      OR (SELECT tb FROM t) = 0 THEN 0.0
+                    ELSE round(sum(CASE WHEN bin < {nbins - 1}
+                                        THEN abs(cd) ELSE 0 END)
+                               * {w} / ((SELECT ta FROM t)
+                                        * (SELECT tb FROM t)), 6)
+               END AS emd_value
+        FROM d
+    """
