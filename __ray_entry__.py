@@ -653,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_docs": textops.bpe_encode_docs,
         # leakage-proof hash split with stratification audit
         "dataset_split_assign": textops.dataset_split_assign,
+        # Dunning LLR collocations (significance-test companion to PMI)
+        "token_llr_pairs": textops.token_llr_pairs,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -1540,6 +1542,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": textops.bpe_encode_docs_sql(),
         # hash split: identical md5 cuts from single float literals
         "dataset_split_assign": textops.dataset_split_assign_sql(),
+        # LLR: same counts, identical left-associated xlogx chain
+        "token_llr_pairs": textops.token_llr_pairs_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         "bm25_topk": _bm25_sql(),

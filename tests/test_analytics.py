@@ -1682,3 +1682,35 @@ def test_emd_known_shift(ray_session, tmp_path):
     r0 = click_purchase_value_emd(write([18.0] * 40, [18.0] * 10,
                                         tmp_path / "b")).iloc[0]
     assert r0["emd_value"] == 0.0 and r0["emd_numerator"] == 0
+
+
+def test_llr_planted_collocation(ray_session, tmp_path):
+    """A pair that always co-occurs scores far above an independent
+    pair with the same marginals, and the statistic matches a direct
+    2x2 G-test computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import token_llr_pairs
+
+    # "alpha beta" always together (20 docs); "gamma"/"delta" appear in
+    # 20 docs each but only overlap in 5; 40 filler docs
+    docs = (["alpha beta"] * 20
+            + ["gamma delta"] * 5 + ["gamma zz"] * 15 + ["delta yy"] * 15
+            + ["filler"] * 40)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}), tmp_path / "documents.parquet")
+    out = token_llr_pairs(str(tmp_path), min_count=5).set_index(["a", "b"])
+    ab = out.loc[("alpha", "beta"), "llr"]
+    gd = out.loc[("delta", "gamma"), "llr"]
+    assert ab > gd > 0
+
+    def xlx(x):
+        return x * np.log(x) if x > 0 else 0.0
+
+    n, cab, ca, cb = 95.0, 20.0, 20.0, 20.0
+    expect = 2 * (xlx(cab) + xlx(ca - cab) + xlx(cb - cab)
+                  + xlx(n - ca - cb + cab) - xlx(ca) - xlx(n - ca)
+                  - xlx(cb) - xlx(n - cb) + xlx(n))
+    assert abs(ab - expect) < 1e-3

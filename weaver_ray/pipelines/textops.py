@@ -340,6 +340,31 @@ def token_pmi_pairs(sf_dir: str, min_count: int = PMI_MIN_COUNT,
     vocab; at web scale the standard top-V cap bounds it the same way);
     pair counts and unary dfs ride two many_groups partial reduces; the
     top-k folds on the O(V^2) driver table."""
+    n_docs, dfc, p = _doc_cooccurrence_counts(sf_dir, min_count,
+                                              num_buckets)
+    ca = dfc.reindex(p["a"]).to_numpy(np.int64)
+    cb = dfc.reindex(p["b"]).to_numpy(np.int64)
+    cab = p["n"].to_numpy(np.int64)
+    # cast factors to float64 BEFORE multiplying (the caption_pixels_corr
+    # rule): an int64 product wraps silently at web-scale counts while the
+    # oracle's BIGINT product errors loudly — a parity break, not a wrap
+    pmi = sql_round(np.log2((float(n_docs) * cab.astype(np.float64))
+                            / (ca.astype(np.float64)
+                               * cb.astype(np.float64))), 6)
+    out = pd.DataFrame({"a": p["a"].to_numpy(), "b": p["b"].to_numpy(),
+                        "n_docs_ab": cab, "pmi": pmi})
+    out = (out.sort_values(["pmi", "a", "b"],
+                           ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def _doc_cooccurrence_counts(sf_dir: str, min_count: int,
+                             num_buckets: int):
+    """Shared doc-level co-occurrence machinery for the collocation
+    scorers (PMI, LLR): returns (n_docs, unary-df Series, pair table
+    with n >= min_count) from ONE sentinel-row reduce."""
     ds = load(sf_dir, "documents", ["doc_id", "text"])
 
     def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -377,22 +402,7 @@ def token_pmi_pairs(sf_dir: str, min_count: int = PMI_MIN_COUNT,
     n_docs = int(agg.loc[(agg["a"] == "") & (agg["b"] == ""), "n"].sum())
     dfc = (agg[(agg["b"] == "") & (agg["a"] != "")].set_index("a")["n"])
     p = agg[(agg["b"] != "") & (agg["n"] >= min_count)].copy()
-    ca = dfc.reindex(p["a"]).to_numpy(np.int64)
-    cb = dfc.reindex(p["b"]).to_numpy(np.int64)
-    cab = p["n"].to_numpy(np.int64)
-    # cast factors to float64 BEFORE multiplying (the caption_pixels_corr
-    # rule): an int64 product wraps silently at web-scale counts while the
-    # oracle's BIGINT product errors loudly — a parity break, not a wrap
-    pmi = sql_round(np.log2((float(n_docs) * cab.astype(np.float64))
-                            / (ca.astype(np.float64)
-                               * cb.astype(np.float64))), 6)
-    out = pd.DataFrame({"a": p["a"].to_numpy(), "b": p["b"].to_numpy(),
-                        "n_docs_ab": cab, "pmi": pmi})
-    out = (out.sort_values(["pmi", "a", "b"],
-                           ascending=[False, True, True])
-           .head(k).reset_index(drop=True))
-    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out
+    return n_docs, dfc, p
 
 
 def token_pmi_pairs_sql(min_count: int = PMI_MIN_COUNT,
@@ -2646,4 +2656,81 @@ def dataset_split_assign_sql() -> str:
                round(count(*)::DOUBLE
                      / (SELECT count(*) FROM documents), 6) AS frac
         FROM s GROUP BY 1, 2
+    """
+
+
+def token_llr_pairs(sf_dir: str, min_count: int = PMI_MIN_COUNT,
+                    k: int = PMI_K, num_buckets: int = 16) -> pd.DataFrame:
+    """TOP-K LOG-LIKELIHOOD-RATIO collocations (Dunning 1993) — the
+    significance-test companion to PMI: where PMI over-rewards rare
+    pairs, LLR weighs the full 2x2 doc-level contingency (both words /
+    one / neither), so high scores need EVIDENCE, not just lift.  Same
+    co-occurrence counts as token_pmi_pairs (one shared reduce:
+    _doc_cooccurrence_counts); the statistic is the entropy form
+    2 * (sum xlogx(cells) - sum xlogx(margins) + xlogx(N)) with
+    xlogx(0) = 0, written as the IDENTICAL left-associated chain on
+    both engines and rounded 4 dp before the (llr desc, a, b) rank."""
+    n_docs, dfc, p = _doc_cooccurrence_counts(sf_dir, min_count,
+                                              num_buckets)
+    ca = dfc.reindex(p["a"]).to_numpy(np.int64).astype(np.float64)
+    cb = dfc.reindex(p["b"]).to_numpy(np.int64).astype(np.float64)
+    k11 = p["n"].to_numpy(np.int64).astype(np.float64)
+    n = float(n_docs)
+
+    def xlx(x: np.ndarray) -> np.ndarray:
+        return np.where(x > 0, x * np.log(np.maximum(x, 1.0)), 0.0)
+
+    llr = 2.0 * (xlx(k11) + xlx(ca - k11) + xlx(cb - k11)
+                 + xlx(n - ca - cb + k11)
+                 - xlx(ca) - xlx(n - ca) - xlx(cb) - xlx(n - cb)
+                 + xlx(np.full_like(k11, n)))
+    out = pd.DataFrame({"a": p["a"].to_numpy(), "b": p["b"].to_numpy(),
+                        "n_docs_ab": p["n"].to_numpy(np.int64),
+                        "llr": sql_round(llr, 4)})
+    out = (out.sort_values(["llr", "a", "b"],
+                           ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def token_llr_pairs_sql(min_count: int = PMI_MIN_COUNT,
+                        k: int = PMI_K) -> str:
+    """Oracle: the same distinct-explode counts and the identical
+    left-associated xlogx chain."""
+    def xlx(e: str) -> str:
+        return f"(CASE WHEN ({e}) > 0 THEN ({e}) * ln({e}) ELSE 0.0 END)"
+
+    expr = ("2.0 * (" + xlx("k11") + " + " + xlx("ca - k11") + " + "
+            + xlx("cb - k11") + " + " + xlx("n - ca - cb + k11") + " - "
+            + xlx("ca") + " - " + xlx("n - ca") + " - " + xlx("cb")
+            + " - " + xlx("n - cb") + " + " + xlx("n") + ")")
+    return f"""
+        WITH u AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+            FROM documents
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        df_ AS (SELECT tok, count(*)::BIGINT AS c FROM u GROUP BY tok),
+        pc AS (
+            SELECT a.tok AS a, b.tok AS b, count(*)::BIGINT AS cab
+            FROM u a JOIN u b
+              ON b.doc_id = a.doc_id AND b.tok > a.tok
+            GROUP BY a.tok, b.tok
+        ),
+        cells AS (
+            SELECT pc.a, pc.b, pc.cab AS n_docs_ab,
+                   pc.cab::DOUBLE AS k11, da.c::DOUBLE AS ca,
+                   db.c::DOUBLE AS cb, nn.n AS n
+            FROM pc
+            JOIN df_ da ON da.tok = pc.a
+            JOIN df_ db ON db.tok = pc.b, nn
+            WHERE pc.cab >= {min_count}
+        ),
+        s AS (SELECT a, b, n_docs_ab, round({expr}, 4) AS llr FROM cells)
+        SELECT a, b, n_docs_ab, llr,
+               CAST(row_number() OVER (ORDER BY llr DESC, a, b)
+                    AS BIGINT) AS rank
+        FROM s QUALIFY rank <= {k}
     """
