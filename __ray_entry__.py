@@ -655,6 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split_assign": textops.dataset_split_assign,
         # Dunning LLR collocations (significance-test companion to PMI)
         "token_llr_pairs": textops.token_llr_pairs,
+        # Heaps'-law vocabulary-growth curve + OLS fit (one-pass
+        # first-occurrence reduction, no prefix rescans)
+        "heaps_law_fit": textops.heaps_law_fit,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -1544,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_assign": textops.dataset_split_assign_sql(),
         # LLR: same counts, identical left-associated xlogx chain
         "token_llr_pairs": textops.token_llr_pairs_sql(),
+        # Heaps: first-occurrence table + checkpoint counts + OLS
+        "heaps_law_fit": textops.heaps_law_fit_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         "bm25_topk": _bm25_sql(),

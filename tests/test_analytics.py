@@ -1714,3 +1714,33 @@ def test_llr_planted_collocation(ray_session, tmp_path):
                   + xlx(n - ca - cb + cab) - xlx(ca) - xlx(n - ca)
                   - xlx(cb) - xlx(n - cb) + xlx(n))
     assert abs(ab - expect) < 1e-3
+
+
+def test_heaps_law_fit_curve_properties(ray_session, tmp_path):
+    """Vocabulary growth is monotone and matches a sequential scan; a
+    closed-vocabulary corpus fits beta ~ 0, a mint-every-token corpus
+    fits beta ~ 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import heaps_law_fit
+
+    def write(docs, d):
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs)}), d / "documents.parquet")
+        return str(d)
+
+    closed = write(["aa bb cc"] * 64, tmp_path / "closed")
+    c = heaps_law_fit(closed)
+    assert (np.diff(c["vocab"]) >= 0).all()
+    assert c["vocab"].iloc[-1] == 3 and abs(c["beta"].iloc[0]) < 0.05
+
+    minty = write([f"tok{3*i} tok{3*i+1} tok{3*i+2}" for i in range(64)],
+                  tmp_path / "minty")
+    m = heaps_law_fit(minty)
+    assert m["vocab"].iloc[-1] == 192
+    assert abs(m["beta"].iloc[0] - 1.0) < 0.05
+    # sequential replay of the curve on the minty corpus
+    assert list(m["n_tokens"]) == [3 * k for k in list(m["k_docs"])]

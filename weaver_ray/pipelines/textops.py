@@ -2734,3 +2734,124 @@ def token_llr_pairs_sql(min_count: int = PMI_MIN_COUNT,
                     AS BIGINT) AS rank
         FROM s QUALIFY rank <= {k}
     """
+
+
+def heaps_law_fit(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """HEAPS'-LAW FIT of vocabulary growth V(T) ~ K * T^beta — the other
+    canonical corpus statistic next to Zipf: beta near 0.5 marks natural
+    text, beta near 1 marks unbounded-id noise (every doc mints new
+    tokens), beta near 0 marks a closed template vocabulary.  The growth
+    CURVE needs no multi-pass prefix scan: a token enters the vocabulary
+    at its FIRST document, so V(k docs) = #{tokens: min doc_id < k} —
+    one distributed (token -> min doc) reduce, then each power-of-two
+    checkpoint is a count over that table; T(k) folds from per-batch
+    conditional token-count partials.  OLS of log2 V on log2 T over the
+    checkpoints (the vocab_zipf_slope closed form), 4 dp.
+
+    Output: one row per checkpoint (docs, tokens, vocab) with the fitted
+    beta / logK / r2 replicated — curve and fit in one table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    cks = [1 << j for j in range(31) if (1 << j) < n_docs] + [n_docs]
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        d = pd.DataFrame({
+            "t": toks.explode().dropna().to_numpy(object),
+            "fd": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.str.len().to_numpy(np.int64))})
+        return d.groupby("t", sort=False)["fd"].min().reset_index()
+
+    first = partial_groupby(
+        ds.map_batches(first_partial, batch_format="pandas"),
+        ["t"], {"fd": ("fd", "min")}, many_groups=True,
+        num_buckets=num_buckets)
+
+    def vocab_counts(b: pd.DataFrame) -> pd.DataFrame:
+        fd = b["fd"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": np.asarray(cks, dtype=np.int64),
+            "v": np.asarray([(fd < k).sum() for k in cks], np.int64)})
+
+    def token_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        nt = toks.str.len().to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": np.asarray(cks, dtype=np.int64),
+            "t": np.asarray([nt[did < k].sum() for k in cks], np.int64)})
+
+    v = (first.map_batches(vocab_counts, batch_format="pandas")
+         .to_pandas().groupby("k")["v"].sum())
+    t = (ds.map_batches(token_counts, batch_format="pandas")
+         .to_pandas().groupby("k")["t"].sum())
+    curve = pd.DataFrame({"k_docs": np.asarray(cks, np.int64),
+                          "n_tokens": t.reindex(cks).to_numpy(np.int64),
+                          "vocab": v.reindex(cks).to_numpy(np.int64)})
+    m = curve[curve["n_tokens"] > 0]
+    x = np.log2(m["n_tokens"].to_numpy(np.float64))
+    y = np.log2(m["vocab"].to_numpy(np.float64))
+    kk = float(len(m))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    beta = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    logk = (sy - beta * sx) / kk
+    r2 = ((kk * sxy - sx * sy) ** 2
+          / ((kk * sxx - sx * sx) * (kk * syy - sy * sy)))
+    return curve.assign(
+        beta=float(sql_round(beta, 4)),
+        log2_k=float(sql_round(logk, 4)),
+        r2=float(sql_round(r2, 4)))
+
+
+def heaps_law_fit_sql() -> str:
+    """Oracle: first-occurrence table + per-checkpoint scalar counts +
+    the identical OLS closed form."""
+    return """
+        WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        cks AS (
+            SELECT (1::BIGINT << j.range) AS k
+            FROM range(0, 31) j, nn WHERE (1::BIGINT << j.range) < nn.n
+            UNION ALL SELECT n FROM nn
+        ),
+        tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                     '\\w+')) AS t
+            FROM documents
+        ),
+        fo AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+        tc AS (SELECT doc_id, count(*)::BIGINT AS nt FROM tok
+               GROUP BY doc_id),
+        curve AS (
+            SELECT cks.k AS k_docs,
+                   coalesce((SELECT sum(nt) FROM tc
+                             WHERE doc_id < cks.k), 0)::BIGINT AS n_tokens,
+                   (SELECT count(*) FROM fo WHERE fd < cks.k)::BIGINT
+                       AS vocab
+            FROM cks
+        ),
+        pts AS (
+            SELECT log2(n_tokens::DOUBLE) AS x, log2(vocab::DOUBLE) AS y
+            FROM curve WHERE n_tokens > 0
+        ),
+        s AS (SELECT count(*)::DOUBLE AS kk, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy,
+                     sum(y * y) AS syy
+              FROM pts)
+        SELECT c.k_docs, c.n_tokens, c.vocab,
+               round((kk * sxy - sx * sy) / (kk * sxx - sx * sx), 4)
+                   AS beta,
+               round((sy - (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+                      * sx) / kk, 4) AS log2_k,
+               round((kk * sxy - sx * sy) * (kk * sxy - sx * sy)
+                     / ((kk * sxx - sx * sx) * (kk * syy - sy * sy)), 4)
+                   AS r2
+        FROM curve c, s
+    """
