@@ -658,6 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps'-law vocabulary-growth curve + OLS fit (one-pass
         # first-occurrence reduction, no prefix rescans)
         "heaps_law_fit": textops.heaps_law_fit,
+        # Neyman variance-proportional stratified allocation + audit
+        "neyman_sample_docs": textops.neyman_sample_docs,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -1549,6 +1551,8 @@ def oracle_sql() -> dict[str, str]:
         "token_llr_pairs": textops.token_llr_pairs_sql(),
         # Heaps: first-occurrence table + checkpoint counts + OLS
         "heaps_law_fit": textops.heaps_law_fit_sql(),
+        # Neyman: exact integer moments, largest-remainder quotas
+        "neyman_sample_docs": textops.neyman_sample_docs_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         "bm25_topk": _bm25_sql(),

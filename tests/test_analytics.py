@@ -1744,3 +1744,33 @@ def test_heaps_law_fit_curve_properties(ray_session, tmp_path):
     assert abs(m["beta"].iloc[0] - 1.0) < 0.05
     # sequential replay of the curve on the minty corpus
     assert list(m["n_tokens"]) == [3 * k for k in list(m["k_docs"])]
+
+
+def test_neyman_allocation_properties(ray_session, tmp_path):
+    """Allocations sum to the budget, track N_h * sigma_h (the wide
+    stratum gets more than the constant one of equal size), selection
+    counts meet allocations, and small strata saturate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import neyman_sample_docs
+
+    rng = np.random.default_rng(5)
+    langs, chars = [], []
+    langs += ["wide"] * 200
+    chars += list(rng.integers(10, 2000, 200))     # high sigma
+    langs += ["tight"] * 200
+    chars += [500] * 200                            # sigma == 0
+    langs += ["tiny"] * 3
+    chars += list(rng.integers(10, 2000, 3))        # saturates
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array(["x"] * len(langs)),
+        "lang": pa.array(langs), "source": pa.array(["s"] * len(langs)),
+        "n_chars": pa.array([int(c) for c in chars], pa.int64())}),
+        tmp_path / "documents.parquet")
+    out = neyman_sample_docs(str(tmp_path), total=50).set_index("lang")
+    assert (out["n_selected"] == out["alloc"]).all()
+    assert out.loc["tight", "alloc"] == 0          # zero variance
+    assert out.loc["wide", "alloc"] >= 40
+    assert out.loc["tiny", "alloc"] <= 3

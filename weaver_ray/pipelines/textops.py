@@ -2855,3 +2855,128 @@ def heaps_law_fit_sql() -> str:
                    AS r2
         FROM curve c, s
     """
+
+
+NEYMAN_S = 100   # total sample budget across strata
+
+
+def neyman_sample_docs(sf_dir: str, total: int = NEYMAN_S,
+                       num_buckets: int = 16) -> pd.DataFrame:
+    """NEYMAN-ALLOCATION stratified sampling (Neyman 1934): the sample
+    budget splits across language strata proportionally to N_h * sigma_h
+    (size times spread of n_chars), the allocation that minimizes the
+    variance of the stratified mean — the statistically-right upgrade
+    over the equal/proportional allocation of stratified_sample_docs.
+    Fractional quotas resolve by LARGEST REMAINDER with the (remainder
+    desc, lang asc) tie order; selection within a stratum is the md5
+    hash-rank rule shared with every other sampler here.  Output is the
+    per-stratum audit: size, spread, quota, allocation, and the ACTUAL
+    selected count as the in-row certificate (equal unless a stratum is
+    smaller than its allocation, where it saturates).
+
+    Scale shape: one (lang) moment reduce, the quota fold on the
+    handful-of-strata driver table, one lang-keyed selection exchange."""
+    from .common import keyed_map_groups, partial_groupby, sql_round
+
+    ds = load(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        # INTEGER moments (n_chars is int): the partial sums are exact,
+        # so sigma/quota are identical doubles on both engines and the
+        # floor/remainder allocation can never flip on summation order
+        x = b["n_chars"].to_numpy(np.int64)
+        return b.assign(x=x, xx=x * x)
+
+    m = partial_groupby(
+        ds, ["lang"],
+        {"n": ("x", "count"), "s": ("x", "sum"), "ss": ("xx", "sum")},
+        prep=prep).to_pandas().sort_values("lang").reset_index(drop=True)
+    n = m["n"].to_numpy(np.int64).astype(np.float64)
+    s = m["s"].to_numpy(np.int64).astype(np.float64)
+    ss = m["ss"].to_numpy(np.int64).astype(np.float64)
+    var = np.where(n > 1, (n * ss - s * s) / (n * (n - 1.0)), 0.0)
+    sigma = np.sqrt(np.maximum(var, 0.0))
+    w = n * sigma
+    quota = total * w / w.sum()
+    base = np.floor(quota)
+    leftover = int(total - base.sum())
+    rem_rank = np.lexsort((m["lang"].to_numpy(object), -(quota - base)))
+    alloc = base.astype(np.int64)
+    alloc[rem_rank[:leftover]] += 1
+    alloc = np.minimum(alloc, n.astype(np.int64))   # saturate small strata
+    alloc_map = dict(zip(m["lang"], alloc))
+
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.assign(__k=_md5_doc_key(bucket["doc_id"]))
+        g = g.sort_values(["lang", "__k"])
+        rk = g.groupby("lang", sort=False).cumcount()
+        cap = g["lang"].map(alloc_map).fillna(0).to_numpy(np.int64)
+        kept = g[rk.to_numpy() < cap]
+        out = kept.groupby("lang", sort=False).size()
+        return pd.DataFrame({"lang": out.index.to_numpy(object),
+                             "n_selected": out.to_numpy(np.int64)})
+
+    sel = (keyed_map_groups(ds, "lang", pick, num_buckets).to_pandas()
+           .groupby("lang")["n_selected"].sum())
+    return pd.DataFrame({
+        "lang": m["lang"].to_numpy(object),
+        "n_docs": m["n"].to_numpy(np.int64),
+        "sigma": sql_round(sigma, 6),
+        "alloc": alloc,
+        "n_selected": sel.reindex(m["lang"]).fillna(0)
+                         .to_numpy(np.int64)})
+
+
+def neyman_sample_docs_sql(total: int = NEYMAN_S) -> str:
+    """Oracle: identical float-cast moment variance, largest-remainder
+    quotas with the same tie order, md5 hash-rank selection."""
+    return f"""
+        WITH m AS (
+            SELECT lang, count(*)::BIGINT::DOUBLE AS n,
+                   sum(n_chars)::BIGINT::DOUBLE AS s,
+                   sum(n_chars * n_chars)::BIGINT::DOUBLE AS ss
+            FROM documents GROUP BY lang
+        ),
+        v AS (
+            SELECT lang, n,
+                   sqrt(greatest(CASE WHEN n > 1
+                        THEN (n * ss - s * s) / (n * (n - 1.0))
+                        ELSE 0.0 END, 0.0)) AS sigma
+            FROM m
+        ),
+        q AS (
+            SELECT lang, n, sigma,
+                   {total} * n * sigma / (SELECT sum(n * sigma) FROM v)
+                       AS quota
+            FROM v
+        ),
+        b AS (
+            SELECT lang, n, sigma, quota, floor(quota) AS base,
+                   row_number() OVER (ORDER BY quota - floor(quota) DESC,
+                                      lang) AS rr
+            FROM q
+        ),
+        a AS (
+            SELECT lang, n, sigma,
+                   least(CAST(base + CASE WHEN rr <=
+                           {total} - (SELECT sum(base) FROM b)
+                         THEN 1 ELSE 0 END AS BIGINT),
+                         CAST(n AS BIGINT)) AS alloc
+            FROM b
+        ),
+        r AS (
+            SELECT lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+            FROM documents
+        ),
+        sel AS (
+            SELECT r.lang, count(*)::BIGINT AS n_selected
+            FROM r JOIN a ON a.lang = r.lang
+            WHERE r.rk <= a.alloc GROUP BY r.lang
+        )
+        SELECT a.lang, CAST(a.n AS BIGINT) AS n_docs,
+               round(a.sigma, 6) AS sigma, a.alloc,
+               coalesce(sel.n_selected, 0) AS n_selected
+        FROM a LEFT JOIN sel USING (lang)
+    """
