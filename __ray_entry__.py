@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voptimal_histogram": relational.voptimal_histogram,
         # Wasserstein-1 distance, integer CDF fold
         "click_purchase_value_emd": relational.click_purchase_value_emd,
+        # bloom block index: equality-predicate data skipping + audit
+        "bloom_index_prune": relational.bloom_index_prune,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -1912,6 +1914,8 @@ def oracle_sql() -> dict[str, str]:
         # EMD: cross-multiplied integer CDF difference, one division
         "click_purchase_value_emd":
             relational.click_purchase_value_emd_sql(),
+        # bloom index: identical md5 residues, all-K-positions join
+        "bloom_index_prune": relational.bloom_index_prune_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

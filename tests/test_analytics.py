@@ -1774,3 +1774,26 @@ def test_neyman_allocation_properties(ray_session, tmp_path):
     assert out.loc["tight", "alloc"] == 0          # zero variance
     assert out.loc["wide", "alloc"] >= 40
     assert out.loc["tiny", "alloc"] <= 3
+
+
+def test_bloom_index_guarantees(ray_session):
+    """Zero false negatives (candidates >= actuals per probe), the
+    absent probe has zero actual blocks, and actual counts match a
+    direct scan."""
+    import duckdb
+
+    from weaver_ray.pipelines.relational import (BLIDX_NBLOCKS,
+                                                 BLIDX_PROBES,
+                                                 bloom_index_prune)
+
+    out = bloom_index_prune(SF).set_index("user_id")
+    assert (out["n_blocks_candidate"] >= out["n_blocks_actual"]).all()
+    assert (out["n_false_positive"] >= 0).all()
+    assert out.loc[99999, "n_blocks_actual"] == 0
+
+    df = duckdb.sql(f"SELECT event_id, user_id "
+                    f"FROM '{SF}/events.parquet'").df()
+    span = (len(df) - 1) // BLIDX_NBLOCKS + 1
+    for u in BLIDX_PROBES[:3]:
+        blocks = set(df.loc[df["user_id"] == u, "event_id"] // span)
+        assert out.loc[u, "n_blocks_actual"] == len(blocks)

@@ -1847,3 +1847,127 @@ def click_purchase_value_emd_sql(nbins: int = EMD_BINS) -> str:
                END AS emd_value
         FROM d
     """
+
+
+BLIDX_NBLOCKS = 64
+BLIDX_BITS = 256      # bloom bits per block
+BLIDX_K = 3           # hash functions
+BLIDX_PROBES = (1, 31, 61, 91, 121, 99999)   # last one is absent
+
+
+def bloom_index_prune(sf_dir: str, nblocks: int = BLIDX_NBLOCKS) -> pd.DataFrame:
+    """BLOOM-FILTER BLOCK INDEX: the equality-predicate companion to the
+    zone maps — per event_id block, a 256-bit bloom over user_id; a
+    point lookup "user = X" scans only blocks whose bloom holds all
+    three hash positions of X.  Output is the per-probe prune audit:
+    candidate blocks (bloom says maybe), actual blocks (exact), and the
+    false-positive count — with the bloom guarantees in-row (candidates
+    >= actuals always; an absent user can still have candidates, never
+    actuals).  Every bit position is an md5 residue, so the whole audit
+    is integer-exact on both engines.
+
+    Scale shape: per-batch (block, bit) DISTINCT partials (bounded by
+    nblocks x bits regardless of row count — the bitmap property), one
+    tiny reduce; the probe fold touches only that bounded table plus a
+    probe-filtered exact pass."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .common import md5_hex
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    span = (n - 1) // nblocks + 1
+
+    ds = load(sf_dir, "events", ["event_id", "user_id"])
+
+    def bits(b: pd.DataFrame) -> pd.DataFrame:
+        blk = b["event_id"].to_numpy(np.int64) // span
+        outs = []
+        for j in range(BLIDX_K):
+            pos = np.array([int(h[:13], 16) % BLIDX_BITS for h in
+                            md5_hex(f"{j}|{int(u)}"
+                                    for u in b["user_id"])],
+                           dtype=np.int64)
+            outs.append(pd.DataFrame({"blk": blk, "pos": pos}))
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    bitset = partial_groupby(
+        ds.map_batches(bits, batch_format="pandas"),
+        ["blk", "pos"], {"n": ("pos", "count")},
+        many_groups=True).to_pandas()   # up to nblocks*bits groups
+
+    def actual(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["user_id"].isin(BLIDX_PROBES)]
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "blk": m["event_id"].to_numpy(np.int64) // span,
+        }).drop_duplicates()
+
+    act = partial_groupby(
+        ds.map_batches(actual, batch_format="pandas"),
+        ["user_id", "blk"], {"n": ("blk", "count")},
+        many_groups=True, num_buckets=4).to_pandas()
+
+    have = set(zip(bitset["blk"].astype(int), bitset["pos"].astype(int)))
+    nblk = int(bitset["blk"].max()) + 1 if len(bitset) else 0
+    rows = []
+    for u in BLIDX_PROBES:
+        pos = [int(h[:13], 16) % BLIDX_BITS
+               for h in md5_hex(f"{j}|{u}" for j in range(BLIDX_K))]
+        cand = sum(1 for blk in range(nblk)
+                   if all((blk, p) in have for p in pos))
+        a = int((act["user_id"] == u).sum())
+        rows.append((u, cand, a, cand - a))
+    return pd.DataFrame(rows, columns=["user_id", "n_blocks_candidate",
+                                       "n_blocks_actual",
+                                       "n_false_positive"]).astype(
+        {"user_id": np.int64, "n_blocks_candidate": np.int64,
+         "n_blocks_actual": np.int64, "n_false_positive": np.int64})
+
+
+def bloom_index_prune_sql(nblocks: int = BLIDX_NBLOCKS) -> str:
+    probes = ", ".join(f"({u})" for u in BLIDX_PROBES)
+    return f"""
+        WITH sp AS (SELECT (SELECT max(event_id) FROM events)
+                        // {nblocks} + 1 AS span),
+        bits AS (
+            SELECT DISTINCT event_id // (SELECT span FROM sp) AS blk,
+                   CAST(concat('0x', substr(md5(CAST(j.range AS VARCHAR)
+                        || '|' || CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) % {BLIDX_BITS} AS pos
+            FROM events, range(0, {BLIDX_K}) j
+        ),
+        p AS (SELECT * FROM (VALUES {probes}) t(user_id)),
+        ppos AS (
+            SELECT p.user_id, j.range AS j,
+                   CAST(concat('0x', substr(md5(CAST(j.range AS VARCHAR)
+                        || '|' || CAST(p.user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) % {BLIDX_BITS} AS pos
+            FROM p, range(0, {BLIDX_K}) j
+        ),
+        cand AS (
+            SELECT pp.user_id, b.blk
+            FROM (SELECT DISTINCT blk FROM bits) bl
+            CROSS JOIN (SELECT DISTINCT user_id FROM ppos) pu
+            JOIN ppos pp ON pp.user_id = pu.user_id
+            JOIN bits b ON b.blk = bl.blk AND b.pos = pp.pos
+            GROUP BY pp.user_id, b.blk
+            HAVING count(DISTINCT pp.j) = {BLIDX_K}
+        ),
+        actual AS (
+            SELECT DISTINCT user_id,
+                   event_id // (SELECT span FROM sp) AS blk
+            FROM events
+            WHERE user_id IN (SELECT user_id FROM p)
+        )
+        SELECT p.user_id::BIGINT AS user_id,
+               coalesce(c.n, 0) AS n_blocks_candidate,
+               coalesce(a.n, 0) AS n_blocks_actual,
+               coalesce(c.n, 0) - coalesce(a.n, 0) AS n_false_positive
+        FROM p
+        LEFT JOIN (SELECT user_id, count(*)::BIGINT AS n FROM cand
+                   GROUP BY 1) c USING (user_id)
+        LEFT JOIN (SELECT user_id, count(*)::BIGINT AS n FROM actual
+                   GROUP BY 1) a USING (user_id)
+    """
