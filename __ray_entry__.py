@@ -542,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_value_emd": relational.click_purchase_value_emd,
         # bloom block index: equality-predicate data skipping + audit
         "bloom_index_prune": relational.bloom_index_prune,
+        # information-gain decision stump over value bins
+        "decision_stump_value_type": relational.decision_stump_value_type,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -1916,6 +1918,9 @@ def oracle_sql() -> dict[str, str]:
             relational.click_purchase_value_emd_sql(),
         # bloom index: identical md5 residues, all-K-positions join
         "bloom_index_prune": relational.bloom_index_prune_sql(),
+        # stump: same xlogx entropies, 1e-9 argmax grid
+        "decision_stump_value_type":
+            relational.decision_stump_value_type_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

@@ -1797,3 +1797,35 @@ def test_bloom_index_guarantees(ray_session):
     for u in BLIDX_PROBES[:3]:
         blocks = set(df.loc[df["user_id"] == u, "event_id"] // span)
         assert out.loc[u, "n_blocks_actual"] == len(blocks)
+
+
+def test_decision_stump_planted_split(ray_session, tmp_path):
+    """A perfectly separable planted table recovers the true threshold
+    with gain == the root entropy (all uncertainty removed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import (VOPT_VMAX, STUMP_BINS,
+                                                 decision_stump_value_type)
+
+    w = VOPT_VMAX / STUMP_BINS
+    # class A strictly below edge 16, class B strictly above
+    vals = [5.0] * 60 + [200.0] * 40
+    et = ["low"] * 60 + ["high"] * 40
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(100), pa.int64()),
+        "ts": pa.array([0] * 100, pa.timestamp("us")),
+        "user_id": pa.array([0] * 100, pa.int64()),
+        "event_type": pa.array(et),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * 100)}), tmp_path / "events.parquet")
+    out = decision_stump_value_type(str(tmp_path))
+    best = out["best_edge"].iloc[0]
+    # any edge strictly between the two masses separates perfectly
+    assert 5.0 / w < best <= 200.0 / w
+    p = 0.6
+    h_root = -(p * np.log(p) + (1 - p) * np.log(1 - p))
+    assert abs(out["best_gain"].iloc[0] - h_root) < 1e-4
+    # the profile row at the best edge carries the same gain
+    assert (out.set_index("edge").loc[best, "gain"]
+            == out["best_gain"].iloc[0])

@@ -1971,3 +1971,128 @@ def bloom_index_prune_sql(nblocks: int = BLIDX_NBLOCKS) -> str:
         LEFT JOIN (SELECT user_id, count(*)::BIGINT AS n FROM actual
                    GROUP BY 1) a USING (user_id)
     """
+
+
+STUMP_BINS = 64
+
+
+def decision_stump_value_type(sf_dir: str,
+                              nbins: int = STUMP_BINS) -> pd.DataFrame:
+    """DECISION-STUMP SPLIT SEARCH: the best single threshold on value
+    for predicting event_type by INFORMATION GAIN — the inner loop of
+    tree learners (and of feature-audit tooling: a high-gain split on a
+    'neutral' column flags leakage).  Candidate thresholds are the
+    ``nbins`` integer-grid bin edges; class counts left/right of each
+    edge fold from ONE (bin, type) count pass via prefix sums, so the
+    search costs one tiny reduce, not nbins scans.  Entropies use the
+    exact-integer-count xlogx form; every candidate's gain is the same
+    expression tree on both engines, rounded to 1e-9 before the
+    (gain desc, edge asc) argmax (the kmeans comparison idiom).
+
+    Output: one row per candidate edge (the full gain profile) with the
+    chosen edge and its gain replicated — profile and decision in one
+    table."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            bin=np.minimum(np.floor(b["value"].to_numpy(np.float64)
+                                    * nbins / VOPT_VMAX),
+                           nbins - 1).astype(np.int64))
+
+    c = partial_groupby(
+        load(sf_dir, "events", ["event_type", "value"]),
+        ["bin", "event_type"], {"n": ("bin", "count")}, prep=prep,
+        many_groups=True, num_buckets=8).to_pandas()
+    types = sorted(c["event_type"].unique())
+    M = (c.pivot_table(index="bin", columns="event_type", values="n",
+                       fill_value=0, aggfunc="sum")
+         .reindex(range(nbins), fill_value=0)
+         .reindex(columns=types, fill_value=0)
+         .to_numpy(np.float64))
+    tot = M.sum(axis=0)
+    n = tot.sum()
+
+    def ent(counts: np.ndarray, m: float) -> float:
+        # H in nats times m (the xlogx form): m*ln(m) - sum c*ln(c)
+        s = 0.0
+        for x in counts:
+            if x > 0:
+                s = s + x * np.log(x)
+        return (m * np.log(m) if m > 0 else 0.0) - s
+
+    h_root = ent(tot, n)
+    left = np.zeros_like(tot)
+    rows = []
+    for e in range(1, nbins):      # split: bin < e vs bin >= e
+        left = left + M[e - 1]
+        right = tot - left
+        nl, nr = left.sum(), right.sum()
+        gain = (h_root - ent(left, nl) - ent(right, nr)) / n
+        rows.append((e, int(nl), float(sql_round(gain, 9))))
+    prof = pd.DataFrame(rows, columns=["edge", "n_left", "gain"])
+    best = prof.sort_values(["gain", "edge"],
+                            ascending=[False, True]).iloc[0]
+    return pd.DataFrame({
+        "edge": prof["edge"].astype(np.int64),
+        "n_left": prof["n_left"].astype(np.int64),
+        "gain": sql_round(prof["gain"].to_numpy(), 6),
+        "best_edge": np.full(len(prof), np.int64(best["edge"])),
+        "best_gain": np.full(len(prof),
+                             float(sql_round(best["gain"], 6)))})
+
+
+def decision_stump_value_type_sql(nbins: int = STUMP_BINS) -> str:
+    """Oracle: the identical xlogx entropies over exact integer counts,
+    per-edge left/right folds from the same (bin, type) table, argmax on
+    the 1e-9 grid with the (gain desc, edge) tie order."""
+    return f"""
+        WITH e AS (
+            SELECT least(floor(value * {nbins} / {VOPT_VMAX}),
+                         {nbins - 1})::BIGINT AS bin, event_type
+            FROM events
+        ),
+        c AS (SELECT bin, event_type, count(*)::DOUBLE AS n FROM e
+              GROUP BY 1, 2),
+        tot AS (SELECT event_type, sum(n) AS m FROM c GROUP BY 1),
+        nn AS (SELECT sum(m) AS n FROM tot),
+        hroot AS (
+            SELECT (SELECT CASE WHEN n > 0 THEN n * ln(n) ELSE 0.0 END
+                    FROM nn)
+                   - sum(CASE WHEN m > 0 THEN m * ln(m) ELSE 0.0 END) AS h
+            FROM tot
+        ),
+        edges AS (SELECT range AS e FROM range(1, {nbins})),
+        lc AS (
+            SELECT edges.e, t.event_type, coalesce(sum(c.n), 0.0) AS l
+            FROM edges CROSS JOIN (SELECT event_type FROM tot) t
+            LEFT JOIN c ON c.event_type = t.event_type AND c.bin < edges.e
+            GROUP BY 1, 2
+        ),
+        side AS (
+            SELECT lc.e, lc.l, tot.m - lc.l AS r
+            FROM lc JOIN tot USING (event_type)
+        ),
+        g AS (
+            SELECT e, sum(l) AS nl, sum(r) AS nr,
+                   sum(CASE WHEN l > 0 THEN l * ln(l) ELSE 0.0 END) AS sl,
+                   sum(CASE WHEN r > 0 THEN r * ln(r) ELSE 0.0 END) AS sr
+            FROM side GROUP BY e
+        ),
+        gain AS (
+            SELECT e, CAST(nl AS BIGINT) AS n_left,
+                   round(((SELECT h FROM hroot)
+                          - ((CASE WHEN nl > 0 THEN nl * ln(nl)
+                              ELSE 0.0 END) - sl)
+                          - ((CASE WHEN nr > 0 THEN nr * ln(nr)
+                              ELSE 0.0 END) - sr))
+                         / (SELECT n FROM nn), 9) AS g9
+            FROM g
+        ),
+        best AS (SELECT e AS be, g9 AS bg FROM gain
+                 ORDER BY g9 DESC, e LIMIT 1)
+        SELECT e::BIGINT AS edge, n_left, round(g9, 6) AS gain,
+               (SELECT be FROM best)::BIGINT AS best_edge,
+               round((SELECT bg FROM best), 6) AS best_gain
+        FROM gain
+    """
