@@ -472,6 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": pagerank.host_pagerank,
         # Newman degree assortativity, integer-exact moment sums
         "host_degree_assortativity": pagerank.host_degree_assortativity,
+        # Boruvka minimum spanning forest (log-round contraction)
+        "host_mst_boruvka": pagerank.host_mst_boruvka,
         # per-host triangle counts (compact-forward wedge join)
         "host_triangles": pagerank.host_triangles,
         # directed BFS depth from the crawl's seed pages (frontier geometry:
@@ -3033,8 +3035,11 @@ def oracle_sql() -> dict[str, str]:
     d["zorder_events"] = zorder_events_sql()
     d["host_pagerank"] = pagerank_sql()
     # assortativity: identical edge normalization + integer moments
-    from weaver_ray.pipelines.pagerank import host_degree_assortativity_sql
+    from weaver_ray.pipelines.pagerank import (host_degree_assortativity_sql,
+                                               host_mst_boruvka_sql)
     d["host_degree_assortativity"] = host_degree_assortativity_sql()
+    # MSF: cycle-property oracle (unique forest under the lex order)
+    d["host_mst_boruvka"] = host_mst_boruvka_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list

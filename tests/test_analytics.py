@@ -1829,3 +1829,45 @@ def test_decision_stump_planted_split(ray_session, tmp_path):
     # the profile row at the best edge carries the same gain
     assert (out.set_index("edge").loc[best, "gain"]
             == out["best_gain"].iloc[0])
+
+
+def test_mst_boruvka_vs_kruskal_replay(ray_session):
+    """The distributed Boruvka forest equals a sequential Kruskal with
+    the same (w, a, b) tie order on the real host graph; tree invariants
+    hold (|E| = |V| - #components, spans all components)."""
+    import duckdb
+
+    from weaver_ray.pipelines.pagerank import (generate_host_edges,
+                                               host_mst_boruvka)
+
+    out = host_mst_boruvka(SF)
+    glob = generate_host_edges(1000) + "/part-*.parquet"
+    e = duckdb.sql(f"""
+        SELECT least(src_host, dst_host) AS a,
+               greatest(src_host, dst_host) AS b, count(*)::BIGINT AS w
+        FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        GROUP BY 1, 2""").df()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = []
+    for r in e.sort_values(["w", "a", "b"]).itertuples(index=False):
+        ra, rb = find(int(r.a)), find(int(r.b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            kruskal.append((int(r.a), int(r.b), int(r.w)))
+    expect = set(kruskal)
+    got = set(zip(out["a"].astype(int), out["b"].astype(int),
+                  out["w"].astype(int)))
+    assert got == expect
+    nodes = set(e["a"]).union(set(e["b"]))
+    n_comp = len({find(v) for v in nodes})
+    assert len(out) == len(nodes) - n_comp
+    assert out["n_components"].iloc[0] == n_comp
+    assert out["total_w"].iloc[0] == sum(w for _a, _b, w in expect)

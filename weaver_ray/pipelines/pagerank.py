@@ -1177,3 +1177,145 @@ def host_degree_assortativity_sql(n_base: int = 1000) -> str:
                END AS assortativity
         FROM s
     """
+
+
+def host_mst_boruvka(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """MINIMUM SPANNING FOREST of the weighted host graph by BORUVKA's
+    algorithm (1926; the distributed-MST workhorse — each round every
+    component picks its lightest outgoing edge and components contract,
+    so rounds are O(log n) and each round is one edge scan): weight =
+    link multiplicity (parallel directed links between the host pair),
+    minimized with the (w, a, b) lexicographic tie order, which makes
+    every weight distinct and the forest UNIQUE — the property the
+    oracle leans on (cycle rule: an edge is in the MSF iff its endpoints
+    are NOT connected by strictly lighter edges).
+
+    Engine shape: the edge multiset reduces once to (a, b, w); each
+    round is one map_batches over the edge Dataset with the component
+    labels broadcast (label state is NODE-bounded — for a page-scale
+    graph swap in neardup_clusters' pointer-jumping label Dataset), a
+    per-component min-candidate partial, and a component contraction
+    over at most #components chosen edges (halving per round).
+
+    Output: the forest edges + replicated total weight / component
+    count — the certificate a spanning-structure consumer checks."""
+    from .common import _cached_get, partial_groupby, sql_round
+
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    raw = rd.read_parquet(files)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src_host"].to_numpy(np.int64)
+        d_ = df["dst_host"].to_numpy(np.int64)
+        keep = s != d_
+        return pd.DataFrame({"a": np.minimum(s, d_)[keep],
+                             "b": np.maximum(s, d_)[keep]})
+
+    ew = partial_groupby(raw, ["a", "b"], {"w": ("a", "count")},
+                         prep=norm, many_groups=True).materialize()
+
+    nodes = sorted(set(ew.to_pandas()["a"]).union(
+        set(ew.to_pandas()["b"])))
+    label = {int(v): int(v) for v in nodes}
+    chosen: list[tuple[int, int, int]] = []
+
+    while True:
+        ref = ray.put(dict(label))
+
+        def cand(df: pd.DataFrame) -> pd.DataFrame:
+            lab = _cached_get(ref)
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            w = df["w"].to_numpy(np.int64)
+            ca = np.array([lab[int(x)] for x in a], dtype=np.int64)
+            cb = np.array([lab[int(x)] for x in b], dtype=np.int64)
+            m = ca != cb
+            if not m.any():
+                return pd.DataFrame({"comp": pd.Series([], dtype=np.int64),
+                                     "w": pd.Series([], dtype=np.int64),
+                                     "a": pd.Series([], dtype=np.int64),
+                                     "b": pd.Series([], dtype=np.int64)})
+            d = pd.DataFrame({
+                "comp": np.concatenate([ca[m], cb[m]]),
+                "w": np.concatenate([w[m], w[m]]),
+                "a": np.concatenate([a[m], a[m]]),
+                "b": np.concatenate([b[m], b[m]])})
+            # per-component lightest candidate within the batch
+            d = d.sort_values(["comp", "w", "a", "b"])
+            return d.groupby("comp", sort=False).head(1)
+
+        cands = ew.map_batches(cand, batch_format="pandas").to_pandas()
+        if not len(cands):
+            break
+        cands = (cands.sort_values(["comp", "w", "a", "b"])
+                 .groupby("comp", sort=False).head(1))
+        # contract: union-find over the (<= #components) chosen edges
+        picked = {(int(r.w), int(r.a), int(r.b)) for r in
+                  cands.itertuples(index=False)}
+        added = False
+        for w_, a_, b_ in sorted(picked):
+            ra, rb = label[a_], label[b_]
+            while ra != label[ra]:
+                ra = label[ra]
+            while rb != label[rb]:
+                rb = label[rb]
+            if ra != rb:
+                label[max(ra, rb)] = min(ra, rb)
+                chosen.append((a_, b_, w_))
+                added = True
+        # path-compress so the broadcast map is one hop
+        for v in label:
+            r = v
+            while r != label[r]:
+                r = label[r]
+            label[v] = r
+        if not added:
+            break
+
+    out = (pd.DataFrame(chosen, columns=["a", "b", "w"])
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    n_comp = len({label[v] for v in label})
+    return pd.DataFrame({
+        "a": out["a"].astype(np.int64), "b": out["b"].astype(np.int64),
+        "w": out["w"].astype(np.int64),
+        "total_w": np.full(len(out), np.int64(out["w"].sum())),
+        "n_components": np.full(len(out), np.int64(n_comp))})
+
+
+def host_mst_boruvka_sql(n_base: int = 1000) -> str:
+    """Oracle via the CYCLE PROPERTY (valid because the (w, a, b) lex
+    order makes weights distinct): an edge is in the unique MSF iff its
+    endpoints are not connected using strictly lighter edges — one
+    recursive closure over (edge, reachable-node) states."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    return f"""
+        WITH e AS (
+            SELECT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b,
+                   count(*)::BIGINT AS w
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+            GROUP BY 1, 2
+        ),
+        mst AS (
+            WITH RECURSIVE r(ea, eb, ew, n) AS (
+                SELECT a, b, w, a FROM e
+                UNION
+                SELECT r.ea, r.eb, r.ew,
+                       CASE WHEN l.a = r.n THEN l.b ELSE l.a END
+                FROM r JOIN e l ON (l.a = r.n OR l.b = r.n)
+                WHERE (l.w, l.a, l.b) < (r.ew, r.ea, r.eb)
+            )
+            SELECT e.a, e.b, e.w FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM r
+                              WHERE r.ea = e.a AND r.eb = e.b
+                                AND r.ew = e.w AND r.n = e.b)
+        ),
+        nn AS (SELECT count(DISTINCT v)::BIGINT AS n FROM (
+                   SELECT a AS v FROM e UNION SELECT b FROM e))
+        SELECT a::BIGINT AS a, b::BIGINT AS b, w,
+               (SELECT sum(w) FROM mst)::BIGINT AS total_w,
+               ((SELECT n FROM nn)
+                - (SELECT count(*) FROM mst))::BIGINT AS n_components
+        FROM mst
+    """
