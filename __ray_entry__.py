@@ -758,6 +758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": similarity.kcenter_coreset,
         # sign-random-projection LSH candidates (fixed-point exact)
         "srp_band_candidates": similarity.srp_band_candidates,
+        # Matryoshka prefix-vs-full retrieval recall certificate
+        "matryoshka_recall": similarity.matryoshka_recall,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -3097,6 +3099,9 @@ def oracle_sql() -> dict[str, str]:
     d["kcenter_coreset"] = kcenter_coreset_sql()
     # SRP: identical parity signs + exact fixed-point projections
     d["srp_band_candidates"] = srp_band_candidates_sql()
+    # Matryoshka: both rankings via list_cosine_similarity windows
+    from weaver_ray.pipelines.similarity import matryoshka_recall_sql
+    d["matryoshka_recall"] = matryoshka_recall_sql()
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()

@@ -173,6 +173,15 @@ QUERY_NAMES = [
     "dataset_split_assign",
     "srp_band_candidates",
     "voptimal_histogram",
+    # block-27 additions
+    "click_purchase_value_emd",
+    "token_llr_pairs",
+    "heaps_law_fit",
+    "neyman_sample_docs",
+    "bloom_index_prune",
+    "decision_stump_value_type",
+    "host_degree_assortativity",
+    "host_mst_boruvka",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a

@@ -1871,3 +1871,38 @@ def test_mst_boruvka_vs_kruskal_replay(ray_session):
     assert len(out) == len(nodes) - n_comp
     assert out["n_components"].iloc[0] == n_comp
     assert out["total_w"].iloc[0] == sum(w for _a, _b, w in expect)
+
+
+def test_matryoshka_recall_bruteforce_replay(ray_session):
+    """Per-query overlap equals a brute-force replay of both rankings,
+    full-prefix (trivially) gives recall 1 when prefix == dim, and mean
+    reconstructs from the rows."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import (MRL_K, MRL_PREFIX,
+                                                 MRL_QUERIES,
+                                                 matryoshka_recall)
+
+    out = matryoshka_recall(SF).set_index("query_id")
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+
+    def topk(Q, E, qid):
+        m = ids != qid
+        cos = (Q / np.linalg.norm(Q)) @ (
+            E[m] / np.linalg.norm(E[m], axis=1, keepdims=True)).T
+        order = np.lexsort((ids[m], -cos))[:MRL_K]
+        return set(ids[m][order])
+
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for qid in range(MRL_QUERIES):
+        i = pos[qid]
+        full = topk(X[i], X, qid)
+        pre = topk(X[i, :MRL_PREFIX], X[:, :MRL_PREFIX], qid)
+        assert out.loc[qid, "n_overlap"] == len(full & pre)
+    assert (out["mean_recall"].iloc[0]
+            == round(out["n_overlap"].sum() / (MRL_K * len(out)), 4))
+    full_prefix = matryoshka_recall(SF, prefix=64)
+    assert (full_prefix["recall"] == 1.0).all()

@@ -1925,3 +1925,127 @@ def srp_band_candidates_sql() -> str:
         SELECT id_lo, id_hi, min(hamming)::BIGINT AS hamming
         FROM pairs GROUP BY 1, 2
     """
+
+
+MRL_PREFIX = 16   # Matryoshka prefix dims
+MRL_QUERIES = 20
+MRL_K = 10
+
+
+def matryoshka_recall(sf_dir: str, prefix: int = MRL_PREFIX,
+                      n_queries: int = MRL_QUERIES,
+                      k: int = MRL_K) -> pd.DataFrame:
+    """MATRYOSHKA-PREFIX retrieval quality (Kusupati et al. 2022): how
+    much of the exact full-dimension top-k survives when ranking by only
+    the first ``prefix`` dims — the measurement behind the
+    shortlist-with-a-prefix / rerank-with-full-dims serving pattern
+    (prefix scan costs prefix/dim of the memory bandwidth).  Output is
+    the per-query overlap + recall with the mean replicated — the
+    go/no-go number for enabling prefix shortlisting on this corpus.
+
+    Engine shape: ONE streamed pass computes both rankings (two matmuls
+    per batch against the broadcast query matrix — full and prefix);
+    per-batch candidates merge driver-side exactly like
+    ann_bruteforce_topk.  Contract is the neighbor-id SETS (the
+    established FP-rank convention), so recall is a ratio of integers."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .common import _cached_get, sql_round
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=pads.field("vec_id") < n_queries)
+    qids = qt.column("vec_id").to_numpy()
+    Q = _matrix(qt.column("embedding").to_pylist())
+    Qf = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qp = Q[:, :prefix] / np.linalg.norm(Q[:, :prefix], axis=1,
+                                        keepdims=True)
+    ref = ray.put((qids, Qf, Qp))
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids, Qf, Qp = _cached_get(ref)
+        vid = df["vec_id"].to_numpy(np.int64)
+        E = _matrix(df["embedding"].to_numpy())
+        Ef = E / np.linalg.norm(E, axis=1, keepdims=True)
+        Ep = E[:, :Qp.shape[1]] / np.linalg.norm(
+            E[:, :Qp.shape[1]], axis=1, keepdims=True)
+        rows = []
+        for tag, cos in (("full", Qf @ Ef.T), ("pre", Qp @ Ep.T)):
+            for qi, qid in enumerate(qids):
+                m = np.flatnonzero(vid != qid)
+                if not len(m):
+                    continue
+                order = m[np.lexsort((vid[m], -cos[qi][m]))][:k]
+                rows.append(pd.DataFrame({
+                    "tag": tag, "qid": np.int64(qid),
+                    "nid": vid[order], "cos": cos[qi][order]}))
+        return pd.concat(rows, ignore_index=True)
+
+    cand = (ds.map_batches(local_topk, batch_format="pandas")
+            .to_pandas())
+    out = []
+    for qid in sorted(set(int(q) for q in qids)):
+        sets = {}
+        for tag in ("full", "pre"):
+            c = cand[(cand["tag"] == tag) & (cand["qid"] == qid)]
+            c = c.sort_values(["cos", "nid"],
+                              ascending=[False, True]).head(k)
+            sets[tag] = set(c["nid"].astype(int))
+        ov = len(sets["full"] & sets["pre"])
+        out.append((qid, ov, float(sql_round(ov / k, 4))))
+    res = pd.DataFrame(out, columns=["query_id", "n_overlap", "recall"])
+    mean = float(sql_round(res["n_overlap"].sum()
+                           / (k * len(res)), 4))
+    return res.astype({"query_id": np.int64,
+                       "n_overlap": np.int64}).assign(mean_recall=mean)
+
+
+def matryoshka_recall_sql(prefix: int = MRL_PREFIX,
+                          n_queries: int = MRL_QUERIES,
+                          k: int = MRL_K) -> str:
+    """Oracle: both rankings via list_cosine_similarity windows (full
+    list vs the [1:prefix] slice), overlap join, integer recall."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            WHERE vec_id < {n_queries}
+        ),
+        f AS (
+            SELECT qid, nid FROM (
+                SELECT q.qid, e.vec_id AS nid,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe,
+                                        e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid) t
+            WHERE rn <= {k}
+        ),
+        p AS (
+            SELECT qid, nid FROM (
+                SELECT q.qid, e.vec_id AS nid,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(
+                                        q.qe[1:{prefix}],
+                                        e.embedding[1:{prefix}]) DESC,
+                                    e.vec_id) AS rn
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid) t
+            WHERE rn <= {k}
+        ),
+        ov AS (
+            SELECT f.qid, count(*)::BIGINT AS n_overlap
+            FROM f JOIN p ON p.qid = f.qid AND p.nid = f.nid
+            GROUP BY f.qid
+        )
+        SELECT q.qid::BIGINT AS query_id,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(coalesce(ov.n_overlap, 0) / {k}.0, 4) AS recall,
+               round((SELECT sum(n_overlap) FROM ov)
+                     / ({k}.0 * (SELECT count(*) FROM q)), 4)
+                   AS mean_recall
+        FROM q LEFT JOIN ov USING (qid)
+    """
