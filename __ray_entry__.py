@@ -474,6 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree_assortativity": pagerank.host_degree_assortativity,
         # Boruvka minimum spanning forest (log-round contraction)
         "host_mst_boruvka": pagerank.host_mst_boruvka,
+        # deterministic hash-rank random walks (node2vec sampling shape)
+        "host_random_walks": pagerank.host_random_walks,
         # per-host triangle counts (compact-forward wedge join)
         "host_triangles": pagerank.host_triangles,
         # directed BFS depth from the crawl's seed pages (frontier geometry:
@@ -3042,6 +3044,9 @@ def oracle_sql() -> dict[str, str]:
     d["host_degree_assortativity"] = host_degree_assortativity_sql()
     # MSF: cycle-property oracle (unique forest under the lex order)
     d["host_mst_boruvka"] = host_mst_boruvka_sql()
+    # walks: per-step argmin-by-md5 windows, unrolled
+    from weaver_ray.pipelines.pagerank import host_random_walks_sql
+    d["host_random_walks"] = host_random_walks_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list

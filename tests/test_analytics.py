@@ -1906,3 +1906,38 @@ def test_matryoshka_recall_bruteforce_replay(ray_session):
             == round(out["n_overlap"].sum() / (MRL_K * len(out)), 4))
     full_prefix = matryoshka_recall(SF, prefix=64)
     assert (full_prefix["recall"] == 1.0).all()
+
+
+def test_random_walks_sequential_replay(ray_session):
+    """Every trajectory equals a sequential hashlib replay over the same
+    edge list: consecutive nodes are adjacent (or absorbed-isolated) and
+    each step's choice is the md5-argmin neighbor."""
+    import hashlib
+
+    import duckdb
+
+    from weaver_ray.pipelines.pagerank import (RW_STEPS, RW_WALKS,
+                                               generate_host_edges,
+                                               host_random_walks)
+
+    out = host_random_walks(SF)
+    glob = generate_host_edges(1000) + "/part-*.parquet"
+    e = duckdb.sql(f"""
+        SELECT DISTINCT least(src_host, dst_host) AS a,
+               greatest(src_host, dst_host) AS b
+        FROM read_parquet('{glob}') WHERE src_host <> dst_host""").df()
+    adj = {}
+    for r in e.itertuples(index=False):
+        adj.setdefault(int(r.a), set()).add(int(r.b))
+        adj.setdefault(int(r.b), set()).add(int(r.a))
+    nodes = sorted(adj)
+    for w in range(min(RW_WALKS, len(nodes))):
+        v = nodes[w]
+        traj = out[out["walk_id"] == w].sort_values("step")["node"]
+        assert traj.iloc[0] == v
+        for t in range(1, RW_STEPS + 1):
+            nbrs = adj.get(v, set())
+            if nbrs:
+                v = min(nbrs, key=lambda u: (
+                    hashlib.md5(f"{t}|{w}|{u}".encode()).hexdigest(), u))
+            assert traj.iloc[t] == v

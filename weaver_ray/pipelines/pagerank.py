@@ -1319,3 +1319,123 @@ def host_mst_boruvka_sql(n_base: int = 1000) -> str:
                 - (SELECT count(*) FROM mst))::BIGINT AS n_components
         FROM mst
     """
+
+
+RW_WALKS = 20
+RW_STEPS = 8
+
+
+def host_random_walks(sf_dir: str, n_base: int = 1000,
+                      n_walks: int = RW_WALKS,
+                      n_steps: int = RW_STEPS) -> pd.DataFrame:
+    """DETERMINISTIC RANDOM WALKS over the undirected host graph — the
+    sampling primitive under node2vec/DeepWalk embeddings and graph
+    sketching, made replayable the engine's standard way: at step t,
+    walk w at node v moves to the neighbor u minimizing
+    md5(f"{t}|{w}|{u}") (hash-rank choice — uniformly pseudo-random yet
+    a pure function, so the oracle replays every trajectory exactly).
+    Isolated positions absorb (the walk stays put).  Output is the full
+    (walk_id, step, node) trajectory table.
+
+    Scale shape: one step = one map_batches over the edge Dataset with
+    the walker positions broadcast (walker state is n_walks rows — tiny
+    by construction) and a per-walk min-hash reduce; n_steps streamed
+    passes total, no shuffle."""
+    from .common import _cached_get, partial_groupby
+
+    edges = _undirected_simple_edges(n_base).materialize()
+    nodes = sorted(set(edges.to_pandas()["a"]).union(
+        set(edges.to_pandas()["b"])))
+    seeds = nodes[:n_walks]
+    cur = {w: int(seeds[w % len(seeds)]) for w in range(len(seeds))}
+    rows = [(w, 0, v) for w, v in cur.items()]
+
+    for t in range(1, n_steps + 1):
+        ref = ray.put((dict(cur), t))
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            cur_, tt = _cached_get(ref)
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            outs = {"walk": [], "h": [], "u": []}
+            for w, v in cur_.items():
+                m1 = a == v
+                m2 = b == v
+                for u in np.concatenate([b[m1], a[m2]]):
+                    outs["walk"].append(w)
+                    outs["h"].append(hashlib.md5(
+                        f"{tt}|{w}|{int(u)}".encode()).hexdigest())
+                    outs["u"].append(int(u))
+            d = pd.DataFrame({
+                "walk": pd.Series(outs["walk"], dtype=np.int64),
+                "h": pd.Series(outs["h"], dtype=object),
+                "u": pd.Series(outs["u"], dtype=np.int64)})
+            # per-batch argmin partial: one candidate row per walk
+            return (d.sort_values(["walk", "h", "u"])
+                    .groupby("walk", sort=False).head(1))
+
+        full = (edges.map_batches(step, batch_format="pandas")
+                .to_pandas().sort_values(["walk", "h", "u"])
+                .groupby("walk", sort=False).head(1))
+        pick = {int(r.walk): int(r.u) for r in full.itertuples(index=False)}
+        for w in cur:
+            cur[w] = pick.get(w, cur[w])     # absorb if isolated
+            rows.append((w, t, cur[w]))
+
+    return (pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+            .astype(np.int64).sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
+
+
+def host_random_walks_sql(n_base: int = 1000, n_walks: int = RW_WALKS,
+                          n_steps: int = RW_STEPS) -> str:
+    """Oracle: the walk loop unrolled — per step one argmin-by-md5
+    window over the walker-adjacent edges, coalescing to the previous
+    position when isolated."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        ),
+        nodes AS MATERIALIZED (
+            SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM (
+                SELECT a AS v FROM e UNION SELECT b FROM e)
+        ),
+        seeds AS MATERIALIZED (
+            SELECT w.range AS walk, n.v AS node
+            FROM range(0, {n_walks}) w
+            JOIN nodes n ON n.rk = w.range
+            WHERE w.range < (SELECT count(*) FROM nodes)
+        ),
+        c0 AS MATERIALIZED (SELECT walk, node FROM seeds)"""]
+    for t in range(1, n_steps + 1):
+        parts.append(f""",
+        adj{t} AS MATERIALIZED (
+            SELECT c.walk,
+                   CASE WHEN e.a = c.node THEN e.b ELSE e.a END AS u
+            FROM c{t - 1} c JOIN e ON e.a = c.node OR e.b = c.node
+        ),
+        pick{t} AS MATERIALIZED (
+            SELECT walk, u FROM (
+                SELECT walk, u, row_number() OVER (PARTITION BY walk
+                    ORDER BY md5(CAST({t} AS VARCHAR) || '|'
+                                 || CAST(walk AS VARCHAR) || '|'
+                                 || CAST(u AS VARCHAR)), u) AS rn
+                FROM adj{t}) WHERE rn = 1
+        ),
+        c{t} AS MATERIALIZED (
+            SELECT c.walk, coalesce(p.u, c.node) AS node
+            FROM c{t - 1} c LEFT JOIN pick{t} p USING (walk)
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT walk, {t}::BIGINT AS step, node FROM c{t}"
+        for t in range(0, n_steps + 1))
+    parts.append(f"""
+        SELECT CAST(walk AS BIGINT) AS walk_id, step,
+               CAST(node AS BIGINT) AS node
+        FROM ({sel}) ORDER BY walk_id, step""")
+    return "".join(parts)
