@@ -668,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law_fit": textops.heaps_law_fit,
         # Neyman variance-proportional stratified allocation + audit
         "neyman_sample_docs": textops.neyman_sample_docs,
+        # Elias-gamma postings compression audit (integer-exact)
+        "postings_compression_stats": textops.postings_compression_stats,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -1563,6 +1565,9 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law_fit": textops.heaps_law_fit_sql(),
         # Neyman: exact integer moments, largest-remainder quotas
         "neyman_sample_docs": textops.neyman_sample_docs_sql(),
+        # postings: lag gaps + binary-digit-count bit lengths
+        "postings_compression_stats":
+            textops.postings_compression_stats_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         "bm25_topk": _bm25_sql(),

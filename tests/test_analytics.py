@@ -1941,3 +1941,35 @@ def test_random_walks_sequential_replay(ray_session):
                 v = min(nbrs, key=lambda u: (
                     hashlib.md5(f"{t}|{w}|{u}".encode()).hexdigest(), u))
             assert traj.iloc[t] == v
+
+
+def test_postings_gamma_bits_replay(ray_session, tmp_path):
+    """Gamma bit costs equal a per-gap sequential replay (including the
+    power-of-two gaps float log2 would fumble), and a dense term beats
+    raw 64-bit encoding while a sparse one doesn't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import postings_compression_stats
+
+    # "dense" in every doc (gaps all 1 -> 1 bit each);
+    # "sparse" in docs 0, 64, 192 (power-of-two-ish gaps)
+    docs = []
+    for i in range(256):
+        t = ["dense"]
+        if i in (0, 64, 192):
+            t.append("sparse")
+        docs.append(" ".join(t))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(256), pa.int64()),
+        "text": pa.array(docs)}), tmp_path / "documents.parquet")
+    out = postings_compression_stats(str(tmp_path), min_df=3
+                                     ).set_index("token")
+
+    def gamma(gaps):
+        return sum(2 * (g.bit_length() - 1) + 1 for g in gaps)
+
+    assert out.loc["dense", "gamma_bits"] == gamma([1] + [1] * 255)
+    assert out.loc["sparse", "gamma_bits"] == gamma([1, 64, 128])
+    assert out.loc["dense", "ratio"] < 0.05
+    assert out.loc["sparse", "gamma_bits"] < out.loc["sparse", "raw_bits"]

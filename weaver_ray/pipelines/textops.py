@@ -2980,3 +2980,87 @@ def neyman_sample_docs_sql(total: int = NEYMAN_S) -> str:
                coalesce(sel.n_selected, 0) AS n_selected
         FROM a LEFT JOIN sel USING (lang)
     """
+
+
+def postings_compression_stats(sf_dir: str, min_df: int = 5,
+                               num_buckets: int = 16) -> pd.DataFrame:
+    """INVERTED-INDEX COMPRESSION AUDIT: per token, the bit cost of its
+    posting list under delta + ELIAS-GAMMA coding vs raw 64-bit ids —
+    the planner number behind every search index's size estimate (gamma
+    spends 2*floor(log2(gap))+1 bits per gap, so dense terms compress
+    dramatically and rare terms barely).  Gaps use the standard d0+1,
+    d_i - d_{i-1} convention; every quantity is an exact integer (bit
+    lengths come from binary-digit counts, never float log2, so no
+    power-of-two edge can flip), making parity rounding-free except the
+    final ratio.
+
+    Scale shape: distinct (token, doc) pairs route by token through one
+    bucketed exchange; per-token gap folds are vectorized diffs; output
+    is vocabulary-bounded."""
+    from .common import keyed_map_groups, sql_round
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        d = pd.DataFrame({
+            "token": toks.explode().dropna().to_numpy(object),
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.str.len().to_numpy(np.int64))})
+        return d.drop_duplicates()
+
+    POW2 = 2 ** np.arange(63, dtype=np.int64)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+                "gamma_bits": pd.Series([], dtype=np.int64)})
+        g = g.drop_duplicates().sort_values(["token", "doc_id"])
+        rows = []
+        for tok, grp in g.groupby("token", sort=False):
+            d = grp["doc_id"].to_numpy(np.int64)
+            gaps = np.diff(d, prepend=-1)        # d0+1, then deltas
+            # floor(log2(gap)) + 1 == count of binary digits, exactly
+            nbits = np.searchsorted(POW2, gaps, side="right")
+            rows.append((tok, len(d), int((2 * (nbits - 1) + 1).sum())))
+        return pd.DataFrame(rows, columns=["token", "df", "gamma_bits"]
+                            ).astype({"df": np.int64,
+                                      "gamma_bits": np.int64})
+
+    out = (keyed_map_groups(ds.map_batches(pairs, batch_format="pandas"),
+                            "token", fold, num_buckets).to_pandas())
+    out = out[out["df"] >= min_df].copy()
+    out["raw_bits"] = (64 * out["df"]).astype(np.int64)
+    out["ratio"] = sql_round(out["gamma_bits"].to_numpy(np.float64)
+                             / out["raw_bits"].to_numpy(np.float64), 4)
+    return (out[["token", "df", "raw_bits", "gamma_bits", "ratio"]]
+            .sort_values("token").reset_index(drop=True))
+
+
+def postings_compression_stats_sql(min_df: int = 5) -> str:
+    """Oracle: lag() gaps per token, binary-digit-count bit lengths via
+    format('{{:b}}', gap), the identical gamma cost."""
+    return f"""
+        WITH u AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS token
+            FROM documents
+        ),
+        g AS (
+            SELECT token, doc_id,
+                   coalesce(doc_id - lag(doc_id) OVER (PARTITION BY token
+                                ORDER BY doc_id), doc_id + 1) AS gap
+            FROM u
+        ),
+        c AS (
+            SELECT token, count(*)::BIGINT AS df,
+                   sum(2 * (length(format('{{:b}}', gap)) - 1) + 1)
+                       ::BIGINT AS gamma_bits
+            FROM g GROUP BY token
+        )
+        SELECT token, df, (64 * df)::BIGINT AS raw_bits, gamma_bits,
+               round(gamma_bits::DOUBLE / (64 * df), 4) AS ratio
+        FROM c WHERE df >= {min_df}
+    """
