@@ -672,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compression_stats": textops.postings_compression_stats,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
+        # Haar-wavelet synopsis with reconstruction-error certificate
+        "daily_haar_synopsis": temporal.daily_haar_synopsis,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1570,6 +1572,8 @@ def oracle_sql() -> dict[str, str]:
             textops.postings_compression_stats_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
+        # Haar: unrolled transform + reconstruction, exact dyadic
+        "daily_haar_synopsis": temporal.daily_haar_synopsis_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

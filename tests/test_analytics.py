@@ -1973,3 +1973,38 @@ def test_postings_gamma_bits_replay(ray_session, tmp_path):
     assert out.loc["sparse", "gamma_bits"] == gamma([1, 64, 128])
     assert out.loc["dense", "ratio"] < 0.05
     assert out.loc["sparse", "gamma_bits"] < out.loc["sparse", "raw_bits"]
+
+
+def test_haar_synopsis_exactness_and_budget(ray_session):
+    """Keeping ALL coefficients reconstructs the series exactly
+    (max_abs_err == 0); the default budget's error is no worse; and
+    coefficients replay a sequential Haar transform."""
+    import duckdb
+
+    from weaver_ray.pipelines.temporal import (HAAR_LEN,
+                                               daily_haar_synopsis)
+
+    full = daily_haar_synopsis(SF, k=HAAR_LEN - 1)
+    assert full["max_abs_err"].iloc[0] == 0.0
+    part = daily_haar_synopsis(SF)
+    assert part["max_abs_err"].iloc[0] >= 0.0
+
+    daily = duckdb.sql(f"""
+        SELECT date_trunc('day', ts) AS day,
+               sum(round(value * 100.0, 0)) AS sc
+        FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1""").df()
+    v = np.zeros(HAAR_LEN)
+    v[:len(daily)] = daily["sc"].to_numpy()
+    cur, seq = v.copy(), {}
+    lv = 0
+    while len(cur) > 1:
+        lv += 1
+        a, b = cur[0::2], cur[1::2]
+        for i, c in enumerate((a - b) / 2.0):
+            seq[(lv, i)] = c
+        cur = (a + b) / 2.0
+    got = {(int(r.level), int(r.idx)): r.coef
+           for r in part.itertuples(index=False) if r.level > 0}
+    for key, c in got.items():
+        assert seq[key] == c
+    assert part.loc[part["level"] == 0, "coef"].iloc[0] == cur[0]

@@ -1264,3 +1264,130 @@ def daily_cusum_drift_sql() -> str:
                        AND CURRENT ROW)) AS cusum_cents
         FROM p
     """
+
+
+HAAR_LEN = 32   # padded series length (5 levels)
+HAAR_K = 8      # kept coefficients
+
+
+def daily_haar_synopsis(sf_dir: str, k: int = HAAR_K,
+                        num_buckets: int = 16) -> pd.DataFrame:
+    """HAAR-WAVELET SYNOPSIS of the daily value series (Matias, Vitter &
+    Wang 1998) — the approximate-query structure that answers range sums
+    from a handful of coefficients: the 30-day total-cents series pads
+    to 32, transforms with the unnormalized Haar pairs
+    (avg=(a+b)/2, diff=(a-b)/2), keeps the top-``k`` coefficients by
+    (|coef| desc, level, idx) plus the scaling coefficient, and reports
+    the reconstruction's max-abs error as the in-row quality
+    certificate.  Every value is integer cents divided by powers of two
+    — exact dyadic doubles on both engines, so parity needs NO rounding
+    grid at all.
+
+    Scale shape: the only data pass is the (day) cents-sum reduce; the
+    transform folds on the 32-value driver table."""
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(day=b["ts"].dt.floor("D"),
+                        cents=np.floor(b["value"].to_numpy(np.float64)
+                                       * 100.0 + 0.5).astype(np.int64))
+
+    daily = partial_groupby(
+        load(sf_dir, "events", ["ts", "value"]), ["day"],
+        {"sc": ("cents", "sum")}, prep=prep, many_groups=True,
+        num_buckets=num_buckets).to_pandas().sort_values("day")
+
+    v = np.zeros(HAAR_LEN, dtype=np.float64)
+    v[:len(daily)] = daily["sc"].to_numpy(np.int64)[:HAAR_LEN]
+
+    coeffs = []      # (level, idx, coef)
+    cur = v.copy()
+    level = 0
+    while len(cur) > 1:
+        level += 1
+        a, b = cur[0::2], cur[1::2]
+        diff = (a - b) / 2.0
+        cur = (a + b) / 2.0
+        for i, c in enumerate(diff):
+            coeffs.append((level, i, float(c)))
+    scaling = float(cur[0])
+
+    ranked = sorted(coeffs, key=lambda t: (-abs(t[2]), t[0], t[1]))
+    kept = {(lv, i): c for lv, i, c in ranked[:k]}
+
+    # reconstruct from the kept coefficients + scaling
+    rec = np.array([scaling])
+    for lv in range(level, 0, -1):
+        nxt = np.zeros(2 * len(rec))
+        for i, av in enumerate(rec):
+            d = kept.get((lv, i), 0.0)
+            nxt[2 * i] = av + d
+            nxt[2 * i + 1] = av - d
+        rec = nxt
+    max_err = float(np.abs(v - rec).max())
+
+    rows = [(0, 0, scaling)] + [(lv, i, c) for lv, i, c in ranked[:k]]
+    out = pd.DataFrame(rows, columns=["level", "idx", "coef"])
+    return pd.DataFrame({
+        "level": out["level"].astype(np.int64),
+        "idx": out["idx"].astype(np.int64),
+        "coef": out["coef"].astype(np.float64),
+        "max_abs_err": np.full(len(out), max_err),
+        "n_days": np.full(len(out), np.int64(len(daily)))})
+
+
+def daily_haar_synopsis_sql(k: int = HAAR_K) -> str:
+    """Oracle: 5 unrolled transform levels, top-k by (|coef|, level,
+    idx), 5 unrolled reconstruction levels, exact-dyadic error."""
+    levels = 5
+    parts = [f"""
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   sum(round(value * 100.0, 0))::DOUBLE AS sc
+            FROM events GROUP BY 1
+        ),
+        r AS (SELECT sc, row_number() OVER (ORDER BY day) - 1 AS i FROM d),
+        s0 AS MATERIALIZED (
+            SELECT g.range AS i, coalesce(r.sc, 0.0) AS v
+            FROM range(0, {HAAR_LEN}) g LEFT JOIN r ON r.i = g.range
+        )"""]
+    for l in range(1, levels + 1):
+        parts.append(f""",
+        s{l} AS MATERIALIZED (
+            SELECT a.i // 2 AS i, (a.v + b.v) / 2.0 AS v
+            FROM s{l - 1} a JOIN s{l - 1} b
+                 ON b.i = a.i + 1 AND a.i % 2 = 0
+        ),
+        d{l} AS MATERIALIZED (
+            SELECT a.i // 2 AS i, (a.v - b.v) / 2.0 AS v
+            FROM s{l - 1} a JOIN s{l - 1} b
+                 ON b.i = a.i + 1 AND a.i % 2 = 0
+        )""")
+    coef_union = " UNION ALL ".join(
+        f"SELECT {l}::BIGINT AS level, i::BIGINT AS idx, v AS coef "
+        f"FROM d{l}" for l in range(1, levels + 1))
+    parts.append(f""",
+        allc AS MATERIALIZED ({coef_union}),
+        kept AS MATERIALIZED (
+            SELECT level, idx, coef FROM allc
+            ORDER BY abs(coef) DESC, level, idx LIMIT {k}
+        ),
+        r{levels} AS MATERIALIZED (SELECT 0::BIGINT AS i, v FROM s{levels})""")
+    for l in range(levels, 0, -1):
+        parts.append(f""",
+        r{l - 1} AS MATERIALIZED (
+            SELECT 2 * r.i + CASE WHEN up.s = 1 THEN 0 ELSE 1 END AS i,
+                   r.v + CASE WHEN up.s = 1 THEN 1 ELSE -1 END
+                       * coalesce(kd.coef, 0.0) AS v
+            FROM r{l} r
+            CROSS JOIN (SELECT 1 AS s UNION ALL SELECT 0) up
+            LEFT JOIN kept kd ON kd.level = {l} AND kd.idx = r.i
+        )""")
+    parts.append(f""",
+        err AS (SELECT max(abs(s0.v - r0.v)) AS e
+                FROM s0 JOIN r0 ON r0.i = s0.i)
+        SELECT level, idx, coef,
+               (SELECT e FROM err) AS max_abs_err,
+               (SELECT count(*) FROM d)::BIGINT AS n_days
+        FROM (SELECT 0::BIGINT AS level, 0::BIGINT AS idx,
+                     (SELECT v FROM s{levels}) AS coef
+              UNION ALL SELECT level, idx, coef FROM kept)""")
+    return "".join(parts)
