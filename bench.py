@@ -182,6 +182,10 @@ QUERY_NAMES = [
     "decision_stump_value_type",
     "host_degree_assortativity",
     "host_mst_boruvka",
+    "matryoshka_recall",
+    "host_random_walks",
+    "postings_compression_stats",
+    "daily_haar_synopsis",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
