@@ -476,6 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_mst_boruvka": pagerank.host_mst_boruvka,
         # deterministic hash-rank random walks (node2vec sampling shape)
         "host_random_walks": pagerank.host_random_walks,
+        # percolation under targeted hub removal (fragmentation audit)
+        "host_attack_robustness": pagerank.host_attack_robustness,
         # per-host triangle counts (compact-forward wedge join)
         "host_triangles": pagerank.host_triangles,
         # directed BFS depth from the crawl's seed pages (frontier geometry:
@@ -3054,8 +3056,11 @@ def oracle_sql() -> dict[str, str]:
     # MSF: cycle-property oracle (unique forest under the lex order)
     d["host_mst_boruvka"] = host_mst_boruvka_sql()
     # walks: per-step argmin-by-md5 windows, unrolled
-    from weaver_ray.pipelines.pagerank import host_random_walks_sql
+    from weaver_ray.pipelines.pagerank import (host_attack_robustness_sql,
+                                               host_random_walks_sql)
     d["host_random_walks"] = host_random_walks_sql()
+    # robustness: two recursive closures, shared hub CTE
+    d["host_attack_robustness"] = host_attack_robustness_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list

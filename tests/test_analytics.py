@@ -2008,3 +2008,29 @@ def test_haar_synopsis_exactness_and_budget(ray_session):
     for key, c in got.items():
         assert seq[key] == c
     assert part.loc[part["level"] == 0, "coef"].iloc[0] == cur[0]
+
+
+def test_attack_robustness_star_fragments(ray_session, tmp_path,
+                                          monkeypatch):
+    """Removing the hub of a star graph shatters it completely (no
+    surviving edges); the full scenario is one component."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines import pagerank as pr
+
+    d = tmp_path / "edges"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "src_host": pa.array([0] * 6, pa.int64()),
+        "dst_host": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}),
+        d / "part-00000.parquet")
+    (d / "_DONE").write_text("test\n")
+    monkeypatch.setattr(pr, "generate_host_edges",
+                        lambda n_base=1000, **kw: str(d))
+    out = pr.host_attack_robustness(SF, k=1).set_index("scenario")
+    f, x = out.loc["full"], out.loc["attacked"]
+    assert f["n_components"] == 1 and f["giant_size"] == 7
+    assert f["giant_share"] == 1.0
+    # hub gone: no edges survive, node universe is edge-endpoint-derived
+    assert x["n_edges"] == 0 and x["n_nodes"] == 0

@@ -1439,3 +1439,130 @@ def host_random_walks_sql(n_base: int = 1000, n_walks: int = RW_WALKS,
                CAST(node AS BIGINT) AS node
         FROM ({sel}) ORDER BY walk_id, step""")
     return "".join(parts)
+
+
+ATTACK_K = 5   # hubs removed in the targeted-attack scenario
+
+
+def host_attack_robustness(sf_dir: str, n_base: int = 1000,
+                           k: int = ATTACK_K) -> pd.DataFrame:
+    """TARGETED-ATTACK ROBUSTNESS (percolation under hub removal,
+    Albert/Jeong/Barabasi 2000): connected-component structure of the
+    host graph BEFORE and AFTER deleting the ``k`` highest-degree hosts
+    (ties to the smaller id) — the fragmentation number that says
+    whether a crawl's connectivity (and a scale-free graph's routing)
+    hangs on a few hubs.  One row per scenario with node/edge/component
+    counts, the giant component's size and its share.
+
+    Scale shape: degrees fold from one endpoint exchange; the hub set
+    is k ids broadcast into the edge filter; components come from the
+    SAME pointer-jumping CC machinery as page_components; only the
+    per-component size table (component-bounded) reaches the driver."""
+    import pyarrow as _pa
+
+    from .common import partial_groupby, sql_round
+    from .dedup import connected_components_ds
+
+    und = _undirected_simple_edges(n_base).materialize()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": np.concatenate(
+            [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)])})
+
+    deg = partial_groupby(und.map_batches(endpoints,
+                                          batch_format="pandas"),
+                          ["v"], {"deg": ("v", "count")},
+                          many_groups=True).to_pandas()
+    hubs = set(deg.sort_values(["deg", "v"], ascending=[False, True])
+               .head(k)["v"].astype(int))
+
+    rows = []
+    for scenario, drop in (("full", set()), ("attacked", hubs)):
+        def keep(df: pd.DataFrame, drop=drop) -> pd.DataFrame:
+            m = (~df["a"].isin(drop)) & (~df["b"].isin(drop))
+            return df[m]
+
+        ew = und.map_batches(keep, batch_format="pandas").materialize()
+
+        def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"src": df["a"].to_numpy(np.int64),
+                                 "dst": df["b"].to_numpy(np.int64)})
+
+        no_extra = rd.from_arrow(_pa.table({"doc_id":
+                                            _pa.array([], _pa.int64())}))
+        cc = connected_components_ds(
+            no_extra, ew.map_batches(as_edges, batch_format="pandas")
+        ).to_pandas()
+        if "cluster_id" not in cc.columns:   # all edges removed: the
+            cc = pd.DataFrame({"doc_id": [], "cluster_id": []})  # empty
+        sizes = cc.groupby("cluster_id").size()                  # Dataset
+        n_nodes = int(len(cc))               # drops its schema (gotcha)
+        n_edges = int(ew.count())
+        giant = int(sizes.max()) if len(sizes) else 0
+        rows.append((scenario, n_nodes, n_edges,
+                     int(len(sizes)), giant,
+                     float(sql_round(giant / n_nodes, 4))
+                     if n_nodes else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "scenario", "n_nodes", "n_edges", "n_components", "giant_size",
+        "giant_share"]).astype({
+            "n_nodes": np.int64, "n_edges": np.int64,
+            "n_components": np.int64, "giant_size": np.int64})
+
+
+def host_attack_robustness_sql(n_base: int = 1000,
+                               k: int = ATTACK_K) -> str:
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    def closure(tag: str, extra: str) -> str:
+        return f"""
+        e{tag} AS (
+            SELECT a, b FROM base {extra}
+        ),
+        ed{tag} AS (
+            SELECT a AS src, b AS dst FROM e{tag}
+            UNION ALL SELECT b, a FROM e{tag}
+        ),
+        n{tag} AS (SELECT DISTINCT src AS v FROM ed{tag}),
+        reach{tag} AS (
+            SELECT v, v AS r FROM n{tag}
+            UNION
+            SELECT e.dst AS v, reach{tag}.r
+            FROM reach{tag} JOIN ed{tag} e ON e.src = reach{tag}.v
+        ),
+        comp{tag} AS (
+            SELECT v, min(r) AS c FROM reach{tag} GROUP BY v
+        ),
+        sz{tag} AS (SELECT c, count(*)::BIGINT AS n FROM comp{tag}
+                    GROUP BY c),
+        sum{tag} AS (
+            SELECT (SELECT count(*) FROM comp{tag})::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e{tag})::BIGINT AS n_edges,
+                   (SELECT count(*) FROM sz{tag})::BIGINT AS n_components,
+                   (SELECT coalesce(max(n), 0) FROM sz{tag})::BIGINT
+                       AS giant_size
+        )"""
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        ),
+        deg AS (
+            SELECT v, count(*)::BIGINT AS d FROM (
+                SELECT a AS v FROM base UNION ALL SELECT b FROM base)
+            GROUP BY 1
+        ),
+        hubs AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT {k}),
+        {closure("f", "")},
+        {closure("x", "WHERE a NOT IN (SELECT v FROM hubs) "
+                      "AND b NOT IN (SELECT v FROM hubs)")}
+        SELECT 'full' AS scenario, n_nodes, n_edges, n_components,
+               giant_size,
+               round(giant_size::DOUBLE / n_nodes, 4) AS giant_share
+        FROM sumf
+        UNION ALL
+        SELECT 'attacked', n_nodes, n_edges, n_components, giant_size,
+               CASE WHEN n_nodes = 0 THEN 0.0
+                    ELSE round(giant_size::DOUBLE / n_nodes, 4) END
+        FROM sumx
+    """
