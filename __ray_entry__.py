@@ -676,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
         "daily_haar_synopsis": temporal.daily_haar_synopsis,
+        # day-over-day user-set overlap (churn/stickiness curve)
+        "daily_user_churn": temporal.daily_user_churn,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1576,6 +1578,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic
         "daily_haar_synopsis": temporal.daily_haar_synopsis_sql(),
+        # churn: distinct day-pair membership, integer overlap counts
+        "daily_user_churn": temporal.daily_user_churn_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

@@ -2034,3 +2034,25 @@ def test_attack_robustness_star_fragments(ray_session, tmp_path,
     assert f["giant_share"] == 1.0
     # hub gone: no edges survive, node universe is edge-endpoint-derived
     assert x["n_edges"] == 0 and x["n_nodes"] == 0
+
+
+def test_daily_user_churn_replay(ray_session):
+    """Per-boundary counts equal brute-force set arithmetic on the real
+    table and internal identities hold (returning + churned == active)."""
+    import duckdb
+
+    from weaver_ray.pipelines.temporal import daily_user_churn
+
+    out = daily_user_churn(SF).set_index("day")
+    df = duckdb.sql(f"SELECT DISTINCT user_id, date_trunc('day', ts) "
+                    f"AS day FROM '{SF}/events.parquet'").df()
+    by = {d: set(g["user_id"]) for d, g in df.groupby("day")}
+    days = sorted(by)
+    assert len(out) == len(days) - 1
+    for d0, d1 in zip(days[:-1], days[1:]):
+        a, b = by[d0], by[d1]
+        r = out.loc[d0]
+        assert r["n_active"] == len(a) and r["n_next"] == len(b)
+        assert r["n_returning"] == len(a & b)
+        assert r["n_churned"] == len(a - b) and r["n_new"] == len(b - a)
+        assert r["n_returning"] + r["n_churned"] == r["n_active"]

@@ -1391,3 +1391,98 @@ def daily_haar_synopsis_sql(k: int = HAAR_K) -> str:
                      (SELECT v FROM s{levels}) AS coef
               UNION ALL SELECT level, idx, coef FROM kept)""")
     return "".join(parts)
+
+
+def daily_user_churn(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """CONSECUTIVE-DAY USER OVERLAP: for each adjacent day pair, the
+    returning / new / churned user counts and the Jaccard of the two
+    active sets — the day-over-day stickiness curve (cohort_retention
+    tracks absolute day-0 cohorts; this tracks the rolling boundary).
+    A user's (day, next-day) membership pair reduces from the SAME
+    distinct (user, day) exchange as the rolling-distinct operator:
+    replicate each pair to (day) and (day - 1) keys, so one grouped
+    count yields |A|, |B| and the intersection without a self-join.
+
+    All counts integers; Jaccard is one rounded division."""
+    from .common import sql_round
+
+    ds = load(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(day=b["ts"].dt.floor("D"))
+
+    ud = partial_groupby(ds, ["user_id", "day"],
+                         {"n": ("user_id", "count")}, prep=prep,
+                         many_groups=True, num_buckets=num_buckets)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        # pair key = the EARLIER day of the (d, d+1) boundary:
+        # a (user, d) row serves boundary d (as side A) and boundary
+        # d-1 (as side B)
+        u = b["user_id"].to_numpy(np.int64)
+        d = b["day"]
+        return pd.concat([
+            pd.DataFrame({"user_id": u, "bnd": d, "a": np.int64(1),
+                          "b": np.int64(0)}),
+            pd.DataFrame({"user_id": u, "bnd": d - pd.Timedelta(days=1),
+                          "a": np.int64(0), "b": np.int64(1)}),
+        ], ignore_index=True)
+
+    flags = partial_groupby(
+        ud.map_batches(tag, batch_format="pandas"),
+        ["user_id", "bnd"], {"a": ("a", "max"), "b": ("b", "max")},
+        many_groups=True, num_buckets=num_buckets)
+
+    per_bnd = partial_groupby(
+        flags, ["bnd"],
+        {"n_a": ("a", "sum"), "n_b": ("b", "sum"),
+         "n_both": ("both", "sum")},
+        prep=lambda f: f.assign(both=(f["a"] & f["b"]).astype(np.int64)),
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+
+    # keep only boundaries where BOTH days exist in the data
+    days = partial_groupby(ud, ["day"], {"n": ("n", "sum")}).to_pandas()
+    have = set(days["day"])
+    m = per_bnd[per_bnd["bnd"].isin(have)
+                & (per_bnd["bnd"] + pd.Timedelta(days=1)).isin(have)]
+    m = m.sort_values("bnd").reset_index(drop=True)
+    na = m["n_a"].to_numpy(np.int64)
+    nb = m["n_b"].to_numpy(np.int64)
+    nboth = m["n_both"].to_numpy(np.int64)
+    union = na + nb - nboth
+    return pd.DataFrame({
+        "day": m["bnd"],
+        "n_active": na, "n_next": nb, "n_returning": nboth,
+        "n_churned": na - nboth, "n_new": nb - nboth,
+        "jaccard": sql_round(nboth / union.astype(np.float64), 4)})
+
+
+def daily_user_churn_sql() -> str:
+    return """
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        b AS (
+            SELECT d.day,
+                   count(DISTINCT a.user_id)::BIGINT AS n_active,
+                   count(DISTINCT n.user_id)::BIGINT AS n_next,
+                   count(DISTINCT CASE WHEN n2.user_id IS NOT NULL
+                         THEN a.user_id END)::BIGINT AS n_returning
+            FROM days d
+            LEFT JOIN ud a ON a.day = d.day
+            LEFT JOIN ud n ON n.day = d.day + INTERVAL 1 DAY
+            LEFT JOIN ud n2 ON n2.day = d.day + INTERVAL 1 DAY
+                           AND n2.user_id = a.user_id
+            WHERE EXISTS (SELECT 1 FROM days x
+                          WHERE x.day = d.day + INTERVAL 1 DAY)
+            GROUP BY d.day
+        )
+        SELECT day, n_active, n_next, n_returning,
+               n_active - n_returning AS n_churned,
+               n_next - n_returning AS n_new,
+               round(n_returning::DOUBLE
+                     / (n_active + n_next - n_returning), 4) AS jaccard
+        FROM b
+    """
