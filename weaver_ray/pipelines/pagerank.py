@@ -1090,6 +1090,23 @@ def host_clustering_sql(n_base: int = 1000) -> str:
     """
 
 
+def _host_degrees(edges: "rd.Dataset") -> pd.DataFrame:
+    """Shared endpoint-degree reduce over the normalized undirected edge
+    Dataset — ONE definition so assortativity's moments and the attack
+    audit's hub selection can never drift."""
+    from .common import partial_groupby
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.concatenate([b["a"].to_numpy(np.int64),
+                                 b["b"].to_numpy(np.int64)])})
+
+    return partial_groupby(edges.map_batches(endpoints,
+                                             batch_format="pandas"),
+                           ["v"], {"deg": ("v", "count")},
+                           many_groups=True).to_pandas()
+
+
 def host_degree_assortativity(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     """DEGREE ASSORTATIVITY (Newman 2002) of the undirected simple host
     graph: the Pearson correlation of endpoint degrees over directed
@@ -1106,19 +1123,10 @@ def host_degree_assortativity(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     edge stream (broadcast here — a host table is small by construction;
     a page-graph variant would swap in the bucketed hash join) and
     reduces four integers."""
-    from .common import _cached_get, partial_groupby, sql_round
+    from .common import _cached_get, sql_round
 
     edges = _undirected_simple_edges(n_base)
-
-    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "v": np.concatenate([b["a"].to_numpy(np.int64),
-                                 b["b"].to_numpy(np.int64)])})
-
-    deg = partial_groupby(edges.map_batches(endpoints,
-                                            batch_format="pandas"),
-                          ["v"], {"deg": ("v", "count")},
-                          many_groups=True).to_pandas()
+    deg = _host_degrees(edges)
     dmap = dict(zip(deg["v"].to_numpy(np.int64),
                     deg["deg"].to_numpy(np.int64)))
     ref = ray.put(dmap)
@@ -1215,8 +1223,9 @@ def host_mst_boruvka(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
     ew = partial_groupby(raw, ["a", "b"], {"w": ("a", "count")},
                          prep=norm, many_groups=True).materialize()
 
-    nodes = sorted(set(ew.to_pandas()["a"]).union(
-        set(ew.to_pandas()["b"])))
+    edf = ew.to_pandas()     # one driver conversion for the node set
+    nodes = sorted(set(edf["a"]).union(set(edf["b"])))
+    del edf
     label = {int(v): int(v) for v in nodes}
     chosen: list[tuple[int, int, int]] = []
 
@@ -1344,8 +1353,9 @@ def host_random_walks(sf_dir: str, n_base: int = 1000,
     from .common import _cached_get, partial_groupby
 
     edges = _undirected_simple_edges(n_base).materialize()
-    nodes = sorted(set(edges.to_pandas()["a"]).union(
-        set(edges.to_pandas()["b"])))
+    edf = edges.to_pandas()  # one driver conversion for the node set
+    nodes = sorted(set(edf["a"]).union(set(edf["b"])))
+    del edf
     seeds = nodes[:n_walks]
     cur = {w: int(seeds[w % len(seeds)]) for w in range(len(seeds))}
     rows = [(w, 0, v) for w, v in cur.items()]
@@ -1464,15 +1474,7 @@ def host_attack_robustness(sf_dir: str, n_base: int = 1000,
     from .dedup import connected_components_ds
 
     und = _undirected_simple_edges(n_base).materialize()
-
-    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"v": np.concatenate(
-            [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)])})
-
-    deg = partial_groupby(und.map_batches(endpoints,
-                                          batch_format="pandas"),
-                          ["v"], {"deg": ("v", "count")},
-                          many_groups=True).to_pandas()
+    deg = _host_degrees(und)
     hubs = set(deg.sort_values(["deg", "v"], ascending=[False, True])
                .head(k)["v"].astype(int))
 
@@ -1558,7 +1560,9 @@ def host_attack_robustness_sql(n_base: int = 1000,
                       "AND b NOT IN (SELECT v FROM hubs)")}
         SELECT 'full' AS scenario, n_nodes, n_edges, n_components,
                giant_size,
-               round(giant_size::DOUBLE / n_nodes, 4) AS giant_share
+               CASE WHEN n_nodes = 0 THEN 0.0
+                    ELSE round(giant_size::DOUBLE / n_nodes, 4) END
+                   AS giant_share
         FROM sumf
         UNION ALL
         SELECT 'attacked', n_nodes, n_edges, n_components, giant_size,

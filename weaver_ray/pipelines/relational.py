@@ -1435,8 +1435,10 @@ def ams_join_size(sf_dir: str, d: int = AMS_D,
     s = partial_groupby(
         ds.map_batches(sketch_partials, batch_format="pandas"),
         ["r"], {"sa": ("sa", "sum"), "sb": ("sb", "sum")}).to_pandas()
-    est = float((s["sa"].to_numpy(np.int64)
-                 * s["sb"].to_numpy(np.int64)).sum()) / d
+    # cast BEFORE multiplying (the PMI rule): an int64 sa*sb wraps
+    # silently at web-scale counts where the oracle raises loudly
+    est = float((s["sa"].to_numpy(np.float64)
+                 * s["sb"].to_numpy(np.float64)).sum()) / d
 
     # exact certificate: one user-keyed exchange of (f_a, f_b) counts
     def flag_prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -1449,8 +1451,9 @@ def ams_join_size(sf_dir: str, d: int = AMS_D,
                         {"fa": ("a", "sum"), "fb": ("b", "sum")},
                         prep=flag_prep, many_groups=True,
                         num_buckets=num_buckets).to_pandas()
-    exact = int((f["fa"].to_numpy(np.int64)
-                 * f["fb"].to_numpy(np.int64)).sum())
+    # Python bigints: exact at any scale (the kmeans_label_ari rule)
+    exact = sum(int(a) * int(b)
+                for a, b in zip(f["fa"], f["fb"]) if a and b)
     rel = (float(sql_round(abs(est - exact) / exact, 6))
            if exact else 0.0)
     return pd.DataFrame({"d": [np.int64(d)], "est_join_size": [est],
@@ -1473,8 +1476,8 @@ def ams_join_size_sql(d: int = AMS_D) -> str:
             GROUP BY 1
         ),
         s AS (
-            SELECT r, sum(fa * sgn)::BIGINT AS sa,
-                   sum(fb * sgn)::BIGINT AS sb
+            SELECT r, sum(fa * sgn)::DOUBLE AS sa,
+                   sum(fb * sgn)::DOUBLE AS sb
             FROM (
                 SELECT f.fa, f.fb, q.r,
                        ((CAST(concat('0x', substr(md5(CAST(q.r AS VARCHAR)
@@ -1483,7 +1486,7 @@ def ams_join_size_sql(d: int = AMS_D) -> str:
                 FROM f, UNNEST(range(0, {d})) q(r))
             GROUP BY r
         ),
-        e AS (SELECT sum(sa * sb)::DOUBLE / {d} AS est FROM s),
+        e AS (SELECT coalesce(sum(sa * sb), 0.0) / {d} AS est FROM s),
         x AS (SELECT coalesce(sum(fa * fb), 0)::BIGINT AS exact FROM f)
         SELECT {d}::BIGINT AS d,
                (SELECT est FROM e) AS est_join_size,
@@ -1796,8 +1799,12 @@ def click_purchase_value_emd(sf_dir: str, nbins: int = EMD_BINS) -> pd.DataFrame
           .add(c[c["side"] == 1].set_index("bin")["n"], fill_value=0)
           .to_numpy(np.int64))
     Na, Nb = int(na.sum()), int(nb.sum())
-    diff = np.cumsum(na * Nb - nb * Na)          # exact integers
-    num = int(np.abs(diff[:-1]).sum())           # last entry is 0
+    # Python bigints: na*Nb wraps int64 silently at web-scale counts
+    # where the oracle's BIGINT window sum raises loudly
+    acc, num = 0, 0
+    for i in range(nbins - 1):                   # last prefix is 0
+        acc += int(na[i]) * Nb - int(nb[i]) * Na
+        num += abs(acc)
     emd = (float(sql_round(num * w / (Na * Nb), 6))
            if Na and Nb else 0.0)
     return pd.DataFrame({
@@ -1948,10 +1955,7 @@ def bloom_index_prune_sql(nblocks: int = BLIDX_NBLOCKS) -> str:
         ),
         cand AS (
             SELECT pp.user_id, b.blk
-            FROM (SELECT DISTINCT blk FROM bits) bl
-            CROSS JOIN (SELECT DISTINCT user_id FROM ppos) pu
-            JOIN ppos pp ON pp.user_id = pu.user_id
-            JOIN bits b ON b.blk = bl.blk AND b.pos = pp.pos
+            FROM ppos pp JOIN bits b ON b.pos = pp.pos
             GROUP BY pp.user_id, b.blk
             HAVING count(DISTINCT pp.j) = {BLIDX_K}
         ),

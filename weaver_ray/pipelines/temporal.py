@@ -1463,21 +1463,19 @@ def daily_user_churn_sql() -> str:
             SELECT DISTINCT user_id, date_trunc('day', ts) AS day
             FROM events
         ),
-        days AS (SELECT DISTINCT day FROM ud),
+        cnt AS (SELECT day, count(*)::BIGINT AS n FROM ud GROUP BY day),
+        inter AS (
+            SELECT a.day, count(*)::BIGINT AS n_ret
+            FROM ud a JOIN ud n ON n.user_id = a.user_id
+                              AND n.day = a.day + INTERVAL 1 DAY
+            GROUP BY a.day
+        ),
         b AS (
-            SELECT d.day,
-                   count(DISTINCT a.user_id)::BIGINT AS n_active,
-                   count(DISTINCT n.user_id)::BIGINT AS n_next,
-                   count(DISTINCT CASE WHEN n2.user_id IS NOT NULL
-                         THEN a.user_id END)::BIGINT AS n_returning
-            FROM days d
-            LEFT JOIN ud a ON a.day = d.day
-            LEFT JOIN ud n ON n.day = d.day + INTERVAL 1 DAY
-            LEFT JOIN ud n2 ON n2.day = d.day + INTERVAL 1 DAY
-                           AND n2.user_id = a.user_id
-            WHERE EXISTS (SELECT 1 FROM days x
-                          WHERE x.day = d.day + INTERVAL 1 DAY)
-            GROUP BY d.day
+            SELECT c0.day, c0.n AS n_active, c1.n AS n_next,
+                   coalesce(i.n_ret, 0) AS n_returning
+            FROM cnt c0
+            JOIN cnt c1 ON c1.day = c0.day + INTERVAL 1 DAY
+            LEFT JOIN inter i ON i.day = c0.day
         )
         SELECT day, n_active, n_next, n_returning,
                n_active - n_returning AS n_churned,

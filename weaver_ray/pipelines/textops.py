@@ -2897,6 +2897,10 @@ def neyman_sample_docs(sf_dir: str, total: int = NEYMAN_S,
     var = np.where(n > 1, (n * ss - s * s) / (n * (n - 1.0)), 0.0)
     sigma = np.sqrt(np.maximum(var, 0.0))
     w = n * sigma
+    # all-constant strata: Neyman weights vanish — fall back to
+    # PROPORTIONAL allocation (mirrored in the oracle's CASE)
+    if w.sum() == 0.0:
+        w = n
     quota = total * w / w.sum()
     base = np.floor(quota)
     leftover = int(total - base.sum())
@@ -2946,8 +2950,11 @@ def neyman_sample_docs_sql(total: int = NEYMAN_S) -> str:
         ),
         q AS (
             SELECT lang, n, sigma,
-                   {total} * n * sigma / (SELECT sum(n * sigma) FROM v)
-                       AS quota
+                   CASE WHEN (SELECT sum(n * sigma) FROM v) = 0
+                        THEN {total} * n / (SELECT sum(n) FROM v)
+                        ELSE {total} * n * sigma
+                             / (SELECT sum(n * sigma) FROM v)
+                   END AS quota
             FROM v
         ),
         b AS (
