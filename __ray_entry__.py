@@ -478,6 +478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_random_walks": pagerank.host_random_walks,
         # percolation under targeted hub removal (fragmentation audit)
         "host_attack_robustness": pagerank.host_attack_robustness,
+        # rich-club coefficient (hub-core density per degree threshold)
+        "host_rich_club": pagerank.host_rich_club,
         # per-host triangle counts (compact-forward wedge join)
         "host_triangles": pagerank.host_triangles,
         # directed BFS depth from the crawl's seed pages (frontier geometry:
@@ -678,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_haar_synopsis": temporal.daily_haar_synopsis,
         # day-over-day user-set overlap (churn/stickiness curve)
         "daily_user_churn": temporal.daily_user_churn,
+        # autocorrelation of the daily value series (periodicity)
+        "daily_value_acf": temporal.daily_value_acf,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -770,6 +774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srp_band_candidates": similarity.srp_band_candidates,
         # Matryoshka prefix-vs-full retrieval recall certificate
         "matryoshka_recall": similarity.matryoshka_recall,
+        # k-occurrence hubness profile of the kNN graph
+        "knn_hubness": similarity.knn_hubness,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -1580,6 +1586,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_haar_synopsis": temporal.daily_haar_synopsis_sql(),
         # churn: distinct day-pair membership, integer overlap counts
         "daily_user_churn": temporal.daily_user_churn_sql(),
+        # ACF: exact-integer deviations, cast-before-multiply products
+        "daily_value_acf": temporal.daily_value_acf_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),
@@ -3065,6 +3073,9 @@ def oracle_sql() -> dict[str, str]:
     d["host_random_walks"] = host_random_walks_sql()
     # robustness: two recursive closures, shared hub CTE
     d["host_attack_robustness"] = host_attack_robustness_sql()
+    # rich club: threshold VALUES join over the shared degree table
+    from weaver_ray.pipelines.pagerank import host_rich_club_sql
+    d["host_rich_club"] = host_rich_club_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list
@@ -3123,8 +3134,11 @@ def oracle_sql() -> dict[str, str]:
     # SRP: identical parity signs + exact fixed-point projections
     d["srp_band_candidates"] = srp_band_candidates_sql()
     # Matryoshka: both rankings via list_cosine_similarity windows
-    from weaver_ray.pipelines.similarity import matryoshka_recall_sql
+    from weaver_ray.pipelines.similarity import (knn_hubness_sql,
+                                                 matryoshka_recall_sql)
     d["matryoshka_recall"] = matryoshka_recall_sql()
+    # hubness: knn in-degrees + integer-rank Gini
+    d["knn_hubness"] = knn_hubness_sql()
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()

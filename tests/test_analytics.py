@@ -2057,3 +2057,81 @@ def test_daily_user_churn_replay(ray_session):
         assert r["n_returning"] == len(a & b)
         assert r["n_churned"] == len(a - b) and r["n_new"] == len(b - a)
         assert r["n_returning"] + r["n_churned"] == r["n_active"]
+
+
+def test_rich_club_complete_core(ray_session, tmp_path, monkeypatch):
+    """A clique of 4 hubs plus pendant leaves: above the leaf degree the
+    club is exactly the clique, phi == 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines import pagerank as pr
+
+    # K4 on 0..3, plus two leaves per hub
+    src, dst = [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            src.append(i), dst.append(j)
+    leaf = 10
+    for i in range(4):
+        for _ in range(2):
+            src.append(i), dst.append(leaf)
+            leaf += 1
+    d = tmp_path / "edges"
+    d.mkdir()
+    pq.write_table(pa.table({"src_host": pa.array(src, pa.int64()),
+                             "dst_host": pa.array(dst, pa.int64())}),
+                   d / "part-00000.parquet")
+    (d / "_DONE").write_text("test\n")
+    monkeypatch.setattr(pr, "generate_host_edges",
+                        lambda n_base=1000, **kw: str(d))
+    out = pr.host_rich_club(SF).set_index("k")
+    # hubs have degree 5, leaves degree 1: threshold 1 keeps the clique
+    assert out.loc[1, "n_k"] == 4 and out.loc[1, "e_k"] == 6
+    assert out.loc[1, "phi"] == 1.0
+    assert out.loc[8, "n_k"] == 0 and out.loc[8, "phi"] == 0.0
+
+
+def test_acf_planted_period(ray_session, tmp_path):
+    """A strict 2-day alternating series autocorrelates negatively at
+    lag 1 and positively at lag 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import daily_value_acf
+
+    vals, ts = [], []
+    for d in range(20):
+        v = 10.0 if d % 2 == 0 else 90.0
+        for i in range(5):
+            vals.append(v)
+            ts.append(np.datetime64("2024-01-01", "us")
+                      + np.timedelta64(d, "D") + np.timedelta64(i, "m"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0] * len(vals), pa.int64()),
+        "event_type": pa.array(["click"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals))}), tmp_path / "events.parquet")
+    out = daily_value_acf(str(tmp_path)).set_index("lag")
+    assert out.loc[1, "acf"] < -0.9
+    assert out.loc[2, "acf"] > 0.85
+    assert abs(out.loc[1, "acf"]) <= 1.0 + 1e-9
+
+
+def test_knn_hubness_conservation(ray_session):
+    """In-degree mass equals k * n_vectors (every vector emits k
+    edges), the histogram accounts for every vector, and the gini sits
+    in [0, 1)."""
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import knn_hubness
+
+    out = knn_hubness(SF, k=5)
+    n_vecs = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert out["n_vectors"].sum() == n_vecs
+    assert (out["in_degree"] * out["n_vectors"]).sum() == 5 * n_vecs
+    g = out["gini"].iloc[0]
+    assert 0.0 <= g < 1.0
+    assert out["max_in_degree"].iloc[0] >= 5

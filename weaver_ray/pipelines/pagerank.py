@@ -1570,3 +1570,84 @@ def host_attack_robustness_sql(n_base: int = 1000,
                     ELSE round(giant_size::DOUBLE / n_nodes, 4) END
         FROM sumx
     """
+
+
+RC_THRESHOLDS = (1, 2, 4, 8, 16)
+
+
+def host_rich_club(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """RICH-CLUB COEFFICIENT (Zhou & Mondragon 2004): for each degree
+    threshold k, the edge density among hosts of degree > k — phi(k) =
+    2*E_k / (N_k*(N_k-1)) — rising phi(k) means the hubs form a tight
+    core (they link each OTHER, not just many leaves), the structural
+    complement of assortativity's correlation.  One row per threshold
+    with N_k, E_k and phi; all counts integers, one rounded division.
+
+    Scale shape: one shared degree reduce (_host_degrees), then a
+    single edge pass counts, for EVERY threshold at once, the edges
+    whose both-endpoint minimum degree clears it (mergeable count
+    partials) — thresholds never rescan."""
+    from .common import _cached_get, partial_groupby, sql_round
+
+    edges = _undirected_simple_edges(n_base).materialize()
+    deg = _host_degrees(edges)
+    dmap = dict(zip(deg["v"].astype(int), deg["deg"].astype(int)))
+    ref = ray.put(dmap)
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        dm = _cached_get(ref)
+        da = b["a"].map(dm).to_numpy(np.int64)
+        db = b["b"].map(dm).to_numpy(np.int64)
+        lo = np.minimum(da, db)
+        return pd.DataFrame({
+            "k": np.asarray(RC_THRESHOLDS, np.int64),
+            "e_k": np.asarray([(lo > k).sum() for k in RC_THRESHOLDS],
+                              np.int64)})
+
+    ek = (edges.map_batches(counts, batch_format="pandas")
+          .to_pandas().groupby("k")["e_k"].sum())
+    dv = deg["deg"].to_numpy(np.int64)
+    rows = []
+    for k in RC_THRESHOLDS:
+        nk = int((dv > k).sum())
+        e = int(ek.get(k, 0))
+        phi = (float(sql_round(2.0 * e / (nk * (nk - 1)), 6))
+               if nk > 1 else 0.0)
+        rows.append((k, nk, e, phi))
+    return pd.DataFrame(rows, columns=["k", "n_k", "e_k", "phi"]).astype(
+        {"k": np.int64, "n_k": np.int64, "e_k": np.int64})
+
+
+def host_rich_club_sql(n_base: int = 1000) -> str:
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    ks = ", ".join(f"({k})" for k in RC_THRESHOLDS)
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+        ),
+        deg AS (
+            SELECT v, count(*)::BIGINT AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1
+        ),
+        ks AS (SELECT * FROM (VALUES {ks}) t(k)),
+        nk AS (
+            SELECT ks.k, count(deg.v)::BIGINT AS n_k
+            FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+        ),
+        ekt AS (
+            SELECT ks.k, count(t.lo)::BIGINT AS e_k
+            FROM ks LEFT JOIN (
+                SELECT least(da.d, db.d) AS lo
+                FROM e JOIN deg da ON da.v = e.a
+                       JOIN deg db ON db.v = e.b) t ON t.lo > ks.k
+            GROUP BY ks.k
+        )
+        SELECT ks.k::BIGINT AS k, nk.n_k, ekt.e_k,
+               CASE WHEN nk.n_k > 1
+                    THEN round(2.0 * ekt.e_k / (nk.n_k * (nk.n_k - 1)), 6)
+                    ELSE 0.0 END AS phi
+        FROM ks JOIN nk USING (k) JOIN ekt USING (k)
+    """

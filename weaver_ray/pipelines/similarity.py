@@ -2049,3 +2049,93 @@ def matryoshka_recall_sql(prefix: int = MRL_PREFIX,
                    AS mean_recall
         FROM q LEFT JOIN ov USING (qid)
     """
+
+
+def knn_hubness(sf_dir: str, k: int = 5,
+                num_buckets: int = 8) -> pd.DataFrame:
+    """k-OCCURRENCE HUBNESS profile (Radovanovic et al. 2010): the
+    in-degree distribution of the exact kNN graph — how often each
+    vector appears in OTHERS' top-k lists.  High-dimensional spaces
+    grow hubs (in-degree far above k) and anti-hubs (never retrieved);
+    the skew is the standard diagnostic before trusting kNN-based
+    dedup or retrieval.  Output: one row per in-degree with the vector
+    count, plus max in-degree, anti-hub count and the integer-form Gini
+    of the in-degree distribution (the crawl_skew_stats rank formula)
+    replicated — all counts exact.
+
+    Scale shape: knn_graph streams the edges; in-degrees are one
+    neighbor-keyed count reduce; the profile folds on the in-degree
+    histogram (bounded by max in-degree)."""
+    from .common import partial_groupby, sql_round
+
+    edges = knn_graph(sf_dir, k)
+    ind = partial_groupby(edges, ["neighbor_id"],
+                          {"ind": ("neighbor_id", "count")},
+                          many_groups=True,
+                          num_buckets=num_buckets).to_pandas()
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.ParquetFile(os.path.join(
+        sf_dir, "embeddings.parquet")).metadata.num_rows
+    n_antihub = int(n_vecs - len(ind))
+    degs = np.concatenate([ind["ind"].to_numpy(np.int64),
+                           np.zeros(n_antihub, dtype=np.int64)])
+    degs.sort()
+    c = degs.astype(object)     # Python ints: the integer Gini form
+    n = len(c)
+    t = int(degs.sum())
+    num = 2 * sum(int(i + 1) * int(v) for i, v in enumerate(degs)) \
+        - (n + 1) * t
+    gini = float(sql_round(num / (n * t), 6)) if t else 0.0
+
+    hist = (pd.Series(degs).value_counts().sort_index())
+    return pd.DataFrame({
+        "in_degree": hist.index.to_numpy(np.int64),
+        "n_vectors": hist.to_numpy(np.int64),
+        "max_in_degree": np.full(len(hist), np.int64(degs.max())),
+        "n_antihubs": np.full(len(hist), np.int64(n_antihub)),
+        "gini": np.full(len(hist), gini)})
+
+
+def knn_hubness_sql(k: int = 5) -> str:
+    """Oracle: the knn window CTE reduced to in-degrees (zeros filled
+    from the full vector set), the identical integer-rank Gini."""
+    return f"""
+        WITH knn AS (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT q.vec_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding,
+                                        e.embedding) DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings q JOIN embeddings e
+                     ON e.vec_id <> q.vec_id) t
+            WHERE rn <= {k}
+        ),
+        ind AS (
+            SELECT v.vec_id,
+                   coalesce(c.n, 0)::BIGINT AS ind
+            FROM embeddings v LEFT JOIN (
+                SELECT neighbor_id, count(*)::BIGINT AS n FROM knn
+                GROUP BY 1) c ON c.neighbor_id = v.vec_id
+        ),
+        rk AS (SELECT ind, row_number() OVER (ORDER BY ind, vec_id)
+                          AS r FROM ind),
+        g AS (
+            SELECT CASE WHEN sum(ind) = 0 THEN 0.0
+                        ELSE round((2 * sum(r * ind)
+                                    - (count(*) + 1) * sum(ind))
+                                   / (count(*)::DOUBLE * sum(ind)), 6)
+                   END AS gini,
+                   max(ind) AS mx,
+                   sum(CASE WHEN ind = 0 THEN 1 ELSE 0 END) AS n_anti
+            FROM rk
+        )
+        SELECT ind AS in_degree, count(*)::BIGINT AS n_vectors,
+               (SELECT mx FROM g)::BIGINT AS max_in_degree,
+               (SELECT n_anti FROM g)::BIGINT AS n_antihubs,
+               (SELECT gini FROM g) AS gini
+        FROM ind GROUP BY ind
+    """

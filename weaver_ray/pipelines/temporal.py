@@ -1484,3 +1484,70 @@ def daily_user_churn_sql() -> str:
                      / (n_active + n_next - n_returning), 4) AS jaccard
         FROM b
     """
+
+
+ACF_MAX_LAG = 7
+
+
+def daily_value_acf(sf_dir: str, max_lag: int = ACF_MAX_LAG,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """AUTOCORRELATION FUNCTION of the daily total-value series at lags
+    1..``max_lag`` — the periodicity detector (a weekly cycle spikes
+    lag 7) every capacity planner runs before fitting seasonality.
+    r_k = sum (x_t - mu)(x_{t+k} - mu) / sum (x_t - mu)^2 over the
+    observed-day sequence, computed on the integer-cents grid: mu
+    rounds to whole cents so deviations are EXACT integers, and both
+    engines cast them to float64 BEFORE the lag products (the PMI
+    rule), making every product bit-identical; the ratio rounds 6 dp.
+
+    Scale shape: one (day) cents-sum reduce; the lag fold runs on the
+    ~30-row driver series."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(day=b["ts"].dt.floor("D"),
+                        cents=np.floor(b["value"].to_numpy(np.float64)
+                                       * 100.0 + 0.5).astype(np.int64))
+
+    daily = partial_groupby(
+        load(sf_dir, "events", ["ts", "value"]), ["day"],
+        {"sc": ("cents", "sum")}, prep=prep, many_groups=True,
+        num_buckets=num_buckets).to_pandas().sort_values("day")
+
+    x = daily["sc"].to_numpy(np.int64).astype(np.float64)
+    n = len(x)
+    mu = np.floor(x.sum() / n + 0.5)       # grand mean, cents grid
+    d = x - mu                              # exact integers in float64
+    den = float((d * d).sum())
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = float((d[:-k] * d[k:]).sum()) if k < n else 0.0
+        rows.append((k, float(sql_round(num / den, 6))
+                     if den else 0.0))
+    return pd.DataFrame(rows, columns=["lag", "acf"]).astype(
+        {"lag": np.int64})
+
+
+def daily_value_acf_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    return f"""
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   sum(round(value * 100.0, 0))::BIGINT AS sc
+            FROM events GROUP BY 1
+        ),
+        r AS (SELECT sc::DOUBLE AS x,
+                     row_number() OVER (ORDER BY day) AS i
+              FROM d),
+        m AS (SELECT round(sum(x) / count(*), 0) AS mu FROM r),
+        dev AS (SELECT i, x - (SELECT mu FROM m) AS dv FROM r),
+        den AS (SELECT sum(dv * dv) AS s FROM dev),
+        lags AS (SELECT range AS k FROM range(1, {max_lag + 1}))
+        SELECT k::BIGINT AS lag,
+               CASE WHEN (SELECT s FROM den) = 0 THEN 0.0
+                    ELSE round(coalesce((
+                        SELECT sum(a.dv * b.dv)
+                        FROM dev a JOIN dev b ON b.i = a.i + lags.k), 0.0)
+                        / (SELECT s FROM den), 6)
+               END AS acf
+        FROM lags
+    """
