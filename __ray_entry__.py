@@ -552,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_index_prune": relational.bloom_index_prune,
         # information-gain decision stump over value bins
         "decision_stump_value_type": relational.decision_stump_value_type,
+        # Benford first-digit forensic audit with chi2 distance
+        "value_benford_audit": relational.value_benford_audit,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -1950,6 +1952,8 @@ def oracle_sql() -> dict[str, str]:
         # stump: same xlogx entropies, 1e-9 argmax grid
         "decision_stump_value_type":
             relational.decision_stump_value_type_sql(),
+        # Benford: substr first digits on the cents grid
+        "value_benford_audit": relational.value_benford_audit_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

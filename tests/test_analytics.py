@@ -2135,3 +2135,35 @@ def test_knn_hubness_conservation(ray_session):
     g = out["gini"].iloc[0]
     assert 0.0 <= g < 1.0
     assert out["max_in_degree"].iloc[0] >= 5
+
+
+def test_benford_planted_distributions(ray_session, tmp_path):
+    """A log-uniform sample follows Benford closely (small chi2); an
+    all-5s grid concentrates on digit 5 with a huge chi2; power-of-ten
+    cents land on digit 1 (the float-log10 trap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import value_benford_audit
+
+    def write(vals, d):
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "ts": pa.array([0] * len(vals), pa.timestamp("us")),
+            "user_id": pa.array([0] * len(vals), pa.int64()),
+            "event_type": pa.array(["click"] * len(vals)),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * len(vals))}),
+            d / "events.parquet")
+        return str(d)
+
+    rng = np.random.default_rng(11)
+    benford = list(np.round(10 ** rng.uniform(0, 4, 4000) / 100.0, 2))
+    b = value_benford_audit(write(benford, tmp_path / "b"))
+    spiked = value_benford_audit(write([5.55] * 500, tmp_path / "s"))
+    assert b["chi2"].iloc[0] < spiked["chi2"].iloc[0] / 50
+    assert spiked.set_index("digit").loc[5, "n"] == 500
+    # 10.00 -> 1000 cents -> first digit 1 (not 10 // 10^2.9999)
+    p10 = value_benford_audit(write([10.0] * 9, tmp_path / "p"))
+    assert p10.set_index("digit").loc[1, "n"] == 9

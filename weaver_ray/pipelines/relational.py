@@ -2100,3 +2100,71 @@ def decision_stump_value_type_sql(nbins: int = STUMP_BINS) -> str:
                round((SELECT bg FROM best), 6) AS best_gain
         FROM gain
     """
+
+
+def value_benford_audit(sf_dir: str) -> pd.DataFrame:
+    """BENFORD'S-LAW FIRST-DIGIT AUDIT of the value column — the
+    classic forensic screen for fabricated or truncated numeric data:
+    natural multi-scale amounts put digit d first with probability
+    log10(1 + 1/d); a flat or spiked profile flags synthetic grids,
+    capped fields or unit bugs.  First digits come from the integer
+    cents (exact string/arithmetic both engines); the chi-square
+    distance to the Benford expectation rides along, rounded 4 dp.
+
+    Scale shape: a 9-bucket count reduce; the expectation fold is nine
+    driver rows."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        cents = np.maximum(cents, 1)
+        # string route, not floor(log10): float log10 can misfloor at
+        # exact powers of ten — the oracle's substr does the same
+        digits = (pd.Series(cents).astype(str).str[0]
+                  .astype(np.int64).to_numpy())
+        return b.assign(digit=digits)
+
+    c = partial_groupby(load(sf_dir, "events", ["value"]), ["digit"],
+                        {"n": ("digit", "count")}, prep=prep).to_pandas()
+    full = pd.Series(0, index=range(1, 10), dtype=np.int64)
+    full = full.add(c.set_index("digit")["n"], fill_value=0).astype(
+        np.int64)
+    n = int(full.sum())
+    p = np.log10(1.0 + 1.0 / np.arange(1, 10, dtype=np.float64))
+    exp = n * p
+    obs = full.to_numpy(np.float64)
+    chi2 = float(sql_round((((obs - exp) ** 2) / exp).sum(), 4))
+    return pd.DataFrame({
+        "digit": np.arange(1, 10, dtype=np.int64),
+        "n": full.to_numpy(np.int64),
+        "frac": sql_round(obs / n, 6),
+        "benford_p": sql_round(p, 6),
+        "chi2": np.full(9, chi2)})
+
+
+def value_benford_audit_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT CAST(substr(CAST(greatest(
+                       CAST(round(value * 100.0, 0) AS BIGINT), 1)
+                       AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT r.range AS digit, coalesce(c.n, 0)::BIGINT AS n,
+                   log10(1.0 + 1.0 / r.range) AS p
+            FROM range(1, 10) r LEFT JOIN c ON c.digit = r.range
+        ),
+        t AS (SELECT sum(n)::DOUBLE AS tot FROM g),
+        x AS (
+            SELECT round(sum((n - t.tot * p) * (n - t.tot * p)
+                             / (t.tot * p)), 4) AS chi2
+            FROM g, t
+        )
+        SELECT digit, n, round(n / (SELECT tot FROM t), 6) AS frac,
+               round(p, 6) AS benford_p,
+               (SELECT chi2 FROM x) AS chi2
+        FROM g
+    """
