@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_events_blocks": analytics.rle_events_blocks,
         # chi-square independence (lang x source) from count partials
         "chi2_lang_source": analytics.chi2_lang_source,
+        # RFM quintile grid (three global NTILE rankings composed)
+        "customer_rfm_segments": analytics.customer_rfm_segments,
         # incremental view maintenance: checkpointed pre-cutoff partials +
         # delta-only scan; oracle = full recompute over all events
         "incremental_event_stats": relational.incremental_event_stats,
@@ -1976,6 +1978,8 @@ def oracle_sql() -> dict[str, str]:
         "rle_events_blocks": analytics.rle_events_blocks_sql(),
         # chi-square: full cross product incl. zero cells, shared grid
         "chi2_lang_source": analytics.chi2_lang_source_sql(),
+        # RFM: three ntile() windows over the same exact-integer metrics
+        "customer_rfm_segments": analytics.customer_rfm_segments_sql(),
         # winsorized mean: the sketch caps (P1/P99 left edges) recomputed
         # from the identical bucket arithmetic, then least/greatest clip
         "winsorized_value_stats": """

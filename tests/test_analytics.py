@@ -2167,3 +2167,26 @@ def test_benford_planted_distributions(ray_session, tmp_path):
     # 10.00 -> 1000 cents -> first digit 1 (not 10 // 10^2.9999)
     p10 = value_benford_audit(write([10.0] * 9, tmp_path / "p"))
     assert p10.set_index("digit").loc[1, "n"] == 9
+
+
+def test_rfm_segments_account_for_everyone(ray_session):
+    """Cell counts sum to the customer universe, every tile is in
+    [1, 5], each single-axis marginal matches the NTILE size rule, and
+    spend reconstructs."""
+    import duckdb
+
+    from weaver_ray.pipelines.analytics import (RFM_TILES,
+                                                customer_rfm_segments)
+
+    out = customer_rfm_segments(SF)
+    df = duckdb.sql(f"SELECT o_custkey, o_totalprice "
+                    f"FROM '{SF}/orders.parquet'").df()
+    n_cust = df["o_custkey"].nunique()
+    assert out["n_customers"].sum() == n_cust
+    for c in ("r_tile", "f_tile", "m_tile"):
+        assert out[c].between(1, RFM_TILES).all()
+        marg = out.groupby(c)["n_customers"].sum()
+        hi, lo = -(-n_cust // RFM_TILES), n_cust // RFM_TILES
+        assert marg.max() <= hi and marg.min() >= lo
+    total_cents = int(np.round(df["o_totalprice"] * 100).sum())
+    assert out["spend_cents"].sum() == total_cents

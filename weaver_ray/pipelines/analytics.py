@@ -1349,3 +1349,100 @@ def zonemap_layout_compare_sql(nblocks: int = ZM_NBLOCKS) -> str:
                    ::BIGINT AS scan_rows
         FROM b GROUP BY layout
     """
+
+
+RFM_TILES = 5
+
+
+def customer_rfm_segments(sf_dir: str, tiles: int = RFM_TILES,
+                          num_buckets: int = 16) -> pd.DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary quintiles) —
+    the canonical customer-value grid: R = days since last order
+    (relative to the corpus's latest order date), F = order count, M =
+    lifetime spend in cents; each metric NTILEs independently (tile 1 =
+    best: most recent / most orders / highest spend) and the output is
+    the populated (r, f, m) cell table with counts and per-cell spend —
+    what a campaign planner reads off.  All three metrics are exact
+    integers; the three rankings reuse the distributed
+    global_row_number + _ntile_of machinery of customer_value_ntiles,
+    so tile boundaries match SQL's ntile() exactly.
+
+    Scale shape: one customer-keyed reduce for the metric triple, three
+    metadata-only rank exchanges, one (r, f, m) count reduce."""
+    orders = load(sf_dir, "orders",
+                  ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            cents=np.round(b["o_totalprice"].to_numpy() * 100.0
+                           ).astype(np.int64),
+            epoch_d=(b["o_orderdate"].to_numpy()
+                     .astype("datetime64[D]").astype(np.int64)))
+
+    m = partial_groupby(
+        orders, ["o_custkey"],
+        {"spend_cents": ("cents", "sum"), "n_orders": ("cents", "count"),
+         "last_d": ("epoch_d", "max")},
+        prep=prep, many_groups=True, num_buckets=num_buckets
+    ).materialize()          # consumed by three rank passes + the fold
+
+    tiled = {}
+    for name, keys, desc in (
+            ("r", ["last_d", "o_custkey"], [True, False]),   # recent=1
+            ("f", ["n_orders", "o_custkey"], [True, False]),
+            ("m", ["spend_cents", "o_custkey"], [True, False])):
+        ranked, n = global_row_number(m, keys, descending=desc)
+
+        def stamp(b: pd.DataFrame, n=n) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": b["o_custkey"].to_numpy(np.int64),
+                "tile": _ntile_of(b["rank"].to_numpy(), n,
+                                  tiles).astype(np.int64)})
+
+        tiled[name] = (ranked.map_batches(stamp, batch_format="pandas")
+                       .to_pandas().set_index("o_custkey")["tile"])
+
+    base = m.to_pandas().set_index("o_custkey")
+    cells = pd.DataFrame({
+        "r_tile": tiled["r"].reindex(base.index),
+        "f_tile": tiled["f"].reindex(base.index),
+        "m_tile": tiled["m"].reindex(base.index),
+        "spend_cents": base["spend_cents"].astype(np.int64)})
+    g = (cells.groupby(["r_tile", "f_tile", "m_tile"])
+         .agg(n_customers=("spend_cents", "size"),
+              spend_cents=("spend_cents", "sum")).reset_index())
+    return (g.astype({"r_tile": np.int64, "f_tile": np.int64,
+                      "m_tile": np.int64, "n_customers": np.int64,
+                      "spend_cents": np.int64})
+            .sort_values(["r_tile", "f_tile", "m_tile"])
+            .reset_index(drop=True))
+
+
+def customer_rfm_segments_sql(tiles: int = RFM_TILES) -> str:
+    return f"""
+        WITH m AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS spend_cents,
+                   count(*)::BIGINT AS n_orders,
+                   CAST(max(epoch(date_trunc('day', o_orderdate)))
+                        // 86400 AS BIGINT) AS last_d
+            FROM orders GROUP BY o_custkey
+        ),
+        t AS (
+            SELECT o_custkey, spend_cents,
+                   ntile({tiles}) OVER (ORDER BY last_d DESC, o_custkey)
+                       AS r_tile,
+                   ntile({tiles}) OVER (ORDER BY n_orders DESC, o_custkey)
+                       AS f_tile,
+                   ntile({tiles}) OVER (ORDER BY spend_cents DESC,
+                                        o_custkey) AS m_tile
+            FROM m
+        )
+        SELECT CAST(r_tile AS BIGINT) AS r_tile,
+               CAST(f_tile AS BIGINT) AS f_tile,
+               CAST(m_tile AS BIGINT) AS m_tile,
+               count(*)::BIGINT AS n_customers,
+               sum(spend_cents)::BIGINT AS spend_cents
+        FROM t GROUP BY 1, 2, 3
+    """
