@@ -186,6 +186,14 @@ QUERY_NAMES = [
     "host_random_walks",
     "postings_compression_stats",
     "daily_haar_synopsis",
+    # block-28 additions
+    "host_attack_robustness",
+    "daily_user_churn",
+    "host_rich_club",
+    "daily_value_acf",
+    "knn_hubness",
+    "value_benford_audit",
+    "customer_rfm_segments",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
