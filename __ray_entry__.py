@@ -3147,6 +3147,10 @@ def oracle_sql() -> dict[str, str]:
     d["matryoshka_recall"] = matryoshka_recall_sql()
     # hubness: knn in-degrees + integer-rank Gini
     d["knn_hubness"] = knn_hubness_sql()
+    # top eigvec: power iteration unrolled on the shared 1e-6 cov grid
+    # (previously rows-only numpy eigh — now fully oracled)
+    from weaver_ray.pipelines.similarity import embedding_top_eigvec_sql
+    d["embedding_top_eigvec"] = embedding_top_eigvec_sql()
     # IVF-Flat: kmeans_sql coarse cells, probe top-n_probe per query,
     # exact cosine rank within probed cells (no PQ)
     d["ann_ivf_topk"] = ann_ivf_sql()

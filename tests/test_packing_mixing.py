@@ -142,10 +142,12 @@ def test_embedding_top_eigvec_matches_numpy(ray_session):
     w, V = np.linalg.eigh(C)
     v_ref = V[:, -1]
     v = out.sort_values("dim")["component"].to_numpy()
-    assert abs(abs(v @ v_ref) - 1.0) < 1e-9          # same direction
-    assert abs(out["lambda1"].iloc[0] - w[-1]) < 1e-9 * max(1.0, w[-1])
-    # explained-variance ratio consistent with the spectrum
-    assert abs(out["explained_var_ratio"].iloc[0] - w[-1] / w.sum()) < 1e-9
+    v = v / np.linalg.norm(v)     # components are 6-dp rounded
+    # power iteration on the 1e-6-quantized covariance: alignment and
+    # eigenvalue agree with eigh to the quantization/convergence budget
+    assert abs(abs(v @ v_ref) - 1.0) < 1e-4
+    assert abs(out["lambda1"].iloc[0] - w[-1]) < 1e-3 * max(1.0, w[-1])
+    assert abs(out["explained_var_ratio"].iloc[0] - w[-1] / w.sum()) < 1e-3
 
 
 def test_curated_packed_shards_is_packing_of_curated(ray_session):

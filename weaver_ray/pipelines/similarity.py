@@ -606,35 +606,108 @@ def embedding_covariance(sf_dir: str) -> pd.DataFrame:
     })
 
 
-def embedding_top_eigvec(sf_dir: str) -> pd.DataFrame:
+EIG_ITERS = 300  # fixed power-iteration count: the embedding spectrum's
+                 # top gap is small (lambda2/lambda1 ~ 0.93), so linear
+                 # convergence needs hundreds of steps to certify 1e-4
+
+
+def embedding_top_eigvec(sf_dir: str, n_iters: int = EIG_ITERS) -> pd.DataFrame:
     """Top principal direction of the embedding distribution — the
     spectral summary behind PCA whitening, index seeding and drift
     monitoring.  Distributed part: the one-pass moment sweep of
-    :func:`_covariance_pass`; the eigensolve is a driver-side 64x64
-    (trivial by construction — see the d-scaling note on the pass).
+    :func:`_covariance_pass`; the eigensolve is a FIXED-count POWER
+    ITERATION from v0 = 1/sqrt(d) on the covariance QUANTIZED to the
+    1e-6 grid — quantizing first makes both engines iterate the SAME
+    matrix, so the whole algorithm is a DuckDB-unrollable CTE chain
+    (previously this was a rows-only numpy eigh; the pytest still pins
+    the result against eigh within tolerance).  Sign fixed by making
+    the largest-|component| positive; every row carries the residual
+    ``||C v - lambda v|| / lambda`` and ``residual_ok`` as the
+    convergence certificate."""
+    from .common import sql_round
 
-    SELF-EVIDENCING (no SQL eigensolver): every row carries the residual
-    ``||C v - lambda v|| / lambda`` and ``residual_ok`` (<= 1e-9), plus
-    the explained-variance ratio; pytest pins the vector against
-    numpy's eigh of the full-table covariance.  Sign fixed by making
-    the largest-|component| positive (eigenvectors are sign-ambiguous)."""
     cov, _, n = _covariance_pass(sf_dir)
-    w, V = np.linalg.eigh(cov)
-    lam = float(w[-1])
-    v = V[:, -1]
+    d = cov.shape[0]
+    C = np.asarray(sql_round(cov, 6))     # the shared iteration matrix
+    v = np.full(d, 1.0 / np.sqrt(float(d)))
+    for _ in range(n_iters):
+        w = C @ v
+        v = w / np.sqrt(float((w * w).sum()))
+    lam = float(v @ (C @ v))
     if v[np.argmax(np.abs(v))] < 0:
         v = -v
-    resid = float(np.linalg.norm(cov @ v - lam * v)) / max(lam, 1e-30)
-    d = len(v)
+    resid = float(np.linalg.norm(C @ v - lam * v)) / max(lam, 1e-30)
     return pd.DataFrame({
         "dim": np.arange(1, d + 1, dtype=np.int64),
-        "component": v,
-        "lambda1": np.full(d, lam),
-        "explained_var_ratio": np.full(d, lam / float(np.trace(cov))),
+        "component": sql_round(v, 6),
+        "lambda1": np.full(d, float(sql_round(lam, 4))),
+        "explained_var_ratio": np.full(
+            d, float(sql_round(lam / float(np.trace(C)), 6))),
         "n_vecs": np.full(d, n, dtype=np.int64),
-        "residual": np.full(d, resid),
-        "residual_ok": np.full(d, resid <= 1e-9),
+        "residual": np.full(d, float(sql_round(resid, 6))),
+        "residual_ok": np.full(d, resid <= 1e-4),
     })
+
+
+def embedding_top_eigvec_sql(n_iters: int = EIG_ITERS, dim: int = 64) -> str:
+    """Oracle: the covariance CTE rounded to the shared 1e-6 grid, the
+    power iteration unrolled one (matvec, normalize) pair per step, the
+    identical sign rule and certificates."""
+    parts = [f"""
+        WITH u AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                   CAST(unnest(embedding) AS DOUBLE) AS e
+            FROM embeddings
+        ),
+        cov AS MATERIALIZED (
+            SELECT a.d AS i, b.d AS j, round(covar_samp(a.e, b.e), 6) AS c
+            FROM u a JOIN u b USING (vec_id)
+            GROUP BY a.d, b.d
+        ),
+        v0 AS MATERIALIZED (
+            SELECT range + 1 AS d, 1.0 / sqrt({dim}.0) AS x
+            FROM range(0, {dim})
+        )"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+        w{t} AS MATERIALIZED (
+            SELECT cov.i AS d, sum(cov.c * v.x) AS x
+            FROM cov JOIN v{t - 1} v ON v.d = cov.j GROUP BY cov.i
+        ),
+        v{t} AS MATERIALIZED (
+            SELECT d, x / (SELECT sqrt(sum(x * x)) FROM w{t}) AS x
+            FROM w{t}
+        )""")
+    last = n_iters
+    parts.append(f""",
+        cv AS MATERIALIZED (
+            SELECT cov.i AS d, sum(cov.c * v.x) AS x
+            FROM cov JOIN v{last} v ON v.d = cov.j GROUP BY cov.i
+        ),
+        lam AS (SELECT sum(v.x * cv.x) AS l
+                FROM v{last} v JOIN cv USING (d)),
+        sgn AS (
+            SELECT CASE WHEN (SELECT x FROM v{last}
+                              ORDER BY abs(x) DESC, d LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS s
+        ),
+        res AS (
+            SELECT sqrt(sum((cv.x - (SELECT l FROM lam) * v.x)
+                            * (cv.x - (SELECT l FROM lam) * v.x)))
+                   / greatest((SELECT l FROM lam), 1e-30) AS r
+            FROM v{last} v JOIN cv USING (d)
+        )
+        SELECT v.d::BIGINT AS dim,
+               round(v.x * (SELECT s FROM sgn), 6) AS component,
+               round((SELECT l FROM lam), 4) AS lambda1,
+               round((SELECT l FROM lam)
+                     / (SELECT sum(c) FROM cov WHERE i = j), 6)
+                   AS explained_var_ratio,
+               (SELECT count(DISTINCT vec_id) FROM u)::BIGINT AS n_vecs,
+               round((SELECT r FROM res), 6) AS residual,
+               (SELECT r FROM res) <= 1e-4 AS residual_ok
+        FROM v{last} v""")
+    return "".join(parts)
 
 
 def _nearest_centroid(m: np.ndarray, C: np.ndarray) -> np.ndarray:
