@@ -678,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_sample_docs": textops.neyman_sample_docs,
         # Elias-gamma postings compression audit (integer-exact)
         "postings_compression_stats": textops.postings_compression_stats,
+        # Theil-T inequality decomposition with identity certificate
+        "source_theil_decomposition": textops.source_theil_decomposition,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1584,6 +1586,9 @@ def oracle_sql() -> dict[str, str]:
         # postings: lag gaps + binary-digit-count bit lengths
         "postings_compression_stats":
             textops.postings_compression_stats_sql(),
+        # Theil: same sufficient statistics and mirrored expressions
+        "source_theil_decomposition":
+            textops.source_theil_decomposition_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

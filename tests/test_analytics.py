@@ -2190,3 +2190,36 @@ def test_rfm_segments_account_for_everyone(ray_session):
         assert marg.max() <= hi and marg.min() >= lo
     total_cents = int(np.round(df["o_totalprice"] * 100).sum())
     assert out["spend_cents"].sum() == total_cents
+
+
+def test_theil_decomposition_identity(ray_session, tmp_path):
+    """The decomposition identity holds (gap ~ 0), equal docs give zero
+    inequality, and a planted between-source gap loads T_between."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import source_theil_decomposition
+
+    def write(rows, d):
+        d.mkdir(exist_ok=True)
+        src, ch = zip(*rows)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(["x"] * len(rows)),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(list(src)),
+            "n_chars": pa.array(list(ch), pa.int64())}),
+            d / "documents.parquet")
+        return str(d)
+
+    flat = source_theil_decomposition(
+        write([("a", 100)] * 50 + [("b", 100)] * 50, tmp_path / "f"))
+    assert abs(flat["theil_total"].iloc[0]) < 1e-9
+    gapd = source_theil_decomposition(
+        write([("a", 100)] * 50 + [("b", 900)] * 50, tmp_path / "g"))
+    r = gapd.iloc[0]
+    assert r["theil_total"] > 0.1
+    assert abs(r["decomp_gap"]) < 1e-5
+    assert r["theil_between"] > 0.99 * r["theil_total"]  # within ~ 0
+    real = source_theil_decomposition(SF).iloc[0]
+    assert abs(real["decomp_gap"]) < 1e-5

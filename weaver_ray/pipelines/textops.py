@@ -3071,3 +3071,92 @@ def postings_compression_stats_sql(min_df: int = 5) -> str:
                round(gamma_bits::DOUBLE / (64 * df), 4) AS ratio
         FROM c WHERE df >= {min_df}
     """
+
+
+def source_theil_decomposition(sf_dir: str,
+                               num_buckets: int = 16) -> pd.DataFrame:
+    """THEIL-T INEQUALITY DECOMPOSITION of document sizes across
+    sources — the inequality index that decomposes EXACTLY:
+    T_total = T_between + sum_g w_g * T_g (w_g = group share of total
+    chars), so "is size skew a between-source or within-source problem"
+    gets a number for each side, and the identity itself rides along as
+    the in-row certificate (decomp_gap ~ 0).  All sufficient statistics
+    are (n, sum x, sum x*ln(x)) per source — one reduce; per-row xlogx
+    terms are identical on both engines, sums differ only in ulps and
+    every output rounds 6 dp.
+
+    Scale shape: one (source) partial pass; the 20-row decomposition
+    folds driver-side."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(np.float64)
+        return b.assign(x=x, xlx=x * np.log(x))
+
+    g = partial_groupby(
+        load(sf_dir, "documents", ["source", "n_chars"]),
+        ["source"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sxlx": ("xlx", "sum")},
+        prep=prep,
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+
+    n_g = g["n"].to_numpy(np.float64)
+    sx_g = g["sx"].to_numpy(np.float64)
+    sxlx_g = g["sxlx"].to_numpy(np.float64)
+    n, sx, sxlx = n_g.sum(), sx_g.sum(), sxlx_g.sum()
+    mu = sx / n
+    mu_g = sx_g / n_g
+    # T = sum x*ln(x) / (n*mu) - ln(mu), per group and globally
+    t_g = sxlx_g / (n_g * mu_g) - np.log(mu_g)
+    t_total = sxlx / (n * mu) - np.log(mu)
+    w_g = sx_g / sx                       # char share of each source
+    t_between = float((w_g * np.log(mu_g / mu)).sum())
+    t_within = float((w_g * t_g).sum())
+    gap = t_total - (t_between + t_within)
+    return pd.DataFrame({
+        "source": g["source"].to_numpy(object),
+        "n_docs": g["n"].to_numpy(np.int64),
+        "mean_chars": sql_round(mu_g, 4),
+        "theil_g": sql_round(t_g, 6),
+        "char_share": sql_round(w_g, 6),
+        "theil_total": np.full(len(g), float(sql_round(t_total, 6))),
+        "theil_between": np.full(len(g), float(sql_round(t_between, 6))),
+        "theil_within": np.full(len(g), float(sql_round(t_within, 6))),
+        "decomp_gap": np.full(len(g), float(sql_round(gap, 6)))})
+
+
+def source_theil_decomposition_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT source, count(*)::DOUBLE AS n,
+                   sum(n_chars::DOUBLE) AS sx,
+                   sum(n_chars::DOUBLE * ln(n_chars::DOUBLE)) AS sxlx
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sxlx) AS sxlx
+              FROM g),
+        m AS (
+            SELECT g.source, g.n, g.sx, g.sxlx,
+                   g.sx / g.n AS mu_g, t.sx / t.n AS mu,
+                   g.sxlx / (g.n * (g.sx / g.n)) - ln(g.sx / g.n) AS t_g,
+                   g.sx / t.sx AS w_g
+            FROM g, t
+        ),
+        agg AS (
+            SELECT (SELECT sxlx / (n * (sx / n)) - ln(sx / n) FROM t)
+                       AS t_total,
+                   sum(w_g * ln(mu_g / mu)) AS t_between,
+                   sum(w_g * t_g) AS t_within
+            FROM m
+        )
+        SELECT m.source, CAST(m.n AS BIGINT) AS n_docs,
+               round(m.mu_g, 4) AS mean_chars,
+               round(m.t_g, 6) AS theil_g,
+               round(m.w_g, 6) AS char_share,
+               round((SELECT t_total FROM agg), 6) AS theil_total,
+               round((SELECT t_between FROM agg), 6) AS theil_between,
+               round((SELECT t_within FROM agg), 6) AS theil_within,
+               round((SELECT t_total - (t_between + t_within) FROM agg), 6)
+                   AS decomp_gap
+        FROM m
+    """
