@@ -554,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decision_stump_value_type": relational.decision_stump_value_type,
         # Benford first-digit forensic audit with chi2 distance
         "value_benford_audit": relational.value_benford_audit,
+        # mutual information of event_type x hour (dependence in nats)
+        "type_hour_mi": relational.type_hour_mi,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -680,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compression_stats": textops.postings_compression_stats,
         # Theil-T inequality decomposition with identity certificate
         "source_theil_decomposition": textops.source_theil_decomposition,
+        # Church-Gale token burstiness (variance-to-mean of doc counts)
+        "token_burstiness": textops.token_burstiness,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1589,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         # Theil: same sufficient statistics and mirrored expressions
         "source_theil_decomposition":
             textops.source_theil_decomposition_sql(),
+        # burstiness: integer (c, c^2) moments, mirrored VMR expression
+        "token_burstiness": textops.token_burstiness_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic
@@ -1961,6 +1967,8 @@ def oracle_sql() -> dict[str, str]:
             relational.decision_stump_value_type_sql(),
         # Benford: substr first digits on the cents grid
         "value_benford_audit": relational.value_benford_audit_sql(),
+        # MI: identical xlogx entropies over the cell counts
+        "type_hour_mi": relational.type_hour_mi_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

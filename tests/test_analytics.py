@@ -2223,3 +2223,66 @@ def test_theil_decomposition_identity(ray_session, tmp_path):
     assert r["theil_between"] > 0.99 * r["theil_total"]  # within ~ 0
     real = source_theil_decomposition(SF).iloc[0]
     assert abs(real["decomp_gap"]) < 1e-5
+
+
+def test_type_hour_mi_known_tables(ray_session, tmp_path):
+    """Perfect dependence (each type owns one hour) gives
+    MI == H(type) and NMI == 1; independence gives MI ~ 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import type_hour_mi
+
+    def write(rows, d):
+        d.mkdir(exist_ok=True)
+        et, hr = zip(*rows)
+        ts = [np.datetime64("2024-01-01", "us")
+              + np.timedelta64(h, "h") for h in hr]
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array(list(et)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows))}), d / "events.parquet")
+        return str(d)
+
+    dep = type_hour_mi(write([("a", 1)] * 50 + [("b", 2)] * 50,
+                             tmp_path / "dep")).iloc[0]
+    assert dep["nmi"] == 1.0
+    assert abs(dep["mi_nats"] - np.log(2)) < 1e-4
+    ind = type_hour_mi(write(
+        [(t, h) for t in ("a", "b") for h in (1, 2) for _ in range(25)],
+        tmp_path / "ind")).iloc[0]
+    assert abs(ind["mi_nats"]) < 1e-6
+
+
+def test_token_burstiness_planted(ray_session, tmp_path):
+    """An evenly-scattered token has VMR ~ 0 (constant count per doc);
+    a clumped token of the same total count has VMR >> 1; values match
+    the direct variance/mean computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import token_burstiness
+
+    # "flat" once in every doc; "bursty" 50 times in each of 2 docs
+    docs = []
+    for i in range(100):
+        t = ["flat"]
+        if i < 2:
+            t += ["bursty"] * 50
+        docs.append(" ".join(t))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array(docs)}), tmp_path / "documents.parquet")
+    out = token_burstiness(str(tmp_path), k=2).set_index("token")
+
+    def vmr(counts):
+        c = np.zeros(100)
+        c[:len(counts)] = counts
+        return c.var(ddof=1) / c.mean()
+
+    assert out.loc["flat", "vmr"] == 0.0
+    assert abs(out.loc["bursty", "vmr"] - vmr([50, 50])) < 1e-3
+    assert out.loc["bursty", "vmr"] > 10

@@ -2168,3 +2168,92 @@ def value_benford_audit_sql() -> str:
                (SELECT chi2 FROM x) AS chi2
         FROM g
     """
+
+
+def type_hour_mi(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """MUTUAL INFORMATION between event_type and hour-of-day — the
+    dependence measure that, unlike chi-square, reads directly in nats
+    ("how many bits does the clock tell you about what users do"), with
+    the normalized variant MI/min(H_type, H_hour) in [0, 1] for
+    cross-dataset comparison.  All three entropies use the stump's
+    xlogx-on-exact-integer-counts form (H = ln n - sum c*ln(c)/n), so
+    the only cross-engine drift is summation-order ulps under a 6 dp
+    grid.
+
+    Scale shape: one (type, hour) count reduce (~120 cells); the
+    entropy fold runs driver-side."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(hour=b["ts"].dt.hour.astype(np.int64))
+
+    c = partial_groupby(
+        load(sf_dir, "events", ["ts", "event_type"]),
+        ["event_type", "hour"], {"n": ("hour", "count")}, prep=prep,
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+    n = float(c["n"].sum())
+
+    def ent(counts: np.ndarray) -> float:
+        s = 0.0
+        for x in np.sort(counts)[::-1]:
+            if x > 0:
+                s = s + x * np.log(x)
+        return np.log(n) - s / n
+
+    hx = ent(c.groupby("event_type")["n"].sum().to_numpy(np.float64))
+    hy = ent(c.groupby("hour")["n"].sum().to_numpy(np.float64))
+    hxy = ent(c["n"].to_numpy(np.float64))
+    mi = hx + hy - hxy
+    return pd.DataFrame({
+        "n_events": [np.int64(n)],
+        "n_types": [np.int64(c["event_type"].nunique())],
+        "n_hours": [np.int64(c["hour"].nunique())],
+        "h_type": [float(sql_round(hx, 6))],
+        "h_hour": [float(sql_round(hy, 6))],
+        "mi_nats": [float(sql_round(mi, 6))],
+        "nmi": [float(sql_round(mi / min(hx, hy), 6))
+                if min(hx, hy) > 0 else 0.0]})
+
+
+def type_hour_mi_sql() -> str:
+    """Oracle: identical xlogx entropies; the cell sums are unordered
+    but every output rounds on the shared 6 dp grid."""
+    return """
+        WITH c AS (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*)::DOUBLE AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT sum(n) AS n FROM c),
+        hx AS (
+            SELECT ln((SELECT n FROM t))
+                   - sum(m * ln(m)) / (SELECT n FROM t) AS h
+            FROM (SELECT sum(n) AS m FROM c GROUP BY event_type)
+        ),
+        hy AS (
+            SELECT ln((SELECT n FROM t))
+                   - sum(m * ln(m)) / (SELECT n FROM t) AS h
+            FROM (SELECT sum(n) AS m FROM c GROUP BY hour)
+        ),
+        hxy AS (
+            SELECT ln((SELECT n FROM t))
+                   - sum(n * ln(n)) / (SELECT n FROM t) AS h
+            FROM c
+        )
+        SELECT CAST((SELECT n FROM t) AS BIGINT) AS n_events,
+               (SELECT count(DISTINCT event_type) FROM c)::BIGINT
+                   AS n_types,
+               (SELECT count(DISTINCT hour) FROM c)::BIGINT AS n_hours,
+               round((SELECT h FROM hx), 6) AS h_type,
+               round((SELECT h FROM hy), 6) AS h_hour,
+               round((SELECT h FROM hx) + (SELECT h FROM hy)
+                     - (SELECT h FROM hxy), 6) AS mi_nats,
+               CASE WHEN least((SELECT h FROM hx), (SELECT h FROM hy))
+                        <= 0 THEN 0.0
+                    ELSE round(((SELECT h FROM hx) + (SELECT h FROM hy)
+                                - (SELECT h FROM hxy))
+                               / least((SELECT h FROM hx),
+                                       (SELECT h FROM hy)), 6)
+               END AS nmi
+        FROM t
+    """

@@ -3160,3 +3160,85 @@ def source_theil_decomposition_sql() -> str:
                    AS decomp_gap
         FROM m
     """
+
+
+BURST_K = 20
+
+
+def token_burstiness(sf_dir: str, k: int = BURST_K,
+                     num_buckets: int = 16) -> pd.DataFrame:
+    """TOKEN BURSTINESS (Church & Gale 1995): the variance-to-mean
+    ratio of per-document counts for the top-``k`` tokens — VMR 1 is
+    Poisson (function words scatter evenly), VMR >> 1 is bursty
+    (content words clump into the few documents about that topic).
+    The curation use: bursty tokens are topical signal, flat tokens are
+    boilerplate candidates.  Zero-count documents are part of the
+    distribution (moments divide by the CORPUS doc count), caught with
+    no explode: VMR needs only sum c and sum c^2 per token plus N.
+
+    All moments are exact integers; VMR = (n*ss - s*s) / (s*(n-1)) is
+    the mirrored float expression, 4 dp."""
+    from .common import sql_round
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        d = pd.DataFrame({
+            "token": toks.explode().dropna().to_numpy(object),
+            "doc_id": df["doc_id"].to_numpy(np.int64).repeat(
+                toks.str.len().to_numpy(np.int64))})
+        g = (d.groupby(["token", "doc_id"], sort=False).size()
+             .rename("c").reset_index())
+        g["cc"] = g["c"] * g["c"]
+        out = g.groupby("token", sort=False).agg(
+            s=("c", "sum"), ss=("cc", "sum"),
+            df_=("c", "size")).reset_index()
+        return out.astype({"s": np.int64, "ss": np.int64,
+                           "df_": np.int64})
+
+    m = partial_groupby(
+        ds.map_batches(moments, batch_format="pandas"), ["token"],
+        {"s": ("s", "sum"), "ss": ("ss", "sum"), "df_": ("df_", "sum")},
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = float(pq.ParquetFile(os.path.join(
+        sf_dir, "documents.parquet")).metadata.num_rows)
+    m = (m.sort_values(["s", "token"], ascending=[False, True])
+         .head(k).reset_index(drop=True))
+    s = m["s"].to_numpy(np.int64).astype(np.float64)
+    ss = m["ss"].to_numpy(np.int64).astype(np.float64)
+    vmr = (n * ss - s * s) / (s * (n - 1.0))
+    return pd.DataFrame({
+        "token": m["token"].to_numpy(object),
+        "n_occurrences": m["s"].to_numpy(np.int64),
+        "n_docs": m["df_"].to_numpy(np.int64),
+        "vmr": sql_round(vmr, 4)})
+
+
+def token_burstiness_sql(k: int = BURST_K) -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                     '\\w+')) AS token
+            FROM documents
+        ),
+        pc AS (SELECT token, doc_id, count(*)::BIGINT AS c FROM d
+               GROUP BY 1, 2),
+        m AS (
+            SELECT token, sum(c)::BIGINT AS s,
+                   sum(c * c)::BIGINT AS ss,
+                   count(*)::BIGINT AS df_
+            FROM pc GROUP BY token
+            ORDER BY s DESC, token LIMIT {k}
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT token, s AS n_occurrences, df_ AS n_docs,
+               round((nn.n * ss - s::DOUBLE * s)
+                     / (s * (nn.n - 1.0)), 4) AS vmr
+        FROM m, nn
+    """
