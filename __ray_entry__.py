@@ -786,6 +786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matryoshka_recall": similarity.matryoshka_recall,
         # k-occurrence hubness profile of the kNN graph
         "knn_hubness": similarity.knn_hubness,
+        # Johnson-Lindenstrauss distortion audit (integer-exact)
+        "jl_distortion_audit": similarity.jl_distortion_audit,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -838,6 +840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_format_stats": images.corpus_format_stats,
         # declared-fmt vs payload magic-prefix validation (pre-decode)
         "image_magic_check": images.image_magic_check,
+        # per-bit phash balance audit (banding-health certificate)
+        "phash_bit_balance": images.phash_bit_balance,
         # per-image Shannon entropy of the stored bytes (corrupt/flat gate)
         "image_byte_entropy": images.image_byte_entropy,
         # content-store chunk dedup stats over the stored blobs (fixed
@@ -1250,6 +1254,7 @@ def _image_sql() -> dict[str, str]:
         generate_dups,
         generate_variants,
         image_chunk_dedup_sql,
+        phash_bit_balance_sql,
     )
     from weaver_ray.pipelines.video import generate_video_corpus
     from weaver_ray.sources.corpus import generate_corpus
@@ -1439,6 +1444,8 @@ def _image_sql() -> dict[str, str]:
         # chunk dedup: hex substr explode into 128-char chunks, identical
         # md5-of-hex ids, global per-chunk image counts
         "image_chunk_dedup": image_chunk_dedup_sql(base, dup),
+        # phash bit balance: identical shift-and-mask counts
+        "phash_bit_balance": phash_bit_balance_sql(base),
         # fmt-vs-magic validation: identical 4-byte hex prefix grouping
         "image_magic_check": f"""
             SELECT fmt, substr(hex(bytes), 1, 8) AS magic_hex,
@@ -3160,6 +3167,9 @@ def oracle_sql() -> dict[str, str]:
     d["matryoshka_recall"] = matryoshka_recall_sql()
     # hubness: knn in-degrees + integer-rank Gini
     d["knn_hubness"] = knn_hubness_sql()
+    # JL audit: same parity signs, fixed-point integer distances
+    from weaver_ray.pipelines.similarity import jl_distortion_audit_sql
+    d["jl_distortion_audit"] = jl_distortion_audit_sql()
     # top eigvec: power iteration unrolled on the shared 1e-6 cov grid
     # (previously rows-only numpy eigh — now fully oracled)
     from weaver_ray.pipelines.similarity import embedding_top_eigvec_sql

@@ -2286,3 +2286,50 @@ def test_token_burstiness_planted(ray_session, tmp_path):
     assert out.loc["flat", "vmr"] == 0.0
     assert abs(out.loc["bursty", "vmr"] - vmr([50, 50])) < 1e-3
     assert out.loc["bursty", "vmr"] > 10
+
+
+def test_phash_bit_balance_accounts_all_bits(ray_session):
+    """64 rows, ones-counts bounded by the corpus size, mean fraction
+    near 0.5 (the generator's phash is DCT-median based), and the in-row
+    chi2 reconstructs."""
+    from weaver_ray.pipelines.images import phash_bit_balance
+
+    out = phash_bit_balance(SF)
+    assert len(out) == 64
+    n = 1000
+    assert out["n_ones"].between(0, n).all()
+    assert 0.3 < out["frac"].mean() < 0.7
+    ones = out["n_ones"].to_numpy(np.float64)
+    chi2 = round(float((((ones - n / 2) ** 2) / (n / 4)).sum()), 4)
+    assert abs(out["chi2"].iloc[0] - chi2) < 1e-6
+
+
+def test_jl_distortion_replay_and_concentration(ray_session):
+    """Distortions replay a sequential hashlib projection exactly; the
+    JL concentration holds loosely (most pairs within 1 +- 0.5 at
+    k=16)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.similarity import (JL_K, JL_PAIRS,
+                                                 SRP_SCALE,
+                                                 jl_distortion_audit)
+
+    out = jl_distortion_audit(SF).set_index("pair")
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    R = np.array([[1 if int(hashlib.md5(f"jl|{r}|{d}".encode())
+                            .hexdigest()[:13], 16) % 2 == 0 else -1
+                   for d in range(64)] for r in range(JL_K)])
+    XI = np.sign(X) * np.floor(np.abs(X) * SRP_SCALE + 0.5)
+    for p in (0, 7, JL_PAIRS - 1):
+        a, b = XI[pos[2 * p]], XI[pos[2 * p + 1]]
+        d2f = int(((a - b) ** 2).sum())
+        d2p = int((((a - b) @ R.T) ** 2).sum())
+        assert out.loc[p, "d2_full"] == d2f
+        assert out.loc[p, "d2_proj"] == d2p
+    assert out["frac_within_half"].iloc[0] > 0.7

@@ -1099,3 +1099,69 @@ def image_magic_check(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
         prep=prep).to_pandas()
     return (out.astype({"n_images": np.int64, "n_magic_ok": np.int64})
             .sort_values(["fmt", "magic_hex"]).reset_index(drop=True))
+
+
+def phash_bit_balance(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
+    """PER-BIT BALANCE AUDIT of the phash column: a usable perceptual
+    hash has every bit near 50/50 across the corpus (a stuck bit wastes
+    a 64th of the hamming signal and silently narrows every banding
+    scheme built on it — the near-dup families here band on these
+    bits).  One row per bit with the ones-count, fraction and a
+    balance_ok flag (frac in [0.2, 0.8]); the chi-square distance to
+    fair coins rides along.  All counts integer (bit shifts both
+    engines).
+
+    Scale shape: per-batch bit-count partials (64 ints per batch via
+    one vectorized shift table), one 64-row reduce."""
+    from .common import partial_groupby, sql_round
+
+    ds = read_corpus(generate_corpus(n_base), ["phash"])
+
+    def bits(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["phash"].to_numpy(np.int64)
+        ones = [( (h >> b) & 1 ).sum() for b in range(64)]
+        return pd.DataFrame({"bit": np.arange(64, dtype=np.int64),
+                             "n_ones": np.asarray(ones, np.int64),
+                             "n": np.int64(len(h))})
+
+    g = partial_groupby(ds.map_batches(bits, batch_format="pandas"),
+                        ["bit"], {"n_ones": ("n_ones", "sum"),
+                                  "n": ("n", "sum")},
+                        many_groups=True, num_buckets=4).to_pandas()
+    g = g.sort_values("bit").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    ones = g["n_ones"].to_numpy(np.int64)
+    frac = ones / n.astype(np.float64)
+    # chi2 vs fair coin per bit summed: sum (ones - n/2)^2 / (n/4)
+    chi2 = float(sql_round(
+        (((ones - n / 2.0) ** 2) / (n / 4.0)).sum(), 4))
+    return pd.DataFrame({
+        "bit": g["bit"].to_numpy(np.int64),
+        "n_ones": ones,
+        "frac": sql_round(frac, 6),
+        "balance_ok": ((frac >= 0.2) & (frac <= 0.8)),
+        "chi2": np.full(64, chi2)})
+
+
+def phash_bit_balance_sql(base_glob: str) -> str:
+    return f"""
+        WITH b AS (SELECT range AS bit FROM range(0, 64)),
+        c AS (
+            SELECT b.bit,
+                   sum((phash >> b.bit) & 1)::BIGINT AS n_ones,
+                   count(*)::BIGINT AS n
+            FROM read_parquet('{base_glob}'), b
+            GROUP BY b.bit
+        ),
+        x AS (
+            SELECT round(sum((n_ones - n / 2.0) * (n_ones - n / 2.0)
+                             / (n / 4.0)), 4) AS chi2
+            FROM c
+        )
+        SELECT bit::BIGINT AS bit, n_ones,
+               round(n_ones / n::DOUBLE, 6) AS frac,
+               n_ones / n::DOUBLE >= 0.2
+                   AND n_ones / n::DOUBLE <= 0.8 AS balance_ok,
+               (SELECT chi2 FROM x) AS chi2
+        FROM c
+    """

@@ -2212,3 +2212,143 @@ def knn_hubness_sql(k: int = 5) -> str:
                (SELECT gini FROM g) AS gini
         FROM ind GROUP BY ind
     """
+
+
+JL_K = 16        # projected dims
+JL_PAIRS = 200   # audited pairs: (2i, 2i+1) for vec_id < 400
+
+
+def jl_distortion_audit(sf_dir: str, k: int = JL_K,
+                        n_pairs: int = JL_PAIRS,
+                        num_buckets: int = 8) -> pd.DataFrame:
+    """JOHNSON-LINDENSTRAUSS DISTORTION AUDIT: how well a +-1 random
+    projection to ``k`` dims preserves pairwise squared distances —
+    the measurement behind every "project then cluster/dedup cheaper"
+    shortcut (the JL lemma promises (1 +- eps) whp; this prints the
+    actual distortion distribution for THIS corpus and projection).
+    The sign matrix derives from md5 parities and coordinates sit on
+    the SRP fixed-point grid, so projected and full squared distances
+    are EXACT integers and distortion = (d2_proj / k) / d2_full is one
+    rounded division — parity has no FP surface.  Audited pairs are the
+    fixed (2i, 2i+1) set; each row carries both distances, the
+    distortion, and the replicated fraction of pairs inside 1 +- 0.5.
+
+    Scale shape: a pushdown read of the audited rows, one pair-keyed
+    exchange, vectorized integer math per pair."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import os
+
+    from .common import keyed_map_groups, sql_round
+
+    R = np.array([[1 if int(hashlib.md5(f"jl|{r}|{d}".encode())
+                            .hexdigest()[:13], 16) % 2 == 0 else -1
+                   for d in range(64)] for r in range(k)],
+                 dtype=np.int64)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=pads.field("vec_id") < 2 * n_pairs)
+    import ray.data as _rd
+
+    ds = _rd.from_arrow(t)
+
+    def rowcalc(df: pd.DataFrame) -> pd.DataFrame:
+        X = _matrix(df["embedding"].to_numpy()).astype(np.float64)
+        XI = (np.sign(X) * np.floor(np.abs(X) * SRP_SCALE + 0.5)
+              ).astype(np.int64)
+        Y = XI @ R.T
+        return pd.DataFrame({
+            "pair": df["vec_id"].to_numpy(np.int64) // 2,
+            "side": df["vec_id"].to_numpy(np.int64) % 2,
+            "xi": [r.tolist() for r in XI],
+            "y": [r.tolist() for r in Y]})
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p, grp in g.groupby("pair", sort=False):
+            if len(grp) != 2:
+                continue
+            grp = grp.sort_values("side")
+            xa = np.asarray(grp["xi"].iloc[0], dtype=np.int64)
+            xb = np.asarray(grp["xi"].iloc[1], dtype=np.int64)
+            ya = np.asarray(grp["y"].iloc[0], dtype=np.int64)
+            yb = np.asarray(grp["y"].iloc[1], dtype=np.int64)
+            d2f = int(((xa - xb) ** 2).sum())
+            d2p = int(((ya - yb) ** 2).sum())
+            rows.append((int(p), d2f, d2p))
+        return pd.DataFrame(rows, columns=["pair", "d2_full", "d2_proj"]
+                            ).astype(np.int64)
+
+    out = (keyed_map_groups(
+        ds.map_batches(rowcalc, batch_format="pandas"), "pair",
+        per_pair, num_buckets).to_pandas()
+        .sort_values("pair").reset_index(drop=True))
+    dist = (out["d2_proj"].to_numpy(np.float64) / k
+            / out["d2_full"].to_numpy(np.float64))
+    ok = ((dist >= 0.5) & (dist <= 1.5))
+    return pd.DataFrame({
+        "pair": out["pair"].to_numpy(np.int64),
+        "d2_full": out["d2_full"].to_numpy(np.int64),
+        "d2_proj": out["d2_proj"].to_numpy(np.int64),
+        "distortion": sql_round(dist, 6),
+        "frac_within_half": np.full(
+            len(out), float(sql_round(ok.sum() / len(out), 4)))})
+
+
+def jl_distortion_audit_sql(k: int = JL_K,
+                            n_pairs: int = JL_PAIRS) -> str:
+    """Oracle: identical md5-parity signs, fixed-point coordinates,
+    integer distances, one rounded division."""
+    return f"""
+        WITH dims AS (SELECT range AS d FROM range(0, 64)),
+        rows_ AS (SELECT range AS r FROM range(0, {k})),
+        sg AS (
+            SELECT r, d,
+                   CASE WHEN CAST(concat('0x', substr(md5('jl|'
+                            || CAST(r AS VARCHAR) || '|'
+                            || CAST(d AS VARCHAR)), 1, 13)) AS BIGINT)
+                            % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM rows_, dims
+        ),
+        xi AS (
+            SELECT vec_id, d.d,
+                   CAST(round(embedding[d.d + 1]::DOUBLE
+                              * {SRP_SCALE}, 0) AS BIGINT) AS x
+            FROM embeddings, dims d WHERE vec_id < {2 * n_pairs}
+        ),
+        y AS (
+            SELECT xi.vec_id, sg.r, sum(xi.x * sg.s)::BIGINT AS v
+            FROM xi JOIN sg ON sg.d = xi.d
+            GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT a.vec_id // 2 AS pair,
+                   sum((a.x - b.x) * (a.x - b.x))::BIGINT AS d2_full
+            FROM xi a JOIN xi b ON b.vec_id = a.vec_id + 1
+                              AND b.d = a.d
+            WHERE a.vec_id % 2 = 0 GROUP BY 1
+        ),
+        dp AS (
+            SELECT a.vec_id // 2 AS pair,
+                   sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2_proj
+            FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND b.r = a.r
+            WHERE a.vec_id % 2 = 0 GROUP BY 1
+        ),
+        j AS (
+            SELECT df.pair, df.d2_full, dp.d2_proj,
+                   round(dp.d2_proj / {k}.0 / df.d2_full, 6)
+                       AS distortion,
+                   dp.d2_proj / {k}.0 / df.d2_full AS raw
+            FROM df JOIN dp USING (pair)
+        )
+        SELECT pair::BIGINT AS pair, d2_full, d2_proj, distortion,
+               round((SELECT sum(CASE WHEN raw >= 0.5 AND raw <= 1.5
+                                      THEN 1 ELSE 0 END) FROM j)
+                     / (SELECT count(*) FROM j)::DOUBLE, 4)
+                   AS frac_within_half
+        FROM j
+    """
