@@ -194,6 +194,13 @@ QUERY_NAMES = [
     "knn_hubness",
     "value_benford_audit",
     "customer_rfm_segments",
+    # block-29 additions
+    "embedding_top_eigvec",
+    "source_theil_decomposition",
+    "type_hour_mi",
+    "token_burstiness",
+    "phash_bit_balance",
+    "jl_distortion_audit",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
