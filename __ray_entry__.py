@@ -684,6 +684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_theil_decomposition": textops.source_theil_decomposition,
         # Church-Gale token burstiness (variance-to-mean of doc counts)
         "token_burstiness": textops.token_burstiness,
+        # IBLT set reconciliation over the CDC snapshot pair
+        "iblt_snapshot_reconcile": textops.iblt_snapshot_reconcile,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1602,6 +1604,8 @@ def oracle_sql() -> dict[str, str]:
             textops.source_theil_decomposition_sql(),
         # burstiness: integer (c, c^2) moments, mirrored VMR expression
         "token_burstiness": textops.token_burstiness_sql(),
+        # IBLT: confluent peel unrolled as fixed recompute rounds
+        "iblt_snapshot_reconcile": textops.iblt_snapshot_reconcile_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

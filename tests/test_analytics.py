@@ -2333,3 +2333,22 @@ def test_jl_distortion_replay_and_concentration(ray_session):
         assert out.loc[p, "d2_full"] == d2f
         assert out.loc[p, "d2_proj"] == d2p
     assert out["frac_within_half"].iloc[0] > 0.7
+
+
+def test_iblt_reconcile_decodes_exactly(ray_session):
+    """The sketch-sized exchange recovers the exact symmetric
+    difference of the CDC snapshot pair: complete decode and counts
+    equal to the classified diff's removed+modified / added+modified."""
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.textops import (iblt_snapshot_reconcile,
+                                              snapshot_diff_docs)
+
+    r = iblt_snapshot_reconcile(SF).iloc[0]
+    assert bool(r["decode_complete"]) and bool(r["counts_match_exact"])
+    diff = to_table(snapshot_diff_docs(SF)).to_pandas()
+    n_mod = int((diff["change"] == "modified").sum())
+    assert r["n_decoded_v1"] == ((diff["change"] == "removed").sum()
+                                 + n_mod)
+    assert r["n_decoded_v2"] == ((diff["change"] == "added").sum()
+                                 + n_mod)
+    assert r["n_decoded_v1"] > 0 and r["n_decoded_v2"] > 0

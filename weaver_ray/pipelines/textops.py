@@ -3242,3 +3242,283 @@ def token_burstiness_sql(k: int = BURST_K) -> str:
                      / (s * (nn.n - 1.0)), 4) AS vmr
         FROM m, nn
     """
+
+
+IBLT_M = 4096    # cells (sized for the sf0.1 diff ~1.5k keys, load<0.4)
+IBLT_K = 3       # index hashes per key
+IBLT_ROUNDS = 12  # unrolled peeling rounds (converges in ~5 whp)
+
+
+def _iblt_key_cells(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cell indices (n, K), check hashes (n,)) for uint52 keys — md5
+    residues, the engine spelling of the oracle's expressions."""
+    import hashlib
+
+    cells = np.empty((len(keys), IBLT_K), dtype=np.int64)
+    for j in range(IBLT_K):
+        cells[:, j] = [int(hashlib.md5(f"{j}|{int(k)}".encode())
+                           .hexdigest()[:13], 16) % IBLT_M for k in keys]
+    chk = np.array([int(hashlib.md5(f"chk|{int(k)}".encode())
+                        .hexdigest()[:13], 16) for k in keys],
+                   dtype=np.int64)
+    return cells, chk
+
+
+def iblt_snapshot_reconcile(sf_dir: str,
+                            num_buckets: int = 16) -> pd.DataFrame:
+    """SET RECONCILIATION via INVERTIBLE BLOOM LOOKUP TABLES (Goodrich
+    & Mitzenmacher 2011; the Minisketch/rsync-family primitive): two
+    snapshot replicas exchange O(|diff|)-sized sketches — NOT their
+    contents — and the symmetric difference decodes by peeling.  Keys
+    are md5(doc_id | content-digest) over the shared derived-v2 CDC
+    snapshot; v1 inserts +1, v2 inserts -1 into (count, xor-of-keys,
+    xor-of-checkhashes) cells, so the cell table IS sketch(v1) -
+    sketch(v2) and unchanged rows cancel exactly.  Peeling pops pure
+    cells (count +-1 with a consistent check hash) until empty — the
+    result is confluent (peel order cannot change it), which is what
+    lets the oracle replay it as fixed recompute rounds.
+
+    Output: one summary row with exact diff counts, decoded counts per
+    side, and the two certificates (decode_complete: every cell
+    cancelled; decoded_matches_exact: the recovered key sets equal the
+    exact diff's).  Scale shape: cell partials are (sum, xor, xor) —
+    fully mergeable; the peel runs on the fixed IBLT_M-row driver
+    table, independent of corpus size."""
+    from .common import bucket_of, keyed_map_groups, md5_hex
+
+    base_max, n_new = _doc_snapshot_meta(sf_dir)
+    a = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def key_of(doc_ids, texts) -> np.ndarray:
+        th = md5_hex(texts)
+        return np.array([int(h[:13], 16) for h in
+                         md5_hex(f"{int(d)}|{t}"
+                                 for d, t in zip(doc_ids, th))],
+                        dtype=np.int64)
+
+    def cell_partials(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for sign, dids, txts in _snapshot_sides(df, base_max):
+            if not len(dids):
+                continue
+            keys = key_of(dids, txts)
+            cells, chk = _iblt_key_cells(keys)
+            for j in range(IBLT_K):
+                outs.append(pd.DataFrame({
+                    "cell": cells[:, j], "dc": np.int64(sign),
+                    "kx": keys, "hx": chk}))
+        if not outs:
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "dc": pd.Series([], dtype=np.int64),
+                                 "kx": pd.Series([], dtype=np.int64),
+                                 "hx": pd.Series([], dtype=np.int64)})
+        d = pd.concat(outs, ignore_index=True)
+        g = d.groupby("cell", sort=False)
+        return pd.DataFrame({
+            "cell": np.fromiter(g.groups.keys(), dtype=np.int64),
+            "dc": g["dc"].sum().to_numpy(np.int64),
+            "kx": g["kx"].agg(lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))).to_numpy(np.int64),
+            "hx": g["hx"].agg(lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))).to_numpy(np.int64)})
+
+    def cell_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "dc": pd.Series([], dtype=np.int64),
+                                 "kx": pd.Series([], dtype=np.int64),
+                                 "hx": pd.Series([], dtype=np.int64)})
+        gg = g.groupby("cell", sort=False)
+        return pd.DataFrame({
+            "cell": np.fromiter(gg.groups.keys(), dtype=np.int64),
+            "dc": gg["dc"].sum().to_numpy(np.int64),
+            "kx": gg["kx"].agg(lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))).to_numpy(np.int64),
+            "hx": gg["hx"].agg(lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))).to_numpy(np.int64)})
+
+    parts = a.map_batches(cell_partials, batch_format="pandas")
+    new_docs = rd.range(n_new).map_batches(
+        lambda df: _cdc_new_doc_frame(base_max,
+                                      df["id"].to_numpy(np.int64) + 1),
+        batch_format="pandas")
+
+    def new_cells(df: pd.DataFrame) -> pd.DataFrame:
+        keys = key_of(df["doc_id"].to_numpy(np.int64), df["text"])
+        cells, chk = _iblt_key_cells(keys)
+        outs = [pd.DataFrame({"cell": cells[:, j], "dc": np.int64(-1),
+                              "kx": keys, "hx": chk})
+                for j in range(IBLT_K)]
+        return pd.concat(outs, ignore_index=True)
+
+    table = (keyed_map_groups(
+        parts.union(new_docs.map_batches(new_cells,
+                                         batch_format="pandas")),
+        "cell", cell_reduce, num_buckets).to_pandas())
+
+    cells = np.zeros(IBLT_M, dtype=np.int64)
+    kx = np.zeros(IBLT_M, dtype=np.int64)
+    hx = np.zeros(IBLT_M, dtype=np.int64)
+    cells[table["cell"]] = table["dc"]
+    kx[table["cell"]] = table["kx"]
+    hx[table["cell"]] = table["hx"]
+
+    import hashlib
+
+    dec_v1, dec_v2 = set(), set()
+    for _round in range(IBLT_ROUNDS):
+        popped = False
+        for c in range(IBLT_M):
+            if cells[c] in (1, -1):
+                key = int(kx[c])
+                chk = int(hashlib.md5(f"chk|{key}".encode())
+                          .hexdigest()[:13], 16)
+                if chk != int(hx[c]):
+                    continue
+                sign = int(cells[c])
+                (dec_v1 if sign == 1 else dec_v2).add(key)
+                kcells, kchk = _iblt_key_cells(
+                    np.array([key], dtype=np.int64))
+                for j in range(IBLT_K):
+                    cc = int(kcells[0, j])
+                    cells[cc] -= sign
+                    kx[cc] ^= key
+                    hx[cc] ^= int(kchk[0])
+                popped = True
+        if not popped:
+            break
+    decode_complete = bool((cells == 0).all() and (kx == 0).all())
+
+    # exact certificate from the digest diff (the snapshot_diff shapes)
+    diff = snapshot_diff_docs(sf_dir).to_pandas()
+    n_mod = int((diff["change"] == "modified").sum())
+    n_add = int((diff["change"] == "added").sum())
+    n_rem = int((diff["change"] == "removed").sum())
+    n_v1_exact = n_rem + n_mod
+    n_v2_exact = n_add + n_mod
+    return pd.DataFrame({
+        "m_cells": [np.int64(IBLT_M)],
+        "n_v1_only_exact": [np.int64(n_v1_exact)],
+        "n_v2_only_exact": [np.int64(n_v2_exact)],
+        "n_decoded_v1": [np.int64(len(dec_v1))],
+        "n_decoded_v2": [np.int64(len(dec_v2))],
+        "decode_complete": [decode_complete],
+        "counts_match_exact": [len(dec_v1) == n_v1_exact
+                               and len(dec_v2) == n_v2_exact]})
+
+
+def _snapshot_sides(df: pd.DataFrame, base_max: int):
+    """Yield (sign, doc_ids, texts) for the v1 (+1) and derived-v2 (-1)
+    views of a base batch — the same transform as snapshot_diff_docs."""
+    yield 1, df["doc_id"].to_numpy(np.int64), df["text"]
+    v2 = df[(df["doc_id"] % CDC_DEL_MOD != 0).to_numpy()].copy()
+    mod = (v2["doc_id"] % CDC_UPD_MOD == 0).to_numpy()
+    v2.loc[mod, "text"] = v2.loc[mod, "text"] + CDC_SUFFIX
+    yield -1, v2["doc_id"].to_numpy(np.int64), v2["text"]
+
+
+def iblt_snapshot_reconcile_sql(m: int = IBLT_M, kk: int = IBLT_K,
+                                rounds: int = IBLT_ROUNDS) -> str:
+    """Oracle: identical key/cell/check hashes, (sum, bit_xor, bit_xor)
+    cell aggregates, and the peel unrolled as fixed recompute rounds
+    (valid because IBLT peeling is confluent)."""
+    key = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' "
+           "|| th), 1, 13)) AS BIGINT)")
+    cell_of = ("CAST(concat('0x', substr(md5(CAST({j} AS VARCHAR) || '|' "
+               "|| CAST({k} AS VARCHAR)), 1, 13)) AS BIGINT) % " + str(m))
+    chk_of = ("CAST(concat('0x', substr(md5('chk|' "
+              "|| CAST({k} AS VARCHAR)), 1, 13)) AS BIGINT)")
+    parts = [f"""
+        WITH v1 AS MATERIALIZED (
+            SELECT doc_id, md5(text) AS th FROM documents
+        ),
+        v2 AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {CDC_UPD_MOD} = 0
+                        THEN md5(text || '{CDC_SUFFIX}')
+                        ELSE md5(text) END AS th
+            FROM documents WHERE doc_id % {CDC_DEL_MOD} != 0
+            UNION ALL
+            SELECT (SELECT max(doc_id) FROM documents) + j.range,
+                   md5('new document ' || (j.range - 1)
+                       || ' for snapshot two')
+            FROM range(1, 1000001) j
+            WHERE j.range <= (SELECT count(*) // {CDC_INS_PER}
+                              FROM documents)
+        ),
+        k1 AS MATERIALIZED (SELECT {key} AS k FROM v1),
+        k2 AS MATERIALIZED (SELECT {key} AS k FROM v2),
+        allr AS MATERIALIZED (
+            SELECT k, 1::BIGINT AS sgn FROM k1
+            UNION ALL SELECT k, -1::BIGINT FROM k2
+        ),
+        base AS MATERIALIZED (
+            SELECT {cell_of.format(j='j.range', k='k')} AS cell,
+                   sum(sgn)::BIGINT AS dc, bit_xor(k)::BIGINT AS kx,
+                   bit_xor({chk_of.format(k='k')})::BIGINT AS hx
+            FROM allr, range(0, {kk}) j
+            GROUP BY 1
+        ),
+        d0 AS MATERIALIZED (
+            SELECT CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS sgn
+            WHERE false
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        da{r} AS MATERIALIZED (
+            SELECT {cell_of.format(j='j.range', k='d.k')} AS cell,
+                   sum(d.sgn)::BIGINT AS dc, bit_xor(d.k)::BIGINT AS kx,
+                   bit_xor({chk_of.format(k='d.k')})::BIGINT AS hx
+            FROM d{r - 1} d, range(0, {kk}) j
+            GROUP BY 1
+        ),
+        eff{r} AS MATERIALIZED (
+            SELECT b.cell, b.dc - coalesce(a.dc, 0) AS dc,
+                   xor(b.kx, coalesce(a.kx, 0)) AS kx,
+                   xor(b.hx, coalesce(a.hx, 0)) AS hx
+            FROM base b LEFT JOIN da{r} a USING (cell)
+        ),
+        p{r} AS MATERIALIZED (
+            SELECT DISTINCT kx AS k, dc AS sgn FROM eff{r}
+            WHERE dc IN (1, -1)
+              AND {chk_of.format(k='kx')} = hx
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT k, sgn FROM d{r - 1}
+            UNION SELECT k, sgn FROM p{r}
+        )""")
+    R = rounds
+    parts.append(f""",
+        dafin AS (
+            SELECT {cell_of.format(j='j.range', k='d.k')} AS cell,
+                   sum(d.sgn)::BIGINT AS dc, bit_xor(d.k)::BIGINT AS kx
+            FROM d{R} d, range(0, {kk}) j GROUP BY 1
+        ),
+        fin AS (
+            SELECT coalesce(max(abs(b.dc - coalesce(a.dc, 0))), 0) AS mdc,
+                   coalesce(max(xor(b.kx, coalesce(a.kx, 0))), 0) AS mkx
+            FROM base b LEFT JOIN dafin a USING (cell)
+        ),
+        ex AS (
+            SELECT (SELECT count(*) FROM k1
+                    WHERE k NOT IN (SELECT k FROM k2))::BIGINT AS v1o,
+                   (SELECT count(*) FROM k2
+                    WHERE k NOT IN (SELECT k FROM k1))::BIGINT AS v2o
+        ),
+        dd AS (
+            SELECT sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS d1,
+                   sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT
+                       AS d2
+            FROM d{R}
+        )
+        SELECT {m}::BIGINT AS m_cells,
+               ex.v1o AS n_v1_only_exact, ex.v2o AS n_v2_only_exact,
+               coalesce(dd.d1, 0) AS n_decoded_v1,
+               coalesce(dd.d2, 0) AS n_decoded_v2,
+               (SELECT mdc = 0 AND mkx = 0 FROM fin) AS decode_complete,
+               coalesce(dd.d1, 0) = ex.v1o
+                   AND coalesce(dd.d2, 0) = ex.v2o AS counts_match_exact
+        FROM ex, dd
+    """)
+    return "".join(parts)
