@@ -686,6 +686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": textops.token_burstiness,
         # IBLT set reconciliation over the CDC snapshot pair
         "iblt_snapshot_reconcile": textops.iblt_snapshot_reconcile,
+        # Merkle tree: content-addressed replica-diff structure
+        "corpus_merkle_tree": textops.corpus_merkle_tree,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1606,6 +1608,8 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": textops.token_burstiness_sql(),
         # IBLT: confluent peel unrolled as fixed recompute rounds
         "iblt_snapshot_reconcile": textops.iblt_snapshot_reconcile_sql(),
+        # Merkle: string_agg leaves + one unrolled level per CTE
+        "corpus_merkle_tree": textops.corpus_merkle_tree_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

@@ -2352,3 +2352,41 @@ def test_iblt_reconcile_decodes_exactly(ray_session):
     assert r["n_decoded_v2"] == ((diff["change"] == "added").sum()
                                  + n_mod)
     assert r["n_decoded_v1"] > 0 and r["n_decoded_v2"] > 0
+
+
+def test_merkle_tree_detects_single_doc_change(ray_session, tmp_path):
+    """A one-document change flips exactly the digests on that leaf's
+    root path (log n nodes), and the sequential rebuild matches."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import (MERKLE_LEAVES,
+                                              corpus_merkle_tree)
+
+    def write(texts, d):
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)}), d / "documents.parquet")
+        return str(d)
+
+    texts = [f"doc {i}" for i in range(256)]
+    t1 = corpus_merkle_tree(write(texts, tmp_path / "a"))
+    texts2 = list(texts)
+    texts2[37] = "doc 37 TAMPERED"
+    t2 = corpus_merkle_tree(write(texts2, tmp_path / "b"))
+    j = t1.merge(t2, on=["level", "idx"], suffixes=("_a", "_b"))
+    changed = j[j["digest_a"] != j["digest_b"]]
+    # exactly one node per level differs: the tampered leaf's root path
+    assert len(changed) == 7
+    assert sorted(changed["level"]) == list(range(7))
+    span = (256 - 1) // MERKLE_LEAVES + 1
+    leaf_idx = 37 // span
+    assert changed.set_index("level").loc[0, "idx"] == leaf_idx
+    # sequential leaf replay
+    blk = [f"doc {i}" for i in range(256) if i // span == leaf_idx]
+    joined = "|".join(hashlib.md5(t.encode()).hexdigest() for t in blk)
+    assert (t1.set_index(["level", "idx"]).loc[(0, leaf_idx), "digest"]
+            == hashlib.md5(joined.encode()).hexdigest())

@@ -3522,3 +3522,100 @@ def iblt_snapshot_reconcile_sql(m: int = IBLT_M, kk: int = IBLT_K,
         FROM ex, dd
     """)
     return "".join(parts)
+
+
+MERKLE_LEAVES = 64
+
+
+def corpus_merkle_tree(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """MERKLE TREE over the documents table — the content-addressed
+    integrity structure replica sets diff with (two stores compare
+    roots; on mismatch walk down only the differing subtrees — the
+    O(log n) upgrade of the reference's 5-second full-rescan
+    anti-entropy, src/storage/replicate.go:252-268).  Leaves are 64
+    doc_id-range blocks; a leaf digest is md5 of the block's
+    '|'-joined per-doc content digests in doc_id order; parents are
+    md5(left || right).  Output is the FULL 127-node tree (level 0 =
+    leaves, level 6 = root) so any subtree comparison is a row lookup.
+
+    Scale shape: per-doc digests never leave their block's bucket (one
+    block-keyed exchange of 32-byte strings); the 6-level fold runs on
+    the 64-leaf driver table."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .common import keyed_map_groups, md5_hex
+
+    n = pq.ParquetFile(os.path.join(
+        sf_dir, "documents.parquet")).metadata.num_rows
+    span = (n - 1) // MERKLE_LEAVES + 1
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def digests(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "blk": df["doc_id"].to_numpy(np.int64) // span,
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "h": pd.Series(md5_hex(df["text"]), dtype=object,
+                           index=df.index)})
+
+    def leaf(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for blk, grp in g.groupby("blk", sort=False):
+            joined = "|".join(grp.sort_values("doc_id")["h"])
+            rows.append((int(blk),
+                         hashlib.md5(joined.encode()).hexdigest()))
+        return pd.DataFrame(rows, columns=["blk", "digest"])
+
+    leaves = (keyed_map_groups(
+        ds.map_batches(digests, batch_format="pandas"), "blk", leaf,
+        num_buckets).to_pandas().set_index("blk")["digest"])
+    empty = hashlib.md5(b"").hexdigest()
+    level = [leaves.get(i, empty) for i in range(MERKLE_LEAVES)]
+    out = [(0, i, d) for i, d in enumerate(level)]
+    lv = 0
+    while len(level) > 1:
+        lv += 1
+        level = [hashlib.md5((level[2 * i] + level[2 * i + 1]).encode())
+                 .hexdigest() for i in range(len(level) // 2)]
+        out.extend((lv, i, d) for i, d in enumerate(level))
+    return pd.DataFrame(out, columns=["level", "idx", "digest"]).astype(
+        {"level": np.int64, "idx": np.int64})
+
+
+def corpus_merkle_tree_sql(leaves: int = MERKLE_LEAVES) -> str:
+    """Oracle: string_agg leaf digests in doc_id order, empty blocks
+    hash md5(''), parents unrolled one level per CTE."""
+    import math
+
+    levels = int(math.log2(leaves))
+    parts = [f"""
+        WITH sp AS (SELECT (count(*) - 1) // {leaves} + 1 AS span
+                    FROM documents),
+        d AS (
+            SELECT doc_id // (SELECT span FROM sp) AS blk,
+                   md5(text) AS h, doc_id
+            FROM documents
+        ),
+        l0 AS MATERIALIZED (
+            SELECT g.range AS idx,
+                   md5(coalesce((SELECT string_agg(h, '|' ORDER BY doc_id)
+                                 FROM d WHERE d.blk = g.range), ''))
+                       AS digest
+            FROM range(0, {leaves}) g
+        )"""]
+    for t in range(1, levels + 1):
+        parts.append(f""",
+        l{t} AS MATERIALIZED (
+            SELECT a.idx // 2 AS idx, md5(a.digest || b.digest) AS digest
+            FROM l{t - 1} a JOIN l{t - 1} b
+                 ON b.idx = a.idx + 1 AND a.idx % 2 = 0
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS level, idx::BIGINT AS idx, digest "
+        f"FROM l{t}" for t in range(0, levels + 1))
+    parts.append(f"""
+        SELECT * FROM ({sel})""")
+    return "".join(parts)
