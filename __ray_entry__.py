@@ -688,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iblt_snapshot_reconcile": textops.iblt_snapshot_reconcile,
         # Merkle tree: content-addressed replica-diff structure
         "corpus_merkle_tree": textops.corpus_merkle_tree,
+        # TextRank keywords (PageRank on the word co-occurrence graph)
+        "textrank_keywords": textops.textrank_keywords,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1610,6 +1612,8 @@ def oracle_sql() -> dict[str, str]:
         "iblt_snapshot_reconcile": textops.iblt_snapshot_reconcile_sql(),
         # Merkle: string_agg leaves + one unrolled level per CTE
         "corpus_merkle_tree": textops.corpus_merkle_tree_sql(),
+        # TextRank: the weighted fixed point unrolled per iteration
+        "textrank_keywords": textops.textrank_keywords_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

@@ -2390,3 +2390,27 @@ def test_merkle_tree_detects_single_doc_change(ray_session, tmp_path):
     joined = "|".join(hashlib.md5(t.encode()).hexdigest() for t in blk)
     assert (t1.set_index(["level", "idx"]).loc[(0, leaf_idx), "digest"]
             == hashlib.md5(joined.encode()).hexdigest())
+
+
+def test_textrank_hub_word_wins(ray_session, tmp_path):
+    """A word adjacent to EVERYTHING outranks equally-frequent words
+    that only chain to each other — the connectivity-over-frequency
+    property TextRank exists for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import textrank_keywords
+
+    # 'hub' bridges many distinct words; 'loop'/'pair' alternate only
+    docs = ([f"hub word{i}" for i in range(20)]
+            + ["loop pair"] * 10)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}), tmp_path / "documents.parquet")
+    out = textrank_keywords(str(tmp_path), k=5)
+    assert out.iloc[0]["token"] == "hub"
+    scores = dict(zip(out["token"], out["score"]))
+    assert scores["hub"] > scores.get("loop", 0)
+    # ranks are 1..k and scores non-increasing
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()

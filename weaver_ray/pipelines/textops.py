@@ -3619,3 +3619,141 @@ def corpus_merkle_tree_sql(leaves: int = MERKLE_LEAVES) -> str:
     parts.append(f"""
         SELECT * FROM ({sel})""")
     return "".join(parts)
+
+
+TR_ITERS = 20
+TR_K = 15
+TR_D = 0.85
+
+
+def textrank_keywords(sf_dir: str, k: int = TR_K,
+                      n_iters: int = TR_ITERS,
+                      num_buckets: int = 8) -> pd.DataFrame:
+    """TEXTRANK KEYWORDS (Mihalcea & Tarau 2004): weighted PageRank on
+    the word co-occurrence graph (adjacent-token edges, both
+    directions) — the unsupervised keyword extractor that beats raw
+    frequency by rewarding tokens that CONNECT frequent contexts.
+    Fixed iteration count and the (score desc, token) rank so the
+    oracle unrolls the identical fixed point (the host_pagerank pattern
+    applied to a text graph).
+
+    Scale shape: edge weights reduce from per-batch adjacent-pair
+    counts (vectorized shift, one token-pair exchange, vocabulary2-
+    bounded); each iteration is one map_batches over the edge Dataset
+    with the rank vector broadcast (rank state is VOCABULARY-bounded)."""
+    import ray as _ray
+
+    from .common import _cached_get, sql_round
+
+    ds = load(sf_dir, "documents", ["text"])
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        out_a, out_b = [], []
+        for t in toks:
+            if len(t) < 2:
+                continue
+            out_a.extend(t[:-1])
+            out_b.extend(t[1:])
+        d = pd.DataFrame({"a": pd.Series(out_a, dtype=object),
+                          "b": pd.Series(out_b, dtype=object)})
+        d = d[d["a"] != d["b"]]
+        g = (pd.concat([d, d.rename(columns={"a": "b", "b": "a"})],
+                       ignore_index=True)
+             .groupby(["a", "b"], sort=False).size().rename("w")
+             .reset_index())
+        g["w"] = g["w"].astype(np.int64)
+        return g
+
+    ew = partial_groupby(
+        ds.map_batches(pair_counts, batch_format="pandas"),
+        ["a", "b"], {"w": ("w", "sum")}, many_groups=True,
+        num_buckets=num_buckets).materialize()
+
+    od = partial_groupby(ew, ["a"], {"out": ("w", "sum")},
+                         many_groups=True,
+                         num_buckets=num_buckets).to_pandas()
+    nodes = sorted(od["a"])          # vocabulary-bounded
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    outv = np.zeros(n)
+    outv[[idx[t] for t in od["a"]]] = od["out"].to_numpy(np.float64)
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        ref = _ray.put((dict(zip(nodes, r)), dict(zip(nodes, outv))))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            rm, om = _cached_get(ref)
+            ra = df["a"].map(rm).to_numpy(np.float64)
+            oa = df["a"].map(om).to_numpy(np.float64)
+            c = df["w"].to_numpy(np.float64) / oa * ra
+            return (pd.DataFrame({"b": df["b"].to_numpy(object), "c": c})
+                    .groupby("b", sort=False)["c"].sum().reset_index())
+
+        s = partial_groupby(
+            ew.map_batches(contrib, batch_format="pandas"), ["b"],
+            {"c": ("c", "sum")}, many_groups=True,
+            num_buckets=num_buckets).to_pandas()
+        dense = np.zeros(n)
+        dense[[idx[t] for t in s["b"]]] = s["c"].to_numpy(np.float64)
+        r = (1 - TR_D) / n + TR_D * dense    # undirected: no dangling
+
+    out = pd.DataFrame({"token": np.asarray(nodes, object),
+                        "score": sql_round(r, 6)})
+    out = (out.sort_values(["score", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def textrank_keywords_sql(k: int = TR_K, n_iters: int = TR_ITERS) -> str:
+    """Oracle: the identical weighted fixed point unrolled (one CTE per
+    iteration) over the same adjacent-pair edge counts."""
+    parts = [f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, t, i FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\w+'))
+                           AS t,
+                       generate_subscripts(regexp_extract_all(
+                           lower(text), '\\w+'), 1) AS i
+                FROM documents)
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.t AS a, b.t AS b, count(*)::BIGINT AS w0
+            FROM toks a JOIN toks b
+                 ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            WHERE a.t <> b.t
+            GROUP BY 1, 2
+        ),
+        e AS MATERIALIZED (
+            SELECT a, b, sum(w)::DOUBLE AS w FROM (
+                SELECT a, b, w0 AS w FROM pairs
+                UNION ALL SELECT b, a, w0 FROM pairs)
+            GROUP BY 1, 2
+        ),
+        od AS MATERIALIZED (SELECT a, sum(w) AS outw FROM e GROUP BY a),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM od),
+        r0 AS MATERIALIZED (
+            SELECT a AS t, 1.0 / (SELECT n FROM nn) AS r FROM od
+        )"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+        c{t} AS MATERIALIZED (
+            SELECT e.b AS t, sum(e.w / od.outw * r.r) AS c
+            FROM e JOIN od ON od.a = e.a JOIN r{t - 1} r ON r.t = e.a
+            GROUP BY e.b
+        ),
+        r{t} AS MATERIALIZED (
+            SELECT r0.t,
+                   (1 - {TR_D}) / (SELECT n FROM nn)
+                   + {TR_D} * coalesce(c.c, 0.0) AS r
+            FROM r0 LEFT JOIN c{t} c USING (t)
+        )""")
+    parts.append(f"""
+        SELECT t AS token, round(r, 6) AS score,
+               CAST(row_number() OVER (ORDER BY round(r, 6) DESC, t)
+                    AS BIGINT) AS rank
+        FROM r{n_iters} QUALIFY rank <= {k}""")
+    return "".join(parts)
