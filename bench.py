@@ -201,6 +201,10 @@ QUERY_NAMES = [
     "token_burstiness",
     "phash_bit_balance",
     "jl_distortion_audit",
+    # block-30 additions
+    "iblt_snapshot_reconcile",
+    "corpus_merkle_tree",
+    "textrank_keywords",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
