@@ -480,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_attack_robustness": pagerank.host_attack_robustness,
         # rich-club coefficient (hub-core density per degree threshold)
         "host_rich_club": pagerank.host_rich_club,
+        # Fiedler spectral bisection with integer cut certificate
+        "host_spectral_bisection": pagerank.host_spectral_bisection,
         # per-host triangle counts (compact-forward wedge join)
         "host_triangles": pagerank.host_triangles,
         # directed BFS depth from the crawl's seed pages (frontier geometry:
@@ -3114,8 +3116,11 @@ def oracle_sql() -> dict[str, str]:
     # robustness: two recursive closures, shared hub CTE
     d["host_attack_robustness"] = host_attack_robustness_sql()
     # rich club: threshold VALUES join over the shared degree table
-    from weaver_ray.pipelines.pagerank import host_rich_club_sql
+    from weaver_ray.pipelines.pagerank import (host_rich_club_sql,
+                                               host_spectral_bisection_sql)
     d["host_rich_club"] = host_rich_club_sql()
+    # bisection: deflated power iteration unrolled on the integer L
+    d["host_spectral_bisection"] = host_spectral_bisection_sql()
     # triangle counting: 3-way self-join over the same edge parquet
     d["host_triangles"] = host_triangles_sql()
     # BFS depth: recursive CTE from the same seed-page VALUES list

@@ -2414,3 +2414,35 @@ def test_textrank_hub_word_wins(ray_session, tmp_path):
     # ranks are 1..k and scores non-increasing
     assert list(out["rank"]) == list(range(1, len(out) + 1))
     assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()
+
+
+def test_spectral_bisection_two_cliques(ray_session, tmp_path,
+                                        monkeypatch):
+    """Two cliques joined by one bridge edge: the Fiedler split
+    recovers the cliques exactly with cut weight 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines import pagerank as pr
+
+    src, dst = [], []
+    for grp in (range(0, 4), range(10, 14)):
+        g = list(grp)
+        for i in range(4):
+            for j in range(i + 1, 4):
+                src.append(g[i]), dst.append(g[j])
+    src.append(0), dst.append(10)          # the bridge
+    d = tmp_path / "edges"
+    d.mkdir()
+    pq.write_table(pa.table({"src_host": pa.array(src, pa.int64()),
+                             "dst_host": pa.array(dst, pa.int64())}),
+                   d / "part-00000.parquet")
+    (d / "_DONE").write_text("test\n")
+    monkeypatch.setattr(pr, "generate_host_edges",
+                        lambda n_base=1000, **kw: str(d))
+    out = pr.host_spectral_bisection(SF).set_index("host")
+    sides = {h: out.loc[h, "side"] for h in out.index}
+    assert len({sides[h] for h in range(0, 4)}) == 1
+    assert len({sides[h] for h in range(10, 14)}) == 1
+    assert sides[0] != sides[10]
+    assert out["cut_weight"].iloc[0] == 1

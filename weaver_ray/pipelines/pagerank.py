@@ -1651,3 +1651,161 @@ def host_rich_club_sql(n_base: int = 1000) -> str:
                     ELSE 0.0 END AS phi
         FROM ks JOIN nk USING (k) JOIN ekt USING (k)
     """
+
+
+FIEDLER_ITERS = 200
+
+
+def host_spectral_bisection(sf_dir: str, n_base: int = 1000,
+                            n_iters: int = FIEDLER_ITERS) -> pd.DataFrame:
+    """SPECTRAL BISECTION of the weighted host graph (Fiedler 1973):
+    the sign/median split of the Laplacian's second eigenvector — the
+    classic partitioner-quality baseline for placement ("which hosts
+    belong on which half of the cluster so crawl traffic crosses the
+    cut least").  The eigensolve is a FIXED-count power iteration on
+    M = c*I - L (c = 2*max_degree keeps M PSD) with the constant
+    vector deflated by re-centering every step — exactly the
+    embedding_top_eigvec recipe on an INTEGER matrix (edge weights are
+    link counts, so both engines iterate the identical L with no
+    quantization step at all).  The partition is the top-half/bottom-
+    half split of the (rounded component, host) order — rank-based, so
+    near-zero components can't flip sides on FP noise — and the CUT
+    WEIGHT (integer) plus side sizes ride along as the certificate.
+
+    Scale shape: the edge-weight reduce is the only data pass; the
+    iteration folds on the node-bounded dense Laplacian driver-side
+    (the top-eigvec budget)."""
+    from .common import partial_groupby, sql_round
+
+    files = sorted(str(p) for p in
+                   Path(generate_host_edges(n_base)).glob("part-*.parquet"))
+    raw = rd.read_parquet(files)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src_host"].to_numpy(np.int64)
+        d_ = df["dst_host"].to_numpy(np.int64)
+        keep = s != d_
+        return pd.DataFrame({"a": np.minimum(s, d_)[keep],
+                             "b": np.maximum(s, d_)[keep]})
+
+    ew = partial_groupby(raw, ["a", "b"], {"w": ("a", "count")},
+                         prep=norm, many_groups=True).to_pandas()
+    nodes = sorted(set(ew["a"].astype(int)) | set(ew["b"].astype(int)))
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((n, n))
+    for r in ew.itertuples(index=False):
+        i, j = idx[int(r.a)], idx[int(r.b)]
+        A[i, j] += r.w
+        A[j, i] += r.w
+    deg = A.sum(axis=1)
+    c = 2.0 * deg.max()
+    # v0: centered ramp over the host-id order, normalized
+    v = np.arange(n, dtype=np.float64)
+    v = v - v.sum() / n
+    v = v / np.sqrt((v * v).sum())
+    for _ in range(n_iters):
+        w = c * v - (deg * v - A @ v)     # (cI - L) v
+        w = w - w.sum() / n               # deflate the constant vector
+        v = w / np.sqrt((w * w).sum())
+    comp = np.asarray(sql_round(v, 6))
+    order = np.lexsort((np.asarray(nodes), -comp))
+    side = np.zeros(n, dtype=np.int64)
+    side[order[: n // 2]] = 1             # top half of the rank order
+    cut = 0
+    for r in ew.itertuples(index=False):
+        if side[idx[int(r.a)]] != side[idx[int(r.b)]]:
+            cut += int(r.w)
+    return pd.DataFrame({
+        "host": np.asarray(nodes, np.int64),
+        "fiedler": comp,
+        "side": side,
+        "cut_weight": np.full(n, np.int64(cut)),
+        "n_side1": np.full(n, np.int64(n // 2)),
+        "n_side0": np.full(n, np.int64(n - n // 2))})
+
+
+def host_spectral_bisection_sql(n_base: int = 1000,
+                                n_iters: int = FIEDLER_ITERS) -> str:
+    """Oracle: long-form integer Laplacian, the deflated power
+    iteration unrolled, the identical rank-median split and integer
+    cut fold."""
+    glob = generate_host_edges(n_base) + "/part-*.parquet"
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b,
+                   count(*)::BIGINT AS w
+            FROM read_parquet('{glob}') WHERE src_host <> dst_host
+            GROUP BY 1, 2
+        ),
+        adj AS MATERIALIZED (
+            SELECT a AS i, b AS j, w::DOUBLE AS w FROM e
+            UNION ALL SELECT b, a, w::DOUBLE FROM e
+        ),
+        nodes AS MATERIALIZED (
+            SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk,
+                   (SELECT count(DISTINCT i) FROM adj) AS n
+            FROM (SELECT DISTINCT i AS v FROM adj)
+        ),
+        deg AS MATERIALIZED (SELECT i AS v, sum(w) AS d FROM adj
+                             GROUP BY i),
+        cc AS (SELECT 2.0 * max(d) AS c FROM deg),
+        vinit AS MATERIALIZED (
+            SELECT v, rk - (SELECT sum(rk) FROM nodes)
+                           / (SELECT n FROM nodes LIMIT 1) AS x
+            FROM nodes
+        ),
+        v0 AS MATERIALIZED (
+            SELECT v, x / (SELECT sqrt(sum(x * x)) FROM vinit) AS x
+            FROM vinit
+        )"""]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+        mv{t} AS MATERIALIZED (
+            SELECT d.v,
+                   (SELECT c FROM cc) * p.x
+                   - (d.d * p.x - coalesce((
+                        SELECT sum(adj.w * q.x)
+                        FROM adj JOIN v{t - 1} q ON q.v = adj.j
+                        WHERE adj.i = d.v), 0.0)) AS x
+            FROM deg d JOIN v{t - 1} p ON p.v = d.v
+        ),
+        ce{t} AS MATERIALIZED (
+            SELECT v, x - (SELECT sum(x) FROM mv{t})
+                          / (SELECT n FROM nodes LIMIT 1) AS x
+            FROM mv{t}
+        ),
+        v{t} AS MATERIALIZED (
+            SELECT v, x / (SELECT sqrt(sum(x * x)) FROM ce{t}) AS x
+            FROM ce{t}
+        )""")
+    T = n_iters
+    parts.append(f""",
+        comp AS MATERIALIZED (
+            SELECT v AS host, round(x, 6) AS fiedler FROM v{T}
+        ),
+        ranked AS MATERIALIZED (
+            SELECT host, fiedler,
+                   row_number() OVER (ORDER BY fiedler DESC, host) AS r,
+                   (SELECT n FROM nodes LIMIT 1) AS n
+            FROM comp
+        ),
+        sided AS MATERIALIZED (
+            SELECT host, fiedler,
+                   CASE WHEN r <= n // 2 THEN 1 ELSE 0 END::BIGINT
+                       AS side, n
+            FROM ranked
+        ),
+        cut AS (
+            SELECT coalesce(sum(e.w), 0)::BIGINT AS cw
+            FROM e JOIN sided sa ON sa.host = e.a
+                   JOIN sided sb ON sb.host = e.b
+            WHERE sa.side <> sb.side
+        )
+        SELECT host::BIGINT AS host, fiedler, side,
+               (SELECT cw FROM cut) AS cut_weight,
+               CAST(n // 2 AS BIGINT) AS n_side1,
+               CAST(n - n // 2 AS BIGINT) AS n_side0
+        FROM sided""")
+    return "".join(parts)
