@@ -796,6 +796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hubness": similarity.knn_hubness,
         # Johnson-Lindenstrauss distortion audit (integer-exact)
         "jl_distortion_audit": similarity.jl_distortion_audit,
+        # isotropy / participation ratio from the covariance alone
+        "embedding_isotropy": similarity.embedding_isotropy,
         # distributed Lloyd k-means, fixed iterations (SQL-unrolled oracle)
         "kmeans_clusters": similarity.kmeans_clusters,
         # SemDeDup composition: kmeans ∘ within-cluster cosine pruning
@@ -3185,8 +3187,11 @@ def oracle_sql() -> dict[str, str]:
     # hubness: knn in-degrees + integer-rank Gini
     d["knn_hubness"] = knn_hubness_sql()
     # JL audit: same parity signs, fixed-point integer distances
-    from weaver_ray.pipelines.similarity import jl_distortion_audit_sql
+    from weaver_ray.pipelines.similarity import (embedding_isotropy_sql,
+                                                 jl_distortion_audit_sql)
     d["jl_distortion_audit"] = jl_distortion_audit_sql()
+    # isotropy: trace + Frobenius folds on the shared 1e-6 cov grid
+    d["embedding_isotropy"] = embedding_isotropy_sql()
     # top eigvec: power iteration unrolled on the shared 1e-6 cov grid
     # (previously rows-only numpy eigh — now fully oracled)
     from weaver_ray.pipelines.similarity import embedding_top_eigvec_sql

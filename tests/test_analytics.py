@@ -2446,3 +2446,22 @@ def test_spectral_bisection_two_cliques(ray_session, tmp_path,
     assert len({sides[h] for h in range(10, 14)}) == 1
     assert sides[0] != sides[10]
     assert out["cut_weight"].iloc[0] == 1
+
+
+def test_isotropy_matches_spectrum(ray_session):
+    """The participation ratio equals (sum lambda)^2 / (d * sum
+    lambda^2) of the eigen-spectrum (trace/Frobenius are spectral
+    invariants), and sits in (1/d, 1]."""
+    from weaver_ray.pipelines.common import sql_round
+    from weaver_ray.pipelines.similarity import (_covariance_pass,
+                                                 embedding_isotropy)
+
+    out = embedding_isotropy(SF).iloc[0]
+    cov, _, _n = _covariance_pass(SF)
+    C = np.asarray(sql_round(cov, 6))
+    w = np.linalg.eigvalsh(C)
+    pr = w.sum() ** 2 / (len(w) * (w ** 2).sum())
+    assert abs(out["participation_ratio"] - pr) < 1e-5
+    assert 1.0 / 64 < out["participation_ratio"] <= 1.0 + 1e-9
+    assert abs(out["effective_dims"]
+               - out["participation_ratio"] * 64) < 1e-3

@@ -2352,3 +2352,56 @@ def jl_distortion_audit_sql(k: int = JL_K,
                    AS frac_within_half
         FROM j
     """
+
+
+def embedding_isotropy(sf_dir: str) -> pd.DataFrame:
+    """EMBEDDING ISOTROPY via the participation ratio — how evenly
+    variance spreads across directions: PR = trace(C)^2 / (d * ||C||_F^2)
+    is 1/d-to-1 normalized "effective dimensions / d", computable from
+    the covariance ALONE (trace and Frobenius norm need no eigensolve,
+    so the whole statistic is one moment pass + a 64x64 fold) —
+    anisotropic (collapsed) embedding spaces break cosine retrieval and
+    this is the standard first check.  Both engines fold the same
+    1e-6-quantized covariance (the top-eigvec grid), so the two sums
+    differ only in ulps under the 6 dp output grid."""
+    from .common import sql_round
+
+    cov, _, n = _covariance_pass(sf_dir)
+    C = np.asarray(sql_round(cov, 6))
+    d = C.shape[0]
+    tr = float(np.trace(C))
+    fro2 = float((C * C).sum())
+    pr = tr * tr / (d * fro2)
+    return pd.DataFrame({
+        "n_vecs": [np.int64(n)], "dim": [np.int64(d)],
+        "trace_cov": [float(sql_round(tr, 6))],
+        "fro2_cov": [float(sql_round(fro2, 6))],
+        "participation_ratio": [float(sql_round(pr, 6))],
+        "effective_dims": [float(sql_round(pr * d, 4))]})
+
+
+def embedding_isotropy_sql(dim: int = 64) -> str:
+    return f"""
+        WITH u AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                   CAST(unnest(embedding) AS DOUBLE) AS e
+            FROM embeddings
+        ),
+        cov AS (
+            SELECT a.d AS i, b.d AS j, round(covar_samp(a.e, b.e), 6) AS c
+            FROM u a JOIN u b USING (vec_id)
+            GROUP BY a.d, b.d
+        ),
+        s AS (
+            SELECT (SELECT sum(c) FROM cov WHERE i = j) AS tr,
+                   (SELECT sum(c * c) FROM cov) AS fro2
+        )
+        SELECT (SELECT count(DISTINCT vec_id) FROM u)::BIGINT AS n_vecs,
+               {dim}::BIGINT AS dim,
+               round(tr, 6) AS trace_cov,
+               round(fro2, 6) AS fro2_cov,
+               round(tr * tr / ({dim} * fro2), 6) AS participation_ratio,
+               round(tr * tr / ({dim} * fro2) * {dim}, 4)
+                   AS effective_dims
+        FROM s
+    """
