@@ -692,6 +692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_merkle_tree": textops.corpus_merkle_tree,
         # TextRank keywords (PageRank on the word co-occurrence graph)
         "textrank_keywords": textops.textrank_keywords,
+        # trie level widths (vocabulary branching profile)
+        "vocab_trie_widths": textops.vocab_trie_widths,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1618,6 +1620,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_merkle_tree": textops.corpus_merkle_tree_sql(),
         # TextRank: the weighted fixed point unrolled per iteration
         "textrank_keywords": textops.textrank_keywords_sql(),
+        # trie widths: distinct substr prefixes per level
+        "vocab_trie_widths": textops.vocab_trie_widths_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

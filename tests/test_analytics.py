@@ -2465,3 +2465,25 @@ def test_isotropy_matches_spectrum(ray_session):
     assert 1.0 / 64 < out["participation_ratio"] <= 1.0 + 1e-9
     assert abs(out["effective_dims"]
                - out["participation_ratio"] * 64) < 1e-3
+
+
+def test_trie_widths_known_vocab(ray_session, tmp_path):
+    """Widths replay a sequential prefix-set build on a planted
+    vocabulary with shared stems."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import vocab_trie_widths
+
+    vocab = ["car", "cart", "carbon", "cat", "dog", "do"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1), pa.int64()),
+        "text": pa.array([" ".join(vocab)])}),
+        tmp_path / "documents.parquet")
+    out = vocab_trie_widths(str(tmp_path)).set_index("prefix_len")
+    for l in range(1, 7):
+        expect = len({w[:l] for w in vocab if len(w) >= l})
+        assert out.loc[l, "width"] == expect
+    assert out.loc[1, "width"] == 2      # c, d
+    assert out.loc[2, "width"] == 2      # ca, do
+    assert out.loc[3, "width"] == 3      # car, cat, dog

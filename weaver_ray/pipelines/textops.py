@@ -3757,3 +3757,73 @@ def textrank_keywords_sql(k: int = TR_K, n_iters: int = TR_ITERS) -> str:
                     AS BIGINT) AS rank
         FROM r{n_iters} QUALIFY rank <= {k}""")
     return "".join(parts)
+
+
+TRIE_MAX_LEN = 8
+
+
+def vocab_trie_widths(sf_dir: str, max_len: int = TRIE_MAX_LEN,
+                      num_buckets: int = 8) -> pd.DataFrame:
+    """TRIE LEVEL WIDTHS of the vocabulary: distinct prefixes per
+    length 1..``max_len`` — the branching profile that sizes FST/trie
+    autocomplete indexes and explains tokenizer merge behavior (a
+    narrow level means heavy shared stems).  Also carries per-level
+    branching = widths[l] / widths[l-1] rounded.  All counts integer.
+
+    Scale shape: per-batch DISTINCT (len, prefix) partials (vocabulary-
+    bounded regardless of corpus rows), one bucketed distinct-count
+    exchange per level via a single grouped reduce."""
+    from .common import sql_round
+
+    ds = load(sf_dir, "documents", ["text"])
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].str.lower().str.findall(TOKEN_RE)
+                .explode().dropna().drop_duplicates())
+        outs = []
+        for l in range(1, max_len + 1):
+            p = toks.str[:l].drop_duplicates()
+            p = p[p.str.len() == l]
+            outs.append(pd.DataFrame({"l": np.int64(l),
+                                      "p": p.to_numpy(object)}))
+        return pd.concat(outs, ignore_index=True)
+
+    u = partial_groupby(
+        ds.map_batches(prefixes, batch_format="pandas"),
+        ["l", "p"], {"n": ("l", "count")}, many_groups=True,
+        num_buckets=num_buckets)
+    w = partial_groupby(u, ["l"], {"width": ("l", "count")}
+                        ).to_pandas().sort_values("l")
+    width = (pd.Series(0, index=range(1, max_len + 1), dtype=np.int64)
+             .add(w.set_index("l")["width"], fill_value=0)
+             .astype(np.int64))
+    prev = width.shift(1)
+    branching = np.where(prev > 0, width / prev, 0.0)
+    return pd.DataFrame({
+        "prefix_len": np.arange(1, max_len + 1, dtype=np.int64),
+        "width": width.to_numpy(np.int64),
+        "branching": sql_round(branching, 4)})
+
+
+def vocab_trie_widths_sql(max_len: int = TRIE_MAX_LEN) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+                                                      '\\w+')) AS t
+            FROM documents
+        ),
+        lv AS (SELECT range AS l FROM range(1, {max_len + 1})),
+        w AS (
+            SELECT lv.l,
+                   count(DISTINCT CASE WHEN length(t) >= lv.l
+                         THEN substr(t, 1, lv.l) END)::BIGINT AS width
+            FROM lv LEFT JOIN toks ON true
+            GROUP BY lv.l
+        )
+        SELECT l::BIGINT AS prefix_len, width,
+               CASE WHEN lag(width) OVER (ORDER BY l) > 0
+                    THEN round(width::DOUBLE
+                               / lag(width) OVER (ORDER BY l), 4)
+                    ELSE 0.0 END AS branching
+        FROM w
+    """
