@@ -702,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_user_churn": temporal.daily_user_churn,
         # autocorrelation of the daily value series (periodicity)
         "daily_value_acf": temporal.daily_value_acf,
+        # Kaplan-Meier survival over inter-purchase gaps
+        "purchase_survival_km": temporal.purchase_survival_km,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1630,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_user_churn": temporal.daily_user_churn_sql(),
         # ACF: exact-integer deviations, cast-before-multiply products
         "daily_value_acf": temporal.daily_value_acf_sql(),
+        # KM: product-limit via exp(cumsum(ln)) window, integer counts
+        "purchase_survival_km": temporal.purchase_survival_km_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

@@ -2487,3 +2487,42 @@ def test_trie_widths_known_vocab(ray_session, tmp_path):
     assert out.loc[1, "width"] == 2      # c, d
     assert out.loc[2, "width"] == 2      # ca, do
     assert out.loc[3, "width"] == 3      # car, cat, dog
+
+
+def test_km_survival_textbook_example(ray_session, tmp_path):
+    """A hand-built cohort reproduces the textbook product-limit
+    values, including censoring reducing the at-risk set without a
+    survival step."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import purchase_survival_km
+
+    # user u: purchases on days given -> gaps per user; censored row =
+    # mean gap per user.  Build 3 users with known gaps:
+    # u0: days 0, 2, 4  -> gaps 2, 2; censored mean 2
+    # u1: days 0, 5     -> gap 5;     censored mean 5
+    # u2: days 0, 3     -> gap 3;     censored mean 3
+    plan = {0: [0, 2, 4], 1: [0, 5], 2: [0, 3]}
+    rows = []
+    for u, days in plan.items():
+        for d in days:
+            rows.append((u, np.datetime64("2024-01-01", "us")
+                         + np.timedelta64(d, "D")))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["purchase"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))}), tmp_path / "events.parquet")
+    out = purchase_survival_km(str(tmp_path)).set_index("gap_days")
+    # observations: events {2:2, 3:1, 5:1}; censored {2:1, 5:1, 3:1}
+    # at gap 2: n=7, d=2 -> S=5/7
+    assert out.loc[2, "n_at_risk"] == 7 and out.loc[2, "n_events"] == 2
+    assert abs(out.loc[2, "survival"] - 5 / 7) < 1e-6
+    # at gap 3: left = 3 (2 events + 1 censored at 2): n=4, d=1 -> 5/7*3/4
+    assert out.loc[3, "n_at_risk"] == 4
+    assert abs(out.loc[3, "survival"] - 5 / 7 * 3 / 4) < 1e-6
+    # at gap 5: n=2, d=1 -> *1/2
+    assert abs(out.loc[5, "survival"] - 5 / 7 * 3 / 4 * 1 / 2) < 1e-6

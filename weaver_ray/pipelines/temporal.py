@@ -1551,3 +1551,124 @@ def daily_value_acf_sql(max_lag: int = ACF_MAX_LAG) -> str:
                END AS acf
         FROM lags
     """
+
+
+def purchase_survival_km(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """KAPLAN-MEIER product-limit estimator over inter-purchase gaps —
+    survival analysis, the right tool for "how long until a user buys
+    again" because the LAST gap of every user is right-CENSORED (they
+    haven't bought again YET) and naive averages over observed gaps are
+    biased low.  Gap unit = whole days (floor); event times are the
+    distinct uncensored gap lengths; S(t) steps by (1 - d_t/n_t) with
+    n_t = subjects with gap >= t (censored included until they drop
+    out).  The survival curve folds as exp(cumulative sum of
+    ln(1 - d/n)) — one window expression, no recursion — on integer
+    (events, at-risk) counts, so parity is the usual ulps-under-6dp.
+
+    Scale shape: per-user gap extraction is one user-keyed exchange;
+    the curve folds on the tiny distinct-gap table."""
+    from .common import keyed_map_groups, sql_round
+
+    ds = load(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["event_type"] == "purchase"]
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_c = [], []
+        for _u, grp in g.groupby("user_id", sort=False):
+            t = np.sort(grp["ts"].to_numpy().astype("datetime64[us]"))
+            if len(t) < 2:
+                continue      # single-purchase users carry no gap info
+            # CALENDAR-day boundary counts (DuckDB date_diff('day')
+            # semantics), not elapsed-24h floors
+            days = t.astype("datetime64[D]").astype(np.int64)
+            rows_g.extend((days[1:] - days[:-1]).tolist())
+            # censored tail at the user's mean observed gap (their next
+            # gap is at least underway) — integer division both engines
+            rows_c.append(int((days[-1] - days[0]) // (len(t) - 1)))
+        return pd.DataFrame({
+            "gap": pd.Series(rows_g + rows_c, dtype=np.int64),
+            "censored": pd.Series([0] * len(rows_g) + [1] * len(rows_c),
+                                  dtype=np.int64)})
+
+    obs = keyed_map_groups(ds.map_batches(keep, batch_format="pandas"),
+                           "user_id", gaps, num_buckets)
+    c = partial_groupby(obs, ["gap", "censored"],
+                        {"n": ("gap", "count")}, many_groups=True,
+                        num_buckets=8).to_pandas()
+    tbl = (c.pivot_table(index="gap", columns="censored", values="n",
+                         fill_value=0, aggfunc="sum")
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    d = tbl[0].to_numpy(np.int64)       # events per gap length
+    cens = tbl[1].to_numpy(np.int64)
+    total = int(d.sum() + cens.sum())
+    # at-risk BEFORE each time: total minus everything that left earlier
+    left = np.concatenate([[0], np.cumsum(d + cens)[:-1]])
+    n_at = total - left
+    mask = d > 0
+    g = tbl.index.to_numpy(np.int64)[mask]
+    dd = d[mask].astype(np.float64)
+    nn = n_at[mask].astype(np.float64)
+    # the terminal time can absorb ALL remaining at-risk subjects:
+    # survival is exactly 0 from there on (ln(0) guarded on both sides)
+    term = np.where(dd < nn, np.log(np.where(dd < nn, 1.0 - dd / nn,
+                                             1.0)), 0.0)
+    zero = np.maximum.accumulate((dd >= nn).astype(np.int64))
+    s = np.where(zero == 1, 0.0, np.exp(np.cumsum(term)))
+    return pd.DataFrame({
+        "gap_days": g,
+        "n_events": d[mask],
+        "n_at_risk": n_at[mask],
+        "survival": sql_round(s, 6)})
+
+
+def purchase_survival_km_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        o AS (
+            SELECT user_id, ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS nxt,
+                   count(*) OVER (PARTITION BY user_id) AS np_,
+                   min(ts) OVER (PARTITION BY user_id) AS t0,
+                   max(ts) OVER (PARTITION BY user_id) AS t1
+            FROM p
+        ),
+        g AS (
+            SELECT CAST(date_diff('day', ts, nxt) AS BIGINT) AS gap,
+                   0 AS censored
+            FROM o WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT CAST(date_diff('day', t0, t1)
+                        // (np_ - 1) AS BIGINT), 1
+            FROM (SELECT DISTINCT user_id, t0, t1, np_
+                  FROM o WHERE np_ >= 2)
+        ),
+        agg AS (
+            SELECT gap, sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END)
+                            ::BIGINT AS d,
+                   sum(censored)::BIGINT AS c
+            FROM g GROUP BY gap
+        ),
+        r AS (
+            SELECT gap, d, c,
+                   (SELECT sum(d + c) FROM agg)
+                   - coalesce(sum(d + c) OVER (ORDER BY gap
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_at
+            FROM agg
+        )
+        SELECT gap AS gap_days, d AS n_events, n_at::BIGINT AS n_at_risk,
+               CASE WHEN max(CASE WHEN d >= n_at THEN 1 ELSE 0 END)
+                        OVER w = 1 THEN 0.0
+                    ELSE round(exp(sum(CASE WHEN d < n_at
+                             THEN ln(1.0 - d::DOUBLE / n_at)
+                             ELSE 0.0 END) OVER w), 6)
+               END AS survival
+        FROM r WHERE d > 0
+        WINDOW w AS (ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """
