@@ -704,6 +704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_acf": temporal.daily_value_acf,
         # Kaplan-Meier survival over inter-purchase gaps
         "purchase_survival_km": temporal.purchase_survival_km,
+        # naive vs seasonal-naive forecast backtest (integer MAE)
+        "daily_forecast_backtest": temporal.daily_forecast_backtest,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1634,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_value_acf": temporal.daily_value_acf_sql(),
         # KM: product-limit via exp(cumsum(ln)) window, integer counts
         "purchase_survival_km": temporal.purchase_survival_km_sql(),
+        # backtest: lag windows over the cents series, exact errors
+        "daily_forecast_backtest": temporal.daily_forecast_backtest_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

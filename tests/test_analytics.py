@@ -2526,3 +2526,36 @@ def test_km_survival_textbook_example(ray_session, tmp_path):
     assert abs(out.loc[3, "survival"] - 5 / 7 * 3 / 4) < 1e-6
     # at gap 5: n=2, d=1 -> *1/2
     assert abs(out.loc[5, "survival"] - 5 / 7 * 3 / 4 * 1 / 2) < 1e-6
+
+
+def test_forecast_backtest_planted_weekly_cycle(ray_session, tmp_path):
+    """A strict weekly cycle makes seasonal-naive PERFECT (MAE 0) while
+    naive pays the day-to-day swing; errors replay exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import daily_forecast_backtest
+
+    week = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+    vals, ts = [], []
+    for d in range(28):
+        for i in range(3):
+            vals.append(week[d % 7])
+            ts.append(np.datetime64("2024-01-01", "us")
+                      + np.timedelta64(d, "D") + np.timedelta64(i, "m"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0] * len(vals), pa.int64()),
+        "event_type": pa.array(["click"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals))}), tmp_path / "events.parquet")
+    r = daily_forecast_backtest(str(tmp_path)).iloc[0]
+    assert r["n_days_scored"] == 21
+    assert r["mae_seasonal"] == 0.0
+    assert r["winner"] == "seasonal"
+    # naive MAE: |diff| per day = 30 except the weekly wrap (-180):
+    # daily totals = 3x values; mean |err| in dollars
+    daily = [3 * week[d % 7] for d in range(28)]
+    e1 = np.abs(np.diff(daily))[6:]
+    assert abs(r["mae_naive"] - round(e1.mean(), 4)) < 1e-6

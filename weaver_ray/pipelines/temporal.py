@@ -1672,3 +1672,82 @@ def purchase_survival_km_sql() -> str:
         WINDOW w AS (ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING
                      AND CURRENT ROW)
     """
+
+
+FB_SEASON = 7   # seasonal-naive lag (weekly)
+
+
+def daily_forecast_backtest(sf_dir: str, season: int = FB_SEASON,
+                            num_buckets: int = 16) -> pd.DataFrame:
+    """FORECAST BACKTEST of the two no-parameter baselines every
+    forecasting effort must beat: NAIVE (predict today = yesterday) and
+    SEASONAL-NAIVE (today = same weekday last week) over the daily
+    total-cents series, scored by MAE and the winner flagged per the
+    standard protocol (evaluate only days where BOTH forecasts exist).
+    Errors are integer cents, so MAE is one division and the comparison
+    is exact — if your model can't beat the winning column here it is
+    not a model.
+
+    Scale shape: one (day) cents reduce; the lag fold runs on the
+    ~30-row series driver-side."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(day=b["ts"].dt.floor("D"),
+                        cents=np.floor(b["value"].to_numpy(np.float64)
+                                       * 100.0 + 0.5).astype(np.int64))
+
+    daily = partial_groupby(
+        load(sf_dir, "events", ["ts", "value"]), ["day"],
+        {"sc": ("cents", "sum")}, prep=prep, many_groups=True,
+        num_buckets=num_buckets).to_pandas().sort_values("day")
+
+    x = daily["sc"].to_numpy(np.int64)
+    n = len(x)
+    if n <= season:
+        return pd.DataFrame({
+            "n_days_scored": [np.int64(0)],
+            "mae_naive": [0.0], "mae_seasonal": [0.0],
+            "winner": ["insufficient_data"]})
+    e1 = np.abs(x[season:] - x[season - 1:-1])   # naive: lag 1
+    e7 = np.abs(x[season:] - x[:-season])        # seasonal: lag 7
+    m = len(e1)
+    mae1 = float(sql_round(int(e1.sum()) / m / 100.0, 4))
+    mae7 = float(sql_round(int(e7.sum()) / m / 100.0, 4))
+    return pd.DataFrame({
+        "n_days_scored": [np.int64(m)],
+        "mae_naive": [mae1],
+        "mae_seasonal": [mae7],
+        "winner": ["seasonal" if mae7 < mae1
+                   else ("naive" if mae1 < mae7 else "tie")]})
+
+
+def daily_forecast_backtest_sql(season: int = FB_SEASON) -> str:
+    return f"""
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   sum(round(value * 100.0, 0))::BIGINT AS sc
+            FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT sc,
+                   lag(sc, 1) OVER (ORDER BY day) AS l1,
+                   lag(sc, {season}) OVER (ORDER BY day) AS l7
+            FROM d
+        ),
+        s AS (
+            SELECT count(*)::BIGINT AS m,
+                   sum(abs(sc - l1))::BIGINT AS e1,
+                   sum(abs(sc - l7))::BIGINT AS e7
+            FROM r WHERE l7 IS NOT NULL
+        )
+        SELECT CASE WHEN m IS NULL THEN 0 ELSE m END AS n_days_scored,
+               round(e1 / m / 100.0, 4) AS mae_naive,
+               round(e7 / m / 100.0, 4) AS mae_seasonal,
+               CASE WHEN round(e7 / m / 100.0, 4)
+                        < round(e1 / m / 100.0, 4) THEN 'seasonal'
+                    WHEN round(e1 / m / 100.0, 4)
+                        < round(e7 / m / 100.0, 4) THEN 'naive'
+                    ELSE 'tie' END AS winner
+        FROM s
+    """
