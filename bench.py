@@ -205,6 +205,12 @@ QUERY_NAMES = [
     "iblt_snapshot_reconcile",
     "corpus_merkle_tree",
     "textrank_keywords",
+    # block-31 additions
+    "host_spectral_bisection",
+    "embedding_isotropy",
+    "vocab_trie_widths",
+    "purchase_survival_km",
+    "daily_forecast_backtest",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
