@@ -694,6 +694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": textops.textrank_keywords,
         # trie level widths (vocabulary branching profile)
         "vocab_trie_widths": textops.vocab_trie_widths,
+        # greedy max-coverage source ordering (submodular curve)
+        "source_coverage_greedy": textops.source_coverage_greedy,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1626,6 +1628,8 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": textops.textrank_keywords_sql(),
         # trie widths: distinct substr prefixes per level
         "vocab_trie_widths": textops.vocab_trie_widths_sql(),
+        # coverage greedy: unrolled argmax over unseen-token counts
+        "source_coverage_greedy": textops.source_coverage_greedy_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

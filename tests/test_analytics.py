@@ -2559,3 +2559,32 @@ def test_forecast_backtest_planted_weekly_cycle(ray_session, tmp_path):
     daily = [3 * week[d % 7] for d in range(28)]
     e1 = np.abs(np.diff(daily))[6:]
     assert abs(r["mae_naive"] - round(e1.mean(), 4)) < 1e-6
+
+
+def test_coverage_greedy_planted(ray_session, tmp_path):
+    """Greedy picks the big-vocabulary source first, then the source
+    with the most NOVEL (not most total) tokens — the submodular
+    marginal-gain property."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import source_coverage_greedy
+
+    # big: 10 tokens; overlap: 8 of big's + 1 new; fresh: 4 new tokens
+    docs = [("big", " ".join(f"t{i}" for i in range(10))),
+            ("overlap", " ".join(f"t{i}" for i in range(8)) + " x0"),
+            ("fresh", "f1 f2 f3 f4")]
+    src, txt = zip(*docs)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(list(txt)),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(list(src)),
+        "n_chars": pa.array([1] * 3, pa.int64())}),
+        tmp_path / "documents.parquet")
+    out = source_coverage_greedy(str(tmp_path))
+    assert list(out["source"]) == ["big", "fresh", "overlap"]
+    assert list(out["new_tokens"]) == [10, 4, 1]
+    assert out["cum_tokens"].iloc[-1] == 15
+    assert out["coverage"].iloc[-1] == 1.0
+    assert (np.diff(out["new_tokens"]) <= 0).all()   # diminishing gains

@@ -3827,3 +3827,106 @@ def vocab_trie_widths_sql(max_len: int = TRIE_MAX_LEN) -> str:
                     ELSE 0.0 END AS branching
         FROM w
     """
+
+
+COV_STEPS = 8    # greedy steps (sources ranked until here)
+
+
+def source_coverage_greedy(sf_dir: str, steps: int = COV_STEPS,
+                           num_buckets: int = 8) -> pd.DataFrame:
+    """GREEDY MAX-COVERAGE source ordering: which sources to acquire
+    first so distinct-vocabulary coverage grows fastest — the classic
+    submodular-maximization shape (greedy is (1 - 1/e)-optimal) behind
+    data-licensing and crawl-seed budgeting decisions.  Step t picks
+    the source adding the most UNSEEN tokens (ties to the
+    lexicographically smaller source); each step's marginal gain and
+    the cumulative coverage fraction ride along.  All counts are exact
+    integers.
+
+    Scale shape: ONE distinct (token, source) exchange builds the
+    membership table (vocabulary x sources bounded — never corpus
+    rows); the greedy folds on that driver table."""
+    from .common import sql_round
+
+    ds = load(sf_dir, "documents", ["text", "source"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        d = pd.DataFrame({
+            "token": toks.explode().dropna().to_numpy(object),
+            "source": df["source"].to_numpy(object).repeat(
+                toks.str.len().to_numpy(np.int64))})
+        return d.drop_duplicates()
+
+    m = partial_groupby(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["token", "source"], {"n": ("token", "count")},
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+
+    vocab = m["token"].nunique()
+    sets = {s: set(g["token"]) for s, g in m.groupby("source")}
+    covered: set = set()
+    rows = []
+    for t in range(1, min(steps, len(sets)) + 1):
+        best = min(((-len(sets[s] - covered), s) for s in sets
+                    if s not in {r[1] for r in rows}))
+        gain, src = -best[0], best[1]
+        covered |= sets[src]
+        rows.append((t, src, gain, len(covered),
+                     float(sql_round(len(covered) / vocab, 6))))
+    return pd.DataFrame(rows, columns=[
+        "step", "source", "new_tokens", "cum_tokens", "coverage"]
+    ).astype({"step": np.int64, "new_tokens": np.int64,
+              "cum_tokens": np.int64})
+
+
+def source_coverage_greedy_sql(steps: int = COV_STEPS) -> str:
+    """Oracle: the greedy unrolled — per step an argmax over per-source
+    unseen-token counts against the union of prior picks."""
+    parts = [f"""
+        WITH ts AS MATERIALIZED (
+            SELECT DISTINCT source,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+            FROM documents
+        ),
+        vocab AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM ts),
+        p0 AS MATERIALIZED (
+            SELECT CAST(NULL AS VARCHAR) AS source WHERE false
+        ),
+        c0 AS MATERIALIZED (
+            SELECT CAST(NULL AS VARCHAR) AS t WHERE false
+        )"""]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+        g{t} AS MATERIALIZED (
+            SELECT ts.source,
+                   count(DISTINCT CASE WHEN ts.t NOT IN
+                         (SELECT t FROM c{t - 1}) THEN ts.t END)
+                       ::BIGINT AS gain
+            FROM ts
+            WHERE ts.source NOT IN (SELECT source FROM p{t - 1})
+            GROUP BY ts.source
+        ),
+        w{t} AS MATERIALIZED (
+            SELECT source, gain FROM g{t}
+            ORDER BY gain DESC, source LIMIT 1
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT source FROM p{t - 1}
+            UNION ALL SELECT source FROM w{t}
+        ),
+        c{t} AS MATERIALIZED (
+            SELECT t FROM c{t - 1}
+            UNION SELECT ts.t FROM ts
+            WHERE ts.source = (SELECT source FROM w{t})
+        )""")
+    sel = " UNION ALL ".join(f"""
+        SELECT {t}::BIGINT AS step, (SELECT source FROM w{t}) AS source,
+               (SELECT gain FROM w{t}) AS new_tokens,
+               (SELECT count(*) FROM c{t})::BIGINT AS cum_tokens,
+               round((SELECT count(*) FROM c{t})
+                     / (SELECT v FROM vocab), 6) AS coverage"""
+                           for t in range(1, steps + 1))
+    parts.append(f"""
+        SELECT * FROM ({sel}) WHERE source IS NOT NULL ORDER BY step""")
+    return "".join(parts)
