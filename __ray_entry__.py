@@ -696,6 +696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_trie_widths": textops.vocab_trie_widths,
         # greedy max-coverage source ordering (submodular curve)
         "source_coverage_greedy": textops.source_coverage_greedy,
+        # k-anonymity audit over the quasi-identifier tuple
+        "k_anonymity_audit": textops.k_anonymity_audit,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1630,6 +1632,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_trie_widths": textops.vocab_trie_widths_sql(),
         # coverage greedy: unrolled argmax over unseen-token counts
         "source_coverage_greedy": textops.source_coverage_greedy_sql(),
+        # k-anonymity: size-of-sizes histogram, integer risk counts
+        "k_anonymity_audit": textops.k_anonymity_audit_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic

@@ -2588,3 +2588,29 @@ def test_coverage_greedy_planted(ray_session, tmp_path):
     assert out["cum_tokens"].iloc[-1] == 15
     assert out["coverage"].iloc[-1] == 1.0
     assert (np.diff(out["new_tokens"]) <= 0).all()   # diminishing gains
+
+
+def test_k_anonymity_planted_classes(ray_session, tmp_path):
+    """A planted singleton quasi-identifier class is flagged; a large
+    homogeneous class is not; counts replay exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import k_anonymity_audit
+
+    rows = ([("en", "s1", 150)] * 20      # one class of 20: safe
+            + [("de", "s2", 950)])        # singleton: risky
+    lang, src, nch = zip(*rows)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(["x"] * len(rows)),
+        "lang": pa.array(list(lang)), "source": pa.array(list(src)),
+        "n_chars": pa.array(list(nch), pa.int64())}),
+        tmp_path / "documents.parquet")
+    out = k_anonymity_audit(str(tmp_path))
+    h = out.set_index("class_size")
+    assert h.loc[1, "n_classes"] == 1 and h.loc[20, "n_classes"] == 1
+    assert out["risky_classes"].iloc[0] == 1
+    assert out["risky_rows"].iloc[0] == 1
+    assert out["min_class_size"].iloc[0] == 1
+    assert abs(out["risk_fraction"].iloc[0] - 1 / 21) < 1e-6

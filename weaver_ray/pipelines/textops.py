@@ -3930,3 +3930,82 @@ def source_coverage_greedy_sql(steps: int = COV_STEPS) -> str:
     parts.append(f"""
         SELECT * FROM ({sel}) WHERE source IS NOT NULL ORDER BY step""")
     return "".join(parts)
+
+
+KANON_K = 5
+KANON_CHAR_BUCKET = 100
+
+
+def k_anonymity_audit(sf_dir: str, k: int = KANON_K,
+                      num_buckets: int = 16) -> pd.DataFrame:
+    """K-ANONYMITY AUDIT (Sweeney 2002) over the quasi-identifier tuple
+    (lang, source, n_chars bucketed to 100s): the privacy screen a
+    dataset release runs — any equivalence class smaller than ``k``
+    re-identifies its members by attribute combination alone.  Output
+    is the class-size histogram plus the headline numbers: risky
+    classes, risky rows, the smallest class, and the fraction of rows
+    at risk.  All integers but the final fraction.
+
+    Scale shape: one quasi-identifier count reduce, then a class-SIZE
+    histogram reduce (size-of-sizes — both bounded by distinct-tuple
+    count); the headline folds on the tiny histogram."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            cb=(b["n_chars"].to_numpy(np.int64)
+                // KANON_CHAR_BUCKET).astype(np.int64))
+
+    cls = partial_groupby(
+        load(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source", "cb"], {"n": ("cb", "count")}, prep=prep,
+        many_groups=True, num_buckets=num_buckets)
+
+    hist = partial_groupby(cls, ["n"], {"n_classes": ("n", "count")},
+                           many_groups=True,
+                           num_buckets=4).to_pandas().sort_values("n")
+    size = hist["n"].to_numpy(np.int64)
+    ncls = hist["n_classes"].to_numpy(np.int64)
+    total_rows = int((size * ncls).sum())
+    risky_cls = int(ncls[size < k].sum())
+    risky_rows = int((size[size < k] * ncls[size < k]).sum())
+    return pd.DataFrame({
+        "class_size": size,
+        "n_classes": ncls,
+        "min_class_size": np.full(len(hist), np.int64(size.min())),
+        "risky_classes": np.full(len(hist), np.int64(risky_cls)),
+        "risky_rows": np.full(len(hist), np.int64(risky_rows)),
+        "risk_fraction": np.full(
+            len(hist),
+            float(sql_round(risky_rows / total_rows, 6)))})
+
+
+def k_anonymity_audit_sql(k: int = KANON_K) -> str:
+    return f"""
+        WITH cls AS (
+            SELECT lang, source, n_chars // {KANON_CHAR_BUCKET} AS cb,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2, 3
+        ),
+        hist AS (
+            SELECT n AS class_size, count(*)::BIGINT AS n_classes
+            FROM cls GROUP BY n
+        ),
+        s AS (
+            SELECT min(class_size)::BIGINT AS mn,
+                   sum(CASE WHEN class_size < {k} THEN n_classes
+                       ELSE 0 END)::BIGINT AS rc,
+                   sum(CASE WHEN class_size < {k}
+                       THEN class_size * n_classes ELSE 0 END)::BIGINT
+                       AS rr,
+                   sum(class_size * n_classes)::BIGINT AS tot
+            FROM hist
+        )
+        SELECT class_size, n_classes,
+               (SELECT mn FROM s) AS min_class_size,
+               (SELECT rc FROM s) AS risky_classes,
+               (SELECT rr FROM s) AS risky_rows,
+               round((SELECT rr FROM s)
+                     / (SELECT tot FROM s)::DOUBLE, 6) AS risk_fraction
+        FROM hist
+    """
