@@ -558,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_benford_audit": relational.value_benford_audit,
         # mutual information of event_type x hour (dependence in nats)
         "type_hour_mi": relational.type_hour_mi,
+        # double-charge audit (same cust/amount within a day)
+        "duplicate_payment_audit": relational.duplicate_payment_audit,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -2012,6 +2014,9 @@ def oracle_sql() -> dict[str, str]:
         "value_benford_audit": relational.value_benford_audit_sql(),
         # MI: identical xlogx entropies over the cell counts
         "type_hour_mi": relational.type_hour_mi_sql(),
+        # double-charge: (cust, cents) self-join, integer day gap
+        "duplicate_payment_audit":
+            relational.duplicate_payment_audit_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

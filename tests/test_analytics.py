@@ -2614,3 +2614,33 @@ def test_k_anonymity_planted_classes(ray_session, tmp_path):
     assert out["risky_rows"].iloc[0] == 1
     assert out["min_class_size"].iloc[0] == 1
     assert abs(out["risk_fraction"].iloc[0] - 1 / 21) < 1e-6
+
+
+def test_duplicate_payment_audit_planted(ray_session, tmp_path):
+    """Planted double charges within the window are caught; same-amount
+    orders far apart or different customers are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import duplicate_payment_audit
+
+    d0 = np.datetime64("2024-01-10", "us")
+    rows = [
+        (1, 10, 99.99, d0), (2, 10, 99.99, d0),                  # dup!
+        (3, 11, 50.00, d0), (4, 11, 50.00, d0 + np.timedelta64(10, "D")),
+        (5, 12, 75.50, d0), (6, 13, 75.50, d0),                  # diff cust
+        (7, 14, 20.00, d0), (8, 14, 20.00, d0 + np.timedelta64(1, "D")),
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * len(rows))}),
+        tmp_path / "orders.parquet")
+    out = duplicate_payment_audit(str(tmp_path))
+    got = set(zip(out["okey_lo"], out["okey_hi"]))
+    assert got == {(1, 2), (7, 8)}
+    assert out.set_index(["okey_lo", "okey_hi"]).loc[(7, 8),
+                                                     "day_gap"] == 1

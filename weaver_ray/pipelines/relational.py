@@ -2257,3 +2257,88 @@ def type_hour_mi_sql() -> str:
                END AS nmi
         FROM t
     """
+
+
+DUP_PAY_WINDOW_DAYS = 1
+
+
+def duplicate_payment_audit(sf_dir: str,
+                            num_buckets: int = 16) -> pd.DataFrame:
+    """DOUBLE-CHARGE AUDIT: order pairs with the SAME customer, the
+    SAME amount (exact integer cents) and order dates within one day —
+    the classic payments-integrity screen (retry storms and idempotency
+    bugs surface exactly here).  Pairs are (smaller, larger) orderkey;
+    day distance rides along.  All comparisons integer-exact.
+
+    Scale shape: candidate pairs only form INSIDE (custkey, cents)
+    groups — one keyed exchange of (cust, cents, day, key) rows, pair
+    expansion bounded by per-group counts (duplicate amounts are rare
+    by construction of the audit)."""
+    from .common import keyed_map_groups
+
+    ds = load(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100.0).astype(np.int64),
+            "day": (b["o_orderdate"].to_numpy()
+                    .astype("datetime64[D]").astype(np.int64)),
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (_c, _v), grp in g.groupby(["o_custkey", "cents"],
+                                       sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("o_orderkey")
+            k = grp["o_orderkey"].to_numpy(np.int64)
+            d = grp["day"].to_numpy(np.int64)
+            i, j = np.triu_indices(len(k), k=1)
+            m = np.abs(d[i] - d[j]) <= DUP_PAY_WINDOW_DAYS
+            for a, b_, dd in zip(k[i][m], k[j][m],
+                                 np.abs(d[i] - d[j])[m]):
+                rows.append((int(_c), int(_v), int(a), int(b_),
+                             int(dd)))
+        return pd.DataFrame(rows, columns=[
+            "o_custkey", "cents", "okey_lo", "okey_hi", "day_gap"]
+        ).astype(np.int64) if rows else pd.DataFrame({
+            "o_custkey": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64),
+            "okey_lo": pd.Series([], dtype=np.int64),
+            "okey_hi": pd.Series([], dtype=np.int64),
+            "day_gap": pd.Series([], dtype=np.int64)})
+
+    out = keyed_map_groups(ds.map_batches(prep, batch_format="pandas"),
+                           "o_custkey", pairs, num_buckets).to_pandas()
+    if "okey_lo" not in out.columns:   # zero matches: empty Dataset
+        out = pd.DataFrame({            # drops its schema (gotcha)
+            "o_custkey": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64),
+            "okey_lo": pd.Series([], dtype=np.int64),
+            "okey_hi": pd.Series([], dtype=np.int64),
+            "day_gap": pd.Series([], dtype=np.int64)})
+    return (out.sort_values(["okey_lo", "okey_hi"])
+            .reset_index(drop=True))
+
+
+def duplicate_payment_audit_sql() -> str:
+    return f"""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(epoch(date_trunc('day', o_orderdate)) // 86400
+                        AS BIGINT) AS day
+            FROM orders
+        )
+        SELECT a.o_custkey, a.cents,
+               a.o_orderkey AS okey_lo, b.o_orderkey AS okey_hi,
+               abs(a.day - b.day)::BIGINT AS day_gap
+        FROM o a JOIN o b
+             ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+            AND b.o_orderkey > a.o_orderkey
+            AND abs(a.day - b.day) <= {DUP_PAY_WINDOW_DAYS}
+    """
