@@ -623,7 +623,12 @@ def embedding_top_eigvec(sf_dir: str, n_iters: int = EIG_ITERS) -> pd.DataFrame:
     the result against eigh within tolerance).  Sign fixed by making
     the largest-|component| positive; every row carries the residual
     ``||C v - lambda v|| / lambda`` and ``residual_ok`` as the
-    convergence certificate."""
+    convergence certificate.  Known limitation (shared by BOTH engines,
+    so parity holds): residual_ok certifies eigenpair-ness, not
+    dominance — a start vector (near-)orthogonal to the top direction
+    converges to a lower eigenpair; the eigh-pinned pytest is the
+    dominance check for this corpus (host_spectral_bisection's ramp v0
+    carries the same caveat)."""
     from .common import sql_round
 
     cov, _, n = _covariance_pass(sf_dir)
@@ -2156,8 +2161,7 @@ def knn_hubness(sf_dir: str, k: int = 5,
     degs = np.concatenate([ind["ind"].to_numpy(np.int64),
                            np.zeros(n_antihub, dtype=np.int64)])
     degs.sort()
-    c = degs.astype(object)     # Python ints: the integer Gini form
-    n = len(c)
+    n = len(degs)
     t = int(degs.sum())
     num = 2 * sum(int(i + 1) * int(v) for i, v in enumerate(degs)) \
         - (n + 1) * t

@@ -1741,10 +1741,13 @@ def daily_forecast_backtest_sql(season: int = FB_SEASON) -> str:
                    sum(abs(sc - l7))::BIGINT AS e7
             FROM r WHERE l7 IS NOT NULL
         )
-        SELECT CASE WHEN m IS NULL THEN 0 ELSE m END AS n_days_scored,
-               round(e1 / m / 100.0, 4) AS mae_naive,
-               round(e7 / m / 100.0, 4) AS mae_seasonal,
-               CASE WHEN round(e7 / m / 100.0, 4)
+        SELECT coalesce(m, 0) AS n_days_scored,
+               CASE WHEN coalesce(m, 0) = 0 THEN 0.0
+                    ELSE round(e1 / m / 100.0, 4) END AS mae_naive,
+               CASE WHEN coalesce(m, 0) = 0 THEN 0.0
+                    ELSE round(e7 / m / 100.0, 4) END AS mae_seasonal,
+               CASE WHEN coalesce(m, 0) = 0 THEN 'insufficient_data'
+                    WHEN round(e7 / m / 100.0, 4)
                         < round(e1 / m / 100.0, 4) THEN 'seasonal'
                     WHEN round(e1 / m / 100.0, 4)
                         < round(e7 / m / 100.0, 4) THEN 'naive'

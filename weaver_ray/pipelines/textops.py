@@ -3097,7 +3097,7 @@ def source_theil_decomposition(sf_dir: str,
         load(sf_dir, "documents", ["source", "n_chars"]),
         ["source"],
         {"n": ("x", "count"), "sx": ("x", "sum"), "sxlx": ("xlx", "sum")},
-        prep=prep,
+        prep=prep, many_groups=True, num_buckets=num_buckets,
     ).to_pandas().sort_values("source").reset_index(drop=True)
 
     n_g = g["n"].to_numpy(np.float64)
@@ -3244,9 +3244,31 @@ def token_burstiness_sql(k: int = BURST_K) -> str:
     """
 
 
-IBLT_M = 4096    # cells (sized for the sf0.1 diff ~1.5k keys, load<0.4)
+IBLT_M = 4096    # cells: decodes diffs up to ~0.8*M/K keys (~1.1k) whp —
+                 # comfortably the sf0.01-scale diff; past capacity both
+                 # engines report decode_complete=False honestly (size M
+                 # to ~1.3*K*|diff| for a production reconcile)
 IBLT_K = 3       # index hashes per key
-IBLT_ROUNDS = 12  # unrolled peeling rounds (converges in ~5 whp)
+IBLT_ROUNDS = 12  # SYNCHRONOUS peeling rounds, same schedule both engines
+
+
+def _iblt_cell_fold(d) -> pd.DataFrame:
+    """ONE (cell -> sum, xor, xor) fold shared by the partial and the
+    reduce phase so the two can never desynchronize; ``None`` yields
+    the typed empty frame."""
+    if d is None:
+        return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                             "dc": pd.Series([], dtype=np.int64),
+                             "kx": pd.Series([], dtype=np.int64),
+                             "hx": pd.Series([], dtype=np.int64)})
+    g = d.groupby("cell", sort=False)
+    return pd.DataFrame({
+        "cell": np.fromiter(g.groups.keys(), dtype=np.int64),
+        "dc": g["dc"].sum().to_numpy(np.int64),
+        "kx": g["kx"].agg(lambda s: np.bitwise_xor.reduce(
+            s.to_numpy(np.int64))).to_numpy(np.int64),
+        "hx": g["hx"].agg(lambda s: np.bitwise_xor.reduce(
+            s.to_numpy(np.int64))).to_numpy(np.int64)})
 
 
 def _iblt_key_cells(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -3308,34 +3330,11 @@ def iblt_snapshot_reconcile(sf_dir: str,
                     "cell": cells[:, j], "dc": np.int64(sign),
                     "kx": keys, "hx": chk}))
         if not outs:
-            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
-                                 "dc": pd.Series([], dtype=np.int64),
-                                 "kx": pd.Series([], dtype=np.int64),
-                                 "hx": pd.Series([], dtype=np.int64)})
-        d = pd.concat(outs, ignore_index=True)
-        g = d.groupby("cell", sort=False)
-        return pd.DataFrame({
-            "cell": np.fromiter(g.groups.keys(), dtype=np.int64),
-            "dc": g["dc"].sum().to_numpy(np.int64),
-            "kx": g["kx"].agg(lambda s: np.bitwise_xor.reduce(
-                s.to_numpy(np.int64))).to_numpy(np.int64),
-            "hx": g["hx"].agg(lambda s: np.bitwise_xor.reduce(
-                s.to_numpy(np.int64))).to_numpy(np.int64)})
+            return _iblt_cell_fold(None)
+        return _iblt_cell_fold(pd.concat(outs, ignore_index=True))
 
     def cell_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
-                                 "dc": pd.Series([], dtype=np.int64),
-                                 "kx": pd.Series([], dtype=np.int64),
-                                 "hx": pd.Series([], dtype=np.int64)})
-        gg = g.groupby("cell", sort=False)
-        return pd.DataFrame({
-            "cell": np.fromiter(gg.groups.keys(), dtype=np.int64),
-            "dc": gg["dc"].sum().to_numpy(np.int64),
-            "kx": gg["kx"].agg(lambda s: np.bitwise_xor.reduce(
-                s.to_numpy(np.int64))).to_numpy(np.int64),
-            "hx": gg["hx"].agg(lambda s: np.bitwise_xor.reduce(
-                s.to_numpy(np.int64))).to_numpy(np.int64)})
+        return _iblt_cell_fold(g if len(g) else None)
 
     parts = a.map_batches(cell_partials, batch_format="pandas")
     new_docs = rd.range(n_new).map_batches(
@@ -3367,26 +3366,31 @@ def iblt_snapshot_reconcile(sf_dir: str,
 
     dec_v1, dec_v2 = set(), set()
     for _round in range(IBLT_ROUNDS):
-        popped = False
+        # SYNCHRONOUS round (matching the oracle's recompute schedule):
+        # snapshot all currently-pure cells, THEN remove their keys —
+        # an in-place sweep would spend the shared round budget faster
+        # than the unrolled SQL and diverge near the decode threshold
+        pure = []
+        seen_keys = set()
         for c in range(IBLT_M):
             if cells[c] in (1, -1):
                 key = int(kx[c])
                 chk = int(hashlib.md5(f"chk|{key}".encode())
                           .hexdigest()[:13], 16)
-                if chk != int(hx[c]):
-                    continue
-                sign = int(cells[c])
-                (dec_v1 if sign == 1 else dec_v2).add(key)
-                kcells, kchk = _iblt_key_cells(
-                    np.array([key], dtype=np.int64))
-                for j in range(IBLT_K):
-                    cc = int(kcells[0, j])
-                    cells[cc] -= sign
-                    kx[cc] ^= key
-                    hx[cc] ^= int(kchk[0])
-                popped = True
-        if not popped:
+                if chk == int(hx[c]) and key not in seen_keys:
+                    pure.append((key, int(cells[c])))
+                    seen_keys.add(key)
+        if not pure:
             break
+        for key, sign in pure:
+            (dec_v1 if sign == 1 else dec_v2).add(key)
+            kcells, kchk = _iblt_key_cells(np.array([key],
+                                                    dtype=np.int64))
+            for j in range(IBLT_K):
+                cc = int(kcells[0, j])
+                cells[cc] -= sign
+                kx[cc] ^= key
+                hx[cc] ^= int(kchk[0])
     decode_complete = bool((cells == 0).all() and (kx == 0).all())
 
     # exact certificate from the digest diff (the snapshot_diff shapes)
@@ -3424,6 +3428,13 @@ def iblt_snapshot_reconcile_sql(m: int = IBLT_M, kk: int = IBLT_K,
     (valid because IBLT peeling is confluent)."""
     key = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' "
            "|| th), 1, 13)) AS BIGINT)")
+    # the synthetic-insert range is capped at 1e6 rows (range() cannot
+    # take subqueries); past that the oracle would silently drop inserts
+    # the engine generates — fail LOUDLY instead (bpe max_word_len rule)
+    guard = (f"SELECT CASE WHEN count(*) // {CDC_INS_PER} > 1000000 "
+             "THEN CAST(error('iblt oracle: synthetic-insert range cap "
+             "exceeded — raise the range bound') AS INT) ELSE 1 END "
+             "AS chk FROM documents")
     cell_of = ("CAST(concat('0x', substr(md5(CAST({j} AS VARCHAR) || '|' "
                "|| CAST({k} AS VARCHAR)), 1, 13)) AS BIGINT) % " + str(m))
     chk_of = ("CAST(concat('0x', substr(md5('chk|' "
@@ -3446,7 +3457,10 @@ def iblt_snapshot_reconcile_sql(m: int = IBLT_M, kk: int = IBLT_K,
             WHERE j.range <= (SELECT count(*) // {CDC_INS_PER}
                               FROM documents)
         ),
-        k1 AS MATERIALIZED (SELECT {key} AS k FROM v1),
+        insguard AS MATERIALIZED ({guard}),
+        k1 AS MATERIALIZED (
+            SELECT {key} AS k FROM v1
+            WHERE (SELECT chk FROM insguard) = 1),
         k2 AS MATERIALIZED (SELECT {key} AS k FROM v2),
         allr AS MATERIALIZED (
             SELECT k, 1::BIGINT AS sgn FROM k1
