@@ -712,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_survival_km": temporal.purchase_survival_km,
         # naive vs seasonal-naive forecast backtest (integer MAE)
         "daily_forecast_backtest": temporal.daily_forecast_backtest,
+        # Kleinberg 2-state burst labeling with hysteresis
+        "purchase_burst_states": temporal.purchase_burst_states,
         "doc_fingerprints": textops.doc_fingerprints,
         "vocab_top_tokens": textops.vocab_top_tokens,
         # top-k PMI collocations from doc-level co-occurrence
@@ -1648,6 +1650,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_survival_km": temporal.purchase_survival_km_sql(),
         # backtest: lag windows over the cents series, exact errors
         "daily_forecast_backtest": temporal.daily_forecast_backtest_sql(),
+        # bursts: forward recursive-CTE Viterbi + backward trace
+        "purchase_burst_states": temporal.purchase_burst_states_sql(),
         "bm25_topk": _bm25_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),

@@ -2644,3 +2644,59 @@ def test_duplicate_payment_audit_planted(ray_session, tmp_path):
     assert got == {(1, 2), (7, 8)}
     assert out.set_index(["okey_lo", "okey_hi"]).loc[(7, 8),
                                                      "day_gap"] == 1
+
+
+def test_burst_states_planted_burst(ray_session, tmp_path):
+    """A planted purchase surge is labeled a single contiguous burst
+    (hysteresis: no flapping on the noisy shoulders), and the labels
+    replay a sequential Viterbi."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.temporal import (KB_GAMMA, KB_RATE_MULT,
+                                               purchase_burst_states)
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        # base: 2 purchases / 20 events; days 10..14: 10 purchases
+        np_ = 10 if 10 <= d <= 14 else 2
+        for i in range(20):
+            rows.append((eid, np.datetime64("2024-01-01", "us")
+                         + np.timedelta64(d, "D") + np.timedelta64(i, "m"),
+                         "purchase" if i < np_ else "view"))
+            eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))}), tmp_path / "events.parquet")
+    out = purchase_burst_states(str(tmp_path)).sort_values("day")
+    s = out["state"].to_numpy()
+    assert out["n_bursts"].iloc[0] == 1
+    assert (s[10:15] == 1).all()
+    assert (s[:10] == 0).all() and (s[15:] == 0).all()
+
+    # sequential Viterbi replay
+    n = out["n_events"].to_numpy(np.float64)
+    r = out["n_purchases"].to_numpy(np.float64)
+    p0 = r.sum() / n.sum()
+    p1 = min(KB_RATE_MULT * p0, 0.99)
+    tau = KB_GAMMA * np.log(30.0)
+    e = lambda p: -(r * np.log(p) + (n - r) * np.log(1 - p))
+    e0, e1 = e(p0), e(p1)
+    c = [(e0[0], e1[0] + tau)]
+    pv = [(0, 0)]
+    for t in range(1, 30):
+        f0 = c[-1][0]
+        f1 = c[-1][1]
+        c0 = e0[t] + min(f0, f1)
+        c1 = e1[t] + min(f0 + tau, f1)
+        pv.append((0 if f0 <= f1 else 1, 0 if f0 + tau <= f1 else 1))
+        c.append((c0, c1))
+    st = [0 if c[-1][0] <= c[-1][1] else 1]
+    for t in range(29, 0, -1):
+        st.append(pv[t][st[-1]])
+    assert list(s) == st[::-1]

@@ -1754,3 +1754,140 @@ def daily_forecast_backtest_sql(season: int = FB_SEASON) -> str:
                     ELSE 'tie' END AS winner
         FROM s
     """
+
+
+KB_GAMMA = 1.0    # 0->1 transition cost multiplier (Kleinberg's gamma)
+KB_RATE_MULT = 2.0  # burst-state rate = min(mult * base rate, 0.99)
+
+
+def purchase_burst_states(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """KLEINBERG BURST DETECTION (Kleinberg, KDD 2002; the 2-state
+    batched automaton): label each day 'burst' or 'base' for the
+    purchase share of traffic by the minimum-cost state sequence —
+    burstiness with HYSTERESIS, unlike per-day thresholds which flap.
+    State s emits day t at cost -[r ln p_s + (n - r) ln(1 - p_s)]
+    (r = purchases, n = events; the binomial constant cancels between
+    states); entering the burst state costs gamma * ln(T).  The Viterbi
+    DP is deterministic: both engines fold identical expression trees,
+    ties break to the base state, and the oracle unrolls the recursion
+    one CTE per day with scalar-subquery backtracking (the voptimal
+    pattern on a time axis).
+
+    Scale shape: one (day) count reduce; the 2 x T fold runs on the
+    ~30-row driver series."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            day=b["ts"].dt.floor("D"),
+            is_p=(b["event_type"] == "purchase").astype(np.int64))
+
+    daily = partial_groupby(
+        load(sf_dir, "events", ["ts", "event_type"]), ["day"],
+        {"n": ("is_p", "count"), "r": ("is_p", "sum")},
+        prep=prep, many_groups=True, num_buckets=num_buckets,
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+
+    n = daily["n"].to_numpy(np.int64).astype(np.float64)
+    r = daily["r"].to_numpy(np.int64).astype(np.float64)
+    T = len(daily)
+    p0 = r.sum() / n.sum()
+    p1 = min(KB_RATE_MULT * p0, 0.99)
+    tau01 = KB_GAMMA * np.log(float(T))
+
+    def emit(p: float) -> np.ndarray:
+        return -(r * np.log(p) + (n - r) * np.log(1.0 - p))
+
+    e0, e1 = emit(p0), emit(p1)
+    INF = float("inf")
+    cost = np.zeros((T, 2))
+    prev = np.zeros((T, 2), dtype=np.int64)
+    cost[0, 0] = e0[0]
+    cost[0, 1] = e1[0] + tau01          # entering burst from the start
+    for t in range(1, T):
+        for s, es in ((0, e0), (1, e1)):
+            c_from0 = cost[t - 1, 0] + (tau01 if s == 1 else 0.0)
+            c_from1 = cost[t - 1, 1]
+            # tie -> predecessor 0 (the base state), both engines
+            if c_from0 <= c_from1:
+                cost[t, s], prev[t, s] = es[t] + c_from0, 0
+            else:
+                cost[t, s], prev[t, s] = es[t] + c_from1, 1
+    state = np.zeros(T, dtype=np.int64)
+    state[T - 1] = 0 if cost[T - 1, 0] <= cost[T - 1, 1] else 1
+    for t in range(T - 1, 0, -1):
+        state[t - 1] = prev[t, state[t]]
+    n_bursts = int(((state[1:] == 1) & (state[:-1] == 0)).sum()
+                   + (state[0] == 1))
+    return pd.DataFrame({
+        "day": daily["day"],
+        "n_events": daily["n"].to_numpy(np.int64),
+        "n_purchases": daily["r"].to_numpy(np.int64),
+        "state": state,
+        "n_bursts": np.full(T, np.int64(n_bursts)),
+        "p_base": np.full(T, float(sql_round(p0, 6))),
+        "p_burst": np.full(T, float(sql_round(p1, 6)))})
+
+
+def purchase_burst_states_sql() -> str:
+    """Oracle: the Viterbi recursion as a FORWARD recursive CTE
+    carrying (c0, c1) and a BACKWARD recursive trace re-deriving each
+    predecessor with the identical <= tie rule."""
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   count(*)::DOUBLE AS n,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END)::DOUBLE AS r
+            FROM events GROUP BY 1
+        ),
+        prm AS (
+            SELECT sum(r) / sum(n) AS p0,
+                   least({KB_RATE_MULT} * sum(r) / sum(n), 0.99) AS p1,
+                   {KB_GAMMA} * ln(count(*)::DOUBLE) AS tau,
+                   count(*)::BIGINT AS tt
+            FROM daily
+        ),
+        d AS (
+            SELECT row_number() OVER (ORDER BY day) AS rn, day,
+                   CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+                   -(r * ln(p.p0) + (n - r) * ln(1.0 - p.p0)) AS e0,
+                   -(r * ln(p.p1) + (n - r) * ln(1.0 - p.p1)) AS e1
+            FROM daily, prm p
+        ),
+        dp(t, c0, c1) AS (
+            SELECT 1::BIGINT, e0, e1 + (SELECT tau FROM prm)
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.rn,
+                   d.e0 + least(dp.c0, dp.c1),
+                   d.e1 + least(dp.c0 + (SELECT tau FROM prm), dp.c1)
+            FROM dp JOIN d ON d.rn = dp.t + 1
+        ),
+        bt(t, s) AS (
+            SELECT t, CASE WHEN c0 <= c1 THEN 0 ELSE 1 END
+            FROM dp WHERE t = (SELECT tt FROM prm)
+            UNION ALL
+            SELECT bt.t - 1,
+                   CASE WHEN bt.s = 1
+                        THEN CASE WHEN p.c0 + (SELECT tau FROM prm)
+                                       <= p.c1 THEN 0 ELSE 1 END
+                        ELSE CASE WHEN p.c0 <= p.c1 THEN 0 ELSE 1 END
+                   END
+            FROM bt JOIN dp p ON p.t = bt.t - 1
+            WHERE bt.t > 1
+        ),
+        lab AS (
+            SELECT d.day, d.n, d.r, bt.s,
+                   lag(bt.s) OVER (ORDER BY d.rn) AS ps
+            FROM d JOIN bt ON bt.t = d.rn
+        )
+        SELECT day, n AS n_events, r AS n_purchases,
+               CAST(s AS BIGINT) AS state,
+               (SELECT sum(CASE WHEN s = 1 AND coalesce(ps, 0) = 0
+                           THEN 1 ELSE 0 END) FROM lab)::BIGINT
+                   AS n_bursts,
+               round((SELECT p0 FROM prm), 6) AS p_base,
+               round((SELECT p1 FROM prm), 6) AS p_burst
+        FROM lab
+    """
