@@ -211,6 +211,11 @@ QUERY_NAMES = [
     "vocab_trie_widths",
     "purchase_survival_km",
     "daily_forecast_backtest",
+    # block-32 additions
+    "source_coverage_greedy",
+    "k_anonymity_audit",
+    "duplicate_payment_audit",
+    "purchase_burst_states",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
