@@ -560,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_hour_mi": relational.type_hour_mi,
         # double-charge audit (same cust/amount within a day)
         "duplicate_payment_audit": relational.duplicate_payment_audit,
+        # Mann-Whitney U on the cents grid (exact 2U, z-score)
+        "click_purchase_rank_test": relational.click_purchase_rank_test,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -700,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_coverage_greedy": textops.source_coverage_greedy,
         # k-anonymity audit over the quasi-identifier tuple
         "k_anonymity_audit": textops.k_anonymity_audit,
+        # l-diversity audit (sensitive-attribute homogeneity)
+        "l_diversity_audit": textops.l_diversity_audit,
         # CUSUM change-point statistic via the prefix-sum identity
         "daily_cusum_drift": temporal.daily_cusum_drift,
         # Haar-wavelet synopsis with reconstruction-error certificate
@@ -1638,6 +1642,8 @@ def oracle_sql() -> dict[str, str]:
         "source_coverage_greedy": textops.source_coverage_greedy_sql(),
         # k-anonymity: size-of-sizes histogram, integer risk counts
         "k_anonymity_audit": textops.k_anonymity_audit_sql(),
+        # l-diversity: (size, distinct-sensitive) class fold
+        "l_diversity_audit": textops.l_diversity_audit_sql(),
         # CUSUM: same cents grid, cumsum + running-min windows
         "daily_cusum_drift": temporal.daily_cusum_drift_sql(),
         # Haar: unrolled transform + reconstruction, exact dyadic
@@ -2021,6 +2027,9 @@ def oracle_sql() -> dict[str, str]:
         # double-charge: (cust, cents) self-join, integer day gap
         "duplicate_payment_audit":
             relational.duplicate_payment_audit_sql(),
+        # rank test: integer 2U from per-cents counts + tie-corrected z
+        "click_purchase_rank_test":
+            relational.click_purchase_rank_test_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

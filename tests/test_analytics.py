@@ -2700,3 +2700,61 @@ def test_burst_states_planted_burst(ray_session, tmp_path):
     for t in range(29, 0, -1):
         st.append(pv[t][st[-1]])
     assert list(s) == st[::-1]
+
+
+def test_l_diversity_planted_homogeneous_class(ray_session, tmp_path):
+    """A big but single-language class is flagged; a diverse class of
+    the same size is not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import l_diversity_audit
+
+    rows = ([("en", "s1", 150)] * 30                      # homogeneous
+            + [("en", "s2", 150)] * 10 + [("de", "s2", 150)] * 10
+            + [("fr", "s2", 150)] * 10)                   # diverse
+    lang, src, nch = zip(*rows)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array(["x"] * len(rows)),
+        "lang": pa.array(list(lang)), "source": pa.array(list(src)),
+        "n_chars": pa.array(list(nch), pa.int64())}),
+        tmp_path / "documents.parquet")
+    out = l_diversity_audit(str(tmp_path))
+    assert out["risky_classes"].iloc[0] == 1
+    assert out["risky_rows"].iloc[0] == 30
+    assert out["min_diversity"].iloc[0] == 1
+    h = out.set_index(["class_size", "diversity"])
+    assert h.loc[(30, 1), "n_classes"] == 1
+    assert h.loc[(30, 3), "n_classes"] == 1
+
+
+def test_rank_test_planted_shift(ray_session, tmp_path):
+    """A clear purchase-over-click value shift gives a large positive
+    2U relative to its mean and |z| >> 2; identical distributions give
+    z == 0 exactly (all-tie guard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import click_purchase_rank_test
+
+    def write(cv, pv, d):
+        d.mkdir(exist_ok=True)
+        et = ["click"] * len(cv) + ["purchase"] * len(pv)
+        v = list(cv) + list(pv)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(v)), pa.int64()),
+            "ts": pa.array([0] * len(v), pa.timestamp("us")),
+            "user_id": pa.array([0] * len(v), pa.int64()),
+            "event_type": pa.array(et),
+            "value": pa.array(v, pa.float64()),
+            "props": pa.array(["{}"] * len(v))}), d / "events.parquet")
+        return str(d)
+
+    hi = click_purchase_rank_test(
+        write([10.0] * 50, [90.0] * 50, tmp_path / "a")).iloc[0]
+    assert hi["two_u"] == 2 * 50 * 50      # every purchase beats every click
+    assert hi["z_score"] > 2
+    same = click_purchase_rank_test(
+        write([42.0] * 50, [42.0] * 50, tmp_path / "b")).iloc[0]
+    assert same["z_score"] == 0.0

@@ -2342,3 +2342,97 @@ def duplicate_payment_audit_sql() -> str:
             AND b.o_orderkey > a.o_orderkey
             AND abs(a.day - b.day) <= {DUP_PAY_WINDOW_DAYS}
     """
+
+
+def click_purchase_rank_test(sf_dir: str,
+                             num_buckets: int = 8) -> pd.DataFrame:
+    """MANN-WHITNEY U rank-sum test between click and purchase values —
+    the nonparametric "are these two distributions shifted" test that
+    needs no normality assumption; the curation read is whether an
+    event class systematically carries larger values.  Because values
+    sit on the cents grid, U computes EXACTLY from per-cents counts:
+    U_a = sum_v nb(v) * (cum_na(<v) + na(v)/2), all integers and
+    half-integers — no ranking pass, no FP until the final z-score
+    (normal approximation with tie correction, rounded 4 dp).
+
+    Scale shape: one (side, cents) count reduce (value-cardinality
+    bounded); the U fold runs on that driver table."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        return b.assign(
+            side=(b["event_type"] == "purchase").astype(np.int64),
+            cents=np.floor(b["value"].to_numpy(np.float64) * 100.0
+                           + 0.5).astype(np.int64))
+
+    c = partial_groupby(
+        load(sf_dir, "events", ["event_type", "value"]),
+        ["side", "cents"], {"n": ("cents", "count")}, prep=prep,
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+    piv = (c.pivot_table(index="cents", columns="side", values="n",
+                         fill_value=0, aggfunc="sum")
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    na = piv[0].to_numpy(np.int64)
+    nb = piv[1].to_numpy(np.int64)
+    Na, Nb = int(na.sum()), int(nb.sum())
+    cum_a = np.concatenate([[0], np.cumsum(na)[:-1]])
+    # 2*U to stay integer through the half-ties
+    two_u = int((nb * (2 * cum_a + na)).sum())
+    mu2 = Na * Nb                        # 2 * E[U]
+    t = (na + nb).astype(object)
+    n_tot = Na + Nb
+    tie_term = sum(int(x) ** 3 - int(x) for x in t)
+    var = (Na * Nb / 12.0) * ((n_tot + 1)
+                              - tie_term / (n_tot * (n_tot - 1.0)))
+    z = ((two_u - mu2) / 2.0) / np.sqrt(var) if var > 0 else 0.0
+    return pd.DataFrame({
+        "n_click": [np.int64(Na)], "n_purchase": [np.int64(Nb)],
+        "two_u": [np.int64(two_u)],
+        "z_score": [float(sql_round(z, 4))]})
+
+
+def click_purchase_rank_test_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS side,
+                   CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        c AS (
+            SELECT cents,
+                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS na,
+                   sum(side)::BIGINT AS nb
+            FROM e GROUP BY cents
+        ),
+        r AS (
+            SELECT cents, na, nb,
+                   coalesce(sum(na) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_a
+            FROM c
+        ),
+        s AS (
+            SELECT sum(na)::BIGINT AS tot_a, sum(nb)::BIGINT AS tot_b,
+                   sum(nb * (2 * cum_a + na))::BIGINT AS two_u,
+                   sum((na + nb) * (na + nb) * (na + nb)
+                       - (na + nb))::BIGINT AS tie_term
+            FROM r
+        )
+        SELECT tot_a AS n_click, tot_b AS n_purchase, two_u,
+               CASE WHEN tot_a * tot_b = 0
+                      OR (tot_a + tot_b + 1)
+                         - tie_term / ((tot_a + tot_b)
+                                       * (tot_a + tot_b - 1.0)) <= 0
+                    THEN 0.0
+                    ELSE round(((two_u - tot_a * tot_b) / 2.0)
+                         / sqrt((tot_a * tot_b / 12.0)
+                                * ((tot_a + tot_b + 1)
+                                   - tie_term
+                                     / ((tot_a + tot_b)
+                                        * (tot_a + tot_b - 1.0)))), 4)
+               END AS z_score
+        FROM s
+    """

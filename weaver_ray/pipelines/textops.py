@@ -4023,3 +4023,86 @@ def k_anonymity_audit_sql(k: int = KANON_K) -> str:
                      / (SELECT tot FROM s)::DOUBLE, 6) AS risk_fraction
         FROM hist
     """
+
+
+LDIV_L = 3
+
+
+def l_diversity_audit(sf_dir: str, l: int = LDIV_L,
+                      num_buckets: int = 16) -> pd.DataFrame:
+    """L-DIVERSITY AUDIT (Machanavajjhala et al. 2006) — the k-anonymity
+    follow-up: a quasi-identifier class is unsafe even when LARGE if its
+    SENSITIVE attribute (here lang) is homogeneous.  Per (source,
+    n_chars-bucket) class: size and distinct-lang count; classes with
+    diversity < ``l`` are flagged.  Output is the (size, diversity)
+    histogram with the risky totals replicated — all integers but the
+    final fraction.
+
+    Scale shape: one (QI, lang) distinct reduce, one QI-class fold,
+    both bounded by distinct-tuple counts."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            cb=(b["n_chars"].to_numpy(np.int64)
+                // KANON_CHAR_BUCKET).astype(np.int64))
+
+    rows = partial_groupby(
+        load(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["source", "cb", "lang"], {"n": ("cb", "count")}, prep=prep,
+        many_groups=True, num_buckets=num_buckets)
+
+    cls = partial_groupby(
+        rows, ["source", "cb"],
+        {"size_": ("n", "sum"), "div": ("n", "count")},
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+    size = cls["size_"].to_numpy(np.int64)
+    div = cls["div"].to_numpy(np.int64)
+    risky = div < l
+    hist = (pd.DataFrame({"class_size": size, "diversity": div})
+            .groupby(["class_size", "diversity"]).size()
+            .rename("n_classes").reset_index())
+    total_rows = int(size.sum())
+    return pd.DataFrame({
+        "class_size": hist["class_size"].astype(np.int64),
+        "diversity": hist["diversity"].astype(np.int64),
+        "n_classes": hist["n_classes"].astype(np.int64),
+        "min_diversity": np.full(len(hist), np.int64(div.min())),
+        "risky_classes": np.full(len(hist), np.int64(int(risky.sum()))),
+        "risky_rows": np.full(len(hist),
+                              np.int64(int(size[risky].sum()))),
+        "risk_fraction": np.full(
+            len(hist),
+            float(sql_round(int(size[risky].sum()) / total_rows, 6)))})
+
+
+def l_diversity_audit_sql(l: int = LDIV_L) -> str:
+    return f"""
+        WITH cls AS (
+            SELECT source, n_chars // {KANON_CHAR_BUCKET} AS cb,
+                   count(*)::BIGINT AS size_,
+                   count(DISTINCT lang)::BIGINT AS div
+            FROM documents GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT size_ AS class_size, div AS diversity,
+                   count(*)::BIGINT AS n_classes
+            FROM cls GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT min(div)::BIGINT AS mnd,
+                   sum(CASE WHEN div < {l} THEN 1 ELSE 0 END)::BIGINT
+                       AS rc,
+                   sum(CASE WHEN div < {l} THEN size_ ELSE 0 END)
+                       ::BIGINT AS rr,
+                   sum(size_)::BIGINT AS tot
+            FROM cls
+        )
+        SELECT class_size, diversity, n_classes,
+               (SELECT mnd FROM s) AS min_diversity,
+               (SELECT rc FROM s) AS risky_classes,
+               (SELECT rr FROM s) AS risky_rows,
+               round((SELECT rr FROM s) / (SELECT tot FROM s)::DOUBLE, 6)
+                   AS risk_fraction
+        FROM hist
+    """
