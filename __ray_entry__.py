@@ -562,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_payment_audit": relational.duplicate_payment_audit,
         # Mann-Whitney U on the cents grid (exact 2U, z-score)
         "click_purchase_rank_test": relational.click_purchase_rank_test,
+        # Kolmogorov-Smirnov D with exact integer sup numerator
+        "click_purchase_ks_test": relational.click_purchase_ks_test,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -2030,6 +2032,8 @@ def oracle_sql() -> dict[str, str]:
         # rank test: integer 2U from per-cents counts + tie-corrected z
         "click_purchase_rank_test":
             relational.click_purchase_rank_test_sql(),
+        # KS: cross-multiplied CDF sup, one division at the end
+        "click_purchase_ks_test": relational.click_purchase_ks_test_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

@@ -2758,3 +2758,35 @@ def test_rank_test_planted_shift(ray_session, tmp_path):
     same = click_purchase_rank_test(
         write([42.0] * 50, [42.0] * 50, tmp_path / "b")).iloc[0]
     assert same["z_score"] == 0.0
+
+
+def test_ks_test_planted_distributions(ray_session, tmp_path):
+    """Disjoint supports give D == 1 (lambda large); identical samples
+    give D == 0; D replays a brute-force CDF sup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.relational import click_purchase_ks_test
+
+    def write(cv, pv, d):
+        d.mkdir(exist_ok=True)
+        et = ["click"] * len(cv) + ["purchase"] * len(pv)
+        v = list(cv) + list(pv)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(v)), pa.int64()),
+            "ts": pa.array([0] * len(v), pa.timestamp("us")),
+            "user_id": pa.array([0] * len(v), pa.int64()),
+            "event_type": pa.array(et),
+            "value": pa.array(v, pa.float64()),
+            "props": pa.array(["{}"] * len(v))}), d / "events.parquet")
+        return str(d)
+
+    far = click_purchase_ks_test(
+        write([10.0] * 40, [90.0] * 60, tmp_path / "a")).iloc[0]
+    assert far["ks_d"] == 1.0
+    assert far["ks_numerator"] == 40 * 60
+    assert far["ks_lambda"] > 1.36
+    same = click_purchase_ks_test(
+        write([10.0] * 30 + [20.0] * 30, [10.0] * 30 + [20.0] * 30,
+              tmp_path / "b")).iloc[0]
+    assert same["ks_d"] == 0.0

@@ -2436,3 +2436,97 @@ def click_purchase_rank_test_sql() -> str:
                END AS z_score
         FROM s
     """
+
+
+def click_purchase_ks_test(sf_dir: str,
+                           num_buckets: int = 8) -> pd.DataFrame:
+    """KOLMOGOROV-SMIRNOV two-sample test between click and purchase
+    values: D = sup |CDF_a - CDF_b|, the distribution-shape companion
+    to the rank test's location shift (KS also catches equal-median
+    spread changes).  On the cents grid the sup is an EXACT integer
+    maximum of |cum_na * Nb - cum_nb * Na| (the EMD cross-multiply
+    move), divided once at the end; the asymptotic statistic
+    lambda = D * sqrt(Na*Nb/(Na+Nb)) rides along (>1.36 ~ p<0.05).
+
+    Scale shape: the same one (side, cents) count reduce as the rank
+    test; the sup folds on the driver table."""
+    from .common import sql_round
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        return b.assign(
+            side=(b["event_type"] == "purchase").astype(np.int64),
+            cents=np.floor(b["value"].to_numpy(np.float64) * 100.0
+                           + 0.5).astype(np.int64))
+
+    c = partial_groupby(
+        load(sf_dir, "events", ["event_type", "value"]),
+        ["side", "cents"], {"n": ("cents", "count")}, prep=prep,
+        many_groups=True, num_buckets=num_buckets).to_pandas()
+    piv = (c.pivot_table(index="cents", columns="side", values="n",
+                         fill_value=0, aggfunc="sum")
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    na = piv[0].to_numpy(np.int64)
+    nb = piv[1].to_numpy(np.int64)
+    Na, Nb = int(na.sum()), int(nb.sum())
+    # exact integer sup of the cross-multiplied CDF difference
+    acc, num = 0, 0
+    for i in range(len(na)):
+        acc += int(na[i]) * Nb - int(nb[i]) * Na
+        num = max(num, abs(acc))
+    d = num / (Na * Nb) if Na and Nb else 0.0
+    lam = (d * np.sqrt(Na * Nb / (Na + Nb))
+           if Na and Nb else 0.0)
+    return pd.DataFrame({
+        "n_click": [np.int64(Na)], "n_purchase": [np.int64(Nb)],
+        "ks_numerator": [np.int64(num)],
+        "ks_d": [float(sql_round(d, 6))],
+        "ks_lambda": [float(sql_round(lam, 4))]})
+
+
+def click_purchase_ks_test_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS side,
+                   CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        c AS (
+            SELECT cents,
+                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS na,
+                   sum(side)::BIGINT AS nb
+            FROM e GROUP BY cents
+        ),
+        t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+              FROM c),
+        cd AS (
+            SELECT abs(sum(na * (SELECT tb FROM t)
+                           - nb * (SELECT ta FROM t))
+                       OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)) AS a
+            FROM c
+        ),
+        d AS (SELECT max(a)::BIGINT AS num FROM cd)
+        SELECT (SELECT ta FROM t) AS n_click,
+               (SELECT tb FROM t) AS n_purchase,
+               (SELECT num FROM d) AS ks_numerator,
+               CASE WHEN (SELECT ta FROM t) * (SELECT tb FROM t) = 0
+                    THEN 0.0
+                    ELSE round((SELECT num FROM d)
+                         / ((SELECT ta FROM t)
+                            * (SELECT tb FROM t))::DOUBLE, 6)
+               END AS ks_d,
+               CASE WHEN (SELECT ta FROM t) * (SELECT tb FROM t) = 0
+                    THEN 0.0
+                    ELSE round((SELECT num FROM d)
+                         / ((SELECT ta FROM t) * (SELECT tb FROM t))
+                           ::DOUBLE
+                         * sqrt((SELECT ta FROM t)::DOUBLE
+                                * (SELECT tb FROM t)
+                                / ((SELECT ta FROM t)
+                                   + (SELECT tb FROM t))), 4)
+               END AS ks_lambda
+        FROM d
+    """
