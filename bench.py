@@ -216,6 +216,10 @@ QUERY_NAMES = [
     "k_anonymity_audit",
     "duplicate_payment_audit",
     "purchase_burst_states",
+    # block-33 additions
+    "l_diversity_audit",
+    "click_purchase_rank_test",
+    "click_purchase_ks_test",
 ]
 
 # the image-axis scale leg: phash banding + connected components over a
