@@ -2792,10 +2792,12 @@ def test_ks_test_planted_distributions(ray_session, tmp_path):
     assert same["ks_d"] == 0.0
 
 
-def test_spearman_monotone_and_scipy_free_replay(ray_session):
+def test_spearman_monotone_and_scipy_free_replay(ray_session, tmp_path):
     """rho matches a midrank-Pearson replay over the real join, and a
     perfectly monotone planted relationship gives rho == 1."""
     import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from weaver_ray.pipelines.relational import order_size_price_spearman
 
@@ -2811,4 +2813,20 @@ def test_spearman_monotone_and_scipy_free_replay(ray_session):
     rho = np.corrcoef(rx, ry)[0, 1]
     assert abs(out["spearman_rho"] - rho) < 1e-5
     assert out["n_orders"] == len(df)
-    assert 0 < out["spearman_rho"] <= 1   # more lines -> higher price
+    assert -1 <= out["spearman_rho"] <= 1
+    # In the SF corpus o_totalprice is NOT tied to line count (measured
+    # rho ~= -0.027), so the monotone check runs on a PLANTED fixture:
+    # order k has exactly k lineitems and price 10*k -> rho == 1 exactly.
+    d = tmp_path / "monotone"
+    d.mkdir()
+    ks = list(range(1, 21))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ks, pa.int64()),
+        "o_totalprice": pa.array([10.0 * k for k in ks], pa.float64())}),
+        d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([k for k in ks for _ in range(k)],
+                               pa.int64())}), d / "lineitem.parquet")
+    planted = order_size_price_spearman(str(d)).iloc[0]
+    assert planted["n_orders"] == len(ks)
+    assert planted["spearman_rho"] == 1.0
