@@ -320,3 +320,20 @@ def test_host_clustering_matches_bruteforce(ray_session):
         assert out.loc[v, "clustering"] == float(
             sql_round(2.0 * tri / (d * (d - 1.0)), 6))
     assert out["clustering"].nunique() > 5
+
+
+def test_page_bfs_and_lpa_multipart_exchange_matches_single_part(ray_session):
+    """Forcing slice_rows tiny makes the BFS/LPA task exchange run with
+    k > 1 hash-partitioned depth/label slices at fixture scale — the
+    100-TB code path — and the output must be IDENTICAL to the k == 1
+    run (and therefore to the sequential replays above)."""
+    from weaver_ray.pipelines.pagerank import (page_bfs_depth,
+                                               page_communities)
+
+    one = page_bfs_depth("unused")
+    many = page_bfs_depth("unused", num_parts=5, slice_rows=256)
+    pd.testing.assert_frame_equal(one, many)
+
+    lpa1 = page_communities("unused")
+    lpak = page_communities("unused", num_parts=5, slice_rows=256)
+    pd.testing.assert_frame_equal(lpa1, lpak)

@@ -511,9 +511,109 @@ def generate_page_edges(n_base: int = 1000, seed: int = config.CORPUS_SEED,
     return _memoized_edge_parquet(d, t, f"n_base={n_base} seed={seed}\n")
 
 
-def page_bfs_depth(sf_dir: str, n_base: int = 1000,
-                   n_seeds: int = config.N_SEEDS,
-                   max_depth: int = 64) -> pd.DataFrame:
+def _split_cols_by_owner(owner: np.ndarray, k: int,
+                         *cols: np.ndarray) -> list[tuple]:
+    """Route parallel column arrays to k parts by ``owner`` (zero-copy
+    slices of one stable sort — the dedup._cc_split_pairs pattern,
+    generalized to any column count)."""
+    order = np.argsort(owner, kind="stable")
+    bounds = np.searchsorted(owner[order], np.arange(k + 1))
+    cs = [c[order] for c in cols]
+    return [tuple(c[bounds[p]:bounds[p + 1]] for c in cs)
+            for p in range(k)]
+
+
+@ray.remote(num_cpus=0)
+def _bfs_split_edges(t: pa.Table, k: int) -> list[tuple]:
+    """Directed page edges routed by owner(src) — each part holds the
+    out-edges of the depth slice it owns."""
+    from .dedup import _cc_owner
+
+    if "src_id" not in t.column_names:  # all-empty block: 0-column schema
+        e = np.empty(0, np.int64)
+        return [(e, e)] * k
+    src = t.column("src_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t.column("dst_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return _split_cols_by_owner(_cc_owner(src, k), k, src, dst)
+
+
+@ray.remote(num_cpus=0)
+def _bfs_split_endpoints(t: pa.Table, k: int) -> list[tuple]:
+    """Edge endpoints routed by their OWN owner: node membership, so a
+    part tracks the depth of every node it owns even when that node only
+    ever appears as a dst of some other part's edges."""
+    from .dedup import _cc_owner
+
+    if "src_id" not in t.column_names:
+        return [(np.empty(0, np.int64),)] * k
+    v = np.unique(np.concatenate([
+        t.column("src_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        t.column("dst_id").to_numpy(zero_copy_only=False).astype(np.int64)]))
+    return _split_cols_by_owner(_cc_owner(v, k), k, v)
+
+
+@ray.remote(num_cpus=0)
+def _bfs_build_part(seeds: np.ndarray, n_edge_chunks: int, *chunks):
+    """Static per-part state: sorted unique owned node ids + local
+    out-edges with src resolved to a positional index."""
+    edge_chunks = chunks[:n_edge_chunks]
+    member_chunks = chunks[n_edge_chunks:]
+    empty = [np.empty(0, np.int64)]
+    nodes = np.unique(np.concatenate(
+        [seeds] + [s for s, _ in edge_chunks]
+        + [m[0] for m in member_chunks] + empty))
+    src = (np.concatenate([s for s, _ in edge_chunks])
+           if edge_chunks else empty[0])
+    dst = (np.concatenate([d for _, d in edge_chunks])
+           if edge_chunks else empty[0])
+    return nodes, np.searchsorted(nodes, src), dst
+
+
+@ray.remote(num_cpus=0)
+def _bfs_init_depth(static, seeds: np.ndarray) -> np.ndarray:
+    nodes, _, _ = static
+    depth = np.full(len(nodes), -1, dtype=np.int64)
+    depth[np.searchsorted(nodes, seeds)] = 0
+    return depth
+
+
+@ray.remote(num_cpus=0)
+def _bfs_resolve(static, depth: np.ndarray, d: int, k: int) -> list[tuple]:
+    """One frontier expansion on this part: dsts of local nodes at depth
+    exactly d, locally deduped, routed by owner(dst)."""
+    from .dedup import _cc_owner
+
+    nodes, src_idx, dst = static
+    cand = np.unique(dst[depth[src_idx] == d])
+    return _split_cols_by_owner(_cc_owner(cand, k), k, cand)
+
+
+@ray.remote(num_cpus=0)
+def _bfs_apply(static, depth: np.ndarray, d: int, *cands):
+    """Per-part depth update: unvisited candidates get depth d+1.
+    Returns (new depth slice, newly-visited count)."""
+    nodes, _, _ = static
+    t = np.unique(np.concatenate(
+        [c[0] for c in cands] + [np.empty(0, np.int64)]))
+    idx = np.searchsorted(nodes, t)
+    fresh = idx[depth[idx] == -1]
+    new = depth.copy()
+    new[fresh] = d + 1
+    return new, int(len(fresh))
+
+
+@ray.remote(num_cpus=0)
+def _bfs_emit(static, depth: np.ndarray) -> pa.Table:
+    nodes, _, _ = static
+    m = depth >= 0
+    return pa.table({"page_id": pa.array(nodes[m], pa.int64()),
+                     "depth": pa.array(depth[m], pa.int64())})
+
+
+def page_bfs_depth_ds(sf_dir: str, n_base: int = 1000,
+                      n_seeds: int = config.N_SEEDS,
+                      max_depth: int = 64, num_parts: int = 16,
+                      slice_rows: int = 65_536) -> rd.Dataset:
     """Directed BFS depth of every corpus page reachable from the crawl's
     seed pages — the frontier-expansion geometry itself: in an
     UNCONSTRAINED crawl (no robots denials, unlimited budget) that
@@ -525,73 +625,96 @@ def page_bfs_depth(sf_dir: str, n_base: int = 1000,
     HOST graph is near-complete at fixture scale — every host reachable
     in one hop — so depth is only meaningful at page granularity.)
 
-    Engine shape per round (the pagerank budget): the frontier membership
-    bitmap (O(nodes)) is broadcast; ONE map_batches pass over the
-    distributed edge Dataset emits the next frontier's candidate dsts as
-    per-batch DISTINCT partials; the driver folds candidates into the
-    depth vector.  Edges never reach the driver; rounds = graph depth."""
+    Distributed shape (the dedup.connected_components_ds task-exchange
+    skeleton — NO O(n_pages) state on the driver and nothing broadcast):
+    the depth vector lives as hash-partitioned slices keyed by node id;
+    each round is one resolve (local frontier dsts, deduped, routed by
+    owner(dst)) + one apply (per-part min-depth update) of num_cpus=0
+    tasks, with only per-part newly-visited COUNTS returning to the
+    driver.  Rounds = graph depth.  ``num_parts`` is a cap; actual slice
+    count is sized to the edge data (ceil(edges / slice_rows)) so bench
+    graphs don't pay k^2 scheduling overhead while at 10^10 URLs the cap
+    rises with the cluster."""
+    from .common import unwrap_single_return
+
     # the crawl's ACTUAL seed pages (sources/corpus.py:seed_image_ids —
     # the first n_seeds ROOT-classified rows, ids i*ROOT_EVERY), not
     # ids 0..n_seeds-1: 18 of those are product pages the crawl never seeds
-    seeds = sorted({i * config.ROOT_EVERY
-                    for i in range(min(n_seeds,
-                                       (n_base - 1) // config.ROOT_EVERY + 1))})
+    seeds = np.array(sorted({
+        i * config.ROOT_EVERY
+        for i in range(min(n_seeds,
+                           (n_base - 1) // config.ROOT_EVERY + 1))}),
+        dtype=np.int64)
     files = sorted(str(p) for p in
                    Path(generate_page_edges(n_base)).glob("part-*.parquet"))
-    edges = partial_groupby(rd.read_parquet(files),
-                            ["src_id", "dst_id"],
-                            {"n": ("src_id", "count")},
-                            many_groups=True).materialize()
+    edges = rd.read_parquet(files).materialize()
+    n = max(edges.count(), 1)
+    k = max(1, min(num_parts, -(-n // slice_rows)))
+    refs = edges.to_arrow_refs()
+    edge_splits = [_bfs_split_edges.options(num_returns=k).remote(r, k)
+                   for r in refs]
+    member_splits = [_bfs_split_endpoints.options(num_returns=k)
+                     .remote(r, k) for r in refs]
+    if k == 1:  # num_returns=1 yields ONE ref to the whole returned list
+        edge_splits = [[unwrap_single_return.remote(s)]
+                       for s in edge_splits]
+        member_splits = [[unwrap_single_return.remote(s)]
+                         for s in member_splits]
+    from .dedup import _cc_owner
 
-    def expand(frontier: np.ndarray) -> np.ndarray:
-        """One distributed round: dst pages reachable from the frontier."""
-        ref = ray.put(frontier)
+    seed_parts = _split_cols_by_owner(_cc_owner(seeds, k), k, seeds)
+    statics = [
+        _bfs_build_part.remote(
+            seed_parts[p][0], len(edge_splits),
+            *[s[p] for s in edge_splits], *[m[p] for m in member_splits])
+        for p in range(k)
+    ]
+    depths = [_bfs_init_depth.remote(statics[p], seed_parts[p][0])
+              for p in range(k)]
 
-        def next_pages(df: pd.DataFrame) -> pd.DataFrame:
-            from .common import _cached_get
+    def expand(cur, d):
+        """One distributed round; returns (new depth refs, count refs)."""
+        props = [_bfs_resolve.options(num_returns=k).remote(
+            statics[q], cur[q], d, k) for q in range(k)]
+        if k == 1:
+            props = [[unwrap_single_return.remote(r)] for r in props]
+        outs = [_bfs_apply.options(num_returns=2).remote(
+            statics[p], cur[p], d, *[props[q][p] for q in range(k)])
+            for p in range(k)]
+        return [o[0] for o in outs], [o[1] for o in outs]
 
-            f = _cached_get(ref)
-            m = f[df["src_id"].to_numpy(np.int64)]
-            return pd.DataFrame({
-                "h": np.unique(df["dst_id"].to_numpy(np.int64)[m])})
-
-        cand = partial_groupby(edges.map_batches(next_pages,
-                                                 batch_format="pandas"),
-                               ["h"], {"n": ("h", "count")},
-                               many_groups=True).to_pandas()
-        return cand["h"].to_numpy(np.int64)
-
-    depth = np.full(n_base, -1, dtype=np.int64)
-    depth[seeds] = 0
     d = 0
     while d < max_depth:
-        frontier = np.zeros(n_base, dtype=bool)
-        frontier[depth == d] = True
-        if not frontier.any():
+        nxt, counts = expand(depths, d)
+        if sum(ray.get(counts)) == 0:
             break
-        new = expand(frontier)
-        new = new[depth[new] == -1]
-        if not len(new):
-            break
-        depth[new] = d + 1
+        depths = nxt
         d += 1
     else:
         # d hit the cap.  That is fine if the cap-depth frontier expands to
         # nothing NEW (BFS complete, deepest page exactly at max_depth —
         # the oracle's recursive CTE also emits d == max_depth rows); it is
         # an error only if unexplored pages remain beyond the cap.
-        frontier = np.zeros(n_base, dtype=bool)
-        frontier[depth == max_depth] = True
-        if frontier.any():
-            beyond = expand(frontier)
-            if len(beyond) and (depth[beyond] == -1).any():
-                raise RuntimeError(
-                    f"BFS exceeded max_depth={max_depth}; raise the cap "
-                    "(oracle unrolls to the same cap)")
+        _, counts = expand(depths, max_depth)
+        if sum(ray.get(counts)) > 0:
+            raise RuntimeError(
+                f"BFS exceeded max_depth={max_depth}; raise the cap "
+                "(oracle unrolls to the same cap)")
 
-    reached = np.flatnonzero(depth >= 0)
-    return pd.DataFrame({"page_id": reached.astype(np.int64),
-                         "depth": depth[reached]})
+    return rd.from_arrow_refs(
+        [_bfs_emit.remote(statics[p], depths[p]) for p in range(k)])
+
+
+def page_bfs_depth(sf_dir: str, n_base: int = 1000,
+                   n_seeds: int = config.N_SEEDS,
+                   max_depth: int = 64, num_parts: int = 16,
+                   slice_rows: int = 65_536) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`page_bfs_depth_ds` (at
+    100 TB sink the Dataset instead)."""
+    out = page_bfs_depth_ds(sf_dir, n_base, n_seeds, max_depth,
+                            num_parts, slice_rows).to_pandas()
+    return (out.astype({"page_id": np.int64, "depth": np.int64})
+            .sort_values("page_id").reset_index(drop=True))
 
 
 def page_bfs_depth_sql(n_base: int = 1000, n_seeds: int = config.N_SEEDS,
@@ -753,8 +876,105 @@ def host_sssp_sql(n_base: int = 1000, n_rounds: int = 10) -> str:
 LPA_ROUNDS = 4
 
 
-def page_communities(sf_dir: str, n_base: int = 1000,
-                     n_rounds: int = LPA_ROUNDS) -> pd.DataFrame:
+@ray.remote(num_cpus=0)
+def _lpa_split_edges(t: pa.Table, k: int) -> list[tuple]:
+    """Symmetrize the distinct undirected (a, b) edge block into
+    (provider, consumer) rows — each node consumes its neighbors' labels
+    — routed by owner(provider), so every edge is co-located with the
+    label slice that provides across it.  Since the sym graph is
+    symmetric, every node appears as a provider in its owner's part:
+    node membership comes free."""
+    from .dedup import _cc_owner
+
+    if "a" not in t.column_names:  # all-empty block: 0-column schema
+        e = np.empty(0, np.int64)
+        return [(e, e)] * k
+    a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    prov = np.concatenate([a, b])
+    cons = np.concatenate([b, a])
+    return _split_cols_by_owner(_cc_owner(prov, k), k, prov, cons)
+
+
+@ray.remote(num_cpus=0)
+def _lpa_build_part(*chunks):
+    """Static per-part state: sorted unique owned node ids (= local
+    providers) + local edges with provider resolved to a positional
+    index."""
+    empty = [np.empty(0, np.int64)]
+    provs = [p for p, _ in chunks]
+    nodes = np.unique(np.concatenate(provs + empty))
+    prov = np.concatenate(provs) if provs else empty[0]
+    cons = (np.concatenate([c for _, c in chunks])
+            if chunks else empty[0])
+    return nodes, np.searchsorted(nodes, prov), cons
+
+
+@ray.remote(num_cpus=0)
+def _lpa_init_labels(static) -> np.ndarray:
+    nodes, _, _ = static
+    return nodes.copy()  # l0: every node is its own label
+
+
+@ray.remote(num_cpus=0)
+def _lpa_resolve(static, labels: np.ndarray, k: int) -> list[tuple]:
+    """Send each local node's CURRENT label across its out-edges, with a
+    per-(consumer, label) count combiner before the exchange — only
+    (node, label, partial_count) triples travel, routed by
+    owner(consumer)."""
+    from .dedup import _cc_owner
+
+    nodes, prov_idx, cons = static
+    lab = labels[prov_idx]
+    order = np.lexsort((lab, cons))
+    c, l_ = cons[order], lab[order]
+    new_grp = np.ones(len(c), dtype=bool)
+    new_grp[1:] = (c[1:] != c[:-1]) | (l_[1:] != l_[:-1])
+    starts = np.flatnonzero(new_grp)
+    cnt = np.diff(np.append(starts, len(c))).astype(np.int64)
+    ck, lk = c[starts], l_[starts]
+    return _split_cols_by_owner(_cc_owner(ck, k), k, ck, lk, cnt)
+
+
+@ray.remote(num_cpus=0)
+def _lpa_apply(static, labels: np.ndarray, *triples) -> np.ndarray:
+    """Per-part synchronous majority update: sum incoming partial counts
+    per (node, label), then each node adopts the most frequent neighbor
+    label, ties to the smallest label — (count desc, label asc), the
+    exact oracle tiebreak."""
+    nodes, _, _ = static
+    empty = np.empty(0, np.int64)
+    node = np.concatenate([t[0] for t in triples] + [empty])
+    lab = np.concatenate([t[1] for t in triples] + [empty])
+    cnt = np.concatenate([t[2] for t in triples] + [empty])
+    if not len(node):
+        return labels
+    order = np.lexsort((lab, node))
+    n_, l_, c_ = node[order], lab[order], cnt[order]
+    new_grp = np.ones(len(n_), dtype=bool)
+    new_grp[1:] = (n_[1:] != n_[:-1]) | (l_[1:] != l_[:-1])
+    starts = np.flatnonzero(new_grp)
+    sums = np.add.reduceat(c_, starts)
+    nk, lk = n_[starts], l_[starts]
+    o2 = np.lexsort((lk, -sums, nk))  # node asc, count desc, label asc
+    nk2, lk2 = nk[o2], lk[o2]
+    first = np.ones(len(nk2), dtype=bool)
+    first[1:] = nk2[1:] != nk2[:-1]
+    new = labels.copy()
+    new[np.searchsorted(nodes, nk2[first])] = lk2[first]
+    return new
+
+
+@ray.remote(num_cpus=0)
+def _lpa_emit(static, labels: np.ndarray) -> pa.Table:
+    nodes, _, _ = static
+    return pa.table({"page_id": pa.array(nodes, pa.int64()),
+                     "community": pa.array(labels, pa.int64())})
+
+
+def page_communities_ds(sf_dir: str, n_base: int = 1000,
+                        n_rounds: int = LPA_ROUNDS, num_parts: int = 16,
+                        slice_rows: int = 65_536) -> rd.Dataset:
     """COMMUNITY DETECTION via synchronous LABEL PROPAGATION (Raghavan,
     Albert & Kumara 2007) over the undirected simple page graph: every
     node starts as its own label; each round, every node adopts the most
@@ -764,64 +984,57 @@ def page_communities(sf_dir: str, n_base: int = 1000,
     LPA need not converge, so the fixed count IS the contract, not an
     approximation of a fixed point).
 
-    Scale shape (the k-core budget): the symmetrized edge list is
-    node-partitioned ONCE and reused every round; each round broadcasts
-    the O(nodes) label vector and computes per-node majority labels
-    vectorized inside each bucket (one groupby-count + one
-    sort-drop_duplicates — never a per-node loop); NO per-round shuffle.
-    Parity is pure integers: counts and labels, (count desc, label asc)
-    total tiebreak."""
-    from .common import keyed_map_groups
+    Distributed shape (the dedup.connected_components_ds task-exchange
+    skeleton — NO O(n_pages) label vector on the driver or in ray.put):
+    labels live as hash-partitioned slices keyed by node id; the
+    symmetrized edge list is co-partitioned with its provider's slice
+    ONCE and reused every round; each round is one resolve (labels cross
+    edges as (node, label, count) combined partials) + one apply
+    (per-part exact majority, (count desc, label asc) tiebreak) of
+    num_cpus=0 tasks — the driver sees only refs.  Parity is pure
+    integers.  ``num_parts`` is a cap; the slice count is sized to the
+    edge data (ceil(sym_edges / slice_rows))."""
+    from .common import unwrap_single_return
 
     files = sorted(str(p) for p in
                    Path(generate_page_edges(n_base)).glob("part-*.parquet"))
-    und = _undirected_edges_from(files, "src_id", "dst_id")
-
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
-        return pd.DataFrame({"node": np.concatenate([a, b]),
-                             "nbr": np.concatenate([b, a])})
-
-    parted = keyed_map_groups(und.map_batches(sym, batch_format="pandas"),
-                              "node", lambda g: g).materialize()
-    node_df = partial_groupby(parted, ["node"], {"d": ("node", "count")},
-                              many_groups=True).to_pandas()
-    if not len(node_df):
-        return pd.DataFrame({"page_id": pd.Series([], dtype=np.int64),
-                             "community": pd.Series([], dtype=np.int64)})
-    H = int(node_df["node"].max()) + 1
-    lab = np.arange(H, dtype=np.int64)  # l0: every node is its own label
-
-    def one_round(lv: np.ndarray) -> np.ndarray:
-        ref = ray.put(lv)
-
-        def majority(g: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                                  "lab": pd.Series([], dtype=np.int64)})
-            if not len(g):
-                return empty
-            from .common import _cached_get
-
-            nl = _cached_get(ref)[g["nbr"].to_numpy(np.int64)]
-            d = (pd.DataFrame({"node": g["node"].to_numpy(np.int64),
-                               "lab": nl})
-                 .groupby(["node", "lab"], sort=False)
-                 .size().rename("n").reset_index()
-                 .sort_values(["node", "n", "lab"],
-                              ascending=[True, False, True]))
-            return d.drop_duplicates("node")[["node", "lab"]]
-
-        out = parted.map_batches(majority, batch_format="pandas",
-                                 batch_size=None).to_pandas()
-        nxt = lv.copy()
-        nxt[out["node"].to_numpy(np.int64)] = out["lab"].to_numpy(np.int64)
-        return nxt
+    und = _undirected_edges_from(files, "src_id", "dst_id").materialize()
+    n = max(2 * und.count(), 1)
+    k = max(1, min(num_parts, -(-n // slice_rows)))
+    edge_splits = [_lpa_split_edges.options(num_returns=k).remote(r, k)
+                   for r in und.to_arrow_refs()]
+    if k == 1:  # num_returns=1 yields ONE ref to the whole returned list
+        edge_splits = [[unwrap_single_return.remote(s)]
+                       for s in edge_splits]
+    statics = [_lpa_build_part.remote(*[s[p] for s in edge_splits])
+               for p in range(k)]
+    labels = [_lpa_init_labels.remote(st) for st in statics]
 
     for _ in range(n_rounds):
-        lab = one_round(lab)
-    nodes = np.sort(node_df["node"].to_numpy(np.int64))
-    return pd.DataFrame({"page_id": nodes, "community": lab[nodes]})
+        props = [_lpa_resolve.options(num_returns=k).remote(
+            statics[q], labels[q], k) for q in range(k)]
+        if k == 1:
+            props = [[unwrap_single_return.remote(r)] for r in props]
+        labels = [_lpa_apply.remote(
+            statics[p], labels[p], *[props[q][p] for q in range(k)])
+            for p in range(k)]
+
+    return rd.from_arrow_refs(
+        [_lpa_emit.remote(statics[p], labels[p]) for p in range(k)])
+
+
+def page_communities(sf_dir: str, n_base: int = 1000,
+                     n_rounds: int = LPA_ROUNDS, num_parts: int = 16,
+                     slice_rows: int = 65_536) -> pd.DataFrame:
+    """Query shim: sorted pandas view of :func:`page_communities_ds` (at
+    100 TB sink the Dataset instead)."""
+    out = page_communities_ds(sf_dir, n_base, n_rounds, num_parts,
+                              slice_rows).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"page_id": pd.Series([], dtype=np.int64),
+                             "community": pd.Series([], dtype=np.int64)})
+    return (out.astype({"page_id": np.int64, "community": np.int64})
+            .sort_values("page_id").reset_index(drop=True))
 
 
 def page_communities_sql(n_base: int = 1000,
