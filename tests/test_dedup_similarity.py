@@ -476,3 +476,15 @@ def test_kmeans_label_ari_recovers_planted_blobs(ray_session, tmp_path):
     assert out["n_vectors"].item() == 200
     assert out["n_clusters"].item() == 4 and out["n_labels"].item() == 4
     assert out["ari"].item() == 1.0
+
+
+def test_rolling_hashes_lone_surrogate_degrades_not_raises():
+    """A lone surrogate in document text must degrade (char skipped) —
+    never raise inside a map_batches task and poison the whole
+    fingerprint batch (ADVICE r3: utf-32-le strict encode)."""
+    from weaver_ray.pipelines.textops import _rolling_hashes
+
+    good = "abcdefghijkl"
+    bad = good[:5] + "\ud800" + good[5:]
+    out = _rolling_hashes(bad, k=8)
+    np.testing.assert_array_equal(out, _rolling_hashes(good, k=8))

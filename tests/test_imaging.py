@@ -472,3 +472,14 @@ def test_image_chunk_dedup_sequential_replay(ray_session):
     # and the fraction is non-trivial in between (format headers shared)
     assert out["dup_fraction"].between(0, 1).all()
     assert (out["dup_fraction"] < 1.0).any()
+
+
+def test_jpeg_decoder_skips_t81_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    a padded stream must decode identically (ADVICE r3: fill bytes read
+    as marker=0xFF + garbage length)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    enc = jpeg_encode(px, quality=90)
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]  # fill before APP0
+    np.testing.assert_array_equal(jpeg_decode(padded), jpeg_decode(enc))

@@ -236,3 +236,53 @@ def test_host_shard_routing_stable():
     a = host_shard_of(hosts, 8)
     b = host_shard_of(list(hosts), 8)
     assert (a == b).all()
+
+
+def test_politeness_retry_batch_memo_absolute_slots():
+    """A retried fetch batch (same batch_key) must get the ORIGINAL
+    absolute slots back: identical allowed mask, waits that only SHRINK
+    with elapsed wall time (never restart the full delay), and no second
+    advance of the host clock or counters (ADVICE r3: retry over-wait)."""
+    pool = PolitenessPool(num_shards=1, delay_scale=1.0)
+    view = pool.task_view()
+    host = "host-9.example"
+    assert crawl_delay_ms(host) > 0  # fixture host-9 has a real delay
+    n = 3
+    paths = [f"/img{i:08d}" for i in (1, 3, 4)]
+    t0 = time.monotonic()
+    a1, w1 = view.schedule([host] * n, paths, np.ones(n), np.arange(n),
+                           batch_key=(0, 0))
+    s1 = pool.stats()[0]
+    time.sleep(0.05)
+    a2, w2 = view.schedule([host] * n, paths, np.ones(n), np.arange(n),
+                           batch_key=(0, 0))
+    elapsed = time.monotonic() - t0
+    s2 = pool.stats()[0]
+    np.testing.assert_array_equal(a1, a2)
+    # counters unchanged: the retry did not advance the host clock again
+    assert s2["scheduled_total"] == s1["scheduled_total"]
+    assert s2["denied_total"] == s1["denied_total"]
+    # absolute slots: the retry waits only the REMAINING time
+    assert (w2 <= w1 + 1e-9).all()
+    assert (w1[a1] - w2[a2] <= elapsed + 1e-9).all()
+
+
+def test_politeness_restore_routes_by_shard_id():
+    """restore_shards must route each serialized state to the shard whose
+    id it carries — a shuffled state list restores identically (ADVICE
+    r3: restore by position)."""
+    pool = PolitenessPool(num_shards=3, delay_scale=0.0)
+    view = pool.task_view()
+    hosts = [f"host-{i}.example" for i in range(12)]
+    view.schedule(hosts, ["/img00000001"] * 12, np.ones(12), np.arange(12))
+    want = {s["shard_id"]: (s["hosts_cached"], s["robots_fetches"],
+                            s["denied_total"], s["scheduled_total"])
+            for s in pool.stats()}
+    assert len({v for v in want.values()}) > 1  # shards genuinely differ
+
+    pool2 = PolitenessPool(num_shards=3, delay_scale=0.0)
+    pool2.restore_shards(list(reversed(pool.serialize_shards())))
+    got = {s["shard_id"]: (s["hosts_cached"], s["robots_fetches"],
+                           s["denied_total"], s["scheduled_total"])
+           for s in pool2.stats()}
+    assert got == want

@@ -230,3 +230,31 @@ def test_transient_fetch_failure_retries_exactly_once(small_corpus, tmp_path):
     files = glob.glob(str(records_dir) + "/round=0/part-*.parquet")
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == frontier.num_rows
+
+
+def test_checkpoint_clear_preserves_unrelated_files(tmp_path):
+    """A fresh run's CheckpointManager.clear() deletes only the KNOWN
+    artifact filename shapes — a user-supplied checkpoint dir holding
+    unrelated files must survive (ADVICE r3: wholesale rmtree)."""
+    from weaver_ray.state.checkpoint import CheckpointManager
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "COMMIT_3.json").write_text("{}")
+    (d / "seen_shard_0_round_3.npz").write_text("x")
+    (d / "politeness_round_3.json").write_text("{}")
+    fr = d / "frontier_after_round_3"
+    fr.mkdir()
+    (fr / "part-00000.parquet").write_text("p")
+    keep = d / "user_notes.txt"
+    keep.write_text("precious")
+    keepdir = d / "unrelated_dir"
+    keepdir.mkdir()
+    (keepdir / "f").write_text("y")
+
+    CheckpointManager(str(d)).clear()
+    assert keep.read_text() == "precious"
+    assert (keepdir / "f").read_text() == "y"
+    for gone in ("COMMIT_3.json", "seen_shard_0_round_3.npz",
+                 "politeness_round_3.json", "frontier_after_round_3"):
+        assert not (d / gone).exists()
