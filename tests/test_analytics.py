@@ -2702,6 +2702,31 @@ def test_burst_states_planted_burst(ray_session, tmp_path):
     assert list(s) == st[::-1]
 
 
+def test_burst_states_degenerate_rate_raises(ray_session, tmp_path):
+    """Zero purchases (p0 == 0) makes the binomial emission cost NaN —
+    the engine must fail LOUDLY, never emit a garbage labeling (ADVICE
+    r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    from weaver_ray.pipelines.temporal import purchase_burst_states
+
+    n = 40
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")
+                        + np.timedelta64(i, "h") for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n)}), tmp_path / "events.parquet")
+    with pytest.raises(ValueError, match="degenerate base rate"):
+        purchase_burst_states(str(tmp_path))
+
+
 def test_l_diversity_planted_homogeneous_class(ray_session, tmp_path):
     """A big but single-language class is flagged; a diverse class of
     the same size is not."""

@@ -1054,10 +1054,16 @@ def type_daily_ewma(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
                 f"2^i closed form overflows float64 past {EWMA_MAX_DAYS}; "
                 "window the input or switch to the banded form")
         x = g["daily_value"].to_numpy(np.float64)
-        # integer-cents grid (half AWAY FROM ZERO, matching SQL round):
-        # every product/sum below stays an integer < 2^53, so the whole
-        # fold is EXACT in float64 on both engines (no summation-order
-        # ulps can flip the output rounding)
+        # integer-cents grid (half AWAY FROM ZERO, matching SQL round).
+        # EXACTNESS CAVEAT: xc * 2^(i-1) stays an exactly-representable
+        # integer only while it is < 2^53 — with ~1e8-cent daily sums
+        # that holds for roughly the first 25-30 observed days per type.
+        # Past that, both engines evaluate the SAME left-to-right
+        # float64 fold (numpy cumsum here, DuckDB's sequential window
+        # running sum there), so parity rests on identical association
+        # order under the 4 dp output grid rather than on integer
+        # exactness.  The EWMA_MAX_DAYS guard above covers outright
+        # float64 OVERFLOW (~2^1024), not this exactness boundary.
         xc = np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)
         d = np.arange(len(x), dtype=np.float64)
         w = np.where(d == 0, 1.0, 2.0 ** (d - 1.0))
@@ -1791,12 +1797,27 @@ def purchase_burst_states(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     n = daily["n"].to_numpy(np.int64).astype(np.float64)
     r = daily["r"].to_numpy(np.int64).astype(np.float64)
     T = len(daily)
+    if T == 0:
+        raise ValueError("purchase_burst_states: no events")
     p0 = r.sum() / n.sum()
+    # degenerate rates make r*ln(p) evaluate to NaN (0 * -inf) — fail
+    # LOUDLY on both engines instead of emitting a garbage labeling
+    if not 0.0 < p0 < 1.0:
+        raise ValueError(
+            f"purchase_burst_states: degenerate base rate p0={p0} "
+            "(corpus has zero or only purchases) — the binomial emission "
+            "cost is undefined")
     p1 = min(KB_RATE_MULT * p0, 0.99)
-    tau01 = KB_GAMMA * np.log(float(T))
+    # shared 9 dp rounding grid on the libm-ln emission costs and tau:
+    # the DP output is DISCRETE (state labels), so a numpy-vs-DuckDB
+    # ln() ulp difference on a near-tied predecessor choice would flip
+    # the output with no output rounding to absorb it — quantizing the
+    # cost TERMS before the fold (the voptimal precedent) removes the
+    # cross-engine tie hazard for any gap wider than the grid
+    tau01 = float(sql_round(KB_GAMMA * np.log(float(T)), 9))
 
     def emit(p: float) -> np.ndarray:
-        return -(r * np.log(p) + (n - r) * np.log(1.0 - p))
+        return sql_round(-(r * np.log(p) + (n - r) * np.log(1.0 - p)), 9)
 
     e0, e1 = emit(p0), emit(p1)
     INF = float("inf")
@@ -1842,17 +1863,26 @@ def purchase_burst_states_sql() -> str:
             FROM events GROUP BY 1
         ),
         prm AS (
-            SELECT sum(r) / sum(n) AS p0,
+            SELECT CASE WHEN sum(r) <= 0 OR sum(r) >= sum(n)
+                        THEN CAST(error('purchase_burst_states: '
+                             'degenerate base rate — corpus has zero '
+                             'or only purchases') AS DOUBLE)
+                        ELSE sum(r) / sum(n) END AS p0,
                    least({KB_RATE_MULT} * sum(r) / sum(n), 0.99) AS p1,
-                   {KB_GAMMA} * ln(count(*)::DOUBLE) AS tau,
+                   round({KB_GAMMA} * ln(count(*)::DOUBLE), 9) AS tau,
                    count(*)::BIGINT AS tt
             FROM daily
         ),
         d AS (
+            -- emission costs on the engine's shared 9 dp grid: the DP
+            -- output is discrete, so un-rounded libm-ln ulp skew could
+            -- flip a near-tied predecessor choice
             SELECT row_number() OVER (ORDER BY day) AS rn, day,
                    CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
-                   -(r * ln(p.p0) + (n - r) * ln(1.0 - p.p0)) AS e0,
-                   -(r * ln(p.p1) + (n - r) * ln(1.0 - p.p1)) AS e1
+                   round(-(r * ln(p.p0) + (n - r) * ln(1.0 - p.p0)), 9)
+                       AS e0,
+                   round(-(r * ln(p.p1) + (n - r) * ln(1.0 - p.p1)), 9)
+                       AS e1
             FROM daily, prm p
         ),
         dp(t, c0, c1) AS (
