@@ -216,45 +216,43 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     visible and salt-able, and the exchange skips the sort-shuffle's
     fixed sampling/pool costs for identical data movement).
 
-    ``lcols``/``rcols`` are each side's columns (the union block carries
-    both sets, null-filled).  ``post(joined_df)`` runs inside each bucket —
-    push grouped aggregates here so the shuffle's output is partial rows,
-    not joined rows; it must tolerate an empty typed frame (hash holes).
-    """
+    ``lcols``/``rcols`` are each side's columns.  ``post(joined_df)``
+    runs inside each bucket — push grouped aggregates here so the
+    shuffle's output is partial rows, not joined rows; it must tolerate
+    an empty typed frame (hash holes).
 
-    # both sides must share ONE schema through the union (the sort shuffle
-    # merges blocks with pandas concat; heterogeneous schemas break it), so
-    # each side carries the other's columns null-filled
-    allcols = list(dict.fromkeys(lcols + rcols))
+    Each side flows through the exchange with its OWN schema (the
+    two-sided :func:`task_hash_exchange2`): no tagged union, no
+    null-filled columns object-coercing blocks, no cross-side schema
+    drift warnings from the streaming executor, and the shuffle moves
+    each side's real columns only.  ``bucket_of`` is string-canonical,
+    so an int64 key on one side co-buckets with an object-typed copy on
+    the other."""
 
-    def tag(side: str, own: list[str]):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({c: (batch[c] if c in own else None) for c in allcols})
-            out["__side"] = side
-            out["__bucket"] = bucket_of(batch[on], num_buckets)
-            return out
+    def project(own: list[str]):
+        return lambda batch: batch[own]
 
-        return fn
+    lt = left.map_batches(project(lcols), batch_format="pandas")
+    rt = right.map_batches(project(rcols), batch_format="pandas")
 
-    lt = left.map_batches(tag("l", lcols), batch_format="pandas")
-    rt = right.map_batches(tag("r", rcols), batch_format="pandas")
-    both = lt.union(rt)
-
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == "l", lcols].copy()
-        r = group.loc[group["__side"] == "r", rcols].copy()
-        # the union's null-filled columns can coerce a block to object dtype;
-        # re-align the join key so merge equality is dtype-exact
+    def join_bucket(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # a zero-block side arrives column-less; reindex keeps the
+        # join's column contract (missing columns become typed-NaN)
+        l = l.reindex(columns=lcols).copy()
+        r = r.reindex(columns=rcols).copy()
+        # align the join key so merge equality is dtype-exact even when
+        # the two INPUT datasets carry different key dtypes
         if l[on].dtype != r[on].dtype:
             target = r[on].dtype if l[on].dtype == object else l[on].dtype
             l[on] = l[on].astype(target)
             r[on] = r[on].astype(target)
         j = l.merge(r, on=on, how=how)  # empty sides merge to a typed empty
-        j = j.infer_objects()  # undo object coercion from the null-filled union
+        j = j.infer_objects()
         return post(j) if post is not None else j
 
-    return task_hash_exchange(
-        both, lambda df: df["__bucket"].to_numpy(), join_bucket, num_buckets)
+    key_part = lambda df: bucket_of(df[on], num_buckets)  # noqa: E731
+    return task_hash_exchange2(lt, rt, key_part, key_part, join_bucket,
+                               num_buckets)
 
 
 def _empty_like(ds: rd.Dataset, extra_int_col: str) -> pa.Table:
@@ -404,10 +402,20 @@ def global_prefix_max(ds: rd.Dataset, keys: list[str], val_col: str,
 
 @ray.remote(num_cpus=0)
 def _tx_split(t: pa.Table, k: int, part_of):
-    """Split one block into k sub-tables by the per-row partition id."""
-    df = t.to_pandas()
-    part = np.asarray(part_of(df)) if len(df) else np.empty(0, np.int64)
-    return [pa.Table.from_pandas(df[part == p], preserve_index=False)
+    """Split one block into k sub-tables by the per-row partition id —
+    ARROW-NATIVE: one stable sort + ``Table.take`` + zero-copy slices, so
+    the exchanged payload never round-trips through pandas (partition
+    fns are written against pandas, so ONE transient pandas view feeds
+    ``part_of``; the data itself moves as Arrow).  Rows whose partition
+    id falls outside [0, k) are dropped, matching the old boolean-mask
+    semantics."""
+    if t.num_rows == 0:
+        return [t] * k
+    part = np.asarray(part_of(t.to_pandas()))
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(k + 1))
+    sorted_t = t.take(pa.array(order))
+    return [sorted_t.slice(bounds[p], bounds[p + 1] - bounds[p])
             for p in range(k)]
 
 
@@ -421,10 +429,34 @@ def unwrap_single_return(lst):
     return lst[0]
 
 
+def _tx_concat(chunks) -> pd.DataFrame:
+    """Merge one partition's chunk slices in ARROW (schema-unifying
+    promote: an all-empty source block contributes null-typed columns)
+    and convert to pandas ONCE at the apply boundary — the old per-chunk
+    ``to_pandas`` + ``pd.concat`` double-copied every block and emitted
+    a FutureWarning on empty/all-NA parts."""
+    chunks = list(chunks)
+    if not chunks:
+        return pd.DataFrame()
+    return pa.concat_tables(
+        chunks, promote_options="permissive").to_pandas()
+
+
 @ray.remote(num_cpus=0)
 def _tx_apply(apply_fn, *chunks: pa.Table) -> pa.Table:
-    df = pd.concat([c.to_pandas() for c in chunks], ignore_index=True)
-    return pa.Table.from_pandas(apply_fn(df), preserve_index=False)
+    return pa.Table.from_pandas(apply_fn(_tx_concat(chunks)),
+                                preserve_index=False)
+
+
+@ray.remote(num_cpus=0)
+def _tx_apply2(apply_fn, n_left: int, *chunks: pa.Table) -> pa.Table:
+    """Two-sided variant: the first ``n_left`` chunks are the left
+    side's slices, the rest the right's; each side concats in Arrow
+    SEPARATELY (sides never share a schema) and ``apply_fn(l_df, r_df)``
+    runs once per partition."""
+    return pa.Table.from_pandas(
+        apply_fn(_tx_concat(chunks[:n_left]), _tx_concat(chunks[n_left:])),
+        preserve_index=False)
 
 
 def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
@@ -461,6 +493,41 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
         splits = [[unwrap_single_return.remote(s)] for s in splits]
     outs = [_tx_apply.remote(apply_fn, *[splits[i][p]
                                          for i in range(len(refs))])
+            for p in range(num_parts)]
+    return rd.from_arrow_refs(outs)
+
+
+def task_hash_exchange2(left: rd.Dataset, right: rd.Dataset,
+                        part_of_l, part_of_r, apply_fn,
+                        num_parts: int) -> rd.Dataset:
+    """TWO-SIDED task exchange: co-shuffle two datasets on compatible
+    partition functions and run ``apply_fn(left_df, right_df)`` once per
+    partition.  This is the join-shaped exchange: unlike unioning tagged
+    null-filled sides into one stream, each side keeps its OWN schema
+    end-to-end (no object-coerced null columns, no cross-side block
+    schema drift in the streaming executor), and the shuffle payload is
+    each side's real columns only.  ``part_of_l``/``part_of_r`` must
+    hash equal keys to equal partitions (use the string-canonical
+    :func:`bucket_of`).  A side with zero input blocks reaches
+    ``apply_fn`` as an empty COLUMN-LESS frame — defend with
+    ``reindex(columns=...)`` when the schema matters."""
+    refs_l = left.materialize().to_arrow_refs()
+    refs_r = right.materialize().to_arrow_refs()
+    if not refs_l and not refs_r:
+        return rd.from_items([])
+
+    def split_side(refs, part_of):
+        splits = [_tx_split.options(num_returns=num_parts).remote(
+            r, num_parts, part_of) for r in refs]
+        if num_parts == 1:
+            splits = [[unwrap_single_return.remote(s)] for s in splits]
+        return splits
+
+    sl = split_side(refs_l, part_of_l)
+    sr = split_side(refs_r, part_of_r)
+    outs = [_tx_apply2.remote(apply_fn, len(refs_l),
+                              *[sl[i][p] for i in range(len(refs_l))],
+                              *[sr[i][p] for i in range(len(refs_r))])
             for p in range(num_parts)]
     return rd.from_arrow_refs(outs)
 

@@ -16,10 +16,11 @@ self-join + recursive transitive closure (__ray_entry__.py) — the same
 banded==brute-force pigeonhole argument as simhash (4 bands x 16 bits
 cover hamming<=3).
 
-Reference analog: the reference stores fetched page assets keyed by
-content hash (src/scrapper/productHandler.go:31-57); near-dup detection
-over the stored image table is the training-data extension the task
-brief asks for (SURVEY.md §2.7 phash hook).
+Reference analog: the reference parses each product page and stores the
+record keyed by its URL (src/scrapper/neweggProductHandler.go:12-57,
+insertProduct); near-dup detection over the stored image table is the
+training-data extension the task brief asks for (SURVEY.md §2.7 phash
+hook).
 """
 
 from __future__ import annotations

@@ -17,8 +17,9 @@ so engine and SQL agree exactly; float aggregates are rounded on both sides
 (the established convention, see relational.user_hourly_windows).
 
 Reference analogs: gather merge ordering (SURVEY §2.5 O1/O3 —
-internal/gather/gather.go first-match + FIFO), extended to the event-time
-window family a training-data pipeline needs.
+src/client/main.go:145-203 gather(): per-storage-node fetch merged into one
+productMap, first writer wins per key), extended to the event-time window
+family a training-data pipeline needs.
 """
 
 from __future__ import annotations
