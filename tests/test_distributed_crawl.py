@@ -83,3 +83,22 @@ def test_distributed_resume(small_corpus):
     assert set(resumed.seen_table.column("url_hash").to_pylist()) == set(
         full.seen_table.column("url_hash").to_pylist()
     )
+
+
+def test_seed_budget_never_truncates_round_zero(small_corpus):
+    """max_urls < n_seeds: the budget applies only at ROUND BARRIERS (a
+    round may overshoot mid-round) in driver mode and the oracle — the
+    distributed path must not slice the SEED frontier (review r4: it
+    fetched max_urls while the other two fetched the whole seed round)."""
+    shutil.rmtree("/tmp/crawl_dist_seedbudget", ignore_errors=True)
+    shutil.rmtree("/tmp/crawl_drv_seedbudget", ignore_errors=True)
+    kw = dict(n_seeds=30, max_urls=10, max_rounds=3)
+    dist = crawl(_cfg(distributed=True, **kw), "/tmp/crawl_dist_seedbudget",
+                 corpus_path=small_corpus)
+    drv = crawl(_cfg(distributed=False, **kw), "/tmp/crawl_drv_seedbudget",
+                corpus_path=small_corpus)
+    ora = simulate(_cfg(distributed=True, **kw))
+    assert dist.urls_fetched == drv.urls_fetched == ora.urls_fetched
+    assert dist.urls_fetched > kw["max_urls"]  # the whole seed round ran
+    assert set(dist.seen_table.column("url_hash").to_pylist()) == set(
+        drv.seen_table.column("url_hash").to_pylist())

@@ -145,6 +145,22 @@ def test_crawl_level_transient_failures_exactly_once(small_corpus, tmp_path,
         assert e["fetched_ok"] == o["fetched_ok"], (e, o)
         assert e["dedup_survivors"] == o["dedup_survivors"]
 
+    # lineage is exactly-once too: a retried batch REPLACES its earlier
+    # row (task_attempt > 1) instead of double-counting (review r4)
+    from weaver_ray.state.checkpoint import CheckpointManager
+
+    lf = CheckpointManager(
+        f"/tmp/test_crawl_retry_failed_{distributed}/ckpt"
+    ).lineage_table().to_pandas()
+    lc = CheckpointManager(
+        f"/tmp/test_crawl_retry_clean_{distributed}/ckpt"
+    ).lineage_table().to_pandas()
+    for stage in ("dedup", "fetch"):
+        for col in ("rows_in", "rows_out"):
+            got = lf[lf["stage"] == stage].groupby("round")[col].sum()
+            want = lc[lc["stage"] == stage].groupby("round")[col].sum()
+            assert got.equals(want), (stage, col, got, want)
+
 
 def test_lineage_recorded(small_corpus):
     out = "/tmp/test_lineage"
@@ -258,3 +274,30 @@ def test_checkpoint_clear_preserves_unrelated_files(tmp_path):
     for gone in ("COMMIT_3.json", "seen_shard_0_round_3.npz",
                  "politeness_round_3.json", "frontier_after_round_3"):
         assert not (d / gone).exists()
+
+
+def test_lineage_actor_retry_replaces_row(ray_session):
+    """A re-presented (round, stage, batch_key) REPLACES the earlier
+    lineage row with task_attempt incremented — never a second row."""
+    import ray as _ray
+
+    from weaver_ray.state.checkpoint import LineageActor
+
+    lin = LineageActor.remote()
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=7,
+                               rows_in=10, rows_out=9))
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=21,
+                               rows_in=5, rows_out=5))
+    # Ray retry re-presents batch 7 (same key, possibly updated counts)
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=7,
+                               rows_in=10, rows_out=9))
+    rows = _ray.get(lin.drain.remote())
+    assert len(rows) == 2
+    b7 = [r for r in rows if r["rows_in"] == 10]
+    assert len(b7) == 1 and b7[0]["task_attempt"] == 2
+    assert b7[0]["partition"] == 0  # keeps its original partition id
+    # after a drain (round barrier) the key space resets
+    _ray.get(lin.record.remote(stage="fetch", round=1, batch_key=7,
+                               rows_in=3, rows_out=3))
+    rows = _ray.get(lin.drain.remote())
+    assert len(rows) == 1 and rows[0]["task_attempt"] == 1

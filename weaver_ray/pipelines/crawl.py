@@ -52,10 +52,6 @@ from ..state.checkpoint import CheckpointManager, LineageActor
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenSet
 
-NARROW_COLS = ["url_canon", "url_hash", "host", "round", "seq", "image_id",
-               "phash", "fetch_status", "depth", "priority", "url_type"]
-
-
 # ---------------------------------------------------------------- distributed round
 # The default (driver-barrier) round materializes the NARROW frontier on the
 # driver — fine up to millions of rows, not at the 10^10-URL target.  The
@@ -123,15 +119,9 @@ def _route_block(t: pa.Table, plan_spread, offsets: dict,
     # n_chunks, which is only even when a host's seqs are contiguous —
     # interleaved priority runs can alias mod n_chunks, in the worst case
     # landing a host's whole round on one chunk.)
-    _, inv = np.unique(hosts, return_inverse=True)
-    order = np.argsort(inv, kind="stable")
-    ranks = np.empty(t.num_rows, dtype=np.int64)
-    si = inv[order]
-    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
-    ends = np.r_[starts[1:], len(si)]
-    for s, e in zip(starts, ends):
-        h = hosts[order[s]]
-        ranks[order[s:e]] = offsets.get(h, 0) + np.arange(e - s)
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    base = np.array([offsets.get(h, 0) for h in uniq], dtype=np.int64)
+    ranks = _within_host_rank(inv) + base[inv]
     parts = np.fromiter(
         (plan[(h, int(rk) % spread[h])] for h, rk in zip(hosts, ranks)),
         dtype=np.int64, count=t.num_rows,
@@ -519,6 +509,7 @@ def _make_dedup_fn(seen_view, lineage):
             ray.get(lineage.record.remote(
                 stage="dedup",
                 round=int(batch.column("round")[0].as_py()),
+                batch_key=int(batch.column("seq")[0].as_py()),
                 rows_in=n,
                 rows_out=int(mask.sum()),
                 new_urls=int(mask.sum()),
@@ -626,26 +617,21 @@ def crawl(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
     caller (driver contract — __ray_entry__.py docstring).
 
     The crawl overrides two process-global DataContext fields (actor retry
-    errors, shuffle strategy); this wrapper restores them even when a round
-    raises, so a failed crawl never leaks settings into later pipelines that
-    share the process (bench.py, the memoized query crawl)."""
+    errors, per-actor task in-flight cap); this wrapper restores them even
+    when a round raises, so a failed crawl never leaks settings into later
+    pipelines that share the process (bench.py, the memoized query crawl).
+    (The hash-shuffle fields once saved here went dead when the barrier
+    became a task exchange — only fields the crawl actually writes are
+    saved now.)"""
     from ray.data.context import DataContext
 
     ctx = DataContext.get_current()
     prev_retry = ctx.actor_task_retry_on_errors
-    prev_shuffle = ctx.shuffle_strategy
-    prev_aggs = ctx.max_hash_shuffle_aggregators
-    prev_shuffle_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-    prev_agg_cpus = ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override
     prev_inflight = ctx.max_tasks_in_flight_per_actor
     try:
         return _crawl_inner(cfg, out_dir, corpus_path, resume)
     finally:
         ctx.actor_task_retry_on_errors = prev_retry
-        ctx.shuffle_strategy = prev_shuffle
-        ctx.max_hash_shuffle_aggregators = prev_aggs
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_shuffle_cpus
-        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev_agg_cpus
         ctx.max_tasks_in_flight_per_actor = prev_inflight
 
 
@@ -755,9 +741,13 @@ def _crawl_inner(cfg: CrawlConfig, out_dir: str, corpus_path: str | None = None,
                 _frontier_refs_from_files(resume_files, remaining0)
         elif frontier is not None and frontier.num_rows:
             # seed: the (small, seq-assigned) driver table enters the object
-            # store once; after that the frontier is refs end to end
+            # store once; after that the frontier is refs end to end.
+            # NO budget slice here: driver mode and the oracle apply
+            # max_urls only at ROUND BARRIERS (a round may overshoot the
+            # budget mid-round), so truncating the seed frontier would
+            # break mode equivalence whenever n_seeds > max_urls
             frontier_refs, frontier_count, frontier_hosts, frontier_block_hcs = \
-                _driver_table_to_refs(frontier, remaining0)
+                _driver_table_to_refs(frontier, None)
 
     for r in range(start_round, cfg.max_rounds):
         if cfg.distributed:

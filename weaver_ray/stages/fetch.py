@@ -163,6 +163,7 @@ class FetchStage:
             _ray.get(self.lineage.record.remote(
                 stage="fetch",
                 round=int(batch.column("round")[0].as_py()),
+                batch_key=int(seqs.min()),
                 rows_in=n,
                 rows_out=int(found.sum()),
                 robots_denied=int((~allowed).sum()),

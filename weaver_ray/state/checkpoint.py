@@ -30,17 +30,35 @@ class LineageActor:
     def __init__(self):
         self.rows: list[dict] = []
         self._next_partition: dict[tuple, int] = {}
+        # (round, stage, batch_key) -> rows index: the lineage analog of
+        # the record sink's deterministic (round, first_seq) file name —
+        # a Ray-RETRIED task re-presents the same batch_key and REPLACES
+        # its earlier row (task_attempt incremented) instead of appending
+        # a second one, so per-round lineage counters stay exactly-once
+        self._by_key: dict[tuple, int] = {}
 
     def record(self, **kw) -> None:
         key = (kw.get("round", -1), kw.get("stage", "?"))
+        bk = kw.pop("batch_key", None)
+        if bk is not None:
+            idx = self._by_key.get(key + (bk,))
+            if idx is not None:
+                old = self.rows[idx]
+                kw["partition"] = old.get("partition")
+                kw["task_attempt"] = old.get("task_attempt", 1) + 1
+                self.rows[idx] = kw
+                return
         part = self._next_partition.get(key, 0)
         self._next_partition[key] = part + 1
         kw.setdefault("partition", part)
         kw.setdefault("task_attempt", 1)
+        if bk is not None:
+            self._by_key[key + (bk,)] = len(self.rows)
         self.rows.append(kw)
 
     def drain(self) -> list[dict]:
         out, self.rows = self.rows, []
+        self._by_key = {}
         return out
 
     def all_rows(self) -> list[dict]:
