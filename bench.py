@@ -243,7 +243,7 @@ def _init_ray(ncpus: int) -> None:
 
 
 def bench_crawl(ncpus: int, distributed: bool = False, warm: bool = True,
-                delay_scale: float = 0.0) -> dict:
+                delay_scale: float = 0.0, n_hosts: int | None = None) -> dict:
     """Flagship crawl at bench scale.  ``distributed=False`` (driver-barrier
     mode) is the HEADLINE: rounds of ~1.5k-12k frontier rows sit far below
     the ~1M-row threshold where the distributed frontier pays off, and the
@@ -280,6 +280,7 @@ def bench_crawl(ncpus: int, distributed: bool = False, warm: bool = True,
         hot_host_salt=8,
         distributed=distributed,
         delay_scale=delay_scale,   # >0 turns real per-host crawl-delay waits on
+        **({"n_hosts": n_hosts} if n_hosts else {}),
     )
     # untimed warmup: spawns the worker processes once so the timed run
     # measures crawling, not Ray process spin-up (same at both CPU levels);
@@ -290,12 +291,14 @@ def bench_crawl(ncpus: int, distributed: bool = False, warm: bool = True,
     # size, serialized on this 1-core sandbox) lands before the timer
     # instead of inside round 0 at both scaling legs
     tag = ("dist" if distributed else "barrier") + (
-        f"_d{delay_scale}" if delay_scale else "")
+        f"_d{delay_scale}" if delay_scale else "") + (
+        f"_h{n_hosts}" if n_hosts else "")
     if warm:
         wcfg = CrawlConfig(corpus_size=BENCH_CORPUS, n_seeds=20, max_rounds=1,
                            num_seen_shards=4, num_politeness_shards=4,
                            fetch_concurrency=ncpus, fetch_parts_per_actor=1,
-                           distributed=distributed)
+                           distributed=distributed,
+                           **({"n_hosts": n_hosts} if n_hosts else {}))
         crawl(wcfg, f"/tmp/weaver_bench_warm_{tag}_{ncpus}",
               corpus_path=corpus)
     t0 = time.monotonic()
@@ -356,7 +359,9 @@ def run_flagship_only(ncpus: int) -> None:
     _init_ray(ncpus)
     distributed = os.environ.get("GRAFT_BENCH_DISTRIBUTED", "0") == "1"
     delay_scale = float(os.environ.get("GRAFT_BENCH_DELAY_SCALE", "0"))
-    stats = bench_crawl(ncpus, distributed=distributed, delay_scale=delay_scale)
+    n_hosts = int(os.environ.get("GRAFT_BENCH_NHOSTS", "0")) or None
+    stats = bench_crawl(ncpus, distributed=distributed,
+                        delay_scale=delay_scale, n_hosts=n_hosts)
     import ray
 
     ray.shutdown()
@@ -399,7 +404,8 @@ def politeness_floor_s(records_dir: str, delay_scale: float,
 
 
 def run_scaling(distributed: bool = True, delay_scale: float = 0.0,
-                out_name: str = "scaling.json") -> None:
+                out_name: str = "scaling.json",
+                n_hosts: int | None = None) -> None:
     """N-vs-4N scaling legs in fresh processes.  Default mode is
     DISTRIBUTED — the 10^10-URL execution path the north rule's scaling
     claim is actually about (and the mode entry() runs); barrier-mode and
@@ -408,7 +414,8 @@ def run_scaling(distributed: bool = True, delay_scale: float = 0.0,
     def child(ncpus: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus),
                    GRAFT_BENCH_DISTRIBUTED="1" if distributed else "0",
-                   GRAFT_BENCH_DELAY_SCALE=str(delay_scale))
+                   GRAFT_BENCH_DELAY_SCALE=str(delay_scale),
+                   GRAFT_BENCH_NHOSTS=str(n_hosts or 0))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"],
             env=env, capture_output=True, text=True, check=True,
@@ -439,6 +446,8 @@ def run_scaling(distributed: bool = True, delay_scale: float = 0.0,
         "metric": "crawl scaling efficiency (urls fetched+deduped/sec, N=8 vs 4N=32 cpus)",
         "mode": "distributed" if distributed else "barrier",
         "delay_scale": delay_scale,
+        "n_hosts": n_hosts or __import__("weaver_ray.config",
+                                         fromlist=["N_HOSTS"]).N_HOSTS,
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "urls_per_sec_lo": a["urls_per_sec"],
@@ -456,7 +465,8 @@ def run_scaling(distributed: bool = True, delay_scale: float = 0.0,
     if delay_scale > 0:
         # politeness-on legs are Amdahl-bounded by the critical host's
         # serialized delay chain; record the floor + how close each leg got
-        tag = ("dist" if distributed else "barrier") + f"_d{delay_scale}"
+        tag = ("dist" if distributed else "barrier") + f"_d{delay_scale}" + (
+            f"_h{n_hosts}" if n_hosts else "")
         floor = politeness_floor_s(
             f"/tmp/weaver_bench_{tag}_{hi}/records", delay_scale,
             FETCH_LATENCY_S)
@@ -478,6 +488,30 @@ def main() -> None:
         return
     if "--scaling-barrier" in sys.argv:
         run_scaling(distributed=False, out_name="scaling_barrier.json")
+        return
+    if "--politeness-scaling-wide" in sys.argv:
+        # same workload, 4x the host universe: the per-host serialized
+        # delay chains shrink ~4x, so this leg shows raw >=0.8 efficiency
+        # is RECOVERED once the workload isn't host-serialized (VERDICT r3
+        # task 7); the n_hosts=64 run below remains the honest
+        # Amdahl-floored regime
+        from weaver_ray import config as _cfg
+
+        run_scaling(distributed=True, delay_scale=0.2,
+                    n_hosts=4 * _cfg.N_HOSTS,
+                    out_name="politeness_scaling_wide.json")
+        return
+    if "--politeness-scaling-light" in sys.argv:
+        # politeness ON but in a regime where the critical host's delay
+        # chain does NOT floor the measurement (delay_scale=0.02, 4x
+        # hosts): shows raw >=0.8 efficiency is recovered the moment the
+        # workload isn't host-serialized — the wide run above shows the
+        # d=0.2 floor is Zipf-physics, not engine overhead
+        from weaver_ray import config as _cfg
+
+        run_scaling(distributed=True, delay_scale=0.02,
+                    n_hosts=4 * _cfg.N_HOSTS,
+                    out_name="politeness_scaling_light.json")
         return
     if "--politeness-scaling" in sys.argv:
         # production regime: per-host crawl-delay waits ON (delay_scale=0.2
