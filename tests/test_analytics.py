@@ -365,6 +365,51 @@ def test_bucket_of_is_batch_independent(ray_session):
     assert out.num_rows == 1 and out.to_pandas()["r"].iloc[0] == 7
 
 
+def test_hash_join_matches_pandas_merge_randomized(ray_session):
+    """Seeded randomized equivalence for the two-sided task exchange:
+    hash_join must equal a single-process pandas merge for every ``how``
+    the repo uses (inner/left/outer — 21 call sites), across key dtypes
+    (int64 and digit-parsable strings, the bucket_of stress case),
+    bucket counts spanning the k==1 unwrap path and hash holes (16
+    buckets over ≤12 keys), duplicate keys on both sides, and empty
+    sides (zero-block schema defense in join_bucket's reindex)."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import hash_join, to_table
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": df["k"].astype(str),
+            "lv": pd.to_numeric(df["lv"], errors="coerce").astype(np.float64),
+            "rv": pd.to_numeric(df["rv"], errors="coerce").astype(np.float64),
+        })
+        return (out.sort_values(["k", "lv", "rv"], na_position="last")
+                .reset_index(drop=True))
+
+    rng = np.random.default_rng(20260820)
+    sizes = [(0, 7), (9, 0), (1, 1), (25, 3), (40, 40), (6, 31),
+             (0, 0), (17, 17), (33, 2)]
+    for trial, (nl, nr) in enumerate(sizes):
+        how = ("inner", "left", "outer")[trial % 3]
+        nb = (1, 3, 16)[trial % 3]
+        as_str = trial % 2 == 1
+        kl = rng.integers(0, 12, nl)
+        kr = rng.integers(0, 12, nr)
+        if as_str:
+            kl, kr = kl.astype(str), kr.astype(str)
+        ldf = pd.DataFrame({"k": kl, "lv": rng.integers(-5, 100, nl)})
+        rdf = pd.DataFrame({"k": kr, "rv": rng.integers(-5, 100, nr)})
+        expect = canon(ldf.merge(rdf, on="k", how=how))
+        got = canon(to_table(hash_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf), on="k",
+            lcols=["k", "lv"], rcols=["k", "rv"],
+            num_buckets=nb, how=how)).to_pandas())
+        pd.testing.assert_frame_equal(
+            got, expect, check_dtype=False,
+            obj=f"trial {trial}: how={how} nb={nb} str={as_str} "
+                f"sizes=({nl},{nr})")
+
+
 def test_doc_token_entropy_hand_computed(tmp_path):
     from weaver_ray.pipelines import textops
 

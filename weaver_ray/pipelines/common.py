@@ -241,9 +241,18 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         l = l.reindex(columns=lcols).copy()
         r = r.reindex(columns=rcols).copy()
         # align the join key so merge equality is dtype-exact even when
-        # the two INPUT datasets carry different key dtypes
+        # the two INPUT datasets carry different key dtypes.  An EMPTY
+        # side must never drive the target: reindex materializes a
+        # column-less side as all-float64, and casting the real side's
+        # object keys to that would corrupt digit strings to floats
+        # (or raise on non-digit keys) in left/outer joins
         if l[on].dtype != r[on].dtype:
-            target = r[on].dtype if l[on].dtype == object else l[on].dtype
+            if not len(l):
+                target = r[on].dtype
+            elif not len(r):
+                target = l[on].dtype
+            else:
+                target = r[on].dtype if l[on].dtype == object else l[on].dtype
             l[on] = l[on].astype(target)
             r[on] = r[on].astype(target)
         j = l.merge(r, on=on, how=how)  # empty sides merge to a typed empty
@@ -561,7 +570,12 @@ def to_table(obj) -> pa.Table:
     if isinstance(obj, rd.Dataset):
         tables = [t for t in ray.get(obj.materialize().to_arrow_refs())]
         tables = [t for t in tables if t.num_rows] or tables[:1]
-        return pa.concat_tables(tables, promote_options="default")
+        # permissive: blocks of one outer-join output can legitimately
+        # disagree int64-vs-double (a bucket with unmatched rows types
+        # the missing side float64, a fully-matched bucket keeps int64)
+        # — promote exactly as a single-process pd.concat would; when
+        # every block agrees the schema is untouched
+        return pa.concat_tables(tables, promote_options="permissive")
     if isinstance(obj, pd.DataFrame):
         return pa.Table.from_pandas(obj, preserve_index=False)
     return obj
