@@ -365,6 +365,69 @@ def test_bucket_of_is_batch_independent(ray_session):
     assert out.num_rows == 1 and out.to_pandas()["r"].iloc[0] == 7
 
 
+def test_partial_groupby_and_keyed_map_groups_randomized(ray_session):
+    """Seeded randomized equivalence for the two grouped substrates:
+    partial_groupby (BOTH reduce paths — Ray Aggregate and the
+    many_groups bucketed exchange) must equal a single-process pandas
+    groupby for sum/count/min/max over int and string keys, negative
+    values, key cardinality from 1 to ~rows, and multi-block inputs;
+    keyed_map_groups must deliver COMPLETE key groups to its fn
+    (checked by a per-group order-sensitive fold that breaks if a
+    group is split across buckets)."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import (keyed_map_groups,
+                                             partial_groupby, to_table)
+
+    rng = np.random.default_rng(4)
+    for trial, n in enumerate([1, 13, 64, 200]):
+        card = (1, 3, 17, 101)[trial]
+        keys = rng.integers(0, card, n)
+        as_str = trial % 2 == 1
+        df = pd.DataFrame({
+            "g": keys.astype(str) if as_str else keys,
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        })
+        nblocks = (1, 2, 7, 5)[trial]
+        parts = np.array_split(df, nblocks)
+        ds = rd.from_pandas([p.reset_index(drop=True) for p in parts])
+
+        expect = (df.groupby("g", as_index=False)
+                  .agg(s=("v", "sum"), c=("v", "count"),
+                       lo=("v", "min"), hi=("v", "max")))
+        aggs = {"s": ("v", "sum"), "c": ("v", "count"),
+                "lo": ("v", "min"), "hi": ("v", "max")}
+        for many in (False, True):
+            got = (to_table(partial_groupby(ds, ["g"], aggs,
+                                            batch_size=16,
+                                            many_groups=many))
+                   .to_pandas().sort_values("g").reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got.astype({"s": np.int64, "c": np.int64,
+                            "lo": np.int64, "hi": np.int64}),
+                expect.sort_values("g").reset_index(drop=True),
+                check_dtype=False, check_like=True,
+                obj=f"trial {trial} many_groups={many}")
+
+        # keyed_map_groups: fn sees each key's COMPLETE group exactly once
+        def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+            if not len(bucket):
+                return pd.DataFrame({"g": bucket.get("g", pd.Series([])),
+                                     "n": pd.Series([], dtype=np.int64),
+                                     "s": pd.Series([], dtype=np.int64)})
+            gg = bucket.groupby("g", as_index=False).agg(
+                n=("v", "size"), s=("v", "sum"))
+            return gg
+
+        got = (to_table(keyed_map_groups(ds, "g", fold, num_buckets=8))
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        exp2 = (df.groupby("g", as_index=False)
+                .agg(n=("v", "size"), s=("v", "sum"))
+                .sort_values("g").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp2, check_dtype=False,
+                                      obj=f"trial {trial} keyed_map_groups")
+
+
 def test_hash_join_matches_pandas_merge_randomized(ray_session):
     """Seeded randomized equivalence for the two-sided task exchange:
     hash_join must equal a single-process pandas merge for every ``how``
