@@ -38,6 +38,38 @@ def test_global_prefix_sum_single_row_and_empty_block(ray_session):
     assert out["cum_before"].tolist() == [0]
 
 
+def test_global_prefix_scans_negative_values_randomized(ray_session):
+    """Both scan monoids under NEGATIVE values across many blocks: the
+    exclusive prefix max must start at int64-min (no prior row) and a
+    block whose aggregate is negative must not be clamped toward zero
+    by the cross-block offset fold; the sum monoid must fold negative
+    block totals exactly.  Values span [-1000, 1000); keys are a
+    permutation so the total order is unambiguous."""
+    from weaver_ray.pipelines.common import (global_prefix_max,
+                                             global_prefix_sum)
+
+    rng = np.random.default_rng(11)
+    for n, nparts in ((1, 1), (97, 11), (256, 3)):
+        vals = rng.integers(-1000, 1000, size=n).astype(np.int64)
+        keys = rng.permutation(n).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})
+                            ).repartition(nparts)
+        order = np.argsort(keys)
+        sv = vals[order]
+
+        out = (global_prefix_sum(ds, ["k"], "v").to_pandas()
+               .sort_values("k"))
+        np.testing.assert_array_equal(
+            out["cum_before"].to_numpy(),
+            np.concatenate(([0], np.cumsum(sv)[:-1])))
+
+        out = (global_prefix_max(ds, ["k"], "v").to_pandas()
+               .sort_values("k"))
+        lo = np.iinfo(np.int64).min
+        expect = np.concatenate(([lo], np.maximum.accumulate(sv)[:-1]))
+        np.testing.assert_array_equal(out["max_before"].to_numpy(), expect)
+
+
 def test_token_budget_bins_monotone_and_budget_exact(ray_session):
     """Bin ids must be non-decreasing in doc order and equal the pandas
     recompute of cum_before // budget."""
