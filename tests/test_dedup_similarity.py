@@ -213,6 +213,64 @@ def test_neardup_clusters_match_union_find(dup_dir):
         assert got[2 * i] == got[2 * i + 1]
 
 
+def test_connected_components_ds_random_graphs(ray_session):
+    """Randomized graphs against a sequential union-find: long path
+    chains (the pointer-jumping stress — diameter ~ node count), random
+    sparse edges, self-loops, isolated nodes, and a forced multi-part
+    exchange (num_parts high vs the 64k slice floor exercises k==1;
+    a tiny slice_rows isn't exposed, so k>1 is covered by the
+    fixture-scale page_components tests — here the adversary is graph
+    SHAPE)."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import to_table
+    from weaver_ray.pipelines.dedup import connected_components_ds
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = (2, 40, 150, 400)[trial]
+        shape = ("pair", "chain", "sparse", "chain+sparse")[trial]
+        ids = np.arange(n, dtype=np.int64) * 7 + 3  # non-contiguous ids
+        edges = []
+        if "chain" in shape:  # long paths: worst case for propagation
+            if trial == 1:  # ONE unbroken n-node chain (diameter n-1)
+                edges += [(ids[i], ids[i + 1]) for i in range(n - 1)]
+            else:  # gaps split it into several mid-length chains
+                edges += [(ids[i], ids[i + 1]) for i in range(n - 1)
+                          if i % 37 != 36]
+        if "sparse" in shape:
+            m = n // 2
+            a = rng.integers(0, n, m)
+            b = rng.integers(0, n, m)
+            edges += [(ids[x], ids[y]) for x, y in zip(a, b)]  # incl. loops
+        if shape == "pair":
+            edges = [(ids[0], ids[1])]
+        nodes = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+        eds = rd.from_pandas(pd.DataFrame(
+            {"src": np.array([e[0] for e in edges], np.int64),
+             "dst": np.array([e[1] for e in edges], np.int64)}))
+        out = to_table(connected_components_ds(nodes, eds)).to_pandas()
+
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        got = dict(zip(out["doc_id"].astype(int),
+                       out["cluster_id"].astype(int)))
+        assert len(got) == n, f"trial {trial}: node universe wrong"
+        for d in ids:
+            assert got[int(d)] == find(int(d)), \
+                f"trial {trial} ({shape}): node {d}"
+
+
 def test_minhash_bucketed_verify_matches_broadcast(dup_dir):
     """The scale-path verification (two bucketed joins) must equal the
     broadcast path exactly."""
