@@ -125,6 +125,41 @@ def test_robots_rules_matching():
     assert r2.allowed("/public/ok")
 
 
+def test_robots_fast_path_equals_rule_loop_randomized():
+    """The disallow-only COMBINED-regex fast path must equal the
+    per-rule longest-match loop on random rule sets and paths.  Adding
+    ``Allow:`` (empty pattern) forces the slow path WITHOUT changing
+    semantics — a zero-length Allow loses every tie to any non-empty
+    Disallow and only wins when nothing else matches, which is the
+    default-allow outcome anyway."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    alphabet = list("abc12/")
+    for trial in range(20):
+        n_rules = int(rng.integers(1, 7))
+        pats = []
+        for _ in range(n_rules):
+            chars = rng.choice(alphabet + ["*"], size=rng.integers(1, 7))
+            p = "/" + "".join(chars)
+            if rng.integers(0, 2):
+                p += "$"
+            pats.append(p)
+        body = "User-agent: *\n" + "\n".join(f"Disallow: {p}" for p in pats)
+        fast = RobotsRules(body)
+        slow = RobotsRules(body + "\nAllow:")
+        assert fast._combined is not None and slow._combined is None
+        for _ in range(40):
+            path = "/" + "".join(rng.choice(alphabet,
+                                            size=rng.integers(0, 9)))
+            assert fast.allowed(path) == slow.allowed(path), \
+                f"trial {trial}: rules={pats} path={path!r}"
+        paths = ["/" + "".join(rng.choice(alphabet, size=5))
+                 for _ in range(16)]
+        assert list(fast.allowed_many(paths)) == \
+            [slow.allowed(p) for p in paths]
+
+
 def test_robots_fixture_deterministic():
     assert robots_body("host-3.example") == robots_body("host-3.example")
     assert crawl_delay_ms("host-3.example") in (0, 50, 200, 1000)
