@@ -105,6 +105,22 @@ def test_hash_stability_and_batch_agreement():
     assert host_batch(canon)[:2] == ["host-0.example", "host-1.example"]
 
 
+def test_url_of_batch_bit_identical_to_scalar():
+    """Host assignment must be bit-identical between the scalar path
+    (seeds) and the batch path (extracted children): a drift would
+    mis-host URLs — wrong politeness shard, wrong partition, wrong
+    fixture delays.  Sweep real corpus ids, dead-link ids, and many
+    host counts (the Zipf cum-table boundary is the risk point)."""
+    from weaver_ray.sources.corpus import url_of, url_of_batch
+
+    ids = ([f"img{i:08d}" for i in range(0, 3000, 7)]
+           + [f"imgdead{i:06d}" for i in range(0, 50)])
+    for n_hosts in (1, 2, 4, 23, 64, 256):
+        assert url_of_batch(ids, n_hosts) == \
+            [url_of(s, n_hosts) for s in ids], f"n_hosts={n_hosts}"
+    assert url_of_batch([], 64) == []
+
+
 def test_shard_convergence():
     # analog of the reference's two-rings-identical-lookup test
     # (src/chord/chord_test.go:233-275): same key -> same shard, any caller
