@@ -389,7 +389,10 @@ def test_partial_groupby_and_keyed_map_groups_randomized(ray_session):
             "v": rng.integers(-50, 50, n).astype(np.int64),
         })
         nblocks = (1, 2, 7, 5)[trial]
-        parts = np.array_split(df, nblocks)
+        # iloc-slice instead of np.array_split(df, ...): the latter routes
+        # through DataFrame.swapaxes (deprecated -> FutureWarning spam)
+        cuts = np.linspace(0, len(df), nblocks + 1).astype(int)
+        parts = [df.iloc[a:b] for a, b in zip(cuts[:-1], cuts[1:])]
         ds = rd.from_pandas([p.reset_index(drop=True) for p in parts])
 
         expect = (df.groupby("g", as_index=False)
