@@ -3,6 +3,7 @@ with the oracle (the 10^10-URL scale path, CrawlConfig.distributed)."""
 
 import shutil
 
+import numpy as np
 import pytest
 
 from weaver_ray.config import CrawlConfig
@@ -83,6 +84,51 @@ def test_distributed_resume(small_corpus):
     assert set(resumed.seen_table.column("url_hash").to_pylist()) == set(
         full.seen_table.column("url_hash").to_pylist()
     )
+
+
+def test_randomized_config_sweep_matches_oracle(small_corpus):
+    """Seeded sweep over the crawl-config corner lattice, engine
+    (alternating distributed/barrier mode) vs the independent simulator
+    on seen set, full crawl order and fetched count.
+
+    The block-10 seed-budget bug (distributed mode sliced the SEED
+    frontier while the other two paths applied the budget only at round
+    barriers) was exactly a config-corner divergence that every
+    pinned-config test missed — n_seeds > max_urls was never exercised.
+    This sweeps the joint lattice the pinned fixtures sample only
+    pointwise: budget x host-quota x host count x shard counts x bloom
+    on/off x tiny/large seed lists."""
+    rng = np.random.default_rng(2026)
+    for trial in range(5):
+        kw = dict(
+            corpus_size=1000,
+            n_seeds=int(rng.integers(1, 41)),
+            max_rounds=int(rng.integers(1, 4)),
+            max_urls=[None, 25, 120][trial % 3],
+            max_pages_per_host=[None, 3, 17][int(rng.integers(0, 3))],
+            n_hosts=[8, 64][trial % 2],
+            num_seen_shards=int(rng.integers(1, 4)),
+            num_politeness_shards=int(rng.integers(1, 4)),
+            fetch_concurrency=int(rng.integers(1, 4)),
+            use_bloom=bool(rng.integers(0, 2)),
+            distributed=trial % 2 == 0,
+        )
+        out = f"/tmp/crawl_sweep_{trial}"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(**kw)
+        res = crawl(cfg, out, corpus_path=small_corpus)
+        ora = simulate(cfg)
+        assert res.urls_fetched == ora.urls_fetched, (trial, kw)
+        assert set(res.seen_table.column("url_canon").to_pylist()) == {
+            c for c, _, _ in ora.seen
+        }, (trial, kw)
+        t = res.order_table
+        eng = sorted(zip(t.column("round").to_pylist(),
+                         [round(p, 4) for p in t.column("priority").to_pylist()],
+                         t.column("seq").to_pylist(),
+                         t.column("url_canon").to_pylist()))
+        orc = sorted((r, round(p, 4), s, c) for c, r, p, s in ora.order)
+        assert eng == orc, (trial, kw)
 
 
 def test_seed_budget_never_truncates_round_zero(small_corpus):
