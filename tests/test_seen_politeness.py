@@ -321,3 +321,73 @@ def test_politeness_restore_routes_by_shard_id():
                            s["denied_total"], s["scheduled_total"])
            for s in pool2.stats()}
     assert got == want
+
+
+def test_seen_randomized_round_retry_model():
+    """Randomized (round, batch) presentations vs a pure-python model of the
+    exactly-once contract: a hash survives iff it is globally new, or it was
+    already a survivor EARLIER in the same round (a retried task
+    re-presenting its insert; within-batch duplicates stay first-wins).
+
+    Exact mode must equal the model bit-for-bit.  Production mode (cuckoo
+    shards + per-shard bloom snapshots published at round barriers) is
+    allowed to wrongly DROP (counted FP budget) but must (a) never admit a
+    hash in two different rounds, (b) admit only model-admissible hashes,
+    and (c) be retry-deterministic: re-presenting the identical batch within
+    the same round returns the identical survivor mask.
+
+    Batches are unique-per-hash, matching the engine's documented
+    precondition (a round's frontier is unique per canon — barrier dedup;
+    seen.py): a hash presented twice in one round is BY CONTRACT a retried
+    task, so within-batch duplicates are out of contract and the retry
+    rescue is free to admit them."""
+    rng = np.random.default_rng(777)
+    exact = SeenSet(num_shards=3, capacity_per_shard=8192, exact=True)
+    prod = SeenSet(num_shards=3, capacity_per_shard=8192, exact=False,
+                   use_bloom=True, production=True)
+    universe = _keys(800, 42)
+    global_seen: set[int] = set()
+    this_round_survivors: set[int] = set()
+    prod_admit_round: dict[int, int] = {}
+    model_admitted: set[int] = set()
+    cur_round = 0
+    for step in range(40):
+        if rng.random() < 0.35 and step:
+            cur_round += 1
+            this_round_survivors = set()
+            exact.publish_blooms()
+            prod.publish_blooms()
+        batch = rng.choice(universe, size=int(rng.integers(1, 60)),
+                           replace=False).astype(np.uint64)
+        # model: decide against the PRE-batch retry set (matches the shard,
+        # which folds the batch's survivors into this_round only at the end)
+        pre = set(this_round_survivors)
+        want = np.zeros(len(batch), dtype=bool)
+        for i, h in enumerate(batch.tolist()):
+            if h not in global_seen:
+                global_seen.add(h)
+                model_admitted.add(h)
+                want[i] = True
+            elif h in pre:
+                want[i] = True
+        this_round_survivors.update(batch[want].tolist())
+
+        got_exact, _ = exact.filter_new(batch, round=cur_round)
+        assert np.array_equal(got_exact, want), f"exact mode != model at step {step}"
+
+        got_prod, _ = prod.filter_new(batch, round=cur_round)
+        for i, h in enumerate(batch.tolist()):
+            if got_prod[i]:
+                assert h in model_admitted or h in pre, \
+                    "production admitted a hash the model never would"
+                first = prod_admit_round.setdefault(h, cur_round)
+                assert first == cur_round, \
+                    f"hash admitted in round {first} AND round {cur_round}"
+        # (c) simulated task retry: identical batch, same round, same mask
+        retry, _ = prod.filter_new(batch, round=cur_round)
+        assert np.array_equal(retry, got_prod), f"retry not deterministic at step {step}"
+        retry_exact, _ = exact.filter_new(batch, round=cur_round)
+        assert np.array_equal(retry_exact, got_exact)
+        # the retry admitted nothing new in the model either: fold survivors
+        # (already in this_round_survivors — update is idempotent)
+    assert set(prod_admit_round) <= model_admitted
