@@ -391,3 +391,85 @@ def test_seen_randomized_round_retry_model():
         # the retry admitted nothing new in the model either: fold survivors
         # (already in this_round_survivors — update is idempotent)
     assert set(prod_admit_round) <= model_admitted
+
+
+def test_politeness_randomized_virtual_clock_model(monkeypatch):
+    """Deterministic model check of the scheduling arithmetic (no wall-clock
+    tolerance anywhere): run a local PolitenessShard instance against a
+    pure-python replay on a PATCHED monotonic clock, over randomized
+    sequences of schedule calls — random hosts/paths/priorities/seqs, random
+    clock advances, interleaved batch-key retries at later fake times.
+
+    The model: per host, robots decisions gate rows; kept rows take slots
+    base + delay*j in (priority desc, seq asc) order where base =
+    max(next_free, now); next_free advances to base + delay*k; a re-presented
+    batch_key returns the ORIGINAL allowed mask and waits of
+    max(0, original_slot - now).  Clock accumulation ACROSS calls and the
+    memo's absolute-slot semantics are exactly pinned."""
+    from weaver_ray.state import politeness as pol
+
+    fake = {"t": 1000.0}
+    monkeypatch.setattr(pol.time, "monotonic", lambda: fake["t"])
+
+    cls = pol.PolitenessShard.__ray_metadata__.modified_class
+    shard = cls(shard_id=0, delay_scale=1.0)
+
+    from weaver_ray.state.robots import RobotsRules, crawl_delay_ms, robots_body
+
+    rng = np.random.default_rng(2024)
+    hosts_pool = [f"host-{k}.example" for k in (0, 1, 3, 7, 9)]  # mix of
+    # zero-delay, suffix-blocked, 1000ms, fully-blocked and 200ms hosts
+    model_next_free: dict[str, float] = {}
+    model_rules = {h: RobotsRules(robots_body(h)) for h in hosts_pool}
+    model_delay = {h: crawl_delay_ms(h) / 1000.0 for h in hosts_pool}
+    memo: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+    cur_round = 0
+
+    for step in range(60):
+        fake["t"] += float(rng.uniform(0.0, 1.5))
+        if rng.random() < 0.2:
+            cur_round += 1  # advancing the round clears the engine memo
+            memo.clear()
+        if memo and rng.random() < 0.3:
+            # retry an earlier batch of THIS round at a later fake time
+            key = list(memo)[int(rng.integers(0, len(memo)))]
+            h, p, pr, sq, want_allowed, slots = memo[key]
+            got = shard.schedule(h, p, pr, sq, batch_key=key)
+            assert np.array_equal(got["allowed"], want_allowed), f"retry allowed @ {step}"
+            assert np.allclose(got["wait_s"],
+                               np.maximum(0.0, slots - fake["t"]),
+                               rtol=0, atol=1e-12), f"retry waits @ {step}"
+            continue
+        n = int(rng.integers(1, 12))
+        hosts = [hosts_pool[i] for i in rng.integers(0, len(hosts_pool), n)]
+        paths = [f"/img{int(v):08d}" for v in rng.integers(0, 200, n)]
+        prio = rng.integers(1, 4, n).astype(np.float32)
+        seqs = np.arange(step * 100, step * 100 + n, dtype=np.int64)
+        key = (cur_round, int(seqs[0]), 0)
+
+        # --- model replay
+        now = fake["t"]
+        want_allowed = np.ones(n, dtype=bool)
+        want_wait = np.zeros(n, dtype=np.float64)
+        slots_abs = np.full(n, now, dtype=np.float64)
+        for h in sorted(set(hosts)):
+            idx = [i for i in range(n) if hosts[i] == h]
+            idx.sort(key=lambda i: (-prio[i], seqs[i]))
+            kept = []
+            for i in idx:
+                ok = model_rules[h].allowed(paths[i])
+                want_allowed[i] = ok
+                if ok:
+                    kept.append(i)
+            base = max(model_next_free.get(h, 0.0), now)
+            for j, i in enumerate(kept):
+                slots_abs[i] = base + model_delay[h] * j
+                want_wait[i] = slots_abs[i] - now
+            if kept:
+                model_next_free[h] = base + model_delay[h] * len(kept)
+
+        got = shard.schedule(hosts, paths, prio, seqs, batch_key=key)
+        assert np.array_equal(got["allowed"], want_allowed), f"allowed @ step {step}"
+        assert np.allclose(got["wait_s"], want_wait, rtol=0, atol=1e-9), \
+            f"waits @ step {step}: {got['wait_s']} != {want_wait}"
+        memo[key] = (hosts, paths, prio, seqs, want_allowed, slots_abs)
