@@ -301,3 +301,100 @@ def test_lineage_actor_retry_replaces_row(ray_session):
                                rows_in=3, rows_out=3))
     rows = _ray.get(lin.drain.remote())
     assert len(rows) == 1 and rows[0]["task_attempt"] == 1
+
+
+def test_crash_resume_partial_round_and_stray_tmp(small_corpus):
+    """Realistic crash shape: the dying round committed SOME record parts
+    (atomic renames that happened before the kill) and left a stray .tmp
+    from an in-flight write — not the clean whole-directory wipe the other
+    resume tests simulate.  Resume must re-run the round, overwrite every
+    part deterministically (same frontier -> same (round, first-seq) file
+    names), ignore the .tmp, and end bit-equal on seen set / fetch counts /
+    round-3 record rows."""
+    out = "/tmp/test_resume_partial"
+    shutil.rmtree(out, ignore_errors=True)
+    full = crawl(CFG, out, corpus_path=small_corpus)
+
+    os.remove(out + "/ckpt/COMMIT_3.json")
+    parts = sorted(glob.glob(out + "/records/round=3/part-*.parquet"))
+    assert len(parts) >= 2, "fixture needs a multi-part round"
+    for p in parts[1::2]:  # kill every other part: committed/missing mix
+        os.remove(p)
+    # in-flight write at kill time: must be ignored by every reader and
+    # harmlessly overwritten (or left) by the resume
+    stray = out + "/records/round=3/part-s9999999999.parquet.tmp"
+    with open(stray, "wb") as fh:
+        fh.write(b"torn bytes, not parquet")
+
+    resumed = crawl(CFG, out, corpus_path=small_corpus, resume=True)
+
+    assert resumed.urls_fetched == full.urls_fetched
+    assert resumed.urls_seen == full.urls_seen
+    assert set(resumed.seen_table.column("url_hash").to_pylist()) == set(
+        full.seen_table.column("url_hash").to_pylist())
+    files = sorted(glob.glob(out + "/records/round=3/part-*.parquet"))
+    assert files == parts  # deterministic names: full overwrite, no strays
+    n = sum(pq.read_table(f).num_rows for f in files)
+    assert n == full.per_round[3]["dedup_survivors"]
+
+
+def test_randomized_crash_resume_sweep(small_corpus):
+    """Crash-point x config sweep: kill after a RANDOM round (commit + that
+    round's records + frontier checkpoint removed), resume, and require the
+    final state equal to an uninterrupted run AND to the independent
+    simulator — across distributed/barrier mode, budgets, host quotas and
+    shard counts.  The pinned resume tests cover one crash point in one
+    config each; divergence bugs live in the corners (cf. the block-10
+    seed-budget find)."""
+    import shutil as _shutil
+
+    from weaver_ray.oracle import simulate
+
+    rng = np.random.default_rng(909)
+    for trial in range(3):
+        cfg = CrawlConfig(
+            corpus_size=1000,
+            n_seeds=int(rng.integers(5, 30)),
+            max_rounds=int(rng.integers(3, 5)),
+            max_urls=[None, 200, None][trial],
+            max_pages_per_host=[None, None, 9][trial],
+            num_seen_shards=int(rng.integers(1, 4)),
+            num_politeness_shards=int(rng.integers(1, 3)),
+            fetch_concurrency=2,
+            use_bloom=bool(rng.integers(0, 2)),
+            distributed=trial % 2 == 0,
+        )
+        out = f"/tmp/crawl_crash_sweep_{trial}"
+        _shutil.rmtree(out, ignore_errors=True)
+        full = crawl(cfg, out, corpus_path=small_corpus)
+        if full.rounds < 2:
+            continue
+        k = int(rng.integers(1, full.rounds))  # crash DURING round k: rounds
+        # >= k left no commits, records or frontier checkpoints (a real kill
+        # cannot leave a gap in the commit sequence — later rounds never ran)
+        for j in range(k, full.rounds):
+            os.remove(out + f"/ckpt/COMMIT_{j}.json")
+            _shutil.rmtree(out + f"/records/round={j}", ignore_errors=True)
+            _shutil.rmtree(out + f"/ckpt/frontier_after_round_{j}",
+                           ignore_errors=True)
+        resumed = crawl(cfg, out, corpus_path=small_corpus, resume=True)
+        assert resumed.urls_fetched == full.urls_fetched, (trial, k)
+        assert set(resumed.seen_table.column("url_canon").to_pylist()) == set(
+            full.seen_table.column("url_canon").to_pylist()), (trial, k)
+        ora = simulate(cfg)
+        assert resumed.urls_fetched == ora.urls_fetched, (trial, k)
+        assert set(resumed.seen_table.column("url_canon").to_pylist()) == {
+            c for c, _, _ in ora.seen}, (trial, k)
+
+
+def test_resume_refuses_commit_marker_gap(small_corpus):
+    """COMMIT_2 deleted while COMMIT_3 survives is a state no crash can
+    produce (commits are strictly ordered) — resuming from the latest
+    marker would silently skip re-running round 2 and leave a hole in the
+    records.  The engine must refuse loudly instead."""
+    out = "/tmp/test_resume_gap"
+    shutil.rmtree(out, ignore_errors=True)
+    crawl(CFG, out, corpus_path=small_corpus)
+    os.remove(out + "/ckpt/COMMIT_2.json")
+    with pytest.raises(ValueError, match="not contiguous"):
+        crawl(CFG, out, corpus_path=small_corpus, resume=True)

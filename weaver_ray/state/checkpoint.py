@@ -77,7 +77,20 @@ class CheckpointManager:
         rounds = sorted(
             int(p.stem.split("_")[1]) for p in self.dir.glob("COMMIT_*.json")
         )
-        return rounds[-1] if rounds else None
+        if not rounds:
+            return None
+        # commits are written strictly in round order, so a kill at any point
+        # leaves a contiguous prefix 0..latest — a GAP can only come from
+        # manual tampering, and resuming from the latest marker would then
+        # silently skip re-running the missing round (its records stay
+        # whatever state the tampering left).  Fail loudly instead.
+        if rounds != list(range(rounds[-1] + 1)):
+            raise ValueError(
+                f"checkpoint commit markers are not contiguous: {rounds} — "
+                "a crash cannot skip rounds, so this directory was altered "
+                "out-of-band; refusing to resume (remove ALL COMMIT_*.json "
+                "to rerun from scratch, or restore the missing rounds)")
+        return rounds[-1]
 
     def save_round(
         self,
