@@ -2966,3 +2966,38 @@ def test_spearman_monotone_and_scipy_free_replay(ray_session, tmp_path):
     planted = order_size_price_spearman(str(d)).iloc[0]
     assert planted["n_orders"] == len(ks)
     assert planted["spearman_rho"] == 1.0
+
+
+def test_global_row_number_randomized(ray_session):
+    """Seeded randomized equivalence for the distributed rank primitive:
+    global_row_number over random block layouts (1..n blocks, uneven
+    splits), mixed per-key sort directions, and int/string key types must
+    equal a single-process pandas lexsort rank.  Keys are made UNIQUE per
+    row via a tiebreaker column — the engine's own call-site contract
+    (sort-tie rank order across blocks is not defined without one)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31337)
+    for trial in range(8):
+        n = int(rng.integers(1, 120))
+        df = pd.DataFrame({
+            "a": rng.integers(-5, 5, n),
+            "s": np.array([f"k{v}" for v in rng.integers(0, 4, n)], object),
+            "tie": rng.permutation(n).astype(np.int64),  # unique tiebreaker
+        })
+        keys = [["a", "tie"], ["s", "a", "tie"], ["a", "s", "tie"]][trial % 3]
+        desc = [bool(rng.integers(0, 2)) for _ in keys]
+        # random uneven block layout, possibly with empty slices
+        cuts = np.sort(rng.integers(0, n + 1, size=int(rng.integers(0, 5))))
+        bounds = [0, *cuts.tolist(), n]
+        parts = [df.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+        ds = rd.from_pandas(parts)
+        ranked, total = global_row_number(ds, keys, descending=desc,
+                                          rank_col="g")
+        assert total == n
+        out = ranked.to_pandas().sort_values("g").reset_index(drop=True)
+        expect = df.sort_values(keys, ascending=[not d for d in desc],
+                                ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[["a", "s", "tie"]],
+                                      expect[["a", "s", "tie"]])
+        assert list(out["g"]) == list(range(n))
