@@ -337,3 +337,115 @@ def test_page_bfs_and_lpa_multipart_exchange_matches_single_part(ray_session):
     lpa1 = page_communities("unused")
     lpak = page_communities("unused", num_parts=5, slice_rows=256)
     pd.testing.assert_frame_equal(lpa1, lpak)
+
+
+def _write_edges(tmp_path, name, src, dst):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / f"{name}.parquet")
+    pq.write_table(pa.table({"src_id": pa.array(src, pa.int64()),
+                             "dst_id": pa.array(dst, pa.int64())}), p)
+    return [p]
+
+
+def test_page_bfs_randomized_graphs_match_sequential(ray_session, tmp_path):
+    """Randomized-graph equivalence for the distributed BFS (the block-2
+    de-drivered rewrite): random directed graphs with self-loops,
+    duplicate edges, sink-only nodes and off-graph isolated seeds, plus a
+    deep-chain case (depth ~ rounds stress), all forced through the
+    multi-part task exchange (slice_rows small) — engine == sequential
+    deque BFS from the same seeds."""
+    from collections import deque
+
+    from weaver_ray.pipelines.pagerank import page_bfs_depth_ds
+
+    rng = np.random.default_rng(4242)
+
+    def seq_bfs(src, dst, seeds):
+        adj = {}
+        for s, d in zip(src, dst):
+            adj.setdefault(int(s), set()).add(int(d))
+        depth = {int(s): 0 for s in seeds}
+        q = deque(sorted(depth))
+        while q:
+            u = q.popleft()
+            for v in sorted(adj.get(u, ())):
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    q.append(v)
+        return depth
+
+    def run(files, seeds, **kw):
+        out = (page_bfs_depth_ds("unused", edges_files=files,
+                                 seed_ids=np.asarray(seeds, np.int64), **kw)
+               .to_pandas())
+        return dict(zip(out["page_id"].astype(np.int64),
+                        out["depth"].astype(np.int64)))
+
+    for trial in range(6):
+        n_nodes = int(rng.integers(2, 60))
+        n_edges = int(rng.integers(0, 250))
+        src = rng.integers(0, n_nodes, n_edges)
+        dst = rng.integers(0, n_nodes, n_edges)  # self-loops + dups occur
+        seeds = rng.choice(n_nodes + 5, size=int(rng.integers(1, 5)),
+                           replace=False)  # may lie OUTSIDE the edge set
+        files = _write_edges(tmp_path, f"bfs{trial}", src, dst)
+        want = seq_bfs(src, dst, seeds)
+        got = run(files, seeds, slice_rows=16)  # forces k > 1
+        assert got == want, (trial, n_nodes, n_edges, seeds.tolist())
+
+    # deep chain: 0->1->...->40, one seed — one exchange round per depth
+    chain = np.arange(40)
+    files = _write_edges(tmp_path, "chain", chain, chain + 1)
+    want = {i: i for i in range(41)}
+    assert run(files, [0], slice_rows=8) == want
+    # cap exactly at the diameter: completes (the cap-depth frontier
+    # expands to nothing new)
+    assert run(files, [0], slice_rows=8, max_depth=40) == want
+    # cap BELOW the diameter: unexplored pages remain -> loud failure
+    import pytest
+
+    with pytest.raises(RuntimeError, match="max_depth"):
+        run(files, [0], slice_rows=8, max_depth=39)
+
+
+def test_page_lpa_randomized_graphs_match_sequential(ray_session, tmp_path):
+    """Randomized-graph equivalence for the distributed synchronous LPA:
+    random graphs (self-loops and duplicate/reverse edges in the raw
+    list — the engine's distinct-undirected-simple-graph normalization
+    must agree with the replay's), random round counts, multi-part
+    exchange forced — engine == sequential synchronous label propagation
+    with the (count desc, label asc) tiebreak."""
+    from collections import Counter, defaultdict
+
+    from weaver_ray.pipelines.pagerank import page_communities_ds
+
+    rng = np.random.default_rng(9099)
+    for trial in range(6):
+        n_nodes = int(rng.integers(2, 50))
+        n_edges = int(rng.integers(1, 220))
+        src = rng.integers(0, n_nodes, n_edges)
+        dst = rng.integers(0, n_nodes, n_edges)
+        n_rounds = int(rng.integers(1, 5))
+        files = _write_edges(tmp_path, f"lpa{trial}", src, dst)
+
+        adj = defaultdict(set)
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[int(s)].add(int(d))
+                adj[int(d)].add(int(s))
+        lab = {v: v for v in adj}
+        for _ in range(n_rounds):
+            nxt = {}
+            for v, nbrs in adj.items():
+                c = Counter(lab[u] for u in nbrs)
+                nxt[v] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            lab = nxt
+
+        out = (page_communities_ds("unused", n_rounds=n_rounds,
+                                   slice_rows=16, edges_files=files)
+               .to_pandas())
+        got = dict(zip(out["page_id"].astype(np.int64),
+                       out["community"].astype(np.int64)))
+        assert got == lab, (trial, n_nodes, n_edges, n_rounds)

@@ -613,7 +613,9 @@ def _bfs_emit(static, depth: np.ndarray) -> pa.Table:
 def page_bfs_depth_ds(sf_dir: str, n_base: int = 1000,
                       n_seeds: int = config.N_SEEDS,
                       max_depth: int = 64, num_parts: int = 16,
-                      slice_rows: int = 65_536) -> rd.Dataset:
+                      slice_rows: int = 65_536,
+                      edges_files: list[str] | None = None,
+                      seed_ids: np.ndarray | None = None) -> rd.Dataset:
     """Directed BFS depth of every corpus page reachable from the crawl's
     seed pages — the frontier-expansion geometry itself: in an
     UNCONSTRAINED crawl (no robots denials, unlimited budget) that
@@ -634,19 +636,28 @@ def page_bfs_depth_ds(sf_dir: str, n_base: int = 1000,
     driver.  Rounds = graph depth.  ``num_parts`` is a cap; actual slice
     count is sized to the edge data (ceil(edges / slice_rows)) so bench
     graphs don't pay k^2 scheduling overhead while at 10^10 URLs the cap
-    rises with the cluster."""
+    rises with the cluster.
+
+    ``edges_files`` / ``seed_ids`` override the fixture graph and seed
+    list (randomized-equivalence tests drive arbitrary graphs through
+    the SAME distributed machinery; production callers leave them
+    None)."""
     from .common import unwrap_single_return
 
-    # the crawl's ACTUAL seed pages (sources/corpus.py:seed_image_ids —
-    # the first n_seeds ROOT-classified rows, ids i*ROOT_EVERY), not
-    # ids 0..n_seeds-1: 18 of those are product pages the crawl never seeds
-    seeds = np.array(sorted({
-        i * config.ROOT_EVERY
-        for i in range(min(n_seeds,
-                           (n_base - 1) // config.ROOT_EVERY + 1))}),
-        dtype=np.int64)
-    files = sorted(str(p) for p in
-                   Path(generate_page_edges(n_base)).glob("part-*.parquet"))
+    if seed_ids is not None:
+        seeds = np.unique(np.asarray(seed_ids, dtype=np.int64))
+    else:
+        # the crawl's ACTUAL seed pages (sources/corpus.py:seed_image_ids —
+        # the first n_seeds ROOT-classified rows, ids i*ROOT_EVERY), not
+        # ids 0..n_seeds-1: 18 of those are product pages the crawl never
+        # seeds
+        seeds = np.array(sorted({
+            i * config.ROOT_EVERY
+            for i in range(min(n_seeds,
+                               (n_base - 1) // config.ROOT_EVERY + 1))}),
+            dtype=np.int64)
+    files = edges_files if edges_files is not None else sorted(
+        str(p) for p in Path(generate_page_edges(n_base)).glob("part-*.parquet"))
     edges = rd.read_parquet(files).materialize()
     n = max(edges.count(), 1)
     k = max(1, min(num_parts, -(-n // slice_rows)))
@@ -974,7 +985,8 @@ def _lpa_emit(static, labels: np.ndarray) -> pa.Table:
 
 def page_communities_ds(sf_dir: str, n_base: int = 1000,
                         n_rounds: int = LPA_ROUNDS, num_parts: int = 16,
-                        slice_rows: int = 65_536) -> rd.Dataset:
+                        slice_rows: int = 65_536,
+                        edges_files: list[str] | None = None) -> rd.Dataset:
     """COMMUNITY DETECTION via synchronous LABEL PROPAGATION (Raghavan,
     Albert & Kumara 2007) over the undirected simple page graph: every
     node starts as its own label; each round, every node adopts the most
@@ -993,11 +1005,13 @@ def page_communities_ds(sf_dir: str, n_base: int = 1000,
     (per-part exact majority, (count desc, label asc) tiebreak) of
     num_cpus=0 tasks — the driver sees only refs.  Parity is pure
     integers.  ``num_parts`` is a cap; the slice count is sized to the
-    edge data (ceil(sym_edges / slice_rows))."""
+    edge data (ceil(sym_edges / slice_rows)).  ``edges_files`` overrides
+    the fixture graph (randomized-equivalence tests; production callers
+    leave it None)."""
     from .common import unwrap_single_return
 
-    files = sorted(str(p) for p in
-                   Path(generate_page_edges(n_base)).glob("part-*.parquet"))
+    files = edges_files if edges_files is not None else sorted(
+        str(p) for p in Path(generate_page_edges(n_base)).glob("part-*.parquet"))
     und = _undirected_edges_from(files, "src_id", "dst_id").materialize()
     n = max(2 * und.count(), 1)
     k = max(1, min(num_parts, -(-n // slice_rows)))
