@@ -3001,3 +3001,58 @@ def test_global_row_number_randomized(ray_session):
         pd.testing.assert_frame_equal(out[["a", "s", "tie"]],
                                       expect[["a", "s", "tie"]])
         assert list(out["g"]) == list(range(n))
+
+
+def test_join_null_keys_match_duckdb_semantics(ray_session):
+    """NULL join keys must follow SQL semantics — a NULL key matches
+    NOTHING — on both join substrates, pinned directly against DuckDB
+    (the oracle engine) over randomized nullable-key frames: float keys
+    with NaN and object keys with None, inner/left/outer, duplicate keys
+    on both sides.  pandas merge alone matches NaN with NaN, which would
+    silently diverge from every oracle the moment a nullable key column
+    reaches a join."""
+    import duckdb
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import broadcast_join, hash_join, to_table
+
+    rng = np.random.default_rng(5150)
+
+    def canon(df):
+        df = df.copy()
+        k = df["k"].astype("string").astype(object)  # "3.0" stable either engine
+        df["k"] = np.where(pd.notna(k), k, "<null>")
+        for c in df.columns:
+            if c != "k":
+                df[c] = pd.to_numeric(df[c]).fillna(-1).astype(np.int64)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for trial in range(6):
+        nl, nr = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        if trial % 2:  # float keys, NaN nulls
+            lk = rng.choice([1.0, 2.0, 3.0, np.nan], nl)
+            rk = rng.choice([2.0, 3.0, 4.0, np.nan], nr)
+        else:          # object keys, None nulls
+            lk = rng.choice(np.array(["x", "y", "z", None], object), nl)
+            rk = rng.choice(np.array(["y", "z", "w", None], object), nr)
+        l = pd.DataFrame({"k": lk, "a": np.arange(nl, dtype=np.int64)})
+        r = pd.DataFrame({"k": rk, "b": np.arange(nr, dtype=np.int64)})
+        how = ["inner", "left", "outer"][trial % 3]
+        want = canon(duckdb.sql(
+            f"SELECT * FROM l {'FULL' if how == 'outer' else how} JOIN r "
+            "USING (k)").df())
+
+        got = canon(to_table(hash_join(
+            rd.from_pandas([l.iloc[:nl // 2], l.iloc[nl // 2:]]),
+            rd.from_pandas([r.iloc[:nr // 2], r.iloc[nr // 2:]]),
+            on="k", lcols=["k", "a"], rcols=["k", "b"], num_buckets=3,
+            how=how)).to_pandas())
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False), (trial, how)
+
+        if how in ("inner", "left"):
+            gotb = canon(broadcast_join(
+                rd.from_pandas([l.iloc[:nl // 2], l.iloc[nl // 2:]]),
+                pa.Table.from_pandas(r), on="k", how=how).to_pandas())
+            pd.testing.assert_frame_equal(
+                gotb, want[gotb.columns], check_dtype=False), (trial, how)

@@ -154,13 +154,27 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, on: str | list[str],
                    how: str = "inner", small_cols: list[str] | None = None) -> rd.Dataset:
     """Join a big Dataset against a small table without a shuffle: the small
     side is ray.put once and merged per batch (reference analog: the chord
-    key->owner lookup J1; here the 'dimension' travels to the data)."""
+    key->owner lookup J1; here the 'dimension' travels to the data).
+
+    NULL join keys follow SQL semantics (the DuckDB-oracle contract): a
+    NULL key matches nothing — the small side sheds null-key rows once at
+    broadcast time, and a null-key batch row survives only as an unmatched
+    row under ``how="left"`` (pandas merge alone would match NaN to NaN)."""
     if small_cols:
         small = small.select(small_cols)
-    ref = ray.put(small.to_pandas())
+    keys = [on] if isinstance(on, str) else list(on)
+    sdf = small.to_pandas()
+    ref = ray.put(sdf[~sdf[keys].isna().any(axis=1)])
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(_cached_get(ref), on=on, how=how)
+        null = batch[keys].isna().any(axis=1).to_numpy()
+        if not null.any():
+            return batch.merge(_cached_get(ref), on=on, how=how)
+        j = batch[~null].merge(_cached_get(ref), on=on, how=how)
+        if how == "left":
+            j = pd.concat([j, batch[null].reindex(columns=j.columns)],
+                          ignore_index=True)
+        return j
 
     return ds.map_batches(join_batch, batch_format="pandas")
 
@@ -255,7 +269,19 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                 target = r[on].dtype if l[on].dtype == object else l[on].dtype
             l[on] = l[on].astype(target)
             r[on] = r[on].astype(target)
-        j = l.merge(r, on=on, how=how)  # empty sides merge to a typed empty
+        # SQL NULL-key semantics (the DuckDB-oracle contract): a NULL key
+        # matches NOTHING — pandas merge would happily match NaN with NaN
+        # (and None with None).  Merge the non-null subsets; null-key rows
+        # re-enter only as unmatched rows on their own outer side.
+        lnull = l[on].isna().to_numpy()
+        rnull = r[on].isna().to_numpy()
+        j = l[~lnull].merge(r[~rnull], on=on, how=how)
+        if how in ("left", "outer") and lnull.any():
+            j = pd.concat([j, l[lnull].reindex(columns=j.columns)],
+                          ignore_index=True)
+        if how in ("right", "outer") and rnull.any():
+            j = pd.concat([j, r[rnull].reindex(columns=j.columns)],
+                          ignore_index=True)
         j = j.infer_objects()
         return post(j) if post is not None else j
 
