@@ -3056,3 +3056,44 @@ def test_join_null_keys_match_duckdb_semantics(ray_session):
                 pa.Table.from_pandas(r), on="k", how=how).to_pandas())
             pd.testing.assert_frame_equal(
                 gotb, want[gotb.columns], check_dtype=False), (trial, how)
+
+
+def test_groupby_null_keys_match_duckdb_semantics(ray_session):
+    """SQL GROUP BY keeps NULL as a group (one group for ALL nulls);
+    pandas' default dropna=True silently deletes it.  Pin partial_groupby
+    — BOTH reduce paths — against DuckDB over randomized frames with
+    null keys (float-NaN and object-None), multi-block so null partials
+    must also merge across blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import partial_groupby, to_table
+
+    rng = np.random.default_rng(616)
+    for trial in range(6):
+        n = int(rng.integers(4, 60))
+        if trial % 2:
+            k = rng.choice([1.0, 2.0, np.nan], n)
+        else:
+            k = rng.choice(np.array(["x", "y", None], object), n)
+        df = pd.DataFrame({"k": k, "v": rng.integers(-9, 9, n)})
+        want = duckdb.sql(
+            "SELECT k, sum(v) AS s, count(*) AS c, min(v) AS lo, max(v) AS hi "
+            "FROM df GROUP BY k").df()
+        cuts = [0, n // 3, 2 * n // 3, n]
+        ds = rd.from_pandas([df.iloc[cuts[i]:cuts[i + 1]] for i in range(3)])
+        for many in (False, True):
+            got = to_table(partial_groupby(
+                ds, ["k"], {"s": ("v", "sum"), "c": ("v", "count"),
+                            "lo": ("v", "min"), "hi": ("v", "max")},
+                many_groups=many)).to_pandas()
+
+            def canon(d):
+                d = d.copy()
+                kk = d["k"].astype("string").astype(object)
+                d["k"] = np.where(pd.notna(kk), kk, "<null>")
+                return (d.astype({c: np.int64 for c in ("s", "c", "lo", "hi")})
+                        .sort_values("k").reset_index(drop=True))
+
+            pd.testing.assert_frame_equal(canon(got), canon(want)[canon(got).columns]), \
+                (trial, many)

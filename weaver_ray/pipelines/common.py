@@ -57,6 +57,21 @@ def load_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _pin_key_dtypes(out: pd.DataFrame, src: pd.DataFrame,
+                    keys: list[str]) -> pd.DataFrame:
+    """Pin string-typed group-key columns to the pandas "string" dtype in a
+    partial's OUTPUT.  A block whose keys are ALL null would otherwise leave
+    pandas as an object column of NaN, which Arrow infers as double — one
+    such block poisons the schema merge of the whole grouped stage.  The
+    cast is value-independent (never let a block's VALUES pick its dtype):
+    real strings produce the identical Arrow string type either way."""
+    for k in keys:
+        d = src[k].dtype
+        if d == object or str(d) == "string":
+            out[k] = out[k].astype("string")
+    return out
+
+
 def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]],
                     batch_size: int = 65536, prep=None,
                     many_groups: bool = False, num_buckets: int = 16) -> rd.Dataset:
@@ -70,20 +85,23 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
     into the combiner — every separate Ray operator costs fixed scheduling
     time that dwarfs small-query compute).
 
-    ``many_groups=True`` switches the reduce phase from Ray Data's
-    ``groupby().aggregate()`` to a hash-bucketed map_groups with a
-    vectorized pandas groupby inside each bucket.  Ray's Aggregate costs
-    ~8 ms PER GROUP on this version (measured: 12.5 s reduce for 1,500
-    groups), which is fine for handful-of-groups rollups but pathological
-    for per-user / per-window keys; the bucketed reduce is one 16-group
-    shuffle regardless of key cardinality.
+    The reduce phase is ALWAYS the hash-bucketed task exchange with a
+    vectorized pandas groupby inside each bucket — one ``num_buckets``-way
+    shuffle of partial rows regardless of key cardinality.  (It replaced
+    Ray Data's ``groupby().aggregate()`` reduce outright: that path cost
+    ~8 ms PER GROUP on this Ray version — measured 12.5 s for 1,500
+    groups — and its sort-based boundary sampler cannot order NULL string
+    keys at all, while SQL GROUP BY keeps NULL as a group.  Measured at
+    sf0.1 on a 6-group rollup the two were within noise, so the exchange
+    wins on every axis.)  ``many_groups`` is retained as a no-op tuning
+    hint for call-site documentation.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if prep is not None:
             batch = prep(batch)
-        g = batch.groupby(keys, sort=False, observed=True)
+        # dropna=False: SQL GROUP BY (the DuckDB-oracle contract) keeps
+        # NULL as a group — pandas' default silently drops it
+        g = batch.groupby(keys, sort=False, observed=True, dropna=False)
         out = {}
         for out_col, (in_col, fn) in aggs.items():
             if fn == "count":
@@ -96,35 +114,23 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
                 out[out_col] = g[in_col].max()
             else:
                 raise ValueError(fn)
-        return pd.DataFrame(out).reset_index()
+        return _pin_key_dtypes(pd.DataFrame(out).reset_index(), batch, keys)
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
 
-    if many_groups:
-        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            gg = g.groupby(keys, sort=False, observed=True)
-            out = {}
-            for out_col, (_in, fn) in aggs.items():
-                f = "sum" if fn in ("sum", "count") else fn
-                out[out_col] = getattr(gg[out_col], f)()
-            return pd.DataFrame(out).reset_index()
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(keys, sort=False, observed=True, dropna=False)
+        out = {}
+        for out_col, (_in, fn) in aggs.items():
+            f = "sum" if fn in ("sum", "count") else fn
+            out[out_col] = getattr(gg[out_col], f)()
+        return _pin_key_dtypes(pd.DataFrame(out).reset_index(), g, keys)
 
-        def part_of(df: pd.DataFrame) -> np.ndarray:
-            return (pd.util.hash_pandas_object(df[keys], index=False)
-                    .to_numpy() % num_buckets).astype(np.int64)
+    def part_of(df: pd.DataFrame) -> np.ndarray:
+        return (pd.util.hash_pandas_object(df[keys], index=False)
+                .to_numpy() % num_buckets).astype(np.int64)
 
-        return task_hash_exchange(partials, part_of, reduce_bucket,
-                                  num_buckets)
-
-    reduce_aggs = []
-    for out_col, (_in, fn) in aggs.items():
-        if fn in ("sum", "count"):
-            reduce_aggs.append(Sum(out_col, alias_name=out_col))
-        elif fn == "min":
-            reduce_aggs.append(Min(out_col, alias_name=out_col))
-        elif fn == "max":
-            reduce_aggs.append(Max(out_col, alias_name=out_col))
-    return partials.groupby(keys).aggregate(*reduce_aggs)
+    return task_hash_exchange(partials, part_of, reduce_bucket, num_buckets)
 
 
 # per-worker-process cache for broadcast objects: worker processes persist
