@@ -3097,3 +3097,34 @@ def test_groupby_null_keys_match_duckdb_semantics(ray_session):
 
             pd.testing.assert_frame_equal(canon(got), canon(want)[canon(got).columns]), \
                 (trial, many)
+
+
+def test_groupby_null_values_sum_matches_duckdb(ray_session):
+    """SQL SUM ignores NULL values and returns NULL for an all-NULL group;
+    pandas' default skipna sum would return 0 for it.  Pin partial_groupby
+    against DuckDB over frames whose VALUE column carries nulls, including
+    a group that is entirely null and null partials crossing blocks."""
+    import duckdb
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import partial_groupby, to_table
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "c", "c", "d"],
+        "v": [1.0, np.nan, np.nan, np.nan, 2.0, 3.0, np.nan],
+    })
+    want = duckdb.sql(
+        "SELECT k, sum(v) AS s, count(*) AS c FROM df GROUP BY k").df()
+    # split so group b's two null rows land in DIFFERENT blocks: the
+    # reduce must keep NULL partials NULL through the cross-block fold
+    ds = rd.from_pandas([df.iloc[:3], df.iloc[3:]])
+    got = to_table(partial_groupby(
+        ds, ["k"], {"s": ("v", "sum"), "c": ("v", "count")})).to_pandas()
+
+    def canon(d):
+        return (d.assign(k=d["k"].astype(object),
+                         s=d["s"].astype(np.float64),
+                         c=d["c"].astype(np.int64))
+                .sort_values("k").reset_index(drop=True)[["k", "s", "c"]])
+
+    pd.testing.assert_frame_equal(canon(got), canon(want))

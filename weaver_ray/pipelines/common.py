@@ -107,7 +107,9 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
             if fn == "count":
                 out[out_col] = g.size()
             elif fn == "sum":
-                out[out_col] = g[in_col].sum()
+                # min_count=1: SQL SUM over an all-NULL group is NULL,
+                # pandas' default skipna sum would say 0
+                out[out_col] = g[in_col].sum(min_count=1)
             elif fn == "min":
                 out[out_col] = g[in_col].min()
             elif fn == "max":
@@ -122,8 +124,12 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
         gg = g.groupby(keys, sort=False, observed=True, dropna=False)
         out = {}
         for out_col, (_in, fn) in aggs.items():
-            f = "sum" if fn in ("sum", "count") else fn
-            out[out_col] = getattr(gg[out_col], f)()
+            if fn == "sum":  # NULL partials stay NULL through the reduce
+                out[out_col] = gg[out_col].sum(min_count=1)
+            elif fn == "count":  # count partials are never NULL: plain sum
+                out[out_col] = gg[out_col].sum()
+            else:
+                out[out_col] = getattr(gg[out_col], fn)()
         return _pin_key_dtypes(pd.DataFrame(out).reset_index(), g, keys)
 
     def part_of(df: pd.DataFrame) -> np.ndarray:
