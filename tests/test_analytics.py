@@ -3128,3 +3128,33 @@ def test_groupby_null_values_sum_matches_duckdb(ray_session):
                 .sort_values("k").reset_index(drop=True)[["k", "s", "c"]])
 
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_keyed_map_groups_null_group_complete_across_dtype_drift(ray_session):
+    """The NULL group must arrive COMPLETE at one bucket even when the key
+    column's dtype drifts across blocks (object-None in one block, float-NaN
+    in another — the all-null-block Arrow-double degradation makes such
+    drift real).  astype(str) alone would spell those nulls "None" vs
+    "nan" and fragment the group; bucket_of canonicalizes nulls first."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import keyed_map_groups, to_table
+
+    b1 = pd.DataFrame({"k": np.array(["x", None, "y"], object),
+                       "v": [1, 10, 2]})
+    b2 = pd.DataFrame({"k": np.array([np.nan, np.nan], dtype=np.float64),
+                       "v": [20, 30]})  # dtype-drifted all-null block
+
+    def per_group_sum(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("k", dropna=False)["v"].sum().reset_index(name="s")
+        gg["k"] = gg["k"].astype("string")
+        return gg
+
+    out = to_table(keyed_map_groups(
+        rd.from_pandas([b1, b2]), "k", per_group_sum,
+        num_buckets=8)).to_pandas()
+    nulls = out[out["k"].isna()]
+    # one row, all 60 null-keyed units summed together — not fragmented
+    assert len(nulls) == 1 and int(nulls["s"].iloc[0]) == 60
+    rest = dict(zip(out["k"].dropna(), out["s"][out["k"].notna()]))
+    assert rest == {"x": 1, "y": 2}

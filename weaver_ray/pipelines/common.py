@@ -204,9 +204,16 @@ def bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
     different buckets and the co-shuffle silently dropped their joins.
     String-canonical hashing is batch-independent and also keeps an
     int64 column co-bucketed with an object-coerced copy of itself
-    (str(42) either way)."""
-    return (pd.util.hash_array(key.astype(str).to_numpy())
-            % num_buckets).astype(np.int64)
+    (str(42) either way).  NULLs get one canonical token before hashing:
+    astype(str) would spell them "nan"/"None"/"<NA>" depending on the
+    block's dtype, and a dtype-drifted block would then fragment the
+    null group across buckets — breaking keyed_map_groups' complete-
+    group promise for the NULL group SQL semantics keep."""
+    strs = key.astype(str).to_numpy()
+    isna = key.isna().to_numpy()
+    if isna.any():
+        strs = np.where(isna, "\0__null__", strs)
+    return (pd.util.hash_array(strs) % num_buckets).astype(np.int64)
 
 
 def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.Dataset:
