@@ -3158,3 +3158,34 @@ def test_keyed_map_groups_null_group_complete_across_dtype_drift(ray_session):
     assert len(nulls) == 1 and int(nulls["s"].iloc[0]) == 60
     rest = dict(zip(out["k"].dropna(), out["s"][out["k"].notna()]))
     assert rest == {"x": 1, "y": 2}
+
+
+def test_grouped_substrates_tolerate_fully_empty_input(ray_session):
+    """A filter that drops EVERY row is routine at scale; Ray then skips
+    map_batches on the empty blocks and the exchange sees the column-less
+    empty-block artifact.  partial_groupby must return a correctly-shaped
+    empty result (not KeyError), and keyed_map_groups must still honor its
+    documented contract — fn receives a TYPED (possibly empty) frame —
+    via the schema captured from its input dataset."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import (keyed_map_groups,
+                                             partial_groupby, to_table)
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=object),
+                          "v": pd.Series([], dtype=np.int64)})
+    ds = rd.from_pandas([empty])
+
+    out = to_table(partial_groupby(
+        ds, ["k"], {"s": ("v", "sum"), "c": ("v", "count")})).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["k", "s", "c"]
+
+    seen_cols = []
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        seen_cols.append(list(g.columns))
+        return g.groupby("k", dropna=False)["v"].sum().reset_index(name="s")
+
+    out2 = to_table(keyed_map_groups(ds, "k", fn, num_buckets=4)).to_pandas()
+    assert len(out2) == 0 and list(out2.columns) == ["k", "s"]
+    assert all(c == ["k", "v"] for c in seen_cols)  # typed frame, every bucket

@@ -121,6 +121,12 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not set(keys) <= set(g.columns):
+            # a FULLY-empty input reaches the reduce as Ray's COLUMN-LESS
+            # empty-block artifact (map_batches never ran on any block).
+            # Reindex to the output contract: every bucket takes this same
+            # branch in that case, so block schemas stay consistent.
+            g = g.reindex(columns=[*keys, *aggs])
         gg = g.groupby(keys, sort=False, observed=True, dropna=False)
         out = {}
         for out_col, (_in, fn) in aggs.items():
@@ -235,7 +241,8 @@ def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.
     key cardinality is small vs num_buckets — pandas vectorized code is
     empty-safe by default)."""
     return task_hash_exchange(
-        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets)
+        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets,
+        schema=_schema_of(ds))
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -483,22 +490,52 @@ def unwrap_single_return(lst):
     return lst[0]
 
 
-def _tx_concat(chunks) -> pd.DataFrame:
+def _tx_concat(chunks, schema: pa.Schema | None = None) -> pd.DataFrame:
     """Merge one partition's chunk slices in ARROW (schema-unifying
     promote: an all-empty source block contributes null-typed columns)
     and convert to pandas ONCE at the apply boundary — the old per-chunk
     ``to_pandas`` + ``pd.concat`` double-copied every block and emitted
-    a FutureWarning on empty/all-NA parts."""
-    chunks = list(chunks)
+    a FutureWarning on empty/all-NA parts.
+
+    ``schema``: the exchange input's Arrow schema, when the caller could
+    capture one.  A FULLY-empty input arrives as Ray's COLUMN-LESS
+    empty-block artifact (upstream map_batches never ran); the schema
+    turns that into the TYPED empty frame apply_fn's contract promises."""
+    chunks = [c for c in chunks if c.num_columns]
     if not chunks:
-        return pd.DataFrame()
+        return (schema.empty_table().to_pandas() if schema is not None
+                else pd.DataFrame())
     return pa.concat_tables(
         chunks, promote_options="permissive").to_pandas()
 
 
+def _schema_of(ds: rd.Dataset) -> pa.Schema | None:
+    """Best-effort Arrow schema of a Dataset (None when the metadata is
+    itself column-less — nothing to reindex against).  pandas-block
+    dtypes map through the same degradation rules as _empty_like."""
+    try:
+        sch = ds.schema()
+    except Exception:
+        return None
+    if sch is None or not sch.names:
+        return None
+    fields = []
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+        elif typ is object or typ == np.dtype(object):
+            fields.append((name, pa.string()))
+        else:
+            try:
+                fields.append((name, pa.from_numpy_dtype(typ)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))
+    return pa.schema(fields)
+
+
 @ray.remote(num_cpus=0)
-def _tx_apply(apply_fn, *chunks: pa.Table) -> pa.Table:
-    return pa.Table.from_pandas(apply_fn(_tx_concat(chunks)),
+def _tx_apply(apply_fn, schema, *chunks: pa.Table) -> pa.Table:
+    return pa.Table.from_pandas(apply_fn(_tx_concat(chunks, schema)),
                                 preserve_index=False)
 
 
@@ -514,7 +551,8 @@ def _tx_apply2(apply_fn, n_left: int, *chunks: pa.Table) -> pa.Table:
 
 
 def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
-                       num_parts: int) -> rd.Dataset:
+                       num_parts: int,
+                       schema: pa.Schema | None = None) -> rd.Dataset:
     """Task-based hash exchange: the drop-in replacement for
     ``groupby(bucket).map_groups(fn)`` when the shuffle's payload is small
     relative to Ray Data's sort-shuffle FIXED costs (range sampling,
@@ -536,7 +574,9 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
     groupby, whose block serialization carries them faithfully (see
     ngram_jaccard_pairs_ds / embedding_near_dup_pairs_ds).  ``apply_fn``
     must tolerate an EMPTY typed frame: unlike map_groups, every part is
-    instantiated, so hash holes reach it."""
+    instantiated, so hash holes reach it.  ``schema`` (optional) types
+    the frame even when the WHOLE input is Ray's column-less empty-block
+    artifact; without it, apply_fn may then see a column-less frame."""
     refs = ds.materialize().to_arrow_refs()
     if not refs:
         return rd.from_items([])
@@ -545,8 +585,8 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
               for r in refs]
     if num_parts == 1:  # num_returns=1 yields ONE ref to the whole list
         splits = [[unwrap_single_return.remote(s)] for s in splits]
-    outs = [_tx_apply.remote(apply_fn, *[splits[i][p]
-                                         for i in range(len(refs))])
+    outs = [_tx_apply.remote(apply_fn, schema, *[splits[i][p]
+                                                 for i in range(len(refs))])
             for p in range(num_parts)]
     return rd.from_arrow_refs(outs)
 

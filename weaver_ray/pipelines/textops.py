@@ -192,8 +192,8 @@ def vocab_top_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
         return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy()})
 
     parts = ds.map_batches(counts, batch_format="pandas")
-    # many_groups: token cardinality is vocabulary-sized — Ray's Aggregate
-    # reduce costs ~8 ms/group; the bucketed reduce is flat in key count
+    # vocabulary-sized key cardinality — the bucketed exchange reduce
+    # (now partial_groupby's only path) is flat in key count
     agg = partial_groupby(parts, ["token"], {"n": ("n", "sum")}, many_groups=True)
     out = agg.sort(["n", "token"], descending=[True, False]).limit(k).to_pandas()
     out["n"] = out["n"].astype(np.int64)
