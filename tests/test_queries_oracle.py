@@ -633,3 +633,26 @@ def test_orders_above_customer_avg_boundaries(ray_session, tmp_path):
                    str(tmp_path / "orders.parquet"))
     out = orders_above_customer_avg(str(tmp_path)).to_pandas()
     assert sorted(out["o_orderkey"].tolist()) == [3]
+
+
+def test_approx_distinct_register_identical_to_single_process(ray_session):
+    """The distributed per-batch-sketch + register-max merge must produce
+    the EXACT single-process HLL — not merely an estimate within
+    tolerance.  Register-max is associative/commutative and per-key ranks
+    are deterministic, so any batching of the same multiset yields
+    identical registers; the query's estimate must therefore equal the
+    replay's bit-for-bit (the strongest check a probabilistic sketch
+    admits, and it pins the whole distributed wiring, not the formula)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from weaver_ray.functions.sketches import HyperLogLog
+    from weaver_ray.pipelines.relational import approx_distinct_users
+
+    out = approx_distinct_users(SF)
+    users = pq.read_table(SF + "/events.parquet", columns=["user_id"])
+    h = HyperLogLog()
+    h.add(users.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64))
+    assert int(out["n_users_approx"][0]) == int(round(h.estimate()))
+    assert int(out["n_users_exact"][0]) == len(
+        set(users.column("user_id").to_pylist()))
