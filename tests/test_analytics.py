@@ -8,6 +8,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray.data as rd
 
 from weaver_ray.pipelines import analytics
@@ -3056,6 +3057,94 @@ def test_join_null_keys_match_duckdb_semantics(ray_session):
                 pa.Table.from_pandas(r), on="k", how=how).to_pandas())
             pd.testing.assert_frame_equal(
                 gotb, want[gotb.columns], check_dtype=False), (trial, how)
+
+
+def test_join_null_keys_cross_dtype_match_duckdb(ray_session):
+    """NULL join keys PLUS a cross-side key-dtype mismatch — int64 on one
+    side, float64-with-NaN on the other, which is exactly how Arrow
+    int64-with-nulls arrives in pandas.  Before the r5 fix join_bucket
+    ran the dtype alignment BEFORE the null split, so the int64 astype
+    saw NaN and raised IntCastingNaNError, crashing the bucket task.
+    Nulls now split out first; results pinned vs DuckDB (which joins
+    INT = DOUBLE by implicit cast) for inner/left/outer, both side
+    orders."""
+    import duckdb
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import hash_join, to_table
+
+    def canon(df):
+        df = df.copy()
+        kn = pd.to_numeric(df["k"], errors="coerce")
+        df["k"] = np.where(pd.notna(kn),
+                           kn.fillna(0).astype(np.int64).astype(str),
+                           "<null>")
+        for c in df.columns:
+            if c != "k":
+                df[c] = pd.to_numeric(df[c]).fillna(-1).astype(np.int64)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    ints = pd.DataFrame({"k": np.array([1, 2, 2, 3, 5], np.int64),
+                         "a": np.arange(5, dtype=np.int64)})
+    flts = pd.DataFrame({"k": np.array([2.0, np.nan, 3.0, 4.0, np.nan]),
+                         "b": np.arange(5, dtype=np.int64)})
+    for l, r, lc, rc in ((ints, flts, ["k", "a"], ["k", "b"]),
+                         (flts.rename(columns={"b": "a"}),
+                          ints.rename(columns={"a": "b"}),
+                          ["k", "a"], ["k", "b"])):
+        for how in ("inner", "left", "outer"):
+            want = canon(duckdb.sql(
+                f"SELECT * FROM l {'FULL' if how == 'outer' else how} "
+                "JOIN r USING (k)").df())
+            got = canon(to_table(hash_join(
+                rd.from_pandas([l.iloc[:2], l.iloc[2:]]),
+                rd.from_pandas([r.iloc[:2], r.iloc[2:]]),
+                on="k", lcols=lc, rcols=rc, num_buckets=3,
+                how=how)).to_pandas())
+            pd.testing.assert_frame_equal(
+                got, want[got.columns], check_dtype=False), how
+
+
+def test_broadcast_join_rejects_right_outer(ray_session):
+    """broadcast_join only re-enters null-key batch rows under "left";
+    a "right"/"outer" request would silently drop rows — it must refuse
+    loudly instead (ADVICE r5)."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import broadcast_join
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1]}))
+    small = pa.table({"k": [1], "b": [2]})
+    for how in ("right", "outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            broadcast_join(ds, small, on="k", how=how)
+
+
+def test_groupby_int_float_block_drift_one_group(ray_session):
+    """Blocks of one LOGICAL int key column legitimately drift
+    int64<->float64 (an outer-join bucket with unmatched rows types the
+    missing int side float64; Arrow int64-with-nulls lands as float64).
+    partial_groupby's reduce bucketing must be value-canonical so the
+    drifted partials of a key meet in ONE bucket — a dtype-sensitive
+    hash would emit the group twice (2 and 2.0 as separate rows)."""
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import partial_groupby, to_table
+
+    int_block = pd.DataFrame({"k": np.array([1, 2, 2], np.int64),
+                              "v": np.array([10, 20, 30], np.int64)})
+    flt_block = pd.DataFrame({"k": np.array([2.0, 3.0, 1.0]),
+                              "v": np.array([5, 7, 9], np.int64)})
+    out = to_table(partial_groupby(
+        rd.from_pandas([int_block, flt_block]), ["k"],
+        {"s": ("v", "sum"), "n": ("k", "count")},
+        num_buckets=5)).to_pandas()
+    out["k"] = out["k"].astype(np.float64)
+    out = out.sort_values("k").reset_index(drop=True)
+    assert len(out) == 3, out  # 1, 2, 3 — each exactly once
+    assert list(out["k"]) == [1.0, 2.0, 3.0]
+    assert list(out["s"]) == [19, 55, 7]
+    assert list(out["n"]) == [2, 3, 1]
 
 
 def test_groupby_null_keys_match_duckdb_semantics(ray_session):

@@ -303,6 +303,44 @@ def test_lineage_actor_retry_replaces_row(ray_session):
     assert len(rows) == 1 and rows[0]["task_attempt"] == 1
 
 
+def test_lineage_actor_post_drain_retry_dropped(ray_session):
+    """ADVICE r5: a task retried AFTER the round-barrier drain (Ray
+    object-lineage reconstruction of a lost block in a later round)
+    re-presents its batch_key with no _by_key entry left — it must be
+    DROPPED via the drain tombstones, not appended as a fresh row that
+    double-counts the round's lineage.  Tombstones are bounded to the
+    last two drains."""
+    import ray as _ray
+
+    from weaver_ray.state.checkpoint import LineageActor
+
+    lin = LineageActor.remote()
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=7,
+                               rows_in=10, rows_out=9))
+    assert len(_ray.get(lin.drain.remote())) == 1
+    # post-drain retry of the SAME (round, stage, batch_key): dropped
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=7,
+                               rows_in=10, rows_out=9))
+    # a genuinely NEW key in that round still records normally
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=8,
+                               rows_in=4, rows_out=4))
+    rows = _ray.get(lin.drain.remote())
+    assert len(rows) == 1 and rows[0]["rows_in"] == 4
+    # tombstone survives exactly two drains: key 7 is still blocked now
+    # (drained two barriers ago)...
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=7,
+                               rows_in=1, rows_out=1))
+    assert len(_ray.get(lin.drain.remote())) == 0
+    # ...that drain refreshed nothing for key 7 (it recorded no row), and
+    # after one more empty drain the window has passed — a re-presented
+    # key 7 appends again (the documented bound: reconstruction never
+    # reaches back more than the current and previous round)
+    assert len(_ray.get(lin.drain.remote())) == 0
+    _ray.get(lin.record.remote(stage="fetch", round=0, batch_key=7,
+                               rows_in=2, rows_out=2))
+    assert len(_ray.get(lin.drain.remote())) == 1
+
+
 def test_crash_resume_partial_round_and_stray_tmp(small_corpus):
     """Realistic crash shape: the dying round committed SOME record parts
     (atomic renames that happened before the kill) and left a stray .tmp

@@ -139,8 +139,11 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
         return _pin_key_dtypes(pd.DataFrame(out).reset_index(), g, keys)
 
     def part_of(df: pd.DataFrame) -> np.ndarray:
-        return (pd.util.hash_pandas_object(df[keys], index=False)
-                .to_numpy() % num_buckets).astype(np.int64)
+        # string-canonical multi-key bucketing (NOT hash_pandas_object):
+        # blocks of one logical int key can drift int64<->float64 after
+        # an outer join, and a dtype-sensitive hash would fragment that
+        # key's partials across buckets — the group would emit twice
+        return bucket_of_keys(df, keys, num_buckets)
 
     return task_hash_exchange(partials, part_of, reduce_bucket, num_buckets)
 
@@ -184,6 +187,15 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, on: str | list[str],
     sdf = small.to_pandas()
     ref = ray.put(sdf[~sdf[keys].isna().any(axis=1)])
 
+    if how not in ("inner", "left"):
+        # null-key batch rows re-enter only under "left"; a "right"/"outer"
+        # here would silently DROP the small side's unmatched/null rows —
+        # wrong results, not an error.  Those shapes belong to hash_join,
+        # whose join_bucket re-enters both outer sides.
+        raise ValueError(
+            f"broadcast_join supports how='inner'/'left' only, got {how!r} "
+            "— use hash_join for right/outer joins")
+
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
         null = batch[keys].isna().any(axis=1).to_numpy()
         if not null.any():
@@ -210,16 +222,54 @@ def bucket_of(key: pd.Series, num_buckets: int) -> np.ndarray:
     different buckets and the co-shuffle silently dropped their joins.
     String-canonical hashing is batch-independent and also keeps an
     int64 column co-bucketed with an object-coerced copy of itself
-    (str(42) either way).  NULLs get one canonical token before hashing:
+    (str(42) either way).  INTEGRAL floats canonicalize to their integer
+    string: Arrow int64-with-nulls lands in pandas as float64 (and an
+    outer-join bucket with unmatched rows types a missing int side
+    float64), so blocks of the SAME logical int column legitimately
+    drift int64<->float64 — str() alone would hash "2" vs "2.0" into
+    different buckets and silently drop those rows from a join or
+    fragment their group.  The canonicalization is value-wise (2.0 ->
+    "2" wherever it appears, 2.5 -> "2.5"), so it stays batch-
+    independent.  NULLs get one canonical token before hashing:
     astype(str) would spell them "nan"/"None"/"<NA>" depending on the
     block's dtype, and a dtype-drifted block would then fragment the
     null group across buckets — breaking keyed_map_groups' complete-
     group promise for the NULL group SQL semantics keep."""
-    strs = key.astype(str).to_numpy()
+    return (_canon_hash(key) % num_buckets).astype(np.int64)
+
+
+def _canon_hash(key: pd.Series) -> np.ndarray:
+    """uint64 hash of the string-canonical form of each key value (the
+    :func:`bucket_of` contract, shared with :func:`bucket_of_keys`)."""
     isna = key.isna().to_numpy()
+    if pd.api.types.is_float_dtype(key.dtype):
+        v = key.to_numpy(np.float64, na_value=np.nan)
+        with np.errstate(invalid="ignore"):
+            # int64-representable integral values only: beyond 2**63 the
+            # int cast would overflow; such values keep their float form
+            # (consistently on every block — still value-canonical)
+            integral = np.isfinite(v) & (v == np.floor(v)) & (np.abs(v) < 2.0**63)
+        strs = v.astype(str).astype(object)
+        strs[integral] = v[integral].astype(np.int64).astype(str)
+    else:
+        strs = key.astype(str).to_numpy()
     if isna.any():
         strs = np.where(isna, "\0__null__", strs)
-    return (pd.util.hash_array(strs) % num_buckets).astype(np.int64)
+    return pd.util.hash_array(strs)
+
+
+def bucket_of_keys(df: pd.DataFrame, keys: list[str],
+                   num_buckets: int) -> np.ndarray:
+    """Multi-column :func:`bucket_of`: combine the per-column canonical
+    hashes so MULTI-key exchanges (partial_groupby's reduce) inherit the
+    same dtype-drift immunity — ``pd.util.hash_pandas_object`` hashes raw
+    dtype bytes, so int64 2 and float64 2.0 partials for the same group
+    would land in different buckets and the group would emit twice."""
+    acc = np.zeros(len(df), dtype=np.uint64)
+    mult = np.uint64(1000003)
+    for k in keys:
+        acc = acc * mult + _canon_hash(df[k])
+    return (acc % num_buckets).astype(np.int64)
 
 
 def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.Dataset:
@@ -279,28 +329,34 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         # join's column contract (missing columns become typed-NaN)
         l = l.reindex(columns=lcols).copy()
         r = r.reindex(columns=rcols).copy()
+        # SQL NULL-key semantics (the DuckDB-oracle contract): a NULL key
+        # matches NOTHING — pandas merge would happily match NaN with NaN
+        # (and None with None).  Null-key rows split out BEFORE the dtype
+        # alignment below: casting a NaN-bearing float64 key (how Arrow
+        # int64-with-nulls lands in pandas) to int64 raises
+        # IntCastingNaNError, and casting None-bearing object keys to a
+        # numeric dtype raises TypeError — nulls must never reach the
+        # astype.  They re-enter only as unmatched rows on their own
+        # outer side.
+        lnull = l[on].isna().to_numpy()
+        rnull = r[on].isna().to_numpy()
+        ln, rn = l[~lnull], r[~rnull]
         # align the join key so merge equality is dtype-exact even when
         # the two INPUT datasets carry different key dtypes.  An EMPTY
         # side must never drive the target: reindex materializes a
         # column-less side as all-float64, and casting the real side's
         # object keys to that would corrupt digit strings to floats
         # (or raise on non-digit keys) in left/outer joins
-        if l[on].dtype != r[on].dtype:
-            if not len(l):
-                target = r[on].dtype
-            elif not len(r):
-                target = l[on].dtype
+        if ln[on].dtype != rn[on].dtype:
+            if not len(ln):
+                target = rn[on].dtype
+            elif not len(rn):
+                target = ln[on].dtype
             else:
-                target = r[on].dtype if l[on].dtype == object else l[on].dtype
-            l[on] = l[on].astype(target)
-            r[on] = r[on].astype(target)
-        # SQL NULL-key semantics (the DuckDB-oracle contract): a NULL key
-        # matches NOTHING — pandas merge would happily match NaN with NaN
-        # (and None with None).  Merge the non-null subsets; null-key rows
-        # re-enter only as unmatched rows on their own outer side.
-        lnull = l[on].isna().to_numpy()
-        rnull = r[on].isna().to_numpy()
-        j = l[~lnull].merge(r[~rnull], on=on, how=how)
+                target = rn[on].dtype if ln[on].dtype == object else ln[on].dtype
+            ln = ln.assign(**{on: ln[on].astype(target)})
+            rn = rn.assign(**{on: rn[on].astype(target)})
+        j = ln.merge(rn, on=on, how=how)
         if how in ("left", "outer") and lnull.any():
             j = pd.concat([j, l[lnull].reindex(columns=j.columns)],
                           ignore_index=True)

@@ -36,11 +36,25 @@ class LineageActor:
         # its earlier row (task_attempt incremented) instead of appending
         # a second one, so per-round lineage counters stay exactly-once
         self._by_key: dict[tuple, int] = {}
+        # tombstones of keys that already LEFT in a drain: a task retried
+        # AFTER the round-barrier drain (Ray object-lineage reconstruction
+        # of a lost block) re-presents its batch_key, finds no _by_key
+        # entry, and would otherwise APPEND a fresh row into the NEXT
+        # drain — double-counting the round's counters.  Bounded: only
+        # the last two drains' key sets are retained (reconstruction can
+        # only re-run tasks whose outputs are still referenced, i.e. the
+        # current and previous round; older rounds are checkpointed and
+        # their blocks released).
+        self._drained_recent: list[set] = [set(), set()]
 
     def record(self, **kw) -> None:
         key = (kw.get("round", -1), kw.get("stage", "?"))
         bk = kw.pop("batch_key", None)
         if bk is not None:
+            if any(key + (bk,) in s for s in self._drained_recent):
+                # retried across a drain: its first attempt's row already
+                # left with that drain — drop, keeping exactly-once
+                return
             idx = self._by_key.get(key + (bk,))
             if idx is not None:
                 old = self.rows[idx]
@@ -58,6 +72,7 @@ class LineageActor:
 
     def drain(self) -> list[dict]:
         out, self.rows = self.rows, []
+        self._drained_recent = [set(self._by_key), self._drained_recent[0]]
         self._by_key = {}
         return out
 
