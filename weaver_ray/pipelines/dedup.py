@@ -295,14 +295,14 @@ def prefix_jaccard_pairs_ds(sf_dir: str, num: int = PJ_NUM, den: int = PJ_DEN,
     num*Lmax``) prunes candidates that cannot reach t; it is lossless,
     so the oracle omits it.
 
-    Scale shape: the document-frequency table is O(#distinct shingles)
-    driver state broadcast once (ray.put + per-worker cache — the
-    pagerank O(nodes) budget precedent; at true web scale swap for a
-    shingle-keyed hash join, same lattice); prefix rows shuffle ONCE
-    keyed by shingle hash; cross-shingle pair dedup and both verify
-    joins are bucketed exchanges.  Nothing corpus-sized reaches the
-    driver."""
-    from .common import hash_join, partial_groupby, sql_round
+    Scale shape: fully exchanged — the document-frequency table never
+    leaves the cluster.  (doc, shingle) rows hash-join the df table on
+    the shingle key (two-sided exchange), a doc_id-keyed exchange sorts
+    each doc's shingles by (df asc, shingle asc) and keeps its prefix,
+    prefix rows shuffle ONCE keyed by shingle hash, and cross-shingle
+    pair dedup plus both verify joins are bucketed exchanges.  Nothing
+    corpus- or vocabulary-sized reaches the driver."""
+    from .common import hash_join, keyed_map_groups, partial_groupby, sql_round
 
     SEP = "\x1f"  # cannot occur in \w+ tokens
 
@@ -326,38 +326,46 @@ def prefix_jaccard_pairs_ds(sf_dir: str, num: int = PJ_NUM, den: int = PJ_DEN,
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         toks = [p.decode().split(SEP) for p in df["packed"]]
+        n = np.asarray([len(t) for t in toks], np.int64)
+        empty_o = np.asarray([], dtype=object)
         return pd.DataFrame(
-            {"tok": np.concatenate([np.asarray(t, dtype=object)
-                                    for t in toks])
-             if toks else np.asarray([], dtype=object)})
+            {"tok": (np.concatenate([np.asarray(t, dtype=object)
+                                     for t in toks]) if toks else empty_o),
+             "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n),
+             "L": np.repeat(df["L"].to_numpy(np.int64), n)})
 
-    dfreq = partial_groupby(packed.map_batches(explode, batch_format="pandas"),
-                            ["tok"], {"df": ("tok", "count")},
-                            many_groups=True,
-                            num_buckets=num_buckets).to_pandas()
-    df_map = ray.put(dict(zip(dfreq["tok"], dfreq["df"].astype(np.int64))))
+    # (doc, shingle) rows: each shingle appears once per containing doc,
+    # so the per-tok row count IS the document frequency.  Consumed twice
+    # (df count + join left), recomputed both times from the materialized
+    # `packed` — never collected to the driver.
+    exploded = packed.map_batches(explode, batch_format="pandas")
+    dfreq = partial_groupby(exploded, ["tok"], {"df": ("tok", "count")},
+                            many_groups=True, num_buckets=num_buckets)
 
-    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
-        from .common import _cached_get
+    def prefix_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reindex(columns=["tok", "doc_id", "L", "df"])
+        if not len(g):
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "L": pd.Series([], dtype=np.int64)})
+        # global shingle order (df asc, shingle asc), applied per doc:
+        # each doc keeps its first L - ceil(t*L) + 1 shingles (its PREFIX)
+        g = g.sort_values(["doc_id", "df", "tok"], kind="mergesort")
+        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy(np.int64)
+        L = g["L"].to_numpy(np.int64)
+        alpha = (num * L + den - 1) // den  # ceil(t*L), pure integer
+        return (g.loc[rank < (L - alpha + 1), ["tok", "doc_id", "L"]]
+                .reset_index(drop=True))
 
-        dfm = _cached_get(df_map)
-        out_tok, out_doc, out_len = [], [], []
-        for did, L, p in zip(df["doc_id"].to_numpy(np.int64),
-                             df["L"].to_numpy(np.int64), df["packed"]):
-            sh = np.asarray(p.decode().split(SEP), dtype=object)
-            dfs = np.asarray([dfm[t] for t in sh], dtype=np.int64)
-            order = np.lexsort((sh, dfs))  # (df asc, shingle asc)
-            alpha = (num * L + den - 1) // den  # ceil(t*L), pure integer
-            plen = int(L - alpha + 1)
-            pre = sh[order[:plen]]
-            out_tok.extend(pre)
-            out_doc.extend([did] * len(pre))
-            out_len.extend([L] * len(pre))
-        return pd.DataFrame({"tok": np.asarray(out_tok, dtype=object),
-                             "doc_id": np.asarray(out_doc, np.int64),
-                             "L": np.asarray(out_len, np.int64)})
-
-    pref = packed.map_batches(prefix_rows, batch_format="pandas")
+    # shingle-keyed two-sided exchange join (doc rows x df table), then a
+    # doc_id-keyed exchange computes each doc's prefix — the r4 verdict's
+    # driver-side O(vocabulary) df broadcast is gone
+    with_df = hash_join(exploded, dfreq, on="tok",
+                        lcols=["tok", "doc_id", "L"], rcols=["tok", "df"],
+                        num_buckets=num_buckets)
+    pref = keyed_map_groups(with_df, "doc_id", prefix_in_bucket,
+                            num_buckets=num_buckets)
 
     from .common import bucket_of
 
