@@ -1144,7 +1144,8 @@ def rle_events_blocks(sf_dir: str, nblocks: int = RLE_NBLOCKS,
             "first_type": g["event_type"].first().to_numpy(object),
             "last_type": g["event_type"].last().to_numpy(object)})
 
-    plan = (task_hash_exchange(ds, part_of, block_stats, num_parts)
+    plan = (task_hash_exchange(ds, part_of, block_stats, num_parts,
+                               key_cols=["event_id"])
             .to_pandas().sort_values("block_id").reset_index(drop=True))
     merged = np.zeros(len(plan), dtype=np.int64)
     if len(plan) > 1:

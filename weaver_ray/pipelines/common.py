@@ -145,7 +145,8 @@ def partial_groupby(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, 
         # key's partials across buckets — the group would emit twice
         return bucket_of_keys(df, keys, num_buckets)
 
-    return task_hash_exchange(partials, part_of, reduce_bucket, num_buckets)
+    return task_hash_exchange(partials, part_of, reduce_bucket, num_buckets,
+                              key_cols=keys)
 
 
 # per-worker-process cache for broadcast objects: worker processes persist
@@ -291,7 +292,8 @@ def keyed_map_groups(ds: rd.Dataset, key: str, fn, num_buckets: int = 16) -> rd.
     key cardinality is small vs num_buckets — pandas vectorized code is
     empty-safe by default)."""
     return task_hash_exchange(
-        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets)
+        ds, lambda df: bucket_of(df[key], num_buckets), fn, num_buckets,
+        key_cols=[key])
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -368,7 +370,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     key_part = lambda df: bucket_of(df[on], num_buckets)  # noqa: E731
     return task_hash_exchange2(lt, rt, key_part, key_part, join_bucket,
-                               num_buckets)
+                               num_buckets, key_cols_l=[on], key_cols_r=[on])
 
 
 def _empty_like(ds: rd.Dataset, extra_int_col: str) -> pa.Table:
@@ -517,17 +519,25 @@ def global_prefix_max(ds: rd.Dataset, keys: list[str], val_col: str,
 
 
 @ray.remote(num_cpus=0)
-def _tx_split(t: pa.Table, k: int, part_of):
+def _tx_split(t: pa.Table, k: int, part_of, key_cols=None):
     """Split one block into k sub-tables by the per-row partition id —
     ARROW-NATIVE: one stable sort + ``Table.take`` + zero-copy slices, so
     the exchanged payload never round-trips through pandas (partition
-    fns are written against pandas, so ONE transient pandas view feeds
-    ``part_of``; the data itself moves as Arrow).  Rows whose partition
-    id falls outside [0, k) are dropped, matching the old boolean-mask
-    semantics."""
+    fns are written against pandas, so one transient pandas view feeds
+    ``part_of``; the data itself moves as Arrow).  ``key_cols`` names
+    the columns the partition fn actually reads: when given (and present
+    — a column-less empty-block artifact falls back) only THOSE columns
+    convert to pandas, so a wide block costs one key-column copy at the
+    exchange boundary instead of a transient full-block frame.  Rows
+    whose partition id falls outside [0, k) are dropped, matching the
+    old boolean-mask semantics."""
     if t.num_rows == 0:
         return [t] * k
-    part = np.asarray(part_of(t.to_pandas()))
+    if key_cols is not None and all(c in t.column_names for c in key_cols):
+        view = t.select(key_cols).to_pandas()
+    else:
+        view = t.to_pandas()
+    part = np.asarray(part_of(view))
     order = np.argsort(part, kind="stable")
     bounds = np.searchsorted(part[order], np.arange(k + 1))
     sorted_t = t.take(pa.array(order))
@@ -607,7 +617,8 @@ def _tx_apply2(apply_fn, n_left: int, *chunks: pa.Table) -> pa.Table:
 
 def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
                        num_parts: int,
-                       schema: pa.Schema | None = None) -> rd.Dataset:
+                       schema: pa.Schema | None = None,
+                       key_cols: list[str] | None = None) -> rd.Dataset:
     """Task-based hash exchange: the drop-in replacement for
     ``groupby(bucket).map_groups(fn)`` when the shuffle's payload is small
     relative to Ray Data's sort-shuffle FIXED costs (range sampling,
@@ -644,9 +655,8 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
         return rd.from_items([])
     if schema is None:
         schema = _schema_of(mat)
-    splits = [_tx_split.options(num_returns=num_parts).remote(r, num_parts,
-                                                              part_of)
-              for r in refs]
+    splits = [_tx_split.options(num_returns=num_parts).remote(
+        r, num_parts, part_of, key_cols) for r in refs]
     if num_parts == 1:  # num_returns=1 yields ONE ref to the whole list
         splits = [[unwrap_single_return.remote(s)] for s in splits]
     outs = [_tx_apply.remote(apply_fn, schema, *[splits[i][p]
@@ -657,7 +667,9 @@ def task_hash_exchange(ds: rd.Dataset, part_of, apply_fn,
 
 def task_hash_exchange2(left: rd.Dataset, right: rd.Dataset,
                         part_of_l, part_of_r, apply_fn,
-                        num_parts: int) -> rd.Dataset:
+                        num_parts: int,
+                        key_cols_l: list[str] | None = None,
+                        key_cols_r: list[str] | None = None) -> rd.Dataset:
     """TWO-SIDED task exchange: co-shuffle two datasets on compatible
     partition functions and run ``apply_fn(left_df, right_df)`` once per
     partition.  This is the join-shaped exchange: unlike unioning tagged
@@ -674,15 +686,15 @@ def task_hash_exchange2(left: rd.Dataset, right: rd.Dataset,
     if not refs_l and not refs_r:
         return rd.from_items([])
 
-    def split_side(refs, part_of):
+    def split_side(refs, part_of, key_cols):
         splits = [_tx_split.options(num_returns=num_parts).remote(
-            r, num_parts, part_of) for r in refs]
+            r, num_parts, part_of, key_cols) for r in refs]
         if num_parts == 1:
             splits = [[unwrap_single_return.remote(s)] for s in splits]
         return splits
 
-    sl = split_side(refs_l, part_of_l)
-    sr = split_side(refs_r, part_of_r)
+    sl = split_side(refs_l, part_of_l, key_cols_l)
+    sr = split_side(refs_r, part_of_r, key_cols_r)
     outs = [_tx_apply2.remote(apply_fn, len(refs_l),
                               *[sl[i][p] for i in range(len(refs_l))],
                               *[sr[i][p] for i in range(len(refs_r))])

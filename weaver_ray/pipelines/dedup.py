@@ -184,7 +184,7 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
     cand_raw = task_hash_exchange(
         bands.map_batches(add_bucket, batch_format="pandas"),
         lambda df: _cc_owner(df["band_key"].to_numpy(), NB),
-        emit_bucket, NB)
+        emit_bucket, NB, key_cols=["band_key"])
     cand = bucketed_pair_dedup(
         cand_raw, "doc_a", "doc_b", ["doc_a", "doc_b"], NB,
     ).materialize()
@@ -395,7 +395,7 @@ def prefix_jaccard_pairs_ds(sf_dir: str, num: int = PJ_NUM, den: int = PJ_DEN,
     cand_raw = task_hash_exchange(
         pref,
         lambda df: (bucket_of(df["tok"], num_buckets)),
-        pairs_in_bucket, num_buckets)
+        pairs_in_bucket, num_buckets, key_cols=["tok"])
     cand = bucketed_pair_dedup(cand_raw, "doc_a", "doc_b",
                                ["doc_a", "doc_b"], num_buckets).materialize()
     if cand.count() == 0:
@@ -887,7 +887,7 @@ def banded_hamming_pairs_ds(bands: rd.Dataset, id_col: str, a_col: str,
     pairs = task_hash_exchange(
         tagged,
         lambda df: _cc_owner(df["band_key"].to_numpy(), num_buckets),
-        emit_bucket, num_buckets)
+        emit_bucket, num_buckets, key_cols=["band_key"])
     return bucketed_pair_dedup(pairs, a_col, b_col,
                                [a_col, b_col, "hamming"], num_buckets)
 
@@ -909,7 +909,8 @@ def bucketed_pair_dedup(pairs: rd.Dataset, a_col: str, b_col: str,
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([a_col, b_col])[keep_cols]
 
-    return task_hash_exchange(pairs, part_of, dedup_bucket, num_buckets)
+    return task_hash_exchange(pairs, part_of, dedup_bucket, num_buckets,
+                              key_cols=[a_col, b_col])
 
 
 def simhash_pairs_ds(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:

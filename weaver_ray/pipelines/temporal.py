@@ -957,8 +957,8 @@ def type_daily_ohlc(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
         return bucket_of(df["event_type"].astype(str) + "|"
                          + df["day"].astype(str), num_buckets)
 
-    out = task_hash_exchange(parts, key_of, _ohlc_fold,
-                             num_buckets).to_pandas()
+    out = task_hash_exchange(parts, key_of, _ohlc_fold, num_buckets,
+                             key_cols=["event_type", "day"]).to_pandas()
     return (out.sort_values(["event_type", "day"])
             .reset_index(drop=True))
 

@@ -1709,7 +1709,7 @@ def snapshot_diff_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
             "change": pd.Series(change[keep], dtype="string")})
 
     return task_hash_exchange(both, lambda df: df["bkt"].to_numpy(),
-                              classify, num_buckets)
+                              classify, num_buckets, key_cols=["bkt"])
 
 
 # the derived-v2 snapshot CTE body — ONE definition shared by the
@@ -1825,7 +1825,7 @@ def merge_upsert_docs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
     return task_hash_exchange(
         rows, lambda df: bucket_of(df["doc_id"], num_buckets),
-        apply_merge, num_buckets)
+        apply_merge, num_buckets, key_cols=["doc_id"])
 
 
 MERGE_UPSERT_SQL = f"""
