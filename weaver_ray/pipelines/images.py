@@ -433,9 +433,12 @@ def image_phash_topk(sf_dir: str, k: int = 5, n_queries: int = 20,
 
     Same shape as similarity.ann_bruteforce_topk: the tiny query phash
     vector is broadcast once with ``ray.put``, each Arrow batch does one
-    vectorized XOR+popcount against it plus a local top-k, and the driver
-    merges the k*n_blocks candidate rows.  Ties resolved (hamming asc,
-    image_id asc) so ranks are deterministic and SQL-reproducible."""
+    vectorized XOR+popcount against it plus a local top-k, and a
+    query_id-keyed exchange folds the per-block candidates so only the
+    k*n_queries result rows reach the driver (r4 verdict: the old
+    driver merge held k*n_queries*n_blocks candidate rows).  Ties
+    resolved (hamming asc, image_id asc) so ranks are deterministic and
+    SQL-reproducible."""
     import pyarrow.dataset as pads
 
     step = max(1, n_base // n_queries)
@@ -468,9 +471,21 @@ def image_phash_topk(sf_dir: str, k: int = 5, n_queries: int = 20,
                              "hamming": np.asarray(out_h, np.int64)})
 
     cand = (_phash_universe(n_base)
-            .map_batches(local_topk, batch_format="pandas").to_pandas())
-    out = (cand.sort_values(["query_id", "hamming", "image_id"])
-           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+            .map_batches(local_topk, batch_format="pandas"))
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # complete query groups per bucket -> per-bucket head(k) IS the
+        # global top-k for those queries
+        g = g.reindex(columns=["query_id", "image_id", "hamming"])
+        g = g.sort_values(["query_id", "hamming", "image_id"])
+        return g.groupby("query_id", sort=False).head(k)
+
+    from .common import keyed_map_groups
+
+    out = (keyed_map_groups(cand, "query_id", topk_bucket)
+           .to_pandas()
+           .sort_values(["query_id", "hamming", "image_id"])
+           .reset_index(drop=True))
     out["rank"] = out.groupby("query_id").cumcount().to_numpy(np.int64) + 1
     return out
 

@@ -24,11 +24,14 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
     """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids.
 
     Per-batch: normalize batch rows, one matmul vs the broadcast query
-    matrix, local top-k per query; driver merges the tiny per-batch
-    candidates into the global top-k.  Output is the (query_id, neighbor_id)
-    set only — cosine values are implementation-precision-sensitive between
-    engines, so ranks are resolved with a (cos desc, neighbor_id asc)
-    tiebreak and the value itself is not part of the contract."""
+    matrix, local top-k per query; a query_id-keyed exchange folds the
+    per-batch candidates into the global top-k, so the driver sees only
+    the k*n_queries result rows (r4 verdict: the old driver-side merge
+    held k*n_queries*n_blocks candidate rows — O(n_blocks) driver state
+    at scale).  Output is the (query_id, neighbor_id) set only — cosine
+    values are implementation-precision-sensitive between engines, so
+    ranks are resolved with a (cos desc, neighbor_id asc) tiebreak and
+    the value itself is not part of the contract."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import os
@@ -69,15 +72,25 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
              "cos": np.asarray(out_c, np.float64)}
         )
 
-    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
-    out = (
-        cand.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .drop(columns=["cos"])
-        .reset_index(drop=True)
-    )
-    return out
+    cand = ds.map_batches(local_topk, batch_format="pandas")
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # complete query groups per bucket -> per-bucket head(k) IS the
+        # global top-k for those queries; empty typed frames (hash
+        # holes) pass through the vectorized path untouched
+        g = g.reindex(columns=["query_id", "neighbor_id", "cos"])
+        g = g.sort_values(["query_id", "cos", "neighbor_id"],
+                          ascending=[True, False, True])
+        return g.groupby("query_id", sort=False).head(k)
+
+    from .common import keyed_map_groups
+
+    return (keyed_map_groups(cand, "query_id", topk_bucket)
+            .to_pandas()
+            .sort_values(["query_id", "cos", "neighbor_id"],
+                         ascending=[True, False, True])
+            .drop(columns=["cos"])
+            .reset_index(drop=True))
 
 
 def hybrid_rrf_topk(sf_dir: str, k: int = 20, c: int = 60,
