@@ -18,8 +18,47 @@ import ray
 import ray.data as rd
 
 
+class EmptyTableError(ValueError):
+    """Designed loud failure: a REQUIRED input table has zero rows.
+
+    Ray Data never invokes a map_batches fn over a 0-row dataset, so the
+    very first map stage of any pipeline over an empty table erases the
+    schema and the query dies later with a misleading KeyError deep in a
+    task (STATUS item 26's root cause).  The ``load()``-level guard
+    turns every such death into this one uniform, documented error at
+    pipeline-construction time.  Mid-pipeline empties (post-filter 0-row
+    TYPED blocks — the case that actually occurs at 100 TB) are
+    unaffected: their producing fn ran and returned a typed frame."""
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only — no data pages are
+    read, and a multi-file directory early-exits at the first file with
+    any rows."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = Path(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    total = 0
+    for f in files:
+        total += pq.ParquetFile(f).metadata.num_rows
+        if total:
+            break
+    return total
+
+
+def _require_rows(path: str, table: str) -> None:
+    if _parquet_num_rows(path) == 0:
+        raise EmptyTableError(
+            f"required table {table!r} at {path} has zero rows — "
+            "refusing to build a pipeline over an empty input table")
+
+
 def load(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    _require_rows(path, table)
+    return rd.read_parquet(path, columns=columns)
 
 
 def memoized_parquet_corpus(dir_path: str, spans: list[tuple[int, int]],
@@ -51,10 +90,14 @@ def memoized_parquet_corpus(dir_path: str, spans: list[tuple[int, int]],
 
 def load_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
     """Driver-side Arrow load for SMALL dimension tables only (broadcast
-    side of a join). Never call on lineitem/orders/documents at scale."""
+    side of a join). Never call on lineitem/orders/documents at scale.
+    Same zero-row guard as :func:`load` — an empty dimension table is a
+    configuration error, not a joinable input."""
     import pyarrow.parquet as pq
 
-    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    _require_rows(path, table)
+    return pq.read_table(path, columns=columns)
 
 
 def _pin_key_dtypes(out: pd.DataFrame, src: pd.DataFrame,

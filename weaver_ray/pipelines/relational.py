@@ -62,8 +62,12 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
     )
     import os
 
+    from .common import _require_rows
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    _require_rows(path, "lineitem")
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
+        path,
         columns=["l_extendedprice", "l_discount", "l_quantity"],
         filter=flt,
     )
@@ -868,7 +872,11 @@ def incremental_event_stats(sf_dir: str,
     def partials_for(flt) -> pd.DataFrame:
         import os as _os
 
-        ds = rd.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+        from .common import _require_rows
+
+        path = _os.path.join(sf_dir, "events.parquet")
+        _require_rows(path, "events")
+        ds = rd.read_parquet(path,
                              columns=["event_type", "value", "ts"],
                              filter=flt)
         g = partial_groupby(ds, ["event_type"],
@@ -1881,8 +1889,9 @@ def bloom_index_prune(sf_dir: str, nblocks: int = BLIDX_NBLOCKS) -> pd.DataFrame
 
     import pyarrow.parquet as pq
 
-    from .common import md5_hex
+    from .common import _require_rows, md5_hex
 
+    _require_rows(os.path.join(sf_dir, "events.parquet"), "events")
     n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
     span = (n - 1) // nblocks + 1
 

@@ -1787,8 +1787,9 @@ def kcenter_coreset(sf_dir: str, k: int = KC_K) -> pd.DataFrame:
 
     import pyarrow.parquet as pq
 
-    from .common import _cached_get, sql_round
+    from .common import _cached_get, _require_rows, sql_round
 
+    _require_rows(os.path.join(sf_dir, "embeddings.parquet"), "embeddings")
     pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
     seed_id = min(pf.metadata.row_group(i).column(0).statistics.min
                   for i in range(pf.metadata.num_row_groups))
@@ -2258,8 +2259,9 @@ def jl_distortion_audit(sf_dir: str, k: int = JL_K,
     import pyarrow.parquet as pq
     import os
 
-    from .common import keyed_map_groups, sql_round
+    from .common import _require_rows, keyed_map_groups, sql_round
 
+    _require_rows(os.path.join(sf_dir, "embeddings.parquet"), "embeddings")
     R = np.array([[1 if int(hashlib.md5(f"jl|{r}|{d}".encode())
                             .hexdigest()[:13], 16) % 2 == 0 else -1
                    for d in range(64)] for r in range(k)],

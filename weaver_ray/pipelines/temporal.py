@@ -690,8 +690,9 @@ def decayed_event_scores(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.parquet as pq
 
-    from .common import sql_round
+    from .common import _require_rows, sql_round
 
+    _require_rows(os.path.join(sf_dir, "events.parquet"), "events")
     pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
     idx = pf.schema_arrow.get_field_index("ts")
     ref_us = max(

@@ -1621,6 +1621,9 @@ def _doc_snapshot_meta(sf_dir: str) -> tuple[int, int]:
 
     import pyarrow.parquet as _pq
 
+    from .common import _require_rows
+
+    _require_rows(_os.path.join(sf_dir, "documents.parquet"), "documents")
     pf = _pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet"))
     n_rows = pf.metadata.num_rows
     col_idx = pf.schema_arrow.names.index("doc_id")
@@ -2754,6 +2757,9 @@ def heaps_law_fit(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     import pyarrow.parquet as pq
 
+    from .common import _require_rows
+
+    _require_rows(os.path.join(sf_dir, "documents.parquet"), "documents")
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     cks = [1 << j for j in range(31) if (1 << j) < n_docs] + [n_docs]
@@ -3206,6 +3212,9 @@ def token_burstiness(sf_dir: str, k: int = BURST_K,
 
     import pyarrow.parquet as pq
 
+    from .common import _require_rows
+
+    _require_rows(os.path.join(sf_dir, "documents.parquet"), "documents")
     n = float(pq.ParquetFile(os.path.join(
         sf_dir, "documents.parquet")).metadata.num_rows)
     m = (m.sort_values(["s", "token"], ascending=[False, True])
@@ -3560,8 +3569,9 @@ def corpus_merkle_tree(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
     import pyarrow.parquet as pq
 
-    from .common import keyed_map_groups, md5_hex
+    from .common import _require_rows, keyed_map_groups, md5_hex
 
+    _require_rows(os.path.join(sf_dir, "documents.parquet"), "documents")
     n = pq.ParquetFile(os.path.join(
         sf_dir, "documents.parquet")).metadata.num_rows
     span = (n - 1) // MERKLE_LEAVES + 1
