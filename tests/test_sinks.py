@@ -98,6 +98,63 @@ def test_sink_ignores_torn_writes(tmp_path):
     assert len(back) == len(df)
 
 
+def test_sink_torn_write_resume_byte_equal(tmp_path):
+    """r5 hunt wave: realistic torn-write crash shapes, injected between
+    the sink's commit points, must leave a resumable directory whose
+    final bytes are IDENTICAL to a clean run's.
+
+    (a) crash AFTER the fsynced data rename but BEFORE the marker commit
+        (data present and current, marker absent, stray marker .tmp);
+    (b) a TORN data file (truncated mid-write) with no marker.
+    Both partitions must be rewritten on resume; committed partitions
+    must be skipped, not rewritten."""
+    df = _frame(300)
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_pandas(df), out, key="doc_id", num_partitions=6)
+    clean = {f: open(os.path.join(out, f), "rb").read()
+             for f in os.listdir(out) if f.endswith(".parquet")}
+
+    # (a) marker gone + stray marker tmp, data intact
+    a = int(sorted(clean)[0].split("-")[1].split(".")[0])
+    os.remove(os.path.join(out, f"part-{a:05d}.done"))
+    with open(os.path.join(out, f"part-{a:05d}.done.tmp"), "w") as fh:
+        fh.write("{")  # torn json
+    # (b) torn data file, marker gone
+    b = int(sorted(clean)[1].split("-")[1].split(".")[0])
+    os.remove(os.path.join(out, f"part-{b:05d}.done"))
+    data_b = os.path.join(out, f"part-{b:05d}.parquet")
+    blob = open(data_b, "rb").read()
+    with open(data_b, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+
+    # reader must not surface either uncommitted partition
+    back = read_partitioned(out).to_pandas()
+    assert len(back) < len(df)
+
+    stats = write_partitioned(rd.from_pandas(df), out, key="doc_id",
+                              num_partitions=6)
+    rewritten = sorted(stats.loc[~stats["skipped"], "partition"])
+    assert rewritten == sorted([a, b])
+    for f, want in clean.items():
+        assert open(os.path.join(out, f), "rb").read() == want, f
+    pd.testing.assert_frame_equal(_canon(read_partitioned(out).to_pandas()),
+                                  _canon(df))
+
+
+def test_sink_refuses_marker_without_data(tmp_path):
+    """A committed .done marker whose data file is missing cannot come
+    from a crash (marker commits strictly after the fsynced data rename)
+    — the reader must refuse loudly, not FileNotFoundError deep in a
+    read task (r5 hunt wave)."""
+    df = _frame(100)
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_pandas(df), out, key="doc_id", num_partitions=4)
+    victim = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(out, victim))
+    with pytest.raises(ValueError, match="out-of-band"):
+        read_partitioned(out)
+
+
 def test_sink_empty_input_and_empty_read(tmp_path):
     """An empty Dataset must write cleanly (no KeyError on the column-less
     stats frame) and a dir with zero committed partitions must read back as

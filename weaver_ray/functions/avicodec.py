@@ -69,6 +69,12 @@ def decode_avi(blob: bytes) -> dict:
     nesting is handled by descending into the hdrl / movi LISTs."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
+    if 8 + struct.unpack("<I", blob[4:8])[0] > len(blob):
+        # torn/truncated blob: the declared RIFF payload extends past the
+        # end — fail loudly before the walk can slice short chunk bodies
+        # (r5 hunt finding — a cut inside the last frame chunk previously
+        # returned truncated JPEG bytes with no error)
+        raise ValueError("truncated AVI: RIFF payload extends past end of blob")
     w = h = fps = n_frames = None
     frames: list[bytes] = []
 
@@ -79,6 +85,10 @@ def decode_avi(blob: bytes) -> dict:
             cid = blob[pos:pos + 4]
             (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
             body_lo = pos + 8
+            if body_lo + size > len(blob):
+                raise ValueError(
+                    f"truncated AVI chunk {cid!r}: declares {size} bytes "
+                    f"past end of blob")
             if cid == b"LIST":
                 ltype = blob[body_lo:body_lo + 4]
                 if ltype in (b"hdrl", b"strl", b"movi"):

@@ -100,20 +100,36 @@ def png_decode(data: bytes) -> np.ndarray:
     pos, w = 8, 0
     h = bitdepth = ctype = interlace = None
     idat = bytearray()
+    ended = False
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            # torn/truncated blob: slicing past the end silently yields a
+            # short chunk body (r5 hunt finding)
+            raise ValueError(
+                f"truncated PNG chunk {tag!r}: declares {length} bytes, "
+                f"{len(body)} present")
         pos += 12 + length
         if tag == b"IHDR":
             w, h, bitdepth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
+            ended = True
             break
+    if not ended:
+        # a stream cut between chunks parses "cleanly" without this check
+        raise ValueError("truncated PNG: missing IEND chunk")
     if bitdepth != 8 or ctype != 2 or interlace != 0:
         raise ValueError(f"unsupported PNG (bitdepth={bitdepth} ctype={ctype})")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        # zlib.error is NOT a ValueError — it would escape the decode
+        # stages' (ValueError, struct.error) fault barrier (r5 hunt)
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from e
     stride = w * 3
     if raw.size != h * (1 + stride):
         raise ValueError("corrupt PNG payload")

@@ -312,6 +312,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline 4:4:4 (or grayscale) JFIF stream to (h, w, 3) uint8."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    if not data.endswith(b"\xff\xd9"):
+        # a torn/truncated stream must fail LOUDLY.  Without this check a
+        # cut inside the entropy segment decoded SILENTLY (the bit reader
+        # pads with zeros) and a cut inside the headers died with
+        # IndexError-class noise (r5 hunt finding).  FF D9 cannot occur
+        # inside the entropy data (FF bytes are stuffed as FF 00), so a
+        # well-formed baseline stream always ends with its EOI marker.
+        raise ValueError("truncated JPEG: missing EOI marker at end")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}

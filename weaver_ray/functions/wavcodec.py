@@ -44,6 +44,14 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
         cid = blob[pos:pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
         body = blob[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            # a torn/truncated blob must fail LOUDLY: slicing past the end
+            # silently yields a short body, and an even-length-truncated
+            # data chunk would decode to FEWER SAMPLES with no error
+            # (r5 hunt finding — silent audio truncation)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {size} bytes, "
+                f"{len(body)} present")
         if cid == b"fmt ":
             tag, nch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1 or nch != 1 or bits != 16:

@@ -127,6 +127,18 @@ def read_partitioned(out_dir: str) -> rd.Dataset:
         _data_path(out_dir, int(f.split("-")[1].split(".")[0]))
         for f in os.listdir(out_dir) if f.endswith(".done")
     )
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        # the sink commits the marker strictly AFTER the fsynced data
+        # rename, so marker-without-data cannot come from a crash — only
+        # out-of-band deletion.  Refuse loudly (the checkpoint manager's
+        # commit-gap precedent) instead of a FileNotFoundError deep in a
+        # read task.
+        raise ValueError(
+            f"{out_dir}: committed partition marker(s) without data "
+            f"file(s) {sorted(os.path.basename(m) for m in missing)[:4]} — "
+            "the directory was altered out-of-band; remove the stale "
+            ".done markers (or rewrite with resume=False)")
     if not files:
         # zero committed partitions (empty result, or a reader racing the
         # first commit): an empty Dataset, not a read_parquet([]) crash.
