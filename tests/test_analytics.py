@@ -3299,3 +3299,38 @@ def test_grouped_substrates_tolerate_fully_empty_input(ray_session):
     out2 = to_table(keyed_map_groups(ds, "k", fn, num_buckets=4)).to_pandas()
     assert len(out2) == 0 and list(out2.columns) == ["k", "s"]
     assert all(c == ["k", "v"] for c in seen_cols)  # typed frame, every bucket
+
+
+def test_schema_helpers_silent_on_pandas_string_dtype(ray_session):
+    """partial_groupby's key-dtype pin emits pandas "string"-dtype key
+    columns; Ray's ``Schema.types`` property cannot map that extension
+    dtype to Arrow and LOGS AN ERROR per column per call (returning a
+    None sentinel).  _schema_of/_empty_like now read ``base_schema``
+    directly and do the mapping themselves: same degradation (extension
+    dtype -> Arrow string), zero ERROR-level log records."""
+    import logging
+
+    import ray.data as rd
+
+    from weaver_ray.pipelines.common import _empty_like, _schema_of
+
+    records: list[logging.LogRecord] = []
+    h = logging.Handler()
+    h.emit = records.append  # type: ignore[assignment]
+    lg = logging.getLogger("ray.data")
+    lg.addHandler(h)
+    try:
+        df = pd.DataFrame({"k": pd.Series(["a", None], dtype="string"),
+                           "v": [1, 2]})
+        ds = rd.from_pandas([df]).map_batches(
+            lambda b: b, batch_format="pandas")
+        sch = _schema_of(ds)
+        assert sch.field("k").type == pa.string()
+        assert sch.field("v").type == pa.int64()
+        t = _empty_like(ds, "extra")
+        assert t.schema.field("k").type == pa.string()
+        assert t.schema.field("extra").type == pa.int64()
+    finally:
+        lg.removeHandler(h)
+    errs = [r for r in records if r.levelno >= logging.ERROR]
+    assert errs == []

@@ -416,25 +416,37 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                                num_buckets, key_cols_l=[on], key_cols_r=[on])
 
 
+def _arrow_fields(sch) -> list[tuple[str, pa.DataType]]:
+    """(name, Arrow type) pairs from a Ray ``Dataset.schema()`` wrapper,
+    Arrow OR pandas block schemas.  Reads ``base_schema`` directly instead
+    of the wrapper's ``.types`` property: that property converts each
+    pandas dtype itself and LOGS AN ERROR (returning None) for pandas
+    extension dtypes like "string" — which partial_groupby's key-dtype
+    pin legitimately produces.  Degradation rules: object/extension
+    dtypes map to Arrow string, everything else via from_numpy_dtype."""
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return [(f.name, f.type) for f in base]
+    fields: list[tuple[str, pa.DataType]] = []
+    for name, typ in zip(base.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+        elif typ is object or typ == np.dtype(object):
+            fields.append((name, pa.string()))
+        else:
+            try:
+                fields.append((name, pa.from_numpy_dtype(typ)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))
+    return fields
+
+
 def _empty_like(ds: rd.Dataset, extra_int_col: str) -> pa.Table:
     """Typed empty Arrow table with ``ds``'s columns plus one int64 column
     — preserves the output schema contract of the scan primitives when
     every post-sort block is empty (Arrow OR pandas block schemas; object
     dtypes degrade to string, the pandas reverse mapping)."""
-    fields = []
-    sch = ds.schema()
-    for name, typ in zip(sch.names, sch.types):
-        if isinstance(typ, pa.DataType):
-            t = typ
-        elif typ is object or typ == np.dtype(object):
-            t = pa.string()
-        else:
-            try:
-                t = pa.from_numpy_dtype(typ)
-            except (pa.ArrowNotImplementedError, TypeError):
-                t = pa.string()
-        fields.append((name, t))
-    cols = {n: pa.array([], t) for n, t in fields}
+    cols = {n: pa.array([], t) for n, t in _arrow_fields(ds.schema())}
     cols[extra_int_col] = pa.array([], pa.int64())
     return pa.table(cols)
 
@@ -627,18 +639,7 @@ def _schema_of(ds: rd.Dataset) -> pa.Schema | None:
         return None
     if sch is None or not sch.names:
         return None
-    fields = []
-    for name, typ in zip(sch.names, sch.types):
-        if isinstance(typ, pa.DataType):
-            fields.append((name, typ))
-        elif typ is object or typ == np.dtype(object):
-            fields.append((name, pa.string()))
-        else:
-            try:
-                fields.append((name, pa.from_numpy_dtype(typ)))
-            except (pa.ArrowNotImplementedError, TypeError):
-                fields.append((name, pa.string()))
-    return pa.schema(fields)
+    return pa.schema(_arrow_fields(sch))
 
 
 @ray.remote(num_cpus=0)
