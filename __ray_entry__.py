@@ -1902,18 +1902,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         # -1 sentinel for single-event users (no gaps), matching the
-        # engine's NULL-free convention
+        # engine's NULL-free convention.  gap_us stays INTEGER so the sum
+        # telescopes exactly; the average is the same single double
+        # division the engine evaluates — bit-identical at any scale
+        # (a float avg over per-gap seconds diverged past 4 dp at sf0.1)
         "event_gap_stats": """
             WITH g AS (
                 SELECT user_id,
                        (epoch_us(ts) - lag(epoch_us(ts)) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id))
-                       / 1000000.0 AS gap_s
+                       AS gap_us
                 FROM events
             )
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-                   coalesce(round(avg(gap_s), 4), -1) AS avg_gap_s,
-                   coalesce(round(max(gap_s), 4), -1) AS max_gap_s
+                   coalesce(round(CAST(sum(gap_us) AS DOUBLE)
+                                  / ((count(*) - 1) * 1000000.0), 4), -1)
+                       AS avg_gap_s,
+                   coalesce(round(CAST(max(gap_us) AS DOUBLE) / 1000000.0,
+                                  4), -1) AS max_gap_s
             FROM g GROUP BY user_id
         """,
         "value_histogram": """

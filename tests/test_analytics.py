@@ -295,6 +295,39 @@ def test_sql_round_half_away():
                                [0.1234, 0.1235])
 
 
+def test_sql_round_matches_duckdb_randomized():
+    """sql_round IS the engine's oracle-facing rounding convention — pin it
+    bit-for-bit to DuckDB round() on (a) random doubles across magnitudes,
+    (b) ratios of small integers (the documented half-tie hazard: an
+    oracle-checked avg = int/int can land exactly on a dyadic half), and
+    (c) the exhaustive dyadic halves within float32 range."""
+    import duckdb
+
+    from weaver_ray.pipelines.common import sql_round
+
+    con = duckdb.connect()
+
+    def duck(vals, d):
+        return np.array(con.execute(
+            "SELECT round(CAST(v AS DOUBLE), ?) FROM (SELECT unnest(?) v)",
+            [d, list(map(float, vals))]).df().iloc[:, 0])
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.uniform(-1e6, 1e6, 5000),
+                        rng.uniform(-1, 1, 5000),
+                        rng.uniform(-1e12, 1e12, 1000)])
+    p = rng.integers(1, 10**6, 5000)
+    q = rng.integers(1, 10**4, 5000)
+    ratios = p.astype(np.float64) / q.astype(np.float64)
+    halves = np.asarray([k + 0.5 for k in range(-50, 50)] +
+                        [k / 16 + 0.03125 for k in range(-64, 64)])
+    for d in (0, 2, 4, 6):
+        for arr in (x, ratios, halves):
+            got, want = sql_round(arr, d), duck(arr, d)
+            bad = np.flatnonzero(got != want)
+            assert len(bad) == 0, (d, arr[bad][:5], got[bad][:5], want[bad][:5])
+
+
 def test_quality_filter_edges(tmp_path):
     """Each gate rejects independently; survivors carry audited features."""
     from weaver_ray.pipelines import textops

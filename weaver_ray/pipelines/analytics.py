@@ -48,7 +48,7 @@ def brand_revenue(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     out = (parts.groupby("p_brand", sort=False)
            .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
            .reset_index())
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     out["n_items"] = out["n_items"].astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
 
@@ -97,7 +97,7 @@ def local_supplier_volume(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     return pd.DataFrame({
         "n_name": out["n_name"],
         "r_name": out["r_name"],
-        "revenue": out["rev_part"].round(2),
+        "revenue": sql_round(out["rev_part"], 2),
     }).sort_values("n_name").reset_index(drop=True)
 
 
@@ -176,9 +176,9 @@ def props_key_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "event_type": out["event_type"],
         "n": out["n"].astype(np.int64),
-        "avg_k": (out["sum_k"] / out["n"]).round(4),
-        "min_k": out["min_k"].round(4),
-        "max_k": out["max_k"].round(4),
+        "avg_k": sql_round(out["sum_k"] / out["n"], 4),
+        "min_k": sql_round(out["min_k"], 4),
+        "max_k": sql_round(out["max_k"], 4),
     }).sort_values("event_type").reset_index(drop=True)
 
 
@@ -206,8 +206,8 @@ def price_quantity_corr(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "l_returnflag": out["l_returnflag"],
         "n": out["n"].astype(np.int64),
-        "corr_price_qty": (cov / np.sqrt(vx * vy)).round(4),
-        "covar_price_qty": cov.round(2),
+        "corr_price_qty": sql_round(cov / np.sqrt(vx * vy), 4),
+        "covar_price_qty": sql_round(cov, 2),
     }).sort_values("l_returnflag").reset_index(drop=True)
 
 
@@ -229,7 +229,7 @@ def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
                         "revenue": [fine["revenue"].sum()],
                         "n_items": [fine["n_items"].sum()]})
     out = pd.concat([fine, sub, tot], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     out["n_items"] = out["n_items"].astype(np.int64)
     return (out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
             .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
@@ -260,9 +260,9 @@ def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
         s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
     return pd.DataFrame({
         "dim": g["dim"].astype(np.int64),
-        "avg_val": (g["s"] / g["n"]).round(4),
-        "min_val": g["mn"].round(4),
-        "max_val": g["mx"].round(4),
+        "avg_val": sql_round(g["s"] / g["n"], 4),
+        "min_val": sql_round(g["mn"], 4),
+        "max_val": sql_round(g["mx"], 4),
         "n": g["n"].astype(np.int64),
     }).sort_values("dim").reset_index(drop=True)
 
@@ -333,7 +333,7 @@ def customer_order_profile(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         return pd.DataFrame({
             "c_custkey": j["c_custkey"].astype(np.int64),
             "n_orders": j["n_orders"].fillna(0).astype(np.int64),
-            "total_spend": j["total_spend"].fillna(0.0).astype(np.float64).round(2),
+            "total_spend": sql_round(j["total_spend"].fillna(0.0).astype(np.float64), 2),
         })
 
     return hash_join(
@@ -403,7 +403,7 @@ def lineitem_cube(sf_dir: str) -> pd.DataFrame:
                         "revenue": [fine["revenue"].sum()],
                         "n_items": [fine["n_items"].sum()]})
     out = pd.concat([fine, by_flag, by_status, tot], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     out["n_items"] = out["n_items"].astype(np.int64)
     return (out[["l_returnflag", "l_linestatus", "revenue", "n_items"]]
             .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
@@ -429,7 +429,7 @@ def monthly_revenue(sf_dir: str) -> pd.DataFrame:
          "n_orders": ("o_totalprice", "count")},
         prep=prep,
     ).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return (out[["year", "month", "revenue", "n_orders"]]
             .sort_values(["year", "month"]).reset_index(drop=True))

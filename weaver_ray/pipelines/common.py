@@ -759,10 +759,19 @@ def sql_round(x, digits: int):
     """Round half AWAY FROM ZERO, matching SQL/DuckDB ``round()``.  numpy's
     ``.round()`` is banker's (half to even): 4.28125 rounds to 4.2812 in
     numpy but 4.2813 in DuckDB — any oracle-checked ratio of small integers
-    can land exactly on that half."""
+    can land exactly on that half.
+
+    Where ``|x|·10^digits ≥ 2^52`` the double grid is at least
+    0.5-coarse, so the scaled value is already integral and the ``+0.5``
+    trick would round UP a neighbor instead (float spacing ≥ 0.5 makes
+    ``y + 0.5`` land on ``y+1``): return the scaled value unchanged
+    there, exactly as DuckDB's ``std::round`` does on an
+    integral-by-construction double."""
     arr = np.asarray(x, dtype=np.float64)
     s = 10.0 ** digits
-    return np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s
+    y = np.abs(arr) * s
+    r = np.where(y >= 2.0 ** 52, y, np.floor(y + 0.5))
+    return np.sign(arr) * r / s
 
 
 def to_table(obj) -> pa.Table:

@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.sketches import _splitmix64
-from .common import load, task_hash_exchange, unwrap_single_return
+from .common import load, sql_round, task_hash_exchange, unwrap_single_return
 
 _TOKEN_RE = re.compile(r"\w+")
 
@@ -203,7 +203,7 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.5,
             union = len(sa) + len(sb) - inter
             jac.append(inter / union if union else 0.0)
         out = df[["doc_a", "doc_b"]].astype(np.int64)
-        out["jaccard"] = np.round(jac, 6)
+        out["jaccard"] = sql_round(jac, 6)
         return out[out["jaccard"] >= jaccard_threshold]
 
     # materialize ONCE: the bucketed path fans this dataset into two join

@@ -520,7 +520,7 @@ def corpus_format_stats(sf_dir: str, n_base: int = 1000) -> pd.DataFrame:
         out[c] = out[c].astype(np.int64)
     out["max_w"] = out["max_w"].astype(np.int32)
     out["max_h"] = out["max_h"].astype(np.int32)
-    out["avg_bytes"] = (out["sum_bytes"] / out["n_images"]).round(4)
+    out["avg_bytes"] = sql_round(out["sum_bytes"] / out["n_images"], 4)
     return out.sort_values("fmt").reset_index(drop=True)
 
 

@@ -15,7 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .common import broadcast_join, hash_join, load, load_arrow, partial_groupby
+from .common import (broadcast_join, hash_join, load, load_arrow,
+                     partial_groupby, sql_round)
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -43,10 +44,10 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         prep=add_derived,
     ).to_pandas()  # a handful of groups: finish driver-side, no extra operator
 
-    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
-    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
+    out["avg_qty"] = sql_round(out["sum_qty"] / out["count_order"], 4)
+    out["avg_price"] = sql_round(out["sum_base_price"] / out["count_order"], 4)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        out[c] = out[c].round(2)
+        out[c] = sql_round(out[c], 2)
     out["count_order"] = out["count_order"].astype(np.int64)
     return out
 
@@ -95,7 +96,7 @@ def top_orders(sf_dir: str) -> pd.DataFrame:
     cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
     out = cand.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
     out = out.reset_index(drop=True)
-    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["o_totalprice"] = sql_round(out["o_totalprice"], 2)
     return out
 
 
@@ -109,7 +110,7 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
         joined, ["c_mktsegment"],
         {"revenue": ("o_totalprice", "sum"), "n_orders": ("o_totalprice", "count")},
     ).to_pandas()  # few groups: finish driver-side
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out
 
@@ -145,7 +146,7 @@ def order_status_revenue(sf_dir: str) -> pd.DataFrame:
                          rcols=["l_orderkey", "o_orderstatus"],
                          num_buckets=16, post=agg_bucket).to_pandas()
     out = partials.groupby("o_orderstatus", sort=True).sum().reset_index()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = sql_round(out["revenue"], 2)
     out["n_items"] = out["n_items"].astype(np.int64)
     return out
 
@@ -172,7 +173,7 @@ def event_type_stats(sf_dir: str) -> pd.DataFrame:
         ds, ["event_type"],
         {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
     ).to_pandas()
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = sql_round(out["sum_value"], 4)
     out["n_events"] = out["n_events"].astype(np.int64)
     return out
 
@@ -229,7 +230,11 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         out = t.filter(pa.array(~present))
         return out.set_column(
             out.schema.get_field_index("c_acctbal"), "c_acctbal",
-            pc.round(out.column("c_acctbal"), 2),
+            # half_towards_infinity is pyarrow's half-away-from-zero
+            # (verified: 2.5->3, -2.5->-3) = DuckDB round(); the default
+            # is banker's (half_to_even), the repo-wide sql_round hazard
+            pc.round(out.column("c_acctbal"), 2,
+                     round_mode="half_towards_infinity"),
         )
 
     df = cust.map_batches(anti_join, batch_format="pyarrow").to_pandas()
@@ -354,7 +359,7 @@ def user_hourly_windows(sf_dir: str) -> rd.Dataset:
         gg = bucket.assign(window_hour=ts_us // 3_600_000_000).groupby(
             ["user_id", "window_hour"], sort=False)
         out = gg.agg(n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
-        out["sum_value"] = out["sum_value"].round(4)
+        out["sum_value"] = sql_round(out["sum_value"], 4)
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
@@ -508,7 +513,7 @@ def price_quantiles(sf_dir: str,
             vals.append(v_lo + (pos - lo_r) * (v_hi - v_lo))
         return pd.DataFrame({
             "quantile": pd.Series(list(qs), dtype=np.float64),
-            "value": pd.Series(np.round(vals, 4), dtype=np.float64),
+            "value": pd.Series(sql_round(vals, 4), dtype=np.float64),
         })
 
     return pd.DataFrame({

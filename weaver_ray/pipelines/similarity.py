@@ -13,7 +13,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .common import load
+from .common import load, sql_round
 
 
 def _matrix(col) -> np.ndarray:
@@ -418,7 +418,7 @@ def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
         per_row, ["label"],
         {"n_vecs": ("norm", "count"), "sum_norm": ("norm", "sum")},
     ).to_pandas()
-    out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    out["avg_norm"] = sql_round(out["sum_norm"] / out["n_vecs"], 4)
     out["n_vecs"] = out["n_vecs"].astype(np.int64)
     out = out.drop(columns=["sum_norm"]).sort_values("label").reset_index(drop=True)
     out["label"] = out["label"].astype(np.int32)

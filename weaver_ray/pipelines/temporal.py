@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .common import keyed_map_groups, load, partial_groupby
+from .common import keyed_map_groups, load, partial_groupby, sql_round
 
 US_PER_HOUR = 3_600_000_000
 
@@ -162,7 +162,7 @@ def range_join_click_windows(sf_dir: str, window_hours: int = 1,
             "purchase_id": p["event_id"].to_numpy(np.int64),
             "user_id": p["user_id"].to_numpy(np.int64),
             "n_clicks": (hi - lo).astype(np.int64),
-            "sum_click_value": np.round(prefix[hi] - prefix[lo], 4),
+            "sum_click_value": sql_round(prefix[hi] - prefix[lo], 4),
         })
 
     filtered = ds.map_batches(keep_roles, batch_format="pandas")
@@ -204,7 +204,7 @@ def sliding_window_stats(sf_dir: str, size_hours: int = 2,
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["sum_value"].round(4)
+        batch["sum_value"] = sql_round(batch["sum_value"], 4)
         batch["n_events"] = batch["n_events"].astype(np.int64)
         return batch
 
@@ -239,7 +239,7 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
             sum_value=("value", "sum"),
         ).reset_index().drop(columns="session_seq")
         agg["n_events"] = agg["n_events"].astype(np.int64)
-        agg["sum_value"] = agg["sum_value"].round(4)
+        agg["sum_value"] = sql_round(agg["sum_value"], 4)
         return agg
 
     ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -265,7 +265,7 @@ def rolling_event_avg(sf_dir: str, window: int = 3,
         return pd.DataFrame({
             "event_id": g["event_id"].astype(np.int64),
             "user_id": g["user_id"].astype(np.int64),
-            "rolling_avg": avg.round(4),
+            "rolling_avg": sql_round(avg, 4),
         })
 
     ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -296,7 +296,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3,
         return pd.DataFrame({
             "o_custkey": top["o_custkey"].astype(np.int64),
             "o_orderkey": top["o_orderkey"].astype(np.int64),
-            "o_totalprice": top["o_totalprice"].round(2),
+            "o_totalprice": sql_round(top["o_totalprice"], 2),
             "rank": top["rank"].astype(np.int64),
         })
 
@@ -385,7 +385,7 @@ def user_cumulative_value(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         return pd.DataFrame({
             "event_id": g["event_id"].astype(np.int64),
             "user_id": g["user_id"].astype(np.int64),
-            "cum_value": run.round(4),
+            "cum_value": sql_round(run, 4),
         })
 
     ds = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -399,7 +399,17 @@ def event_gap_stats(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     """Per-user inter-event gap profile (lag deltas): n_events, avg and max
     gap in seconds.  Single-event users have no gaps and report -1 (the
     repo's NULL-free sentinel convention, mirrored by coalesce in the
-    oracle)."""
+    oracle).
+
+    Exactness by construction: consecutive gaps TELESCOPE, so each user's
+    gap SUM is held as the exact int64 microsecond span and the average is
+    ONE double division ``span / ((n-1)·1e6)`` — the identical expression
+    the oracle evaluates, so engine and DuckDB agree bit-for-bit at any
+    block count.  (A float mean over per-gap seconds diverged from the
+    oracle past the 4 dp grid at sf0.1 — numpy pairwise vs sequential
+    association — and ``.round(4)`` was banker's where DuckDB rounds half
+    away; both classes are gone.)"""
+    from .common import sql_round
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(ts_us=_ts_us(g["ts"])).sort_values(
@@ -408,15 +418,20 @@ def event_gap_stats(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         ts = g["ts_us"].to_numpy()
         same = users[1:] == users[:-1]
         d = pd.DataFrame({"user_id": users[1:][same],
-                          "gap_s": (ts[1:] - ts[:-1])[same] / 1e6})
+                          "gap_us": (ts[1:] - ts[:-1])[same]})
         n = pd.Series(users).value_counts(sort=False)
-        agg = d.groupby("user_id", sort=False)["gap_s"].agg(["mean", "max"])
+        agg = d.groupby("user_id", sort=False)["gap_us"].agg(["sum", "max"])
         out = pd.DataFrame({
             "user_id": n.index.to_numpy().astype(np.int64),
             "n_events": n.to_numpy().astype(np.int64),
         })
-        out["avg_gap_s"] = out["user_id"].map(agg["mean"]).fillna(-1).round(4)
-        out["max_gap_s"] = out["user_id"].map(agg["max"]).fillna(-1).round(4)
+        span = out["user_id"].map(agg["sum"]).to_numpy(np.float64)
+        mx = out["user_id"].map(agg["max"]).to_numpy(np.float64)
+        nn = out["n_events"].to_numpy(np.float64)
+        avg = sql_round(span / ((nn - 1.0) * 1e6), 4)
+        mxs = sql_round(mx / 1e6, 4)
+        out["avg_gap_s"] = np.where(np.isnan(avg), -1.0, avg)
+        out["max_gap_s"] = np.where(np.isnan(mxs), -1.0, mxs)
         return out
 
     ds = load(sf_dir, "events", ["event_id", "ts", "user_id"])

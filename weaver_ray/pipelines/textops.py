@@ -46,7 +46,7 @@ def token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
         {"n_docs": ("doc_id", "count"), "sum_tokens": ("n_tokens", "sum"),
          "sum_bpe_tokens": ("n_bpe", "sum")},
     ).to_pandas()
-    out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(4)
+    out["avg_tokens"] = sql_round(out["sum_tokens"] / out["n_docs"], 4)
     for c in ("n_docs", "sum_tokens", "sum_bpe_tokens"):
         out[c] = out[c].astype(np.int64)
     return out
@@ -69,8 +69,8 @@ def quality_by_source(sf_dir: str) -> pd.DataFrame:
          "sum_stop_ratio": ("stop_ratio", "sum")},
         prep=ratios,
     ).to_pandas()
-    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
-    out["avg_stop_ratio"] = (out["sum_stop_ratio"] / out["n_docs"]).round(6)
+    out["avg_chars"] = sql_round(out["sum_chars"] / out["n_docs"], 4)
+    out["avg_stop_ratio"] = sql_round(out["sum_stop_ratio"] / out["n_docs"], 6)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out[["source", "n_docs", "avg_chars", "avg_stop_ratio"]]
 
@@ -520,7 +520,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
             "token": g["token"].to_numpy(object),
             "tf": g["tf"].to_numpy(np.int64),
             "df": g["df"].to_numpy(np.int64),
-            "tf_idf": g["tf_idf"].round(4).to_numpy(np.float64),
+            "tf_idf": sql_round(g["tf_idf"], 4),
             "rank": g["rank"].to_numpy(np.int64),
         })
 
