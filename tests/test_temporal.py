@@ -612,3 +612,52 @@ def test_ohlc_fold_merges_conflicting_partials():
     assert r2["close"] == 33.0  # ceid=7 beats ceid=3 at equal ctu
     # empty bucket returns the typed empty frame
     assert len(_ohlc_fold(partials.iloc[0:0])) == 0
+
+
+def test_event_gap_stats_near_tie_gaps_match_duckdb(ray_session, tmp_path):
+    """Adversarial grid for the r5 exactness rework: gaps are random
+    multiples of 50 us, so avg_gap*10^4 lands ON or NEXT TO the rounding
+    half constantly (250 us / 1 gap -> 2.5 exactly: banker's says 0.0002,
+    DuckDB says 0.0003).  The engine and the SHIPPED oracle SQL must agree
+    bit-for-bit because both evaluate the identical telescoped integer
+    span and the identical single double division — any reintroduction of
+    a float gap mean or numpy .round() fails here immediately."""
+    import duckdb
+
+    from weaver_ray.pipelines.temporal import event_gap_stats
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    t_us = []
+    for uid in range(1, 120):
+        n = int(rng.integers(1, 8))
+        t = int(rng.integers(0, 10**9))
+        for _ in range(n):
+            t_us.append((eid, t, uid))
+            eid += 1
+            t += int(rng.integers(1, 2000)) * 50  # multiples of 50 us
+    df = pd.DataFrame(t_us, columns=["event_id", "us", "user_id"])
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array(T0 + df["us"].to_numpy().astype("timedelta64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(["click"] * len(df), pa.string()),
+        "value": pa.array(np.zeros(len(df)), pa.float64()),
+        "props": pa.array(["{}"] * len(df), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = (to_table(event_gap_stats(str(tmp_path), num_buckets=4))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    import __ray_entry__ as entrymod
+    sql = entrymod.oracle_sql()["event_gap_stats"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = (con.execute(sql).df()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False, check_exact=True)
