@@ -656,3 +656,41 @@ def test_approx_distinct_register_identical_to_single_process(ray_session):
     assert int(out["n_users_approx"][0]) == int(round(h.estimate()))
     assert int(out["n_users_exact"][0]) == len(
         set(users.column("user_id").to_pylist()))
+
+
+def test_token_stats_avg_exact_dyadic_tie(ray_session, tmp_path):
+    """Deterministic 4 dp rounding TIE for the ratio-average class swept
+    to sql_round in r5: 32 docs (2^5) with an ODD token sum make
+    avg·10^4 = sum·625/2 exactly half-integral in double — 65/32 =
+    2.03125 → DuckDB (half away) says 2.0313 where numpy banker's said
+    2.0312.  Engine is compared to the SHIPPED oracle SQL and the tie
+    value is asserted directly as a regression canary."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weaver_ray.pipelines.textops import token_stats_by_lang
+
+    texts = ["tok tok"] * 31 + ["tok tok tok"]          # lang aa: sum 65, n 32
+    texts2 = ["one two three"] * 3                      # lang bb: no tie
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts) + len(texts2)), pa.int64()),
+        "text": pa.array(texts + texts2),
+        "lang": pa.array(["aa"] * len(texts) + ["bb"] * len(texts2)),
+        "source": pa.array(["s"] * (len(texts) + len(texts2))),
+        "n_chars": pa.array([len(t) for t in texts + texts2], pa.int64()),
+    }), tmp_path / "documents.parquet")
+
+    got = (token_stats_by_lang(str(tmp_path))
+           .sort_values("lang").reset_index(drop=True))
+    assert got.loc[0, "avg_tokens"] == 2.0313  # the tie, rounded half AWAY
+
+    import __ray_entry__ as entrymod
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.execute(entrymod.oracle_sql()["token_stats_by_lang"]).df()
+            .sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False, check_exact=True)
