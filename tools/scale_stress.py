@@ -41,6 +41,11 @@ LINEITEM_QUERIES = [
     "q1_pricing_summary", "q6_revenue", "lineitem_rollup",
     "price_quantity_corr", "winsorized_value_stats", "skyline_orders",
 ]
+DOCUMENT_QUERIES = [
+    "token_stats_by_lang", "quality_by_source", "doc_token_entropy",
+    "heaps_law_fit", "vocab_zipf_slope", "unigram_logprob_docs",
+    "bigram_logprob_docs", "tfidf_top_terms",
+]
 
 
 def synth_events(path: str, n: int = 2_000_000) -> None:
@@ -91,6 +96,29 @@ def synth_lineitem(path: str, n: int = 6_000_000) -> None:
     pq.write_table(t, path, row_group_size=200_000)
 
 
+def synth_documents(path: str, n: int = 50_000) -> None:
+    rng = np.random.default_rng(21)
+    vocab = np.array(
+        "batch part spark line column order small sort fast value scan "
+        "hash slow group agg filter query big key window row table "
+        "stream merge data vector a the lm gpu".split())
+    w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.8  # Zipf-ish token mix
+    w /= w.sum()
+    langs = np.array(["zh", "en", "fr", "es", "de"])
+    srcs = np.array([f"src{i}" for i in range(20)])
+    lens = rng.integers(10, 61, n)
+    texts = [" ".join(rng.choice(vocab, size=L, p=w)) for L in lens]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs[rng.integers(0, 5, n)]),
+        "source": pa.array(srcs[rng.integers(0, 20, n)]),
+        "n_chars": pa.array(
+            np.asarray([len(s) for s in texts], np.int64), pa.int64()),
+    })
+    pq.write_table(t, path, row_group_size=5_000)
+
+
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
     os.makedirs(work, exist_ok=True)
@@ -98,10 +126,12 @@ def main() -> None:
         shutil.copy(os.path.join(BASE, f), os.path.join(work, f))
     synth_events(os.path.join(work, "events.parquet"))
     synth_lineitem(os.path.join(work, "lineitem.parquet"))
+    synth_documents(os.path.join(work, "documents.parquet"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
-         work, *EVENT_QUERIES, *LINEITEM_QUERIES], cwd=repo)
+         work, *EVENT_QUERIES, *LINEITEM_QUERIES, *DOCUMENT_QUERIES],
+        cwd=repo)
     sys.exit(r.returncode)
 
 
