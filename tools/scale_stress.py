@@ -46,6 +46,11 @@ DOCUMENT_QUERIES = [
     "heaps_law_fit", "vocab_zipf_slope", "unigram_logprob_docs",
     "bigram_logprob_docs", "tfidf_top_terms",
 ]
+EMBEDDING_QUERIES = [
+    "embedding_covariance", "embedding_sq8_stats", "embedding_isotropy",
+    "embedding_top_eigvec", "jl_distortion_audit", "ann_bruteforce_topk",
+    "matryoshka_recall",
+]
 
 
 def synth_events(path: str, n: int = 2_000_000) -> None:
@@ -119,6 +124,22 @@ def synth_documents(path: str, n: int = 50_000) -> None:
     pq.write_table(t, path, row_group_size=5_000)
 
 
+def synth_embeddings(path: str, n: int = 20_000,
+                     dim: int = 64, k: int = 10) -> None:
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 1, (k, dim)).astype(np.float32)
+    lab = rng.integers(0, k, n)
+    vecs = (centers[lab]
+            + rng.normal(0, 0.35, (n, dim)).astype(np.float32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v for v in vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(t, path, row_group_size=2_000)
+
+
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
     os.makedirs(work, exist_ok=True)
@@ -127,10 +148,12 @@ def main() -> None:
     synth_events(os.path.join(work, "events.parquet"))
     synth_lineitem(os.path.join(work, "lineitem.parquet"))
     synth_documents(os.path.join(work, "documents.parquet"))
+    synth_embeddings(os.path.join(work, "embeddings.parquet"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
-         work, *EVENT_QUERIES, *LINEITEM_QUERIES, *DOCUMENT_QUERIES],
+         work, *EVENT_QUERIES, *LINEITEM_QUERIES, *DOCUMENT_QUERIES,
+         *EMBEDDING_QUERIES],
         cwd=repo)
     sys.exit(r.returncode)
 
