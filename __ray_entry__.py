@@ -1666,19 +1666,36 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         **_image_sql(),
+        # exact integer grids (2 dp decimals -> cents): int sums never
+        # drift with block count, so engine and oracle are bit-equal at
+        # any scale — the float form diverged past 2 dp at 10x bench
+        # scale on the sibling order_status_revenue (tools/scale_stress)
         "q1_pricing_summary": f"""
+            WITH g AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS q_e2,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p_e2,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS d_e4,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS c_e6
+                FROM lineitem)
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(q_e2)::DOUBLE / 100.0, 2) AS sum_qty,
+                   round(sum(p_e2)::DOUBLE / 100.0, 2) AS sum_base_price,
+                   round(sum(d_e4)::DOUBLE / 10000.0, 2) AS sum_disc_price,
+                   round(sum(c_e6)::DOUBLE / 1000000.0, 2) AS sum_charge,
                    CAST(count(*) AS BIGINT) AS count_order,
-                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
-                   round(sum(l_extendedprice) / count(*), 4) AS avg_price
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
+                   round(sum(q_e2)::DOUBLE / 100.0 / count(*), 4) AS avg_qty,
+                   round(sum(p_e2)::DOUBLE / 100.0 / count(*), 4) AS avg_price
+            FROM g GROUP BY l_returnflag, l_linestatus
         """,
         "q6_revenue": """
-            SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue,
+            SELECT coalesce(round(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)
+                   )::DOUBLE / 10000.0, 2), 0.0) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -1688,14 +1705,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t
         """,
         "mktsegment_revenue": """
-            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+            SELECT c_mktsegment,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                         )::DOUBLE / 100.0, 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "order_status_revenue": """
             SELECT o_orderstatus,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   )::DOUBLE / 10000.0, 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus

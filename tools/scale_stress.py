@@ -51,6 +51,11 @@ EMBEDDING_QUERIES = [
     "embedding_top_eigvec", "jl_distortion_audit", "ann_bruteforce_topk",
     "matryoshka_recall",
 ]
+ORDERS_QUERIES = [  # join-heavy revenue family (consistent synthetic FKs)
+    "order_status_revenue", "mktsegment_revenue", "top_orders_per_customer",
+    "customer_value_ntiles", "segment_order_trend", "customer_order_profile",
+    "customer_rfm_segments", "duplicate_payment_audit", "purchase_survival_km",
+]
 
 
 def synth_events(path: str, n: int = 2_000_000) -> None:
@@ -101,6 +106,32 @@ def synth_lineitem(path: str, n: int = 6_000_000) -> None:
     pq.write_table(t, path, row_group_size=200_000)
 
 
+def synth_orders(path: str, n: int = 1_500_000) -> None:
+    """o_orderkey 1..n matches synth_lineitem's key range; o_custkey
+    matches the sf0.1 customer table (0..14999), so every join leg is
+    exercised with 10x fact-side blocks.  This axis CAUGHT a real bug:
+    order_status_revenue's float revenue sum drifted past its 2 dp grid
+    at ~1e11 magnitudes — fixed by the exact integer-cents grids."""
+    rng = np.random.default_rng(13)
+    t0 = np.datetime64("1992-01-01T00:00:00", "us")
+    stat = np.array(["F", "O", "P"])
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                     "4-NOT SPECIFIED", "5-LOW"])
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, 15000, n), pa.int64()),
+        "o_orderstatus": pa.array(stat[rng.integers(0, 3, n)]),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(900, 450000, n), 2), pa.float64()),
+        "o_orderdate": pa.array(
+            t0 + rng.integers(0, 2500 * 86400, n)
+            .astype("timedelta64[s]").astype("timedelta64[us]"),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(prio[rng.integers(0, 5, n)]),
+    })
+    pq.write_table(t, path, row_group_size=150_000)
+
+
 def synth_documents(path: str, n: int = 50_000) -> None:
     rng = np.random.default_rng(21)
     vocab = np.array(
@@ -149,11 +180,12 @@ def main() -> None:
     synth_lineitem(os.path.join(work, "lineitem.parquet"))
     synth_documents(os.path.join(work, "documents.parquet"))
     synth_embeddings(os.path.join(work, "embeddings.parquet"))
+    synth_orders(os.path.join(work, "orders.parquet"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
          work, *EVENT_QUERIES, *LINEITEM_QUERIES, *DOCUMENT_QUERIES,
-         *EMBEDDING_QUERIES],
+         *EMBEDDING_QUERIES, *ORDERS_QUERIES],
         cwd=repo)
     sys.exit(r.returncode)
 

@@ -26,28 +26,44 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                "l_discount", "l_tax"])
 
+    # Exact integer grids (2 dp source decimals → cents): qty/price sum in
+    # 1e-2 units, disc_price = p_e2·(100−d_e2) in 1e-4, charge = that
+    # ·(100+t_e2) in 1e-6.  int64 sums are EXACT at any block count, so
+    # engine and oracle agree bit-for-bit regardless of association —
+    # float sums drifted past the 2 dp grid at ~1e11 magnitudes (caught
+    # by tools/scale_stress.py on the sibling order_status_revenue).
+    # Headroom: |c_e6| ≤ 1.2e11/row → int64 holds ~7.6e7 rows per batch
+    # partial and ~7.6e7 partial rows in the reduce, far past any block.
     def add_derived(df: pd.DataFrame) -> pd.DataFrame:
-        disc_price = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        df = df.assign(disc_price=disc_price, charge=disc_price * (1.0 + df["l_tax"]))
-        return df
+        q = np.round(df["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        p = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        t = np.round(df["l_tax"].to_numpy() * 100.0).astype(np.int64)
+        d_e4 = p * (100 - d)
+        return df.assign(q_e2=q, p_e2=p, d_e4=d_e4, c_e6=d_e4 * (100 + t))
 
     out = partial_groupby(
         ds,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": ("l_quantity", "sum"),
-            "sum_base_price": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
-            "sum_charge": ("charge", "sum"),
-            "count_order": ("l_quantity", "count"),
+            "sum_qty": ("q_e2", "sum"),
+            "sum_base_price": ("p_e2", "sum"),
+            "sum_disc_price": ("d_e4", "sum"),
+            "sum_charge": ("c_e6", "sum"),
+            "count_order": ("q_e2", "count"),
         },
         prep=add_derived,
     ).to_pandas()  # a handful of groups: finish driver-side, no extra operator
 
-    out["avg_qty"] = sql_round(out["sum_qty"] / out["count_order"], 4)
-    out["avg_price"] = sql_round(out["sum_base_price"] / out["count_order"], 4)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        out[c] = sql_round(out[c], 2)
+    n = out["count_order"].to_numpy(np.float64)
+    # mirror the oracle's expression shape exactly: (sum/grid)/n
+    out["avg_qty"] = sql_round(
+        out["sum_qty"].to_numpy(np.float64) / 100.0 / n, 4)
+    out["avg_price"] = sql_round(
+        out["sum_base_price"].to_numpy(np.float64) / 100.0 / n, 4)
+    for c, grid in (("sum_qty", 100.0), ("sum_base_price", 100.0),
+                    ("sum_disc_price", 10000.0), ("sum_charge", 1000000.0)):
+        out[c] = sql_round(out[c].to_numpy(np.float64) / grid, 2)
     out["count_order"] = out["count_order"].astype(np.int64)
     return out
 
@@ -74,13 +90,15 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
-        n = t.num_rows
-        return pa.table({"rev_part": [r.as_py() or 0.0], "n_part": [n]})
+        # exact 1e-4 grid: cents × discount-cents, int64 partial per batch
+        # (same grid rationale as q1 — float sums drift past 2 dp at scale)
+        p = np.round(t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"rev_e4": [int((p * d).sum())], "n_part": [t.num_rows]})
 
     parts = ds.map_batches(rev, batch_format="pyarrow").to_pandas()
     return pd.DataFrame(
-        {"revenue": [round(float(parts["rev_part"].sum()), 2)],
+        {"revenue": [float(sql_round(float(parts["rev_e4"].sum()) / 10000.0, 2))],
          "n_rows": [np.int64(parts["n_part"].sum())]}
     )
 
@@ -106,11 +124,18 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
     cust = load_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        # exact cents grid (q1 rationale): int64 sums are association-free
+        return df.assign(price_e2=np.round(
+            df["o_totalprice"].to_numpy() * 100.0).astype(np.int64))
+
     out = partial_groupby(
         joined, ["c_mktsegment"],
-        {"revenue": ("o_totalprice", "sum"), "n_orders": ("o_totalprice", "count")},
+        {"revenue": ("price_e2", "sum"), "n_orders": ("price_e2", "count")},
+        prep=cents,
     ).to_pandas()  # few groups: finish driver-side
-    out["revenue"] = sql_round(out["revenue"], 2)
+    out["revenue"] = sql_round(out["revenue"].to_numpy(np.float64) / 100.0, 2)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out
 
@@ -123,12 +148,13 @@ def order_status_revenue(sf_dir: str) -> pd.DataFrame:
     li = load(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def add_rev(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_orderkey": t["l_orderkey"],
-                "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-            }
-        )
+        # exact 1e-4 grid rev = p_e2·(100−d_e2): int64 sums never drift —
+        # the float version diverged past the 2 dp grid at 10x bench scale
+        # (caught by tools/scale_stress.py, ~1e11 revenue magnitudes)
+        p = np.round(t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_e4": p * (100 - d)})
 
     li = li.map_batches(add_rev, batch_format="pyarrow")
     orders = load(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
@@ -138,17 +164,18 @@ def order_status_revenue(sf_dir: str) -> pd.DataFrame:
     def agg_bucket(j: pd.DataFrame) -> pd.DataFrame:
         g = j.groupby("o_orderstatus", sort=False, observed=True)
         return pd.DataFrame(
-            {"revenue": g["rev"].sum(), "n_items": g.size()}
+            {"rev_e4": g["rev_e4"].sum(), "n_items": g.size()}
         ).reset_index()
 
     partials = hash_join(li, orders, on="l_orderkey",
-                         lcols=["l_orderkey", "rev"],
+                         lcols=["l_orderkey", "rev_e4"],
                          rcols=["l_orderkey", "o_orderstatus"],
                          num_buckets=16, post=agg_bucket).to_pandas()
     out = partials.groupby("o_orderstatus", sort=True).sum().reset_index()
-    out["revenue"] = sql_round(out["revenue"], 2)
+    out["revenue"] = sql_round(out["rev_e4"].to_numpy(np.float64) / 10000.0, 2)
+    out = out.drop(columns=["rev_e4"])
     out["n_items"] = out["n_items"].astype(np.int64)
-    return out
+    return out[["o_orderstatus", "revenue", "n_items"]]
 
 
 def region_customer_counts(sf_dir: str) -> pd.DataFrame:
