@@ -56,6 +56,9 @@ ORDERS_QUERIES = [  # join-heavy revenue family (consistent synthetic FKs)
     "customer_value_ntiles", "segment_order_trend", "customer_order_profile",
     "customer_rfm_segments", "duplicate_payment_audit", "purchase_survival_km",
 ]
+PART_SUPP_QUERIES = [  # small-dim joins against the 10x fact side
+    "local_supplier_volume", "basket_rules_brands", "bloom_semi_join_revenue",
+]
 
 
 def synth_events(path: str, n: int = 2_000_000) -> None:
@@ -84,8 +87,11 @@ def synth_lineitem(path: str, n: int = 6_000_000) -> None:
     ls = np.array(["F", "O"])
     t = pa.table({
         "l_orderkey": pa.array(rng.integers(1, 1_500_001, n), pa.int64()),
-        "l_partkey": pa.array(rng.integers(1, 200_001, n), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(1, 10_001, n), pa.int64()),
+        # FK-consistent with the sf0.1 part (0..19999) and supplier
+        # (0..999) dimension tables, so the join-family queries see 10x
+        # fact blocks against the real small sides
+        "l_partkey": pa.array(rng.integers(0, 20_000, n), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, 1_000, n), pa.int64()),
         "l_linenumber": pa.array(
             rng.integers(1, 8, n).astype(np.int32), pa.int32()),
         "l_quantity": pa.array(
@@ -185,7 +191,7 @@ def main() -> None:
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
          work, *EVENT_QUERIES, *LINEITEM_QUERIES, *DOCUMENT_QUERIES,
-         *EMBEDDING_QUERIES, *ORDERS_QUERIES],
+         *EMBEDDING_QUERIES, *ORDERS_QUERIES, *PART_SUPP_QUERIES],
         cwd=repo)
     sys.exit(r.returncode)
 
